@@ -1,0 +1,69 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from distributed_mapreduce_server_spark import get_spark, registry  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_revenue_forecast",
+    "q10_returned_items",
+    "q_top_customer_per_nation",
+    "q_events_sessionize",
+    "q_events_windowed",
+    "mr_wordcount",
+    "mr_inverted_index",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("dmrs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = registry.all_queries()
+    names = [n for n in HEADLINE if n in queries]
+
+    # warm the JVM + parquet footers once so per-query times measure the
+    # query, not session bootstrap.
+    queries[names[0]](spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

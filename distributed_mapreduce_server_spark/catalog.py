@@ -1,0 +1,64 @@
+"""Table catalog: load the driver-generated parquet tables as DataFrames
+and register temp views so operators can use either the DataFrame or
+SQL API.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+# The driver-generated parquet stores timestamps as INT64
+# TIMESTAMP(NANOS), which Spark's vectorized reader rejects. We read
+# them as raw nanos (legacy.parquet.nanosAsLong) and convert to
+# microsecond timestamps here — lossless for this data (verified: no
+# sub-microsecond components), and matches DuckDB's TIMESTAMP (us).
+_NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def load_tables(spark: SparkSession, sf_dir: str | None = None, register_views: bool = True) -> dict[str, DataFrame]:
+    """Load every test table from ``sf_dir`` (parquet scan, lazily).
+
+    Column pruning + predicate pushdown happen at the scan because
+    every operator selects/filters declaratively on these DataFrames.
+    """
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        for col in _NANOS_TS_COLUMNS.get(name, ()):
+            field = df.schema[col]
+            if isinstance(field.dataType, T.LongType):
+                # integer `div`, not `/`: ns epoch values exceed 2^53 so
+                # float division would be off by ±1us.
+                df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        out[name] = df
+        if register_views:
+            df.createOrReplaceTempView(name)
+    return out

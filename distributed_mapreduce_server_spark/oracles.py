@@ -1,0 +1,236 @@
+"""DuckDB oracle SQL, keyed identically to the queries() registry.
+
+Each statement is the ANSI-SQL ground truth for one Spark operator.
+Column aliases and rounding MUST match the Spark side exactly — the
+driver sorts columns by name and hash-compares values.
+"""
+
+RELATIONAL_ORACLES: dict[str, str] = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               ROUND(AVG(l_quantity), 2) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 2) AS avg_price,
+               ROUND(AVG(l_discount), 2) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": """
+        SELECT l_orderkey, o_orderdate,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1996-03-15'
+          AND l_shipdate > TIMESTAMP '1996-03-15'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
+    "q5_local_supplier": """
+        SELECT n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    "q6_revenue_forecast": """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "q10_returned_items": """
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "q_order_priority": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "q_customers_no_orders": """
+        SELECT c_custkey, c_name, c_nationkey
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+    """,
+    "q_market_segment_sales": """
+        SELECT c_mktsegment,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(DISTINCT o_orderkey) AS order_count,
+               COUNT(*) AS lineitem_count
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    "q_top_customer_per_nation": """
+        WITH spend AS (
+            SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spend
+            FROM orders GROUP BY o_custkey
+        ), ranked AS (
+            SELECT n_name, c_custkey, c_name, total_spend,
+                   ROW_NUMBER() OVER (PARTITION BY n_name
+                                      ORDER BY total_spend DESC, c_custkey) AS rnk
+            FROM spend
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+        )
+        SELECT n_name, c_custkey, c_name, total_spend
+        FROM ranked WHERE rnk = 1
+        ORDER BY n_name
+    """,
+    "q_running_revenue": """
+        WITH daily AS (
+            SELECT date_trunc('day', o_orderdate) AS order_day,
+                   ROUND(SUM(o_totalprice), 2) AS day_revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT order_day, day_revenue,
+               ROUND(SUM(day_revenue) OVER (ORDER BY order_day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS running_revenue
+        FROM daily
+        ORDER BY order_day
+    """,
+    "q_moving_avg_events": """
+        SELECT event_id, event_type, ts,
+               ROUND(value, 2) AS value_r,
+               ROUND(AVG(value) OVER w_frame, 4) AS moving_avg,
+               ROUND(LAG(value, 1) OVER w, 2) AS prev_value,
+               ROUND(LEAD(value, 1) OVER w, 2) AS next_value
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id),
+               w_frame AS (PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        ORDER BY event_type, ts, event_id
+    """,
+    "q_nation_rollup": """
+        SELECT r_name, n_name,
+               COUNT(*) AS customer_count,
+               ROUND(SUM(c_acctbal), 2) AS total_balance
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY r_name, n_name
+    """,
+    "q_percentiles": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50_price,
+               ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
+               ROUND(quantile_cont(l_extendedprice, 0.99), 2) AS p99_price,
+               ROUND(AVG(l_extendedprice), 2) AS avg_price
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "q_full_outer_balance": """
+        SELECT COALESCE(cb.c_nationkey, sb.s_nationkey) AS nationkey,
+               customer_balance, supplier_balance
+        FROM (SELECT c_nationkey, ROUND(SUM(c_acctbal), 2) AS customer_balance
+              FROM customer GROUP BY c_nationkey) cb
+        FULL OUTER JOIN
+             (SELECT s_nationkey, ROUND(SUM(s_acctbal), 2) AS supplier_balance
+              FROM supplier GROUP BY s_nationkey) sb
+        ON cb.c_nationkey = sb.s_nationkey
+        ORDER BY nationkey
+    """,
+}
+
+EVENTS_ORACLES: dict[str, str] = {
+    "q_events_sessionize": """
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w) IS NULL
+                             OR epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessioned AS (
+            SELECT user_id, event_id, ts, value,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               COUNT(*) AS n_events,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               ROUND(SUM(value), 2) AS session_value
+        FROM sessioned
+        GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
+    """,
+    "q_events_windowed": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value,
+               COUNT(DISTINCT user_id) AS distinct_users
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY window_start, event_type
+    """,
+    "q_events_pivot": """
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    "q_events_json_extract": """
+        SELECT event_type,
+               ROUND(AVG(k), 2) AS avg_k,
+               MIN(k) AS min_k,
+               MAX(k) AS max_k,
+               COUNT(k) AS n_with_k
+        FROM (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+            FROM events
+        )
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+}

@@ -1,0 +1,68 @@
+"""Central query registry: key -> (spark callable, oracle SQL or None).
+
+``__spark_entry__.queries()`` / ``oracle_sql()`` are thin views over
+this. Keys with a None oracle get the driver's rows-only check
+(approximate / non-SQL-expressible operators).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from distributed_mapreduce_server_spark.operators import events, relational
+from distributed_mapreduce_server_spark.oracles import EVENTS_ORACLES, RELATIONAL_ORACLES
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _register(module, oracle_map: dict[str, str], names: list[str]) -> None:
+    for name in names:
+        _QUERIES[name] = getattr(module, name)
+        if name in oracle_map:
+            _ORACLES[name] = oracle_map[name].strip()
+
+
+_register(
+    relational,
+    RELATIONAL_ORACLES,
+    [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier",
+        "q6_revenue_forecast",
+        "q10_returned_items",
+        "q_order_priority",
+        "q_customers_no_orders",
+        "q_market_segment_sales",
+        "q_top_customer_per_nation",
+        "q_running_revenue",
+        "q_moving_avg_events",
+        "q_nation_rollup",
+        "q_percentiles",
+        "q_full_outer_balance",
+        "q_approx_distinct",
+    ],
+)
+_register(
+    events,
+    EVENTS_ORACLES,
+    [
+        "q_events_sessionize",
+        "q_events_windowed",
+        "q_events_pivot",
+        "q_events_json_extract",
+    ],
+)
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(_ORACLES)

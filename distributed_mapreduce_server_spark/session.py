@@ -1,0 +1,44 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+The reference manager hand-schedules partitions and worker liveness
+(reference: mapreduce/manager/__main__.py:96-140); on Spark that job
+belongs to the scheduler + AQE, so the session is where those knobs
+live.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "dmrs-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-oriented defaults.
+
+    - AQE on: runtime coalescing of shuffle partitions, skew-join
+      splitting, dynamic join-strategy switches (sort-merge ->
+      broadcast when the built side turns out small).
+    - Arrow on: any Pandas-UDF path transfers columnar batches.
+    - shuffle.partitions sized by SPARK_GRAFT_CPUS locally; on a real
+      cluster this would be ~2-3x total cores and AQE coalesces down.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
+        builder = builder.master(f"local[{cpus}]")
+    return builder.getOrCreate()

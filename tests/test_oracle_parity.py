@@ -1,0 +1,33 @@
+"""Primary gate: every registered query matches its DuckDB oracle at
+sf0.01 — the same comparison the driver runs (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from distributed_mapreduce_server_spark import registry
+from tests.oracle_utils import compare, duckdb_conn
+
+ORACLES = registry.all_oracles()
+QUERIES = registry.all_queries()
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_conn(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, spark, sf_dir, con):
+    df = QUERIES[name](spark, sf_dir)
+    problems = compare(df, con, ORACLES[name])
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(name, spark, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
