@@ -1,0 +1,91 @@
+"""MapReduce-parity queries (SURVEY.md §2.1) as registry entries.
+
+Each is the Spark-first form of a job the reference runs via
+mapper/reducer executables (reference: tests/testdata/exec/*). Written
+as pure DataFrame plans: word/line explosion and filters stay inside
+WholeStageCodegen; the "sort+reduce" stage is a hash aggregate with
+map-side combine, not a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_server_spark.catalog import load_tables
+from distributed_mapreduce_server_spark.functions import tokens
+
+GREP_PATTERN = "spark"
+
+
+def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count over documents.text (wc_map.sh + wc_reduce.sh)."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    return (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+    )
+
+
+def mr_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grep: emit (doc_id, line_no, line) for lines containing the
+    pattern (grep_map.py semantics; line = \\n-split segment)."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", "\n")).alias("line_no", "line"),
+    )
+    return lines.filter(F.col("line").contains(GREP_PATTERN)).orderBy("doc_id", "line_no")
+
+
+def mr_grep_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grep -c: per-document match count (grep_reduce.py aggregates)."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    n = F.regexp_count(F.col("text"), F.lit(GREP_PATTERN))
+    return (
+        docs.select("doc_id", n.alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+        .orderBy("doc_id")
+    )
+
+
+def mr_distributed_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort — the reference's group/merge-sort stage as a Spark
+    range-partitioned sort (sampled range boundaries, per-partition
+    sort, no single-node merge)."""
+    li = load_tables(spark, sf_dir, register_views=False)["lineitem"]
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(1000)
+    )
+
+
+def mr_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index: word -> sorted distinct doc ids (+ doc freq).
+
+    The posting list is a comma-joined sorted string so the oracle can
+    reproduce it engine-agnostically.
+    """
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    return (
+        docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_freq"),
+            F.array_join(F.array_sort(F.collect_set("doc_id")), ",").alias("postings"),
+        )
+        .orderBy("word")
+    )
+
+
+def mr_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct keys (sort|uniq): distinct (lang, word) pairs."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    return (
+        docs.select("lang", F.explode(tokens("text")).alias("word"))
+        .distinct()
+        .orderBy("lang", "word")
+    )

@@ -1,0 +1,46 @@
+"""DuckDB oracle SQL for the MapReduce-parity queries (§2.1)."""
+
+_TOKENS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+MAPREDUCE_ORACLES: dict[str, str] = {
+    "mr_wordcount": f"""
+        SELECT word, COUNT(*) AS cnt
+        FROM (SELECT unnest({_TOKENS}) AS word FROM documents)
+        GROUP BY word
+        ORDER BY cnt DESC, word
+    """,
+    "mr_grep": """
+        SELECT doc_id, CAST(i - 1 AS INTEGER) AS line_no, ls[i] AS line
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents) t,
+             UNNEST(range(1, len(ls) + 1)) AS u(i)
+        WHERE contains(ls[i], 'spark')
+        ORDER BY doc_id, line_no
+    """,
+    "mr_grep_count": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, 'spark')) AS INTEGER) AS n_matches
+        FROM documents
+        WHERE len(regexp_extract_all(text, 'spark')) > 0
+        ORDER BY doc_id
+    """,
+    "mr_distributed_sort": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        LIMIT 1000
+    """,
+    "mr_inverted_index": f"""
+        SELECT word,
+               COUNT(DISTINCT doc_id) AS doc_freq,
+               string_agg(DISTINCT doc_id, ',' ORDER BY doc_id) AS postings
+        FROM (SELECT doc_id, unnest({_TOKENS}) AS word FROM documents)
+        GROUP BY word
+        ORDER BY word
+    """,
+    "mr_distinct": """
+        SELECT DISTINCT lang, word
+        FROM (SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text),
+                 '[^a-z0-9]+'), t -> t <> '')) AS word FROM documents)
+        ORDER BY lang, word
+    """,
+}

@@ -11,6 +11,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from distributed_mapreduce_server_spark.mapreduce import jobs as mr_jobs
+from distributed_mapreduce_server_spark.mapreduce.oracles import MAPREDUCE_ORACLES
 from distributed_mapreduce_server_spark.operators import events, relational
 from distributed_mapreduce_server_spark.oracles import EVENTS_ORACLES, RELATIONAL_ORACLES
 
@@ -46,6 +48,18 @@ _register(
         "q_percentiles",
         "q_full_outer_balance",
         "q_approx_distinct",
+    ],
+)
+_register(
+    mr_jobs,
+    MAPREDUCE_ORACLES,
+    [
+        "mr_wordcount",
+        "mr_grep",
+        "mr_grep_count",
+        "mr_distributed_sort",
+        "mr_inverted_index",
+        "mr_distinct",
     ],
 )
 _register(
