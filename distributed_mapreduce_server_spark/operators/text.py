@@ -1,0 +1,125 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY.md §2.5).
+
+All scoring is pure column expressions (JVM-side, codegen'd) with an
+exact DuckDB-SQL twin — no Python in the hot path, so these run at
+scan speed over 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_server_spark.catalog import load_tables
+from distributed_mapreduce_server_spark.functions import tokens
+
+# Per-language marker words for the n-gram/stopword language-ID
+# heuristic. On real corpora these would be the top function words per
+# language; scoring = marker hit-rate, argmax with deterministic
+# tie-break on language code.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "value", "data", "fast"),
+    "de": ("der", "und", "nicht", "das", "ist"),
+    "es": ("el", "de", "que", "la", "los"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("de5", "le5", "shi4", "zai4", "he2"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, wordish (BPE-ish regex)
+    tokens, distinct tokens, avg token length per document."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    toks = tokens("text")
+    ws_count = F.size(F.filter(F.split("text", r"\s+"), lambda t: t != F.lit("")))
+    return (
+        docs.select(
+            "doc_id",
+            ws_count.alias("n_ws_tokens"),
+            F.size(toks).alias("n_word_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+            F.round(
+                F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
+                / F.greatest(F.size(toks), F.lit(1)),
+                4,
+            ).alias("avg_token_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length band + punctuation density +
+    stopword ratio + repetition (distinct/total token ratio)."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    toks = tokens("text")
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
+    stop_ratio = n_stop / n_tok
+    punct_density = n_punct / F.greatest(F.length("text"), F.lit(1))
+    len_score = F.when((F.length("text") >= 100) & (F.length("text") <= 20000), 1.0).otherwise(0.5)
+    quality = (
+        F.lit(0.4) * distinct_ratio
+        + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.2) * len_score
+        + F.lit(0.1) * (1 - F.least(punct_density * 10, F.lit(1.0)))
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.length("text").alias("n_chars_text"),
+            F.size(toks).alias("n_tokens"),
+            F.round(distinct_ratio, 4).alias("distinct_ratio"),
+            F.round(stop_ratio, 4).alias("stop_ratio"),
+            F.round(quality, 4).alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID: per-language marker-word hit counts, argmax with
+    deterministic tie-break (higher count wins, then language code).
+
+    Emits predicted language + score; parity with the labeled `lang`
+    column is a model-quality question, not a correctness one.
+    """
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    toks = tokens("text")
+    scored = docs.select("doc_id", "lang", toks.alias("toks"))
+    def marker_count(markers: tuple[str, ...]):
+        return F.size(F.filter(F.col("toks"), lambda t: t.isin(*markers)))
+
+    score_cols = []
+    for code, markers in sorted(LANG_MARKERS.items()):
+        c = marker_count(markers)
+        score_cols.append(F.struct(c.alias("score"), F.lit(code).alias("code")))
+    best = F.array_max(F.array(*score_cols))
+    return (
+        scored.select(
+            "doc_id",
+            "lang",
+            best["code"].alias("pred_lang"),
+            best["score"].alias("marker_hits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over the normalized token stream —
+    the canonical-form hash used by exact dedup."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    normalized = F.array_join(tokens("text"), " ")
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(normalized).alias("fingerprint"),
+            F.substring(F.md5(normalized), 1, 8).alias("shard_key"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,72 @@
+"""DuckDB oracle SQL for the text-analysis operators (§2.5)."""
+
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+_MARKER_SQL = {
+    "en": "['the', 'a', 'value', 'data', 'fast']",
+    "de": "['der', 'und', 'nicht', 'das', 'ist']",
+    "es": "['el', 'de', 'que', 'la', 'los']",
+    "fr": "['le', 'la', 'et', 'les', 'des']",
+    "zh": "['de5', 'le5', 'shi4', 'zai4', 'he2']",
+}
+
+_SCORE_STRUCTS = ", ".join(
+    f"{{'score': CAST(len(list_filter(toks, t -> list_contains({markers}, t))) AS INTEGER), 'code': '{code}'}}"
+    for code, markers in sorted(_MARKER_SQL.items())
+)
+
+TEXT_ORACLES: dict[str, str] = {
+    "text_token_stats": f"""
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS INTEGER)
+                   AS n_ws_tokens,
+               CAST(len(toks) AS INTEGER) AS n_word_tokens,
+               CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
+               ROUND(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                     / greatest(len(toks), 1), 4) AS avg_token_len
+        FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+        ORDER BY doc_id
+    """,
+    "text_quality_score": f"""
+        WITH base AS (
+            SELECT doc_id, text, {_TOKS} AS toks FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   length(text) AS n_chars_text,
+                   CAST(len(toks) AS INTEGER) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS DOUBLE)
+                       / greatest(len(toks), 1) AS distinct_ratio,
+                   CAST(len(list_filter(toks, t -> list_contains(
+                        ['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
+                       / greatest(len(toks), 1) AS stop_ratio,
+                   CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                       / greatest(length(text), 1) AS punct_density,
+                   CASE WHEN length(text) >= 100 AND length(text) <= 20000
+                        THEN 1.0 ELSE 0.5 END AS len_score
+            FROM base
+        )
+        SELECT doc_id, n_chars_text, n_tokens,
+               ROUND(distinct_ratio, 4) AS distinct_ratio,
+               ROUND(stop_ratio, 4) AS stop_ratio,
+               ROUND(0.4 * distinct_ratio
+                     + 0.3 * least(stop_ratio * 4, 1.0)
+                     + 0.2 * len_score
+                     + 0.1 * (1 - least(punct_density * 10, 1.0)), 4) AS quality
+        FROM m
+        ORDER BY doc_id
+    """,
+    "text_langid": f"""
+        SELECT doc_id, lang,
+               (list_max([{_SCORE_STRUCTS}])).code AS pred_lang,
+               (list_max([{_SCORE_STRUCTS}])).score AS marker_hits
+        FROM (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
+        ORDER BY doc_id
+    """,
+    "text_fingerprint": f"""
+        SELECT doc_id,
+               md5(list_aggregate({_TOKS}, 'string_agg', ' ')) AS fingerprint,
+               substr(md5(list_aggregate({_TOKS}, 'string_agg', ' ')), 1, 8) AS shard_key
+        FROM documents
+        ORDER BY doc_id
+    """,
+}

@@ -13,7 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from distributed_mapreduce_server_spark.mapreduce import jobs as mr_jobs
 from distributed_mapreduce_server_spark.mapreduce.oracles import MAPREDUCE_ORACLES
-from distributed_mapreduce_server_spark.operators import events, relational
+from distributed_mapreduce_server_spark.operators import events, relational, text
+from distributed_mapreduce_server_spark.operators.text_oracles import TEXT_ORACLES
 from distributed_mapreduce_server_spark.oracles import EVENTS_ORACLES, RELATIONAL_ORACLES
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -60,6 +61,16 @@ _register(
         "mr_distributed_sort",
         "mr_inverted_index",
         "mr_distinct",
+    ],
+)
+_register(
+    text,
+    TEXT_ORACLES,
+    [
+        "text_token_stats",
+        "text_quality_score",
+        "text_langid",
+        "text_fingerprint",
     ],
 )
 _register(
