@@ -35,20 +35,32 @@ def md5_u60(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
 
 
-def minhash_perm(h: Column, a: int, b: int) -> Column:
-    """Universal-hash permutation of a base hash: (a*h + b) mod p.
+def seeded_u60(col: Column, seed: int) -> Column:
+    """Seeded portable hash: md5 over 'seed|value' -> 60-bit BIGINT.
 
-    p = 2^61 - 1 (Mersenne prime); arithmetic stays in BIGINT range
-    because h < 2^60 and we take mod after each multiply via the
-    double-precision-safe decomposition DuckDB mirrors exactly.
+    Used as the MinHash permutation family — one independent hash per
+    seed — because md5 is bit-identical across engines. (A production
+    Spark-only path would use xxhash64(seed, col), ~10x cheaper; md5 is
+    the oracle-parity choice.)
     """
-    p = (1 << 61) - 1
-    # (a * h) overflows 64-bit for 60-bit h; split h into hi/lo 30-bit
-    # halves so every intermediate stays < 2^62. Same formula in SQL.
-    hi = (h / F.lit(1 << 30)).cast("bigint")
-    lo = h % F.lit(1 << 30)
-    term = (F.lit(a % p) * hi % F.lit(p)) * F.lit((1 << 30) % p) % F.lit(p)
-    return (term + F.lit(a % p) * lo % F.lit(p) + F.lit(b % p)) % F.lit(p)
+    return md5_u60(F.concat(F.lit(f"{seed}|"), col))
+
+
+def shingles(tok_col: Column, k: int = 3) -> Column:
+    """Distinct k-gram word shingles from a token array.
+
+    DuckDB equivalent:
+    ``list_distinct(list_transform(range(1, greatest(len(t)-k+1,0)+1),
+    i -> array_to_string(t[i:i+k-1], ' ')))``
+    """
+    n = F.size(tok_col)
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(tok_col, i + 1, k)),
+        )
+    )
+    return F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
 
 
 def cosine_sim(a: Column, b: Column) -> Column:

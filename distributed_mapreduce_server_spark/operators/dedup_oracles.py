@@ -1,0 +1,158 @@
+"""DuckDB oracle SQL for the dedup operators (§2.3).
+
+The MinHash/SimHash statements are generated programmatically so the
+constants (perm seeds, band layout, bit width) stay in lockstep with
+dedup.py.
+"""
+
+from distributed_mapreduce_server_spark.operators.dedup import (
+    COSINE_DEDUP_T,
+    HAMMING_T,
+    JACCARD_T,
+    N_BANDS,
+    N_PERMS,
+    ROWS_PER_BAND,
+    SIMHASH_BITS,
+)
+
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1), "
+    "i -> array_to_string(toks[i:i+2], ' ')))"
+)
+_DOC_SHINGLES = f"""
+    SELECT doc_id, sh FROM (
+        SELECT doc_id, {_SHINGLES} AS sh
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ) WHERE len(sh) > 0
+"""
+
+
+def _u60(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _mh_col(i: int) -> str:
+    seeded = _u60(f"concat('{i}|', x)")
+    return f"list_min(list_transform(sh, x -> {seeded})) AS mh{i}"
+
+
+_MH_COLS = ",\n               ".join(_mh_col(i) for i in range(N_PERMS))
+_BAND_STRUCTS = ", ".join(
+    "{'band_idx': %d, 'band_sig': md5(concat_ws(',', %s))}"
+    % (b, ", ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)))
+    for b in range(N_BANDS)
+)
+
+_BIT_SUMS = ",\n               ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN w ELSE -w END) AS s{j}"
+    for j in range(SIMHASH_BITS)
+)
+_SIMHASH_EXPR = " + ".join(
+    f"(CASE WHEN s{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+    for j in range(SIMHASH_BITS)
+)
+
+DEDUP_ORACLES: dict[str, str] = {
+    "dedup_exact": f"""
+        SELECT md5(array_to_string({_TOKS}, ' ')) AS fingerprint,
+               COUNT(*) AS n_docs,
+               MIN(doc_id) AS keep_doc_id
+        FROM documents
+        GROUP BY 1
+        ORDER BY keep_doc_id
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH s AS ({_DOC_SHINGLES}),
+        e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               ROUND(i / (len(sa.sh) + len(sb.sh) - i), 4) AS jaccard
+        FROM inter
+        JOIN s sa ON doc_a = sa.doc_id
+        JOIN s sb ON doc_b = sb.doc_id
+        WHERE ROUND(i / (len(sa.sh) + len(sb.sh) - i), 4) >= {JACCARD_T}
+        ORDER BY doc_a, doc_b
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH s AS ({_DOC_SHINGLES}),
+        sig AS (
+            SELECT doc_id,
+               {_MH_COLS}
+            FROM s
+        ),
+        bands AS (
+            SELECT doc_id, unnest([{_BAND_STRUCTS}], recursive := true)
+            FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band_idx = b.band_idx
+                        AND a.band_sig = b.band_sig
+                        AND a.doc_id < b.doc_id
+        ),
+        verified AS (
+            SELECT doc_a, doc_b,
+                   len(list_intersect(sa.sh, sb.sh)) AS i,
+                   len(sa.sh) AS na, len(sb.sh) AS nb
+            FROM cand
+            JOIN s sa ON doc_a = sa.doc_id
+            JOIN s sb ON doc_b = sb.doc_id
+        )
+        SELECT doc_a, doc_b, ROUND(i / (na + nb - i), 4) AS jaccard
+        FROM verified
+        WHERE ROUND(i / (na + nb - i), 4) >= {JACCARD_T}
+        ORDER BY doc_a, doc_b
+    """,
+    "dedup_simhash": f"""
+        WITH tf AS (
+            SELECT doc_id, tok, COUNT(*) AS w,
+                   {_u60("tok")} & {(1 << SIMHASH_BITS) - 1} AS h
+            FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+            GROUP BY doc_id, tok, h
+        ),
+        sums AS (
+            SELECT doc_id,
+               {_BIT_SUMS}
+            FROM tf GROUP BY doc_id
+        ),
+        sh AS (SELECT doc_id, {_SIMHASH_EXPR} AS simhash FROM sums),
+        bands AS (
+            SELECT doc_id, simhash, 0 AS band_idx, simhash & 65535 AS band_val FROM sh
+            UNION ALL
+            SELECT doc_id, simhash, 1 AS band_idx, (simhash >> 16) & 65535 AS band_val FROM sh
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+            FROM bands a
+            JOIN bands b ON a.band_idx = b.band_idx
+                        AND a.band_val = b.band_val
+                        AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, hamming FROM cand
+        WHERE hamming <= {HAMMING_T}
+        ORDER BY doc_a, doc_b
+    """,
+    "dedup_embedding_cosine": f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                     4) AS cos_sim
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                     4) >= {COSINE_DEDUP_T}
+        ORDER BY vec_a, vec_b
+    """,
+}

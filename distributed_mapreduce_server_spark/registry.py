@@ -13,7 +13,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 from distributed_mapreduce_server_spark.mapreduce import jobs as mr_jobs
 from distributed_mapreduce_server_spark.mapreduce.oracles import MAPREDUCE_ORACLES
-from distributed_mapreduce_server_spark.operators import events, relational, text
+from distributed_mapreduce_server_spark.operators import (
+    dedup,
+    events,
+    relational,
+    similarity,
+    text,
+)
+from distributed_mapreduce_server_spark.operators.dedup_oracles import DEDUP_ORACLES
+from distributed_mapreduce_server_spark.operators.similarity_oracles import SIMILARITY_ORACLES
 from distributed_mapreduce_server_spark.operators.text_oracles import TEXT_ORACLES
 from distributed_mapreduce_server_spark.oracles import EVENTS_ORACLES, RELATIONAL_ORACLES
 
@@ -61,6 +69,25 @@ _register(
         "mr_distributed_sort",
         "mr_inverted_index",
         "mr_distinct",
+    ],
+)
+_register(
+    dedup,
+    DEDUP_ORACLES,
+    [
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_embedding_cosine",
+    ],
+)
+_register(
+    similarity,
+    SIMILARITY_ORACLES,
+    [
+        "sim_cosine_topk",
+        "sim_lsh_ann",
     ],
 )
 _register(

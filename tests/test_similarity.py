@@ -1,0 +1,35 @@
+"""Similarity-search quality tests (SURVEY.md §2.4): the ANN path must
+agree with brute force within its bucket, and recall must be sane."""
+
+from __future__ import annotations
+
+from distributed_mapreduce_server_spark.operators.similarity import (
+    sim_cosine_topk,
+    sim_lsh_ann,
+)
+
+
+def test_lsh_results_subset_of_valid_neighbors(spark, sf_dir):
+    """Every ANN hit must carry the same cosine the exact path computes
+    (the LSH bucket only prunes candidates, never rescores)."""
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in sim_cosine_topk(spark, sf_dir).collect()
+    }
+    ann_rows = sim_lsh_ann(spark, sf_dir).collect()
+    assert ann_rows, "LSH returned nothing"
+    for r in ann_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert abs(exact[key] - r["cos_sim"]) < 1e-9
+
+
+def test_lsh_recall_reasonable(spark, sf_dir):
+    """Hyperplane LSH with 8 bits over 64-dim data: expect it to find a
+    nonzero fraction of the true top-10 while scanning far fewer pairs."""
+    exact = sim_cosine_topk(spark, sf_dir).collect()
+    ann = sim_lsh_ann(spark, sf_dir).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    ann_set = {(r["query_id"], r["neighbor_id"]) for r in ann}
+    recall = len(exact_set & ann_set) / len(exact_set)
+    assert recall > 0.0
