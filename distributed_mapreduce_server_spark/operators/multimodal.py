@@ -1,0 +1,129 @@
+"""Multimodal columns (SURVEY.md §2.6).
+
+Treats media as opaque ``binary`` columns with typed metadata, exactly
+how a 100 TB training-data lake stores them (parquet binary + struct
+metadata; the bytes never pass through Python except inside the
+Arrow-batched decode UDF).
+
+The decode core is STUBBED: this container has no image/audio libs, so
+``_decode_real`` raises NotImplementedError and the pipeline falls
+back to ``_decode_fake`` — a deterministic byte-statistics extractor.
+Everything around it (schema, mapInPandas batching, partition-parallel
+execution) is the real production shape: swapping in PIL/ffmpeg means
+replacing one function.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_server_spark.catalog import load_tables
+
+MEDIA_TYPES = ("image", "audio", "video")
+
+DECODE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes int, "
+    "width int, height int, checksum string, features array<double>"
+)
+
+
+def attach_media(docs: DataFrame) -> DataFrame:
+    """Simulate a media lake: binary payload (the utf-8 bytes of the
+    doc) + typed metadata column. In production this is the parquet
+    layout: blob + struct<media_type, ...>."""
+    media_type = F.element_at(
+        F.array(*[F.lit(t) for t in MEDIA_TYPES]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            media_type.alias("media_type"),
+            F.length("text").alias("n_chars"),
+            F.lit("synthetic/v1").alias("codec"),
+        ).alias("media_meta"),
+    )
+
+
+def _decode_real(payload: bytes, media_type: str) -> dict:
+    """Real decode (PIL / torchaudio / ffmpeg) — unavailable here."""
+    raise NotImplementedError("media decode libs not present in this environment")
+
+
+def _decode_fake(payload: bytes, media_type: str) -> dict:
+    """Deterministic stand-in: byte statistics as 'features', dims
+    derived from content so downstream operators have real columns."""
+    n = len(payload)
+    s = sum(payload[:256])
+    width = 64 + (s % 448)
+    height = 64 + ((s >> 3) % 448)
+    mean = float(sum(payload)) / max(n, 1)
+    first = float(payload[0]) if n else 0.0
+    last = float(payload[-1]) if n else 0.0
+    return {
+        "n_bytes": n,
+        "width": int(width),
+        "height": int(height),
+        "checksum": f"{s:08x}",
+        "features": [mean, first, last, float(n % 997)],
+    }
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Arrow-batched decode/feature-extract over media payloads.
+
+    mapInPandas so each executor streams record batches — payloads
+    never collect to the driver, and batch size is bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch.
+    """
+
+    def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["media_meta"]):
+                media_type = meta["media_type"]
+                try:
+                    rec = _decode_real(bytes(payload), media_type)
+                except NotImplementedError:
+                    rec = _decode_fake(bytes(payload), media_type)
+                rec["doc_id"] = doc_id
+                rec["media_type"] = media_type
+                out.append(rec)
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "media_type",
+                    "n_bytes",
+                    "width",
+                    "height",
+                    "checksum",
+                    "features",
+                ],
+            )
+
+    return df.mapInPandas(_decode_batches, schema=DECODE_SCHEMA)
+
+
+def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: attach media -> decode -> per-type rollup of the
+    extracted features (rows-only check: the decode stub is
+    deterministic but intentionally not SQL-expressible)."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    decoded = decode_media(attach_media(docs))
+    return (
+        decoded.groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg("width"), 2).alias("avg_width"),
+            F.round(F.avg("height"), 2).alias("avg_height"),
+            F.round(F.avg(F.element_at("features", 1)), 4).alias("avg_byte_mean"),
+        )
+        .orderBy("media_type")
+    )

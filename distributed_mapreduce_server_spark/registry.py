@@ -16,10 +16,12 @@ from distributed_mapreduce_server_spark.mapreduce.oracles import MAPREDUCE_ORACL
 from distributed_mapreduce_server_spark.operators import (
     dedup,
     events,
+    multimodal,
     relational,
     similarity,
     text,
 )
+from distributed_mapreduce_server_spark.streaming import jobs as streaming_jobs
 from distributed_mapreduce_server_spark.operators.dedup_oracles import DEDUP_ORACLES
 from distributed_mapreduce_server_spark.operators.similarity_oracles import SIMILARITY_ORACLES
 from distributed_mapreduce_server_spark.operators.text_oracles import TEXT_ORACLES
@@ -110,6 +112,10 @@ _register(
         "q_events_json_extract",
     ],
 )
+
+
+_register(multimodal, {}, ["mm_decode_meta"])
+_register(streaming_jobs, {}, ["stream_events_windowed", "stream_sessionize"])
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -1,0 +1,137 @@
+"""Structured Streaming jobs (SURVEY.md §2.7).
+
+The events table replayed as a file stream: watermarked tumbling-window
+aggregation, and stateful gap sessionization via
+applyInPandasWithState. Both run with the availableNow trigger so
+batch-equivalence is testable (stream result == the batch operators in
+operators/events.py), which is also how a backfill over 100 TB of
+history would run: same code, bounded trigger.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from distributed_mapreduce_server_spark.operators.events import SESSION_GAP_SECONDS
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # schema must match the file exactly (ts is INT64 nanos on disk),
+    # so take it from a raw batch read, not the converted catalog.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the sf dir holds one parquet file per table; the file-stream
+    # source wants a directory, so glob-filter down to the events file.
+    return (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+
+
+def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Execute with availableNow into a memory sink; return the result
+    as a batch DataFrame."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dmrs_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-h windowed aggregation with a 10-min watermark.
+
+    Note: the raw events carry ns-precision parquet timestamps read as
+    long; the stream converts exactly like the batch catalog does.
+    """
+    ev = _events_stream(spark, sf_dir)
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").start.alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.orderBy("window_start", "event_type")
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_seq long, n_events long, "
+    "session_start timestamp, session_end timestamp, session_value double"
+)
+SESSION_STATE_SCHEMA = "session_seq long, last_ts long, start_ts long, n long, value double"
+
+
+def _sessionize_group(key, pdfs, state: GroupState):
+    """Stateful reducer: one state row per user; closes a session when
+    the gap exceeds SESSION_GAP_SECONDS, emits closed sessions."""
+    (user_id,) = key
+    if state.exists:
+        session_seq, last_ts, start_ts, n, value = state.get
+    else:
+        session_seq, last_ts, start_ts, n, value = 0, None, None, 0, 0.0
+
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+    closed = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts, val in zip(pdf["ts"], pdf["value"]):
+            ts_us = int(ts.value // 1000)
+            if last_ts is None or ts_us - last_ts > gap_us:
+                if last_ts is not None:
+                    closed.append((user_id, session_seq, n, start_ts, last_ts, round(value, 2)))
+                session_seq += 1
+                start_ts, n, value = ts_us, 0, 0.0
+            n += 1
+            value += float(val)
+            last_ts = ts_us
+    state.update((session_seq, last_ts, start_ts, n, value))
+    if closed:
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": u,
+                    "session_seq": s,
+                    "n_events": n_,
+                    "session_start": pd.Timestamp(st, unit="us"),
+                    "session_end": pd.Timestamp(en, unit="us"),
+                    "session_value": v,
+                }
+                for (u, s, n_, st, en, v) in closed
+            ]
+        )
+
+
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: gap sessionization over the event
+    stream (applyInPandasWithState). Emits sessions as they close;
+    the final still-open session per user stays in state — asserted
+    against the batch sessionizer in tests."""
+    ev = _events_stream(spark, sf_dir)
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(sessions, "update")
+    return out.orderBy("user_id", "session_seq")
