@@ -38,12 +38,36 @@ def md5_u60(col: Column | str) -> Column:
 def seeded_u60(col: Column, seed: int) -> Column:
     """Seeded portable hash: md5 over 'seed|value' -> 60-bit BIGINT.
 
-    Used as the MinHash permutation family — one independent hash per
-    seed — because md5 is bit-identical across engines. (A production
-    Spark-only path would use xxhash64(seed, col), ~10x cheaper; md5 is
-    the oracle-parity choice.)
+    One independent hash per seed, bit-identical across engines.
     """
     return md5_u60(F.concat(F.lit(f"{seed}|"), col))
+
+
+# MinHash permutation family over 32-bit base hashes:
+#   perm_i(h) = (a_i * h + b_i) mod P32
+# with a_i, b_i < 2^31 and h < 2^32 every intermediate stays < 2^63,
+# so the arithmetic is exact in BIGINT in both Spark and DuckDB —
+# ONE md5 per shingle instead of one per (shingle, permutation).
+MINHASH_P32 = 4294967311  # smallest prime > 2^32
+
+
+def perm_constants(n: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs derived from md5(i) — fixed
+    engine-independent constants, embedded as literals in oracle SQL."""
+    import hashlib
+
+    out = []
+    for i in range(n):
+        d = hashlib.md5(f"perm{i}".encode()).hexdigest()
+        a = int(d[:8], 16) % (1 << 31) or 1
+        b = int(d[8:16], 16) % (1 << 31)
+        out.append((a, b))
+    return out
+
+
+def minhash_perm(h32: Column, a: int, b: int) -> Column:
+    """perm(h) = (a*h + b) mod P32, exact in 64-bit."""
+    return (F.lit(a) * h32 + F.lit(b)) % F.lit(MINHASH_P32)
 
 
 def shingles(tok_col: Column, k: int = 3) -> Column:
@@ -54,10 +78,14 @@ def shingles(tok_col: Column, k: int = 3) -> Column:
     i -> array_to_string(t[i:i+k-1], ' ')))``
     """
     n = F.size(tok_col)
+    # element_at (O(1)) rather than slice-per-index (O(n) copy -> O(n²)
+    # per document, which is 10x slower end-to-end on real doc sizes).
     sh = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), n - k),
-            lambda i: F.concat_ws(" ", F.slice(tok_col, i + 1, k)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tok_col, i + j + 1) for j in range(k)]
+            ),
         )
     )
     return F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))

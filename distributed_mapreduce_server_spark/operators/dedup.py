@@ -4,31 +4,40 @@ Five dedup strategies, all avoiding O(n²) at scale:
 
 - exact: hash-groupBy on a normalized fingerprint (one shuffle).
 - ngram_jaccard: candidate pairs via an inverted shingle index
-  (explode + self-join on shingle), so only docs *sharing* a shingle
-  are compared — never the full cross product.
+  (self-join on shingle hash), so only docs *sharing* a shingle are
+  compared — never the full cross product.
 - minhash_lsh: 16 MinHash permutations -> 4 bands x 4 rows; only
   docs colliding in a band bucket are verified. The scale path: at
   100 TB the band join touches a tiny fraction of pairs.
-- simhash: 32-bit SimHash, 2 x 16-bit band buckets, Hamming<=6 verify.
+- simhash: 48-bit SimHash over shingles, 16-bit band buckets,
+  Hamming <= 6 verify.
 - embedding_cosine: near-dup by vector similarity (brute-force pair
   join bounded by id ordering here; the LSH-bucketed variant for real
   scale lives in similarity.py).
 
-Everything is built-in column expressions (md5/conv/bit ops) — no
-Python UDFs — with exact DuckDB twins in dedup_oracles.py.
+Hot-path design note: shingling is ROW-FORM — explode tokens, window
+``lead`` to assemble k-grams, hash, distinct — because Spark's
+higher-order array lambdas (transform/aggregate) execute interpreted,
+outside WholeStageCodegen, and measured ~5 ms/doc; the row form is
+pure codegen operators (explode, window, concat, md5) and is ~10x
+faster. MinHash then becomes 16 min-aggregations and SimHash 48
+conditional sums — no array materialization at all.
+
+No Python UDFs anywhere; exact DuckDB twins live in dedup_oracles.py.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from distributed_mapreduce_server_spark.catalog import load_tables
 from distributed_mapreduce_server_spark.functions import (
+    MINHASH_P32,
     cosine_sim,
     md5_u60,
-    seeded_u60,
-    shingles,
+    perm_constants,
     tokens,
 )
 
@@ -37,16 +46,77 @@ JACCARD_T = 0.8
 N_PERMS = 16
 N_BANDS = 4
 ROWS_PER_BAND = 4
-SIMHASH_BITS = 32
+# 48-bit SimHash over 3-gram shingles: the docs share one vocabulary,
+# so unigram profiles collapse together (44k false candidates at
+# sf0.1); shingles are document-specific and separate cleanly.
+SIMHASH_BITS = 48
+SIMHASH_BAND_BITS = 16
+N_SIMHASH_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS
 HAMMING_T = 6
 COSINE_DEDUP_T = 0.45
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingle_rows(spark: SparkSession, sf_dir: str, mask_bits: int) -> DataFrame:
+    """(doc_id, h) rows: distinct ``mask_bits``-bit hashes of the doc's
+    3-gram shingles, built codegen-only:
+
+    tokenize -> posexplode -> window lead(1), lead(2) -> concat ->
+    md5 -> mask -> dropDuplicates.
+
+    The repartition by doc_id doubles as the window shuffle AND spreads
+    the single-split documents file across all cores.
+    """
     docs = load_tables(spark, sf_dir, register_views=False)["documents"]
-    return docs.select(
-        "doc_id", shingles(tokens("text"), SHINGLE_K).alias("sh")
-    ).filter(F.size("sh") > 0)
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        tok.withColumn("t1", F.lead("tok", 1).over(w))
+        .withColumn("t2", F.lead("tok", 2).over(w))
+        .filter(F.col("t2").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "tok", "t1", "t2").alias("g"),
+        )
+    )
+    return sh.select(
+        "doc_id",
+        md5_u60(F.col("g")).bitwiseAND(F.lit((1 << mask_bits) - 1)).alias("h"),
+    ).dropDuplicates(["doc_id", "h"])
+
+
+def _pair_jaccard(e: DataFrame, cand: DataFrame | None) -> DataFrame:
+    """(doc_a, doc_b, jaccard) from distinct-hash rows ``e``.
+
+    With ``cand`` given, intersections are computed only for candidate
+    pairs (LSH verify); otherwise via the full inverted-index self-join.
+    """
+    if cand is None:
+        a, b = e.alias("a"), e.alias("b")
+        inter = (
+            a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        ea = e.withColumnsRenamed({"doc_id": "doc_a", "h": "ha"})
+        eb = e.withColumnsRenamed({"doc_id": "rhs_doc", "h": "hb"})
+        inter = (
+            cand.join(ea, "doc_a")
+            .join(eb, (F.col("doc_b") == F.col("rhs_doc")) & (F.col("ha") == F.col("hb")))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    sizes = e.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
+        )
+    )
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,21 +134,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with 3-gram Jaccard >= 0.8 via inverted shingle
-    index (compare only docs sharing at least one shingle)."""
-    s = _doc_shingles(spark, sf_dir)
-    e = s.select("doc_id", F.explode("sh").alias("g"))
-    a, b = e.alias("a"), e.alias("b")
-    inter = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    sizes = s.select("doc_id", F.size("sh").alias("n_sh"))
-    jac = (
-        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"}), "doc_b")
-        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
-    )
+    index (compare only docs sharing at least one shingle). Shingles
+    join as 32-bit hashes, not strings — smaller shuffle keys."""
+    e = _shingle_rows(spark, sf_dir, 32)
+    jac = _pair_jaccard(e, None)
     return (
         jac.filter(F.col("jaccard") >= JACCARD_T)
         .select("doc_a", "doc_b", "jaccard")
@@ -86,41 +145,38 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_bands(s: DataFrame) -> DataFrame:
-    """doc_id -> exploded (band_idx, band_sig) rows."""
-    mh = [
-        F.array_min(F.transform(F.col("sh"), lambda x, i=i: seeded_u60(x, i))).alias(f"mh{i}")
-        for i in range(N_PERMS)
-    ]
-    sig = s.select("doc_id", *mh)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        ",", *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-                    )
-                ).alias("band_sig"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    return sig.select("doc_id", F.explode(bands).alias("band")).select(
-        "doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_sig").alias("band_sig")
-    )
-
-
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup: band-bucket candidate pairs, verified with
-    true Jaccard >= 0.8 on the shingle sets.
+    true Jaccard >= 0.8 on the shingle-hash sets.
 
-    Candidate generation is a self-join on (band_idx, band_sig) — a
-    key-partitioned shuffle join whose fan-out is the bucket sizes, not
-    n²; this is the strategy that survives 100 TB.
+    MinHash signatures are 16 min-aggregations over the shingle-hash
+    rows — one md5 per shingle, then cheap exact integer permutations
+    (a_i*h + b_i mod P32, every intermediate < 2^63). Candidate
+    generation is a self-join on (band_idx, band_sig): a key-partitioned
+    shuffle join whose fan-out is bucket size, not n². This is the
+    strategy that survives 100 TB.
     """
-    s = _doc_shingles(spark, sf_dir)
-    bands = _minhash_bands(s)
+    e = _shingle_rows(spark, sf_dir, 32).persist()
+    consts = perm_constants(N_PERMS)
+    mh = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P32)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(consts)
+    ]
+    sig = e.groupBy("doc_id").agg(*mh)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                )
+            ).alias("band_sig"),
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("band")).select(
+        "doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_sig").alias("band_sig")
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -132,17 +188,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = s.withColumnsRenamed({"doc_id": "doc_a", "sh": "sha"})
-    sb = s.withColumnsRenamed({"doc_id": "doc_b", "sh": "shb"})
-    verified = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("inter", F.size(F.array_intersect("sha", "shb")))
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.size("sha") + F.size("shb") - F.col("inter")), 4),
-        )
-    )
+    verified = _pair_jaccard(e, cand)
     return (
         verified.filter(F.col("jaccard") >= JACCARD_T)
         .select("doc_a", "doc_b", "jaccard")
@@ -151,40 +197,40 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc 32-bit SimHash from tf-weighted token hashes."""
-    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
-    tok = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
-    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("w"))
-    h32 = md5_u60(F.col("tok")).bitwiseAND(F.lit((1 << SIMHASH_BITS) - 1))
-    tf = tf.withColumn("h", h32)
+    """Per-doc 48-bit SimHash: 48 conditional-sum aggregations over the
+    distinct shingle-hash rows (sign of per-bit vote -> bit)."""
+    e = _shingle_rows(spark, sf_dir, SIMHASH_BITS)
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(
-                -F.col("w")
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
             )
         ).alias(f"s{j}")
         for j in range(SIMHASH_BITS)
     ]
-    sums = tf.groupBy("doc_id").agg(*bit_sums)
+    sums = e.groupBy("doc_id").agg(*bit_sums)
     simhash = None
     for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        term = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
         simhash = term if simhash is None else simhash + term
     return sums.select("doc_id", simhash.alias("simhash"))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 2 x 16-bit band buckets, Hamming <= 6 verify."""
+    """SimHash near-dup: 3 x 16-bit band buckets, Hamming <= 6 verify."""
     sh = _simhashes(spark, sf_dir)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.shiftright("simhash", b * SIMHASH_BAND_BITS).bitwiseAND(F.lit(mask)).alias("band_val"),
+        )
+        for b in range(N_SIMHASH_BANDS)
+    ]
     bands = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("band_idx"), F.col("simhash").bitwiseAND(F.lit(0xFFFF)).alias("band_val")),
-                F.struct(F.lit(1).alias("band_idx"), F.shiftright("simhash", 16).bitwiseAND(F.lit(0xFFFF)).alias("band_val")),
-            )
-        ).alias("band"),
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("band")
     ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (

@@ -11,14 +11,16 @@ from distributed_mapreduce_server_spark.operators.dedup import (
     JACCARD_T,
     N_BANDS,
     N_PERMS,
+    N_SIMHASH_BANDS,
     ROWS_PER_BAND,
+    SIMHASH_BAND_BITS,
     SIMHASH_BITS,
 )
 
 _TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 _SHINGLES = (
     "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1), "
-    "i -> array_to_string(toks[i:i+2], ' ')))"
+    "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"
 )
 _DOC_SHINGLES = f"""
     SELECT doc_id, sh FROM (
@@ -32,12 +34,18 @@ def _u60(expr: str) -> str:
     return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+from distributed_mapreduce_server_spark.functions import MINHASH_P32, perm_constants
+
+_PERM_CONSTS = perm_constants(N_PERMS)
+
+
 def _mh_col(i: int) -> str:
-    seeded = _u60(f"concat('{i}|', x)")
-    return f"list_min(list_transform(sh, x -> {seeded})) AS mh{i}"
+    a, b = _PERM_CONSTS[i]
+    return f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_P32})) AS mh{i}"
 
 
 _MH_COLS = ",\n               ".join(_mh_col(i) for i in range(N_PERMS))
+_HS = f"list_distinct(list_transform(sh, x -> {_u60('x')} & 4294967295))"
 _BAND_STRUCTS = ", ".join(
     "{'band_idx': %d, 'band_sig': md5(concat_ws(',', %s))}"
     % (b, ", ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)))
@@ -45,7 +53,7 @@ _BAND_STRUCTS = ", ".join(
 )
 
 _BIT_SUMS = ",\n               ".join(
-    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN w ELSE -w END) AS s{j}"
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
     for j in range(SIMHASH_BITS)
 )
 _SIMHASH_EXPR = " + ".join(
@@ -64,26 +72,28 @@ DEDUP_ORACLES: dict[str, str] = {
     """,
     "dedup_ngram_jaccard": f"""
         WITH s AS ({_DOC_SHINGLES}),
-        e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        hashed AS (SELECT doc_id, {_HS} AS hs FROM s),
+        e AS (SELECT doc_id, unnest(hs) AS g FROM hashed),
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
             FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         )
         SELECT doc_a, doc_b,
-               ROUND(i / (len(sa.sh) + len(sb.sh) - i), 4) AS jaccard
+               ROUND(i / (len(sa.hs) + len(sb.hs) - i), 4) AS jaccard
         FROM inter
-        JOIN s sa ON doc_a = sa.doc_id
-        JOIN s sb ON doc_b = sb.doc_id
-        WHERE ROUND(i / (len(sa.sh) + len(sb.sh) - i), 4) >= {JACCARD_T}
+        JOIN hashed sa ON doc_a = sa.doc_id
+        JOIN hashed sb ON doc_b = sb.doc_id
+        WHERE ROUND(i / (len(sa.hs) + len(sb.hs) - i), 4) >= {JACCARD_T}
         ORDER BY doc_a, doc_b
     """,
     "dedup_minhash_lsh": f"""
         WITH s AS ({_DOC_SHINGLES}),
+        hashed AS (SELECT doc_id, sh, {_HS} AS hs FROM s),
         sig AS (
             SELECT doc_id,
                {_MH_COLS}
-            FROM s
+            FROM hashed
         ),
         bands AS (
             SELECT doc_id, unnest([{_BAND_STRUCTS}], recursive := true)
@@ -98,11 +108,11 @@ DEDUP_ORACLES: dict[str, str] = {
         ),
         verified AS (
             SELECT doc_a, doc_b,
-                   len(list_intersect(sa.sh, sb.sh)) AS i,
-                   len(sa.sh) AS na, len(sb.sh) AS nb
+                   len(list_intersect(sa.hs, sb.hs)) AS i,
+                   len(sa.hs) AS na, len(sb.hs) AS nb
             FROM cand
-            JOIN s sa ON doc_a = sa.doc_id
-            JOIN s sb ON doc_b = sb.doc_id
+            JOIN hashed sa ON doc_a = sa.doc_id
+            JOIN hashed sb ON doc_b = sb.doc_id
         )
         SELECT doc_a, doc_b, ROUND(i / (na + nb - i), 4) AS jaccard
         FROM verified
@@ -110,22 +120,25 @@ DEDUP_ORACLES: dict[str, str] = {
         ORDER BY doc_a, doc_b
     """,
     "dedup_simhash": f"""
-        WITH tf AS (
-            SELECT doc_id, tok, COUNT(*) AS w,
-                   {_u60("tok")} & {(1 << SIMHASH_BITS) - 1} AS h
-            FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
-            GROUP BY doc_id, tok, h
+        WITH s AS ({_DOC_SHINGLES}),
+        e AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(sh,
+                       g -> {_u60("g")} & {(1 << SIMHASH_BITS) - 1}))) AS h
+            FROM s
         ),
         sums AS (
             SELECT doc_id,
                {_BIT_SUMS}
-            FROM tf GROUP BY doc_id
+            FROM e GROUP BY doc_id
         ),
         sh AS (SELECT doc_id, {_SIMHASH_EXPR} AS simhash FROM sums),
         bands AS (
-            SELECT doc_id, simhash, 0 AS band_idx, simhash & 65535 AS band_val FROM sh
-            UNION ALL
-            SELECT doc_id, simhash, 1 AS band_idx, (simhash >> 16) & 65535 AS band_val FROM sh
+            {" UNION ALL ".join(
+                f"SELECT doc_id, simhash, {b} AS band_idx, "
+                f"(simhash >> {b * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1} AS band_val FROM sh"
+                for b in range(N_SIMHASH_BANDS)
+            )}
         ),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
