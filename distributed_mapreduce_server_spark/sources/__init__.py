@@ -1,0 +1,26 @@
+"""Sources & sinks (SURVEY.md §2.8).
+
+The reference ingests line-oriented text files and emits text part
+files (reference: mapreduce/worker/__main__.py:88-118 streams input
+lines through the mapper; manager round-robins files across mappers
+at mapreduce/manager/__main__.py:236-255). Spark subsumes both ends:
+``spark.read`` splits files across tasks, and writers shard output by
+partition. This package is the one place that knows format names →
+reader/writer wiring, so operators stay format-agnostic.
+"""
+
+from distributed_mapreduce_server_spark.sources.registry import (
+    FORMATS,
+    read_source,
+    read_text_lines,
+    write_partitioned,
+    write_sink,
+)
+
+__all__ = [
+    "FORMATS",
+    "read_source",
+    "read_text_lines",
+    "write_partitioned",
+    "write_sink",
+]

@@ -1,0 +1,119 @@
+"""Format registry: read/write any supported source by name.
+
+Scale notes baked into the defaults:
+
+- parquet is the only format used on the hot path (columnar, predicate
+  pushdown, column pruning); csv/json/text exist for ingest/egress
+  interop, matching the reference's text-file surface.
+- csv/json readers take an explicit ``schema`` — schema inference is a
+  full extra pass over the data, unacceptable at 100 TB. (Inference
+  still works when ``schema=None`` for small interactive use.)
+- writers default to ``mode="error"`` so a job never silently
+  clobbers a dataset; pass mode="overwrite" deliberately.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class SourceFormat:
+    """One supported format: its Spark format name + default options."""
+
+    name: str
+    read_options: dict[str, str] = field(default_factory=dict)
+    write_options: dict[str, str] = field(default_factory=dict)
+
+
+FORMATS: dict[str, SourceFormat] = {
+    "parquet": SourceFormat("parquet"),
+    "csv": SourceFormat(
+        "csv",
+        read_options={"header": "true"},
+        write_options={"header": "true"},
+    ),
+    "json": SourceFormat("json"),
+    # Line-oriented text: one row per line, the reference's native
+    # input format (worker streams lines to the mapper executable).
+    "text": SourceFormat("text"),
+}
+
+
+def read_source(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options: str,
+) -> DataFrame:
+    """Read ``path`` in format ``fmt``; lazily — filters/projections
+    applied by the caller are pushed down into this scan by Catalyst."""
+    sf = FORMATS[fmt]
+    reader = spark.read.format(sf.name).options(**{**sf.read_options, **options})
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt == "csv":
+        reader = reader.option("inferSchema", "true")
+    return reader.load(path)
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Reference-shaped text input: (file, line_no, line) rows.
+
+    The reference mapper sees (one file, its lines, in order); Spark
+    splits large files across tasks, so line_no is per-file via a
+    window only when the caller needs ordering — here we expose the
+    raw line plus its source file, which is what wordcount/grep need.
+    """
+    return (
+        spark.read.format("text")
+        .load(path)
+        .select(
+            F.input_file_name().alias("file"),
+            F.col("value").alias("line"),
+        )
+    )
+
+
+def write_sink(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "error",
+    **options: str,
+) -> None:
+    """Write ``df`` to ``path`` in ``fmt``. One output file per
+    partition — shard count is controlled upstream (repartition /
+    AQE coalescing), not here."""
+    sf = FORMATS[fmt]
+    df.write.format(sf.name).options(**{**sf.write_options, **options}).mode(mode).save(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    fmt: str = "parquet",
+    mode: str = "error",
+    **options: str,
+) -> None:
+    """Hive-style partitioned write (``path/col=value/...``).
+
+    At scale this is the layout that makes downstream partition
+    pruning free: a reader filtering on ``partition_by`` columns
+    never opens the other directories. Callers should repartition by
+    the partition columns first if the job would otherwise write one
+    small file per (task, partition-value) pair.
+    """
+    sf = FORMATS[fmt]
+    (
+        df.write.format(sf.name)
+        .options(**{**sf.write_options, **options})
+        .partitionBy(*partition_by)
+        .mode(mode)
+        .save(path)
+    )

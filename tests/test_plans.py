@@ -1,0 +1,78 @@
+"""Scale-readiness gate (SURVEY.md §5): assert the physical plans have
+the shape that survives 100 TB — pushdown, pruning, broadcasts,
+map-side partial aggregation, no stray cartesian products.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from distributed_mapreduce_server_spark import registry
+from distributed_mapreduce_server_spark.plans import (
+    broadcast_join_count,
+    cartesian_count,
+    has_partial_agg,
+    pushed_filters,
+    scan_read_schemas,
+    shuffle_count,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return registry.all_queries()
+
+
+def test_q6_filters_reach_scan(spark, queries):
+    """Q6 is a tight filter + sum: every predicate must be pushed into
+    the parquet reader, not evaluated post-scan."""
+    df = queries["q6_revenue_forecast"](spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_q6_prunes_columns(spark, queries):
+    """Q6 touches 4 lineitem columns; the scan must not read the other 12."""
+    df = queries["q6_revenue_forecast"](spark, SF)
+    schemas = scan_read_schemas(df)
+    assert schemas and all(len(s.split(",")) <= 4 for s in schemas)
+
+
+def test_q1_partial_aggregation(spark, queries):
+    df = queries["q1_pricing_summary"](spark, SF)
+    assert has_partial_agg(df)
+
+
+@pytest.mark.parametrize("key", ["q3_shipping_priority", "q5_local_supplier", "q10_returned_items"])
+def test_join_queries_broadcast_dims(spark, queries, key):
+    """Dim tables (region/nation/customer at test SF) must broadcast —
+    a shuffle join against a 5-row region table is wasted I/O."""
+    df = queries[key](spark, SF)
+    assert broadcast_join_count(df, execute=True) >= 1
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier",
+        "q6_revenue_forecast",
+        "q10_returned_items",
+        "mr_wordcount",
+        "dedup_minhash_lsh",
+        "text_quality_score",
+    ],
+)
+def test_no_cartesian_products(spark, queries, key):
+    df = queries[key](spark, SF)
+    assert cartesian_count(df) == 0
+
+
+def test_wordcount_shuffle_budget(spark, queries):
+    """Wordcount needs exactly one hash shuffle (the groupBy); the sort
+    for output ordering adds one range exchange. More means a regression."""
+    df = queries["mr_wordcount"](spark, SF)
+    assert shuffle_count(df) <= 2

@@ -1,0 +1,72 @@
+"""Round-trip tests for sources/ (SURVEY.md §2.8)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_server_spark.catalog import load_tables
+from distributed_mapreduce_server_spark.sources import (
+    FORMATS,
+    read_source,
+    read_text_lines,
+    write_partitioned,
+    write_sink,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def nation(spark):
+    return load_tables(spark, SF_DIR, register_views=False)["nation"]
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+def test_round_trip(spark, nation, tmp_path_factory, fmt):
+    path = str(tmp_path_factory.mktemp("rt") / f"nation_{fmt}")
+    write_sink(nation, path, fmt=fmt)
+    back = read_source(spark, path, fmt=fmt, schema=nation.schema)
+    assert back.count() == nation.count()
+    assert sorted(r["n_name"] for r in back.collect()) == sorted(
+        r["n_name"] for r in nation.collect()
+    )
+
+
+def test_text_round_trip(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("rt") / "lines")
+    df = spark.createDataFrame([("alpha",), ("beta beta",), ("",)], ["value"])
+    write_sink(df, path, fmt="text")
+    back = read_text_lines(spark, path)
+    assert back.columns == ["file", "line"]
+    assert sorted(r["line"] for r in back.collect()) == ["", "alpha", "beta beta"]
+    assert all(r["file"].endswith(".txt") for r in back.collect())
+
+
+def test_partitioned_write_prunes(spark, nation, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pw") / "nation_by_region")
+    write_partitioned(nation, path, ["n_regionkey"])
+    # hive layout on disk
+    subdirs = {d for d in os.listdir(path) if d.startswith("n_regionkey=")}
+    assert len(subdirs) == 5
+    back = read_source(spark, path)
+    one = back.filter(F.col("n_regionkey") == 2)
+    # partition pruning: the scan's partition filters mention the key
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "n_regionkey" in plan
+    assert one.count() == nation.filter("n_regionkey = 2").count()
+
+
+def test_overwrite_requires_opt_in(spark, nation, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ow") / "once")
+    write_sink(nation, path)
+    with pytest.raises(Exception):
+        write_sink(nation, path)  # mode="error" default refuses clobber
+    write_sink(nation.limit(3), path, mode="overwrite")
+    assert read_source(spark, path).count() == 3
+
+
+def test_registry_covers_reference_formats():
+    assert {"parquet", "csv", "json", "text"} <= set(FORMATS)
