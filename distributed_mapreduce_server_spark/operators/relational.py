@@ -322,3 +322,269 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume between two nations by year.
+
+    Both nation dims broadcast; the orders⋈lineitem⋈supplier chain
+    shuffles once per key. The (n1, n2) pair filter lands on the
+    broadcast sides so the fact shuffle carries only matching rows.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    n1, n2 = "NATION_3", "NATION_7"
+    supp_n = t["supplier"].join(
+        broadcast(t["nation"].select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    cust_n = t["customer"].join(
+        broadcast(t["nation"].select("n_nationkey", F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "cust_nation")
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    j = (
+        li.join(t["orders"], li.l_orderkey == F.col("o_orderkey"))
+        .join(cust_n, F.col("o_custkey") == cust_n.c_custkey)
+        .join(supp_n, li.l_suppkey == supp_n.s_suppkey)
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_r2(F.sum(li.l_extendedprice * (1 - li.l_discount))).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of regional revenue for a part
+    type, by year. The share is a conditional-sum / total-sum ratio in
+    one aggregation — no second pass over the facts.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    part = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
+    cust_region = (
+        t["customer"]
+        .join(broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_n = t["supplier"].join(
+        broadcast(t["nation"].select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = t["lineitem"]
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(broadcast(part), li.l_partkey == F.col("p_partkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_region, orders.o_custkey == F.col("c_custkey"))
+        .join(supp_n, li.l_suppkey == supp_n.s_suppkey)
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            _r2(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol)
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adapted (no partsupp table in the test schema): profit
+    by supplier nation x year for parts whose name contains 'red',
+    with p_retailprice standing in for ps_supplycost."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    part = t["part"].filter(F.col("p_name").contains("red")).select("p_partkey", "p_retailprice")
+    supp_n = t["supplier"].join(
+        broadcast(t["nation"].select("n_nationkey", F.col("n_name").alias("nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "nation")
+    li = t["lineitem"]
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * F.lit(0.1)
+    return (
+        li.join(broadcast(part), li.l_partkey == F.col("p_partkey"))
+        .join(t["orders"], li.l_orderkey == F.col("o_orderkey"))
+        .join(supp_n, li.l_suppkey == supp_n.s_suppkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(_r2(F.sum(amount)).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of orders-per-customer (incl. zero).
+
+    Two aggregations: orders per customer (left join keeps the
+    zero-order customers), then customers per order-count.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    orders = t["orders"].filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        t["customer"]
+        .join(orders, F.col("c_custkey") == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share for one month — conditional sum
+    over a broadcast part join."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part = t["part"].select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.join(broadcast(part), li.l_partkey == F.col("p_partkey")).agg(
+        _r2(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0)))
+            / F.sum(vol)
+        ).alias("promo_revenue")
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue.
+
+    The max is computed with an unpartitioned window over the ALREADY
+    AGGREGATED per-supplier rows (100 rows at any SF ratio) — not a
+    second scan of lineitem as the SQL view formulation implies.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    from pyspark.sql.window import Window
+
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("total_revenue")
+    )
+    top = rev.withColumn("max_rev", F.max("total_revenue").over(Window.partitionBy())).filter(
+        F.col("total_revenue") == F.col("max_rev")
+    )
+    return (
+        top.join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted (supplier variety via lineitem, no partsupp):
+    distinct suppliers shipping each (brand, type, size) bucket."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    part = t["part"].filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 9, 14, 19, 24)
+    )
+    li = t["lineitem"].select("l_partkey", "l_suppkey").dropDuplicates()
+    return (
+        li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue locked in small-quantity orders of one brand.
+
+    The correlated `< 0.2 * avg(qty) per part` subquery becomes a
+    per-part window average — one shuffle on partkey, no self-join.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    from pyspark.sql.window import Window
+
+    part = t["part"].filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    li = t["lineitem"].join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(_r2(F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders above a total-quantity threshold, with
+    customer context. HAVING on the orderkey aggregation, then joins."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(_r2(F.sum("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 120)
+    )
+    return (
+        big.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-ANDs predicate across a part join — exercises
+    Catalyst's disjunction handling (common filter extraction)."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    li = t["lineitem"]
+    part = t["part"].select("p_partkey", "p_brand", "p_size")
+    j = li.join(broadcast(part), li.l_partkey == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 15)) & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#9") & (F.col("p_size").between(1, 25)) & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#15") & (F.col("p_size").between(1, 35)) & (F.col("l_quantity").between(20, 30)))
+    )
+    return j.filter(cond).agg(
+        _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue")
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adapted (nation instead of phone prefix): wealthy
+    customers with no recent orders, counted per nation.
+
+    The scalar avg is a 1-row broadcast cross join; the NOT EXISTS is
+    a left-anti join against recent orders.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    cust = t["customer"].filter(F.col("c_nationkey") < 10)
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    recent = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.join(broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("numcust"), _r2(F.sum("c_acctbal")).alias("totacctbal"))
+        .orderBy("c_nationkey")
+    )

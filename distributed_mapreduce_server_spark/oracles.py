@@ -172,6 +172,148 @@ RELATIONAL_ORACLES: dict[str, str] = {
         ON cb.c_nationkey = sb.s_nationkey
         ORDER BY nationkey
     """,
+    "q7_volume_shipping": """
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+            OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """,
+    "q8_market_share": """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               ROUND(SUM(CASE WHEN sn.n_name = 'NATION_5'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+                     / SUM(l_extendedprice * (1 - l_discount)), 2) AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "q9_product_profit": """
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)
+                         - p_retailprice * l_quantity * 0.1), 2) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2
+        ORDER BY 1, 2 DESC
+    """,
+    "q13_order_count_distribution": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+                   ON c_custkey = o.o_custkey
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "q14_promo_revenue": """
+        SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / SUM(l_extendedprice * (1 - l_discount)), 2) AS promo_revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+    "q15_top_supplier": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        ORDER BY s_suppkey
+    """,
+    "q16_supplier_part_variety": """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) li
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 9, 14, 19, 24)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "q17_small_qty_revenue": """
+        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM (
+            SELECT l_extendedprice, l_quantity,
+                   AVG(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#3'
+        )
+        WHERE l_quantity < 0.2 * avg_qty
+    """,
+    "q18_large_orders": """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        FROM (
+            SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING ROUND(SUM(l_quantity), 2) > 120
+        )
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
+    "q19_disjunctive_filter": """
+        SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#9' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q22_idle_customers": """
+        SELECT c_nationkey, COUNT(*) AS numcust,
+               ROUND(SUM(c_acctbal), 2) AS totacctbal
+        FROM customer
+        WHERE c_nationkey < 10
+          AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0 AND c_nationkey < 10)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """,
 }
 
 EVENTS_ORACLES: dict[str, str] = {

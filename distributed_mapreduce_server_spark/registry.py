@@ -59,6 +59,17 @@ _register(
         "q_percentiles",
         "q_full_outer_balance",
         "q_approx_distinct",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q13_order_count_distribution",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q16_supplier_part_variety",
+        "q17_small_qty_revenue",
+        "q18_large_orders",
+        "q19_disjunctive_filter",
+        "q22_idle_customers",
     ],
 )
 _register(
