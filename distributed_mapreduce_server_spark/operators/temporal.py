@@ -1,0 +1,117 @@
+"""Temporal join operators Spark lacks natively (SURVEY.md §2.2b).
+
+- as-of join: for each left row, the single most recent right row at
+  or before its timestamp. Spark has no ASOF JOIN operator; the naive
+  formulation (join on key + time inequality, then keep max) explodes
+  to |left|x|orders-per-key| intermediate rows. The scale-correct
+  realization is UNION + CARRY-FORWARD: tag both sides, union, and a
+  per-key window ``last(value, ignorenulls=True)`` ordered by time
+  carries the latest right-side attributes onto every later left row.
+  ONE shuffle (the window's), zero join fan-out, works at any key
+  skew because a key's rows stay a single sorted run.
+
+- range join: left rows matched to right rows within a time interval.
+  With an equality key this is a plain shuffle join + range filter;
+  the docstring notes the bucketed variant for the keyless case.
+
+Both have exact DuckDB twins (ASOF JOIN is native there) in
+temporal_oracles.py — strong oracle coverage for an operator Spark
+itself doesn't ship.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from distributed_mapreduce_server_spark.catalog import load_tables
+
+
+def _purchases(events: DataFrame) -> DataFrame:
+    """Purchase events, deduped to one per (user_id, ts) — max event_id
+    wins — so the as-of match is deterministic in every engine."""
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts")
+    )
+
+
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event annotated with the same user's most
+    recent purchase at or before the click (attribution query).
+
+    Union both sides with a src tag; within each user's time-sorted
+    run, purchases (src=0) sort before clicks (src=1) at equal ts so
+    the inclusive <= semantics match DuckDB's ASOF JOIN. A single
+    ``last(ignorenulls)`` window carries the purchase forward.
+    """
+    events = load_tables(spark, sf_dir, register_views=False)["events"]
+    clicks = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = _purchases(events)
+    u = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("src"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).unionByName(
+        clicks.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("src"),
+            "event_id",
+            F.lit(None).cast("long").alias("purchase_id"),
+            F.lit(None).cast("timestamp_ntz").alias("purchase_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "src")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn("last_purchase_id", F.last("purchase_id", ignorenulls=True).over(w))
+        .withColumn("last_purchase_ts", F.last("purchase_ts", ignorenulls=True).over(w))
+        .filter(F.col("src") == 1)
+        .select("event_id", "user_id", "ts", "last_purchase_id", "last_purchase_ts")
+        .orderBy("event_id")
+    )
+
+
+def q_range_join_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per purchase, how many of the user's view events
+    fall in the hour before it ([ts - 1h, ts)).
+
+    The user_id equality key makes this a standard shuffle join with
+    the range as a join-time filter — no fan-out beyond true matches.
+    (Keyless version at scale: explode each interval into fixed-width
+    time buckets, join on bucket, re-filter exactly — bounds the
+    candidate set per bucket instead of n².)
+    """
+    events = load_tables(spark, sf_dir, register_views=False)["events"]
+    purchases = _purchases(events).withColumnsRenamed(
+        {"event_id": "purchase_id", "ts": "purchase_ts", "user_id": "p_user"}
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts"
+    )
+    cond = (
+        (views.user_id == purchases.p_user)
+        & (views.ts >= purchases.purchase_ts - F.expr("INTERVAL 1 HOUR"))
+        & (views.ts < purchases.purchase_ts)
+    )
+    return (
+        purchases.join(views, cond, "left")
+        .groupBy(
+            "purchase_id",
+            F.col("p_user").alias("user_id"),
+            "purchase_ts",
+        )
+        .agg(F.count("view_id").alias("n_views_prior_hour"))
+        .orderBy("purchase_id")
+    )

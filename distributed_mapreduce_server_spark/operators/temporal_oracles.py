@@ -1,0 +1,41 @@
+"""DuckDB oracle SQL for the temporal join operators.
+
+DuckDB ships a native ASOF JOIN, which makes it a strong ground truth
+for the Spark union+carry-forward realization.
+"""
+
+_PURCHASES = """
+    SELECT event_id, user_id, ts FROM (
+        SELECT event_id, user_id, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ) WHERE rn = 1
+"""
+
+TEMPORAL_ORACLES: dict[str, str] = {
+    "q_asof_last_purchase": f"""
+        WITH p AS ({_PURCHASES}),
+        c AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click')
+        SELECT c.event_id, c.user_id, c.ts,
+               p.event_id AS last_purchase_id,
+               p.ts AS last_purchase_ts
+        FROM c ASOF LEFT JOIN p
+          ON c.user_id = p.user_id AND p.ts <= c.ts
+        ORDER BY c.event_id
+    """,
+    "q_range_join_views_before_purchase": f"""
+        WITH p AS ({_PURCHASES}),
+        v AS (SELECT event_id AS view_id, user_id, ts FROM events
+              WHERE event_type = 'view')
+        SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+               COUNT(v.view_id) AS n_views_prior_hour
+        FROM p LEFT JOIN v
+          ON v.user_id = p.user_id
+         AND v.ts >= p.ts - INTERVAL 1 HOUR
+         AND v.ts < p.ts
+        GROUP BY 1, 2, 3
+        ORDER BY purchase_id
+    """,
+}

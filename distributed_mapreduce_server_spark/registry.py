@@ -19,11 +19,13 @@ from distributed_mapreduce_server_spark.operators import (
     multimodal,
     relational,
     similarity,
+    temporal,
     text,
 )
 from distributed_mapreduce_server_spark.streaming import jobs as streaming_jobs
 from distributed_mapreduce_server_spark.operators.dedup_oracles import DEDUP_ORACLES
 from distributed_mapreduce_server_spark.operators.similarity_oracles import SIMILARITY_ORACLES
+from distributed_mapreduce_server_spark.operators.temporal_oracles import TEMPORAL_ORACLES
 from distributed_mapreduce_server_spark.operators.text_oracles import TEXT_ORACLES
 from distributed_mapreduce_server_spark.oracles import EVENTS_ORACLES, RELATIONAL_ORACLES
 
@@ -82,6 +84,14 @@ _register(
         "mr_distributed_sort",
         "mr_inverted_index",
         "mr_distinct",
+    ],
+)
+_register(
+    temporal,
+    TEMPORAL_ORACLES,
+    [
+        "q_asof_last_purchase",
+        "q_range_join_views_before_purchase",
     ],
 )
 _register(
