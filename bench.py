@@ -46,6 +46,9 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in names:
+        # each query is timed standalone: caches from a previous query
+        # (e.g. a persisted candidate set) neither help nor squeeze it.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = queries[name](spark, sf_dir)
         n = df.count()

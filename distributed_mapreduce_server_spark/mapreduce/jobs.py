@@ -19,7 +19,14 @@ GREP_PATTERN = "spark"
 
 
 def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word count over documents.text (wc_map.sh + wc_reduce.sh)."""
+    """Word count over documents.text (wc_map.sh + wc_reduce.sh).
+
+    No repartition before the explode: at real scale the source is
+    many parquet splits and parallelizes at the scan; at test scale a
+    forced shuffle costs more than the single-partition tokenize
+    (measured 2x). The map-side partial agg keeps the shuffle at one
+    row per (partition, word).
+    """
     docs = load_tables(spark, sf_dir, register_views=False)["documents"]
     return (
         docs.select(F.explode(tokens("text")).alias("word"))

@@ -63,13 +63,15 @@ def _shingle_rows(spark: SparkSession, sf_dir: str, mask_bits: int) -> DataFrame
     tokenize -> posexplode -> window lead(1), lead(2) -> concat ->
     md5 -> mask -> dropDuplicates.
 
-    The repartition by doc_id doubles as the window shuffle AND spreads
-    the single-split documents file across all cores.
+    The repartition by doc_id spreads the single-split documents file
+    across all cores BEFORE tokenize+explode (shuffling ~200x fewer
+    bytes than repartitioning the exploded token rows), and the window
+    reuses that hash partitioning — no second shuffle.
     """
-    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
-    tok = docs.select(
-        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
-    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"].repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    tok = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     sh = (
         tok.withColumn("t1", F.lead("tok", 1).over(w))
@@ -136,7 +138,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with 3-gram Jaccard >= 0.8 via inverted shingle
     index (compare only docs sharing at least one shingle). Shingles
     join as 32-bit hashes, not strings — smaller shuffle keys."""
-    e = _shingle_rows(spark, sf_dir, 32)
+    e = _shingle_rows(spark, sf_dir, 32).persist()
+    e.count()  # materialize BEFORE the 3-way fan-out (self-join a/b +
+    # sizes); a lazy persist would race-fill the cache inside one job
+    # and compute the shingle subtree up to 3x (measured 2x slower).
     jac = _pair_jaccard(e, None)
     return (
         jac.filter(F.col("jaccard") >= JACCARD_T)
@@ -157,6 +162,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     strategy that survives 100 TB.
     """
     e = _shingle_rows(spark, sf_dir, 32).persist()
+    e.count()  # eager: one cache fill, then sig/verify/sizes all hit it
+    # (lazy persist = 2x wall clock; see dedup_ngram_jaccard note)
     consts = perm_constants(N_PERMS)
     mh = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P32)).alias(f"mh{i}")
@@ -220,7 +227,9 @@ def _simhashes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 3 x 16-bit band buckets, Hamming <= 6 verify."""
-    sh = _simhashes(spark, sf_dir)
+    sh = _simhashes(spark, sf_dir).persist()
+    sh.count()  # the band self-join references sh twice; without the
+    # eager persist the whole 48-sum aggregation runs twice.
     mask = (1 << SIMHASH_BAND_BITS) - 1
     band_structs = [
         F.struct(
