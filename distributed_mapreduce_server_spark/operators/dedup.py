@@ -277,3 +277,76 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", "cos_sim")
         .orderBy("vec_a", "vec_b")
     )
+
+
+def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric (src, dst) edge list from the jaccard >= 0.8 pairs."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup graph: every document in
+    at least one near-dup pair, labeled with the minimum doc_id
+    reachable from it (the cluster's canonical id).
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors'. Rounds = graph diameter
+    (near-dup clusters are shallow; single digits even at 100 TB —
+    this is the simple variant of the large-star/small-star CC
+    algorithm). Each round is one shuffle join against the static
+    edge list; convergence is checked with a cheap count.
+    """
+    edges = _near_dup_edges(spark, sf_dir).persist()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .persist()
+    )
+    labels.count()
+    while True:
+        neigh = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("neigh_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+                (F.col("neigh_min") < F.col("cluster_id")).alias("changed"),
+            )
+            .persist()
+        )
+        n_changed = new_labels.filter(F.col("changed")).count()
+        old = labels
+        labels = new_labels.drop("changed").persist()
+        labels.count()
+        old.unpersist()
+        new_labels.unpersist()
+        if n_changed == 0:
+            break
+    edges.unpersist()
+    return labels.orderBy("doc_id")
+
+
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus after near-dup removal: one canonical document (the
+    min doc_id) per near-dup cluster, all singletons kept.
+
+    This is the operator a training pipeline actually runs — clusters
+    are the analysis artifact, this is the filtered dataset."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"].select("doc_id")
+    clusters = dedup_clusters(spark, sf_dir)
+    dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return (
+        docs.join(dropped, "doc_id", "left_anti")
+        .withColumn("kept", F.lit(True))
+        .orderBy("doc_id")
+    )

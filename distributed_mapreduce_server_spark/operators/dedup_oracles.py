@@ -169,3 +169,53 @@ DEDUP_ORACLES: dict[str, str] = {
         ORDER BY vec_a, vec_b
     """,
 }
+
+
+# Near-dup pair list (the ngram-jaccard query without the projection),
+# reused by the clustering oracles.
+_PAIRS_SQL = f"""
+        SELECT doc_a, doc_b FROM (
+            WITH s AS ({_DOC_SHINGLES}),
+            hashed AS (SELECT doc_id, {_HS} AS hs FROM s),
+            e AS (SELECT doc_id, unnest(hs) AS g FROM hashed),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+                FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN hashed sa ON doc_a = sa.doc_id
+            JOIN hashed sb ON doc_b = sb.doc_id
+            WHERE ROUND(i / (len(sa.hs) + len(sb.hs) - i), 4) >= {JACCARD_T}
+        )
+"""
+
+_CLUSTERS_SQL = f"""
+    WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+    FROM reach GROUP BY src
+"""
+
+DEDUP_ORACLES["dedup_clusters"] = f"""
+    {_CLUSTERS_SQL}
+    ORDER BY doc_id
+"""
+
+DEDUP_ORACLES["dedup_keep_canonical"] = f"""
+    WITH clusters AS ({_CLUSTERS_SQL})
+    SELECT doc_id, TRUE AS kept
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+    ORDER BY doc_id
+"""

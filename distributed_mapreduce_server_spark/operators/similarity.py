@@ -103,3 +103,70 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cos_sim", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+def _centroid_assign(emb: DataFrame, centroids: DataFrame, n_best: int) -> DataFrame:
+    """(vec_id, centroid_id) for each vector's ``n_best`` nearest
+    centroids by cosine (rounded, centroid_id tie-break — deterministic
+    across engines)."""
+    scored = broadcast(
+        centroids.select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cen"))
+    ).crossJoin(emb.select("vec_id", "embedding")).withColumn(
+        "cen_sim", F.round(cosine_sim(F.col("embedding"), F.col("cen")), 4)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cen_sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= n_best)
+        .select("vec_id", "centroid_id")
+    )
+
+
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: inverted-file buckets by nearest centroid, probe
+    the query's 4 nearest lists, exact rerank inside them.
+
+    Centroids are a fixed deterministic subset (vec_id 5..20) standing
+    in for a k-means codebook, so the whole operator is reproducible
+    and has a full value-parity DuckDB oracle — unusual for ANN. At
+    100 TB the candidate side is partitioned BY centroid_id (the
+    inverted file); a query touches nprobe/nlist of the data instead
+    of all of it.
+    """
+    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
+    centroids = emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+    )
+    cand = emb.filter(F.col("vec_id") >= N_QUERIES)
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    cand_buckets = _centroid_assign(cand, centroids, 1).withColumnsRenamed(
+        {"vec_id": "neighbor_id"}
+    )
+    q_probes = _centroid_assign(q, centroids, N_PROBE).withColumnsRenamed({"vec_id": "query_id"})
+
+    qe = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    ce = cand.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    pairs = (
+        broadcast(q_probes)
+        .join(cand_buckets, "centroid_id")
+        .join(broadcast(qe), "query_id")
+        .join(ce, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_sim(F.col("qe"), F.col("ce")), 4).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    )

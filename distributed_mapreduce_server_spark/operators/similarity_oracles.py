@@ -4,7 +4,12 @@ sim_lsh_ann intentionally has no oracle (approximate, engine-shaped);
 its recall is asserted in tests/test_similarity.py instead.
 """
 
-from distributed_mapreduce_server_spark.operators.similarity import N_QUERIES, TOP_K
+from distributed_mapreduce_server_spark.operators.similarity import (
+    N_CENTROIDS,
+    N_PROBE,
+    N_QUERIES,
+    TOP_K,
+)
 
 _DOT = (
     "list_sum(list_transform(range(1, len(q.embedding) + 1), "
@@ -31,3 +36,56 @@ SIMILARITY_ORACLES: dict[str, str] = {
         ORDER BY query_id, rank
     """,
 }
+
+# IVF: cosine between a vector (v) and a centroid (k), mirroring the
+# Spark _centroid_assign expression exactly (round 4, id tie-break).
+_DOT_VK = (
+    "list_sum(list_transform(range(1, len(v.embedding) + 1), "
+    "i -> CAST(v.embedding[i] AS DOUBLE) * CAST(k.embedding[i] AS DOUBLE)))"
+)
+_NORM_V = "sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+_NORM_K = "sqrt(list_sum(list_transform(k.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+SIMILARITY_ORACLES["sim_ivf_ann"] = f"""
+    WITH centroids AS (
+        SELECT vec_id AS centroid_id, embedding FROM embeddings
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}
+    ),
+    cand_assign AS (
+        SELECT vec_id AS neighbor_id, centroid_id FROM (
+            SELECT v.vec_id, k.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY ROUND({_DOT_VK} / ({_NORM_V} * {_NORM_K}), 4) DESC,
+                                k.centroid_id) AS crank
+            FROM embeddings v CROSS JOIN centroids k
+            WHERE v.vec_id >= {N_QUERIES}
+        ) WHERE crank <= 1
+    ),
+    q_probes AS (
+        SELECT vec_id AS query_id, centroid_id FROM (
+            SELECT v.vec_id, k.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY ROUND({_DOT_VK} / ({_NORM_V} * {_NORM_K}), 4) DESC,
+                                k.centroid_id) AS crank
+            FROM embeddings v CROSS JOIN centroids k
+            WHERE v.vec_id < {N_QUERIES}
+        ) WHERE crank <= {N_PROBE}
+    ),
+    pairs AS (
+        SELECT DISTINCT p.query_id, cb.neighbor_id,
+               ROUND({_DOT} / ({_NORM_Q} * {_NORM_C}), 4) AS cos_sim
+        FROM q_probes p
+        JOIN cand_assign cb USING (centroid_id)
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN embeddings c ON c.vec_id = cb.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+"""

@@ -123,3 +123,31 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 word trigrams by occurrence count.
+
+    Row-form n-gram assembly (posexplode + window lead) like the dedup
+    shingler — stays in codegen; the aggregation is map-side partial
+    so the shuffle carries one row per (partition, ngram).
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"].repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    tok = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        tok.withColumn("t1", F.lead("tok", 1).over(w))
+        .withColumn("t2", F.lead("tok", 2).over(w))
+        .filter(F.col("t2").isNotNull())
+        .select(F.concat_ws(" ", "tok", "t1", "t2").alias("ngram"))
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "ngram")
+        .limit(20)
+    )

@@ -70,3 +70,18 @@ TEXT_ORACLES: dict[str, str] = {
         ORDER BY doc_id
     """,
 }
+
+
+TEXT_ORACLES["text_top_ngrams"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    grams AS (
+        SELECT unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS ngram
+        FROM toks
+    )
+    SELECT ngram, COUNT(*) AS cnt
+    FROM grams
+    GROUP BY ngram
+    ORDER BY cnt DESC, ngram
+    LIMIT 20
+"""

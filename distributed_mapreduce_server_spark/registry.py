@@ -103,6 +103,8 @@ _register(
         "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_embedding_cosine",
+        "dedup_clusters",
+        "dedup_keep_canonical",
     ],
 )
 _register(
@@ -111,6 +113,7 @@ _register(
     [
         "sim_cosine_topk",
         "sim_lsh_ann",
+        "sim_ivf_ann",
     ],
 )
 _register(
@@ -121,6 +124,7 @@ _register(
         "text_quality_score",
         "text_langid",
         "text_fingerprint",
+        "text_top_ngrams",
     ],
 )
 _register(
@@ -137,6 +141,10 @@ _register(
 
 _register(multimodal, {}, ["mm_decode_meta"])
 _register(streaming_jobs, {}, ["stream_events_windowed", "stream_sessionize"])
+# streaming dedup is deterministic (min-aggregation), so unlike the
+# other streaming jobs it gets the full batch oracle.
+_QUERIES["stream_dedup_exact"] = streaming_jobs.stream_dedup_exact
+_ORACLES["stream_dedup_exact"] = DEDUP_ORACLES["dedup_exact"].strip()
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -135,3 +135,33 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(sessions, "update")
     return out.orderBy("user_id", "session_seq")
+
+
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the documents table replayed as a file
+    stream, fingerprinted and reduced with a stateful streaming
+    aggregation (complete mode).
+
+    groupBy(fingerprint).agg(min, count) instead of dropDuplicates:
+    arrival order inside a micro-batch is nondeterministic, so "first
+    seen wins" would be flaky — the min-aggregation is deterministic
+    and exactly equals the batch dedup_exact, which is also its
+    oracle. On an unbounded stream this runs in update mode with a
+    watermark on an ingest-time column to bound state.
+    """
+    from distributed_mapreduce_server_spark.functions import tokens
+
+    docs = (
+        spark.readStream.schema(spark.read.parquet(f"{sf_dir}/documents.parquet").schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    fp = F.md5(F.array_join(tokens("text"), " "))
+    agg = (
+        docs.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.orderBy("keep_doc_id")
