@@ -127,3 +127,94 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, media_type string, width int, height int, "
+    "target_w int, target_h int, scale double"
+)
+
+
+def resize_media(df: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Resize plumbing: decode dims -> compute aspect-preserving scale
+    -> (stub) re-encode. The real PIL/ffmpeg call is the inner
+    function; everything else (Arrow batching, schema, partition
+    parallelism) is production-shaped."""
+
+    def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["media_meta"]):
+                rec = _decode_fake(bytes(payload), meta["media_type"])
+                scale = min(target_w / rec["width"], target_h / rec["height"])
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "media_type": meta["media_type"],
+                        "width": rec["width"],
+                        "height": rec["height"],
+                        "target_w": target_w,
+                        "target_h": target_h,
+                        "scale": round(scale, 6),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_resize_batches, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_ts double, frame_checksum string"
+N_FRAMES = 4
+
+
+def sample_frames(df: DataFrame) -> DataFrame:
+    """Frame sampling: one input video row -> N output frame rows — the
+    1:N Arrow transform shape (mapInPandas yielding more rows than it
+    consumes). Frame 'content' is a deterministic slice checksum."""
+
+    def _sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["media_meta"]):
+                if meta["media_type"] != "video":
+                    continue
+                b = bytes(payload)
+                dur = max(len(b) / 1000.0, 0.001)
+                for i in range(N_FRAMES):
+                    lo = (len(b) * i) // N_FRAMES
+                    hi = (len(b) * (i + 1)) // N_FRAMES
+                    out.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": i,
+                            "frame_ts": round(dur * i / N_FRAMES, 3),
+                            "frame_checksum": f"{sum(b[lo:hi]) & 0xFFFFFFFF:08x}",
+                        }
+                    )
+            yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame_ts", "frame_checksum"])
+
+    return df.mapInPandas(_sample_batches, schema=FRAME_SCHEMA)
+
+
+def mm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: resize plan rollup (rows-only check)."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    resized = resize_media(attach_media(docs))
+    return (
+        resized.groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.avg("scale"), 4).alias("avg_scale"),
+            F.min("width").alias("min_width"),
+            F.max("height").alias("max_height"),
+        )
+        .orderBy("media_type")
+    )
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: per-video frame sampling (rows-only check; 1:N
+    mapInPandas — each video row yields N_FRAMES frame rows)."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    frames = sample_frames(attach_media(docs))
+    return frames.orderBy("doc_id", "frame_idx")

@@ -139,7 +139,7 @@ _register(
 )
 
 
-_register(multimodal, {}, ["mm_decode_meta"])
+_register(multimodal, {}, ["mm_decode_meta", "mm_resize_stats", "mm_frame_sample"])
 _register(streaming_jobs, {}, ["stream_events_windowed", "stream_sessionize"])
 # streaming dedup is deterministic (min-aggregation), so unlike the
 # other streaming jobs it gets the full batch oracle.

@@ -23,6 +23,18 @@ def get_spark(app_name: str = "dmrs-spark", shuffle_partitions: int | None = Non
     - shuffle.partitions sized by SPARK_GRAFT_CPUS locally; on a real
       cluster this would be ~2-3x total cores and AQE coalesces down.
     """
+    # Python workers (Pandas UDF / mapInPandas) import this package by
+    # name from pickled closures; they read PYTHONPATH from the
+    # environment, not the driver's sys.path — so export the package
+    # root before the JVM starts or any run from outside the repo dir
+    # dies with ModuleNotFoundError in the executor.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
