@@ -29,6 +29,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_cosine_topk",
     "text_quality_score",
+    "q18_large_orders",
+    "q_asof_last_purchase",
+    "q_events_funnel",
+    "sim_ivf_ann",
+    "text_top_ngrams",
 ]
 
 

@@ -95,3 +95,61 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: per user, did view -> click -> purchase happen
+    in that order (each stage strictly after the previous one's first
+    occurrence)?
+
+    One aggregation computes each stage's first timestamp (conditional
+    min — no per-stage joins), then the funnel flags are column
+    comparisons. Single shuffle on user_id at any scale.
+    """
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    first_of = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    staged = ev.groupBy("user_id").agg(
+        first_of("view").alias("first_view"),
+        first_of("click").alias("first_click"),
+        first_of("purchase").alias("first_purchase"),
+    )
+    reached_click = F.col("first_view").isNotNull() & (F.col("first_click") > F.col("first_view"))
+    reached_purchase = reached_click & (F.col("first_purchase") > F.col("first_click"))
+    per_user = staged.select(
+        "user_id",
+        F.col("first_view").isNotNull().alias("s1_view"),
+        reached_click.alias("s2_click_after_view"),
+        reached_purchase.alias("s3_purchase_after_click"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.col("s1_view").cast("long")).alias("n_view"),
+        F.sum(F.col("s2_click_after_view").cast("long")).alias("n_click_after_view"),
+        F.sum(F.col("s3_purchase_after_click").cast("long")).alias("n_purchase_after_click"),
+    )
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/D7 cohort retention: users grouped by first-activity day;
+    retained = any event exactly N days later.
+
+    Two aggregations and one broadcast-sized join of per-(user, day)
+    activity against per-user cohort days — no event-level self-join.
+    """
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    user_days = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    )
+    cohorts = user_days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    j = user_days.join(cohorts, "user_id").withColumn(
+        "day_n", F.datediff(F.col("day"), F.col("cohort_day"))
+    )
+    return (
+        j.groupBy("cohort_day")
+        .agg(
+            F.countDistinct("user_id").alias("cohort_size"),
+            F.countDistinct(F.when(F.col("day_n") == 1, F.col("user_id"))).alias("d1_retained"),
+            F.countDistinct(F.when(F.col("day_n") == 7, F.col("user_id"))).alias("d7_retained"),
+        )
+        .orderBy("cohort_day")
+    )

@@ -588,3 +588,49 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numcust"), _r2(F.sum("c_acctbal")).alias("totacctbal"))
         .orderBy("c_nationkey")
     )
+
+
+def q_region_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (r_name, c_mktsegment): all four grouping-set combinations
+    of customer counts/balances — the full grouping-sets surface next
+    to q_nation_rollup's ROLLUP."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    cust = (
+        t["customer"]
+        .join(broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        cust.cube("r_name", "c_mktsegment")
+        .agg(F.count("*").alias("n_customers"), _r2(F.avg("c_acctbal")).alias("avg_balance"))
+        .orderBy("r_name", "c_mktsegment")
+    )
+
+
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant join via key salting: orders x customer where a
+    handful of customers own most orders.
+
+    The fact side gets a random-free deterministic salt (orderkey mod
+    SALT); the dim side is exploded SALT ways so every salted key
+    still matches. Result is identical to the plain join (the oracle
+    is the plain join) — the point is the plan: the hot customer's
+    rows spread over SALT reducers instead of one. At 100 TB this is
+    the manual fallback when AQE skew splitting can't help (e.g.
+    skewed aggregation keys, not just joins).
+    """
+    n_salt = 8
+    t = load_tables(spark, sf_dir, register_views=False)
+    orders = t["orders"].withColumn(
+        "salt", (F.col("o_orderkey") % n_salt).cast("int")
+    )
+    cust = t["customer"].select("c_custkey", "c_mktsegment")
+    salted_cust = cust.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    j = orders.join(salted_cust, (orders.o_custkey == salted_cust.c_custkey) & (orders.salt == salted_cust.salt))
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), _r2(F.sum("o_totalprice")).alias("revenue"))
+        .orderBy("c_mktsegment")
+    )

@@ -151,3 +151,17 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "ngram")
         .limit(20)
     )
+
+
+def text_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus language mix: the langid heuristic's calls rolled up
+    against the labeled lang column — per (label, predicted) counts,
+    i.e. the confusion matrix a pipeline would monitor."""
+    pred = text_langid(spark, sf_dir).select("doc_id", "pred_lang")
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"].select("doc_id", "lang")
+    return (
+        docs.join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )

@@ -85,3 +85,13 @@ TEXT_ORACLES["text_top_ngrams"] = f"""
     ORDER BY cnt DESC, ngram
     LIMIT 20
 """
+
+
+TEXT_ORACLES["text_lang_distribution"] = f"""
+    SELECT lang,
+           (list_max([{_SCORE_STRUCTS}])).code AS pred_lang,
+           COUNT(*) AS n_docs
+    FROM (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""

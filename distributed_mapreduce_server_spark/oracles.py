@@ -301,6 +301,25 @@ RELATIONAL_ORACLES: dict[str, str] = {
            OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
                AND l_quantity BETWEEN 20 AND 30)
     """,
+
+    "q_region_cube": """
+        SELECT r_name, c_mktsegment,
+               COUNT(*) AS n_customers,
+               ROUND(AVG(c_acctbal), 2) AS avg_balance
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY CUBE (r_name, c_mktsegment)
+        ORDER BY r_name, c_mktsegment
+    """,
+    "q_salted_skew_join": """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
     "q22_idle_customers": """
         SELECT c_nationkey, COUNT(*) AS numcust,
                ROUND(SUM(c_acctbal), 2) AS totacctbal
@@ -374,5 +393,36 @@ EVENTS_ORACLES: dict[str, str] = {
         )
         GROUP BY event_type
         ORDER BY event_type
+    """,
+"q_events_funnel": """
+        WITH staged AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+                   MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+            FROM events GROUP BY user_id
+        )
+        SELECT COUNT(*) AS n_users,
+               CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+               CAST(SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after_view,
+               CAST(SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                             AND first_purchase > first_click
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_after_click
+        FROM staged
+    """,
+    "q_events_retention": """
+        WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        coh AS (SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id),
+        j AS (
+            SELECT ud.user_id, cohort_day,
+                   date_diff('day', cohort_day, day) AS day_n
+            FROM ud JOIN coh USING (user_id)
+        )
+        SELECT cohort_day,
+               COUNT(DISTINCT user_id) AS cohort_size,
+               COUNT(DISTINCT CASE WHEN day_n = 1 THEN user_id END) AS d1_retained,
+               COUNT(DISTINCT CASE WHEN day_n = 7 THEN user_id END) AS d7_retained
+        FROM j GROUP BY cohort_day ORDER BY cohort_day
     """,
 }

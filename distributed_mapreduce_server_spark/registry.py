@@ -72,6 +72,8 @@ _register(
         "q18_large_orders",
         "q19_disjunctive_filter",
         "q22_idle_customers",
+        "q_region_cube",
+        "q_salted_skew_join",
     ],
 )
 _register(
@@ -125,6 +127,7 @@ _register(
         "text_langid",
         "text_fingerprint",
         "text_top_ngrams",
+        "text_lang_distribution",
     ],
 )
 _register(
@@ -135,6 +138,8 @@ _register(
         "q_events_windowed",
         "q_events_pivot",
         "q_events_json_extract",
+        "q_events_funnel",
+        "q_events_retention",
     ],
 )
 
