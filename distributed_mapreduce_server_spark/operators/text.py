@@ -165,3 +165,18 @@ def text_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang", "pred_lang")
     )
+
+
+QUALITY_KEEP_T = 0.5
+
+
+def text_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's filtering step: documents whose quality score
+    clears the bar. text_quality_score is the analysis artifact; this
+    is the dataset a training run consumes."""
+    scored = text_quality_score(spark, sf_dir)
+    return (
+        scored.filter(F.col("quality") >= QUALITY_KEEP_T)
+        .select("doc_id", "quality")
+        .orderBy("doc_id")
+    )

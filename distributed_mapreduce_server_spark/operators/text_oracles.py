@@ -95,3 +95,13 @@ TEXT_ORACLES["text_lang_distribution"] = f"""
     GROUP BY 1, 2
     ORDER BY 1, 2
 """
+
+
+from distributed_mapreduce_server_spark.operators.text import QUALITY_KEEP_T  # noqa: E402
+
+TEXT_ORACLES["text_quality_keep"] = f"""
+    SELECT doc_id, quality FROM (
+        {TEXT_ORACLES["text_quality_score"]}
+    ) WHERE quality >= {QUALITY_KEEP_T}
+    ORDER BY doc_id
+"""

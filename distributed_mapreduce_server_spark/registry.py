@@ -128,6 +128,7 @@ _register(
         "text_fingerprint",
         "text_top_ngrams",
         "text_lang_distribution",
+        "text_quality_keep",
     ],
 )
 _register(
@@ -146,6 +147,15 @@ _register(
 
 _register(multimodal, {}, ["mm_decode_meta", "mm_resize_stats", "mm_frame_sample"])
 _register(streaming_jobs, {}, ["stream_events_windowed", "stream_sessionize"])
+_QUERIES["stream_static_join_windowed"] = streaming_jobs.stream_static_join_windowed
+_ORACLES["stream_static_join_windowed"] = """
+    SELECT date_trunc('hour', ts) AS window_start, c_mktsegment,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+""".strip()
 # streaming dedup is deterministic (min-aggregation), so unlike the
 # other streaming jobs it gets the full batch oracle.
 _QUERIES["stream_dedup_exact"] = streaming_jobs.stream_dedup_exact

@@ -165,3 +165,36 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(agg, "complete")
     return out.orderBy("keep_doc_id")
+
+
+def stream_static_join_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched with the customer
+    dim (a static broadcast side — Spark re-reads it per micro-batch,
+    so slowly-changing dims stay fresh), then watermarked tumbling
+    windows per market segment.
+
+    Deterministic, so it carries a full SQL oracle like the batch ops.
+    """
+    from pyspark.sql.functions import broadcast
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = ev.join(broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = (
+        joined.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").start.alias("window_start"), "c_mktsegment")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.orderBy("window_start", "c_mktsegment")

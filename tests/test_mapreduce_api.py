@@ -67,3 +67,22 @@ def test_sorted_stream_reducer(spark, sf_smoke):
     for r in w_rows:
         want.setdefault(r["user_id"], r["value"])
     assert got == want
+
+
+def test_num_reducers_controls_output_shards(spark, tmp_path_factory):
+    """The reference's --nreducers writes exactly N part files
+    (reference: mapreduce/manager/__main__.py partitions reduce output
+    by task id). MapReduceJob.run(num_reducers=N) must keep N shards
+    through a write."""
+    from distributed_mapreduce_server_spark.catalog import load_tables
+    from distributed_mapreduce_server_spark.mapreduce.api import word_count_job
+    import os
+
+    docs = load_tables(spark, "/root/testdata/sf0.001", register_views=False)["documents"]
+    job = word_count_job()
+    job.num_reducers = 3
+    out = job.run(docs)
+    path = str(tmp_path_factory.mktemp("nred") / "wc")
+    out.write.format("csv").save(path)
+    parts = [f for f in os.listdir(path) if f.startswith("part-")]
+    assert len(parts) == 3
