@@ -76,3 +76,46 @@ def test_wordcount_shuffle_budget(spark, queries):
     for output ordering adds one range exchange. More means a regression."""
     df = queries["mr_wordcount"](spark, SF)
     assert shuffle_count(df) <= 2
+
+
+# Ops whose plans legitimately contain a nested-loop/cartesian element:
+# broadcast crossJoins against deliberately tiny sets (query vectors,
+# centroid codebooks, 1-row scalar aggregates).
+DELIBERATE_NESTED_LOOP = {
+    "sim_cosine_topk",
+    "sim_lsh_ann",
+    "sim_ivf_ann",
+    "dedup_embedding_cosine",
+    "q22_idle_customers",
+}
+
+# Streaming / iterative ops execute eagerly inside the callable; the
+# static-plan sweep only covers lazily-planned batch queries.
+EAGER_OPS = {
+    "stream_events_windowed",
+    "stream_sessionize",
+    "stream_dedup_exact",
+    "stream_static_join_windowed",
+    "dedup_clusters",
+    "dedup_keep_canonical",
+}
+
+
+def test_no_accidental_cartesians_anywhere(spark, queries):
+    """Global sweep: no registered batch query may plan a cartesian /
+    nested-loop join unless it's on the deliberate-broadcast list."""
+    offenders = []
+    for key, fn in queries.items():
+        if key in EAGER_OPS or key in DELIBERATE_NESTED_LOOP:
+            continue
+        df = fn(spark, SF)
+        if cartesian_count(df) > 0:
+            offenders.append(key)
+    assert not offenders, f"unexpected cartesian joins in: {offenders}"
+
+
+def test_asof_join_shuffle_budget(spark, queries):
+    """The as-of realization must stay at ~2 shuffles (union window +
+    output sort) — a join-based plan would show more."""
+    df = queries["q_asof_last_purchase"](spark, SF)
+    assert shuffle_count(df) <= 3
