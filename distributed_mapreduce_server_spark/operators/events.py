@@ -153,3 +153,29 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day")
     )
+
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier events: value beyond mean + 3 sigma for its event type.
+
+    Per-type stats are a broadcast-sized aggregate joined back to the
+    stream — two passes over events but no window over the full table
+    (a global-window form would single-thread each type's partition).
+    """
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    from pyspark.sql.functions import broadcast as _bc
+
+    return (
+        ev.join(_bc(stats), "event_type")
+        .filter(F.col("value") > F.col("mu") + 3 * F.col("sigma"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value_r"),
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 2).alias("z_score"),
+        )
+        .orderBy("event_id")
+    )

@@ -180,3 +180,30 @@ def text_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "quality")
         .orderBy("doc_id")
     )
+
+
+SPLIT_PCT_VAL = 10
+
+
+def text_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val split by content-independent hash:
+    md5(doc_id) mod 100 -> val if < 10. Hash-based (not rand()) so the
+    split is reproducible across runs, engines, and repartitioning —
+    the property a training pipeline actually needs. Returns per-split
+    counts + token totals for drift monitoring."""
+    from distributed_mapreduce_server_spark.functions import md5_u60, tokens
+
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    bucket = md5_u60(F.col("doc_id").cast("string")) % 100
+    return (
+        docs.select(
+            F.when(bucket < SPLIT_PCT_VAL, F.lit("val")).otherwise(F.lit("train")).alias("split"),
+            F.size(tokens("text")).alias("n_tokens"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("split")
+    )

@@ -105,3 +105,17 @@ TEXT_ORACLES["text_quality_keep"] = f"""
     ) WHERE quality >= {QUALITY_KEEP_T}
     ORDER BY doc_id
 """
+
+
+from distributed_mapreduce_server_spark.operators.text import SPLIT_PCT_VAL  # noqa: E402
+
+TEXT_ORACLES["text_train_val_split"] = f"""
+    SELECT CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                     % 100 < {SPLIT_PCT_VAL}
+                THEN 'val' ELSE 'train' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY 1
+    ORDER BY 1
+"""

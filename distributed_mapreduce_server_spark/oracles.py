@@ -394,7 +394,19 @@ EVENTS_ORACLES: dict[str, str] = {
         GROUP BY event_type
         ORDER BY event_type
     """,
-"q_events_funnel": """
+"q_events_anomaly": """
+        WITH stats AS (
+            SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+            FROM events GROUP BY event_type
+        )
+        SELECT event_id, event_type,
+               ROUND(value, 2) AS value_r,
+               ROUND((value - mu) / sigma, 2) AS z_score
+        FROM events JOIN stats USING (event_type)
+        WHERE value > mu + 3 * sigma
+        ORDER BY event_id
+    """,
+    "q_events_funnel": """
         WITH staged AS (
             SELECT user_id,
                    MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,

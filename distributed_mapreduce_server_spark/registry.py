@@ -129,6 +129,7 @@ _register(
         "text_top_ngrams",
         "text_lang_distribution",
         "text_quality_keep",
+        "text_train_val_split",
     ],
 )
 _register(
@@ -140,6 +141,7 @@ _register(
         "q_events_pivot",
         "q_events_json_extract",
         "q_events_funnel",
+        "q_events_anomaly",
         "q_events_retention",
     ],
 )

@@ -18,11 +18,16 @@ SF_DIR = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def warehouse(spark):
     # spark.sql.warehouse.dir is a static conf (can't move it on a live
-    # session); the tables land in the default warehouse and are
-    # dropped here on re-run.
+    # session); the tables land in the default warehouse. A fresh
+    # session's catalog doesn't know leftovers from a previous run, so
+    # DROP TABLE alone isn't enough — clear the locations too.
+    import shutil
+
     t = load_tables(spark, SF_DIR, register_views=False)
-    spark.sql("DROP TABLE IF EXISTS orders_b")
-    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for name in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
     (
         t["orders"].write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .mode("overwrite").saveAsTable("orders_b")

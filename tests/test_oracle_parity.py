@@ -31,3 +31,26 @@ def test_rows_only_queries_run(name, spark, sf_dir):
     df = QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+# Keys intentionally WITHOUT a SQL oracle (approximate or
+# non-SQL-expressible). Anything else missing an oracle is a silent
+# downgrade to the weaker rows-only check — fail loudly instead:
+# a mis-applied edit once dropped an oracle and the parametrized
+# suite "passed" vacuously.
+EXPECTED_ROWS_ONLY = {
+    "q_approx_distinct",
+    "sim_lsh_ann",
+    "mm_decode_meta",
+    "mm_resize_stats",
+    "mm_frame_sample",
+    "stream_events_windowed",
+    "stream_sessionize",
+}
+
+
+def test_every_query_has_oracle_unless_listed():
+    missing = set(QUERIES) - set(ORACLES) - EXPECTED_ROWS_ONLY
+    assert not missing, f"queries silently lacking an oracle: {sorted(missing)}"
+    stale = EXPECTED_ROWS_ONLY & set(ORACLES)
+    assert not stale, f"listed rows-only but an oracle exists: {sorted(stale)}"
