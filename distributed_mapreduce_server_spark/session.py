@@ -53,5 +53,9 @@ def get_spark(app_name: str = "dmrs-spark", shuffle_partitions: int | None = Non
         .config("spark.ui.enabled", "false")
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
-        builder = builder.master(f"local[{cpus}]")
+        # local[N, 2]: allow one task retry, like a real cluster
+        # (maxFailures defaults to 4 there but to 1 in plain local[N]) —
+        # the reference's worker-death/task-redistribution guarantee is
+        # Spark task re-execution, and local runs should exhibit it too.
+        builder = builder.master(f"local[{cpus},2]")
     return builder.getOrCreate()

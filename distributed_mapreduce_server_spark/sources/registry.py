@@ -37,6 +37,7 @@ FORMATS: dict[str, SourceFormat] = {
         write_options={"header": "true"},
     ),
     "json": SourceFormat("json"),
+    "orc": SourceFormat("orc"),
     # Line-oriented text: one row per line, the reference's native
     # input format (worker streams lines to the mapper executable).
     "text": SourceFormat("text"),

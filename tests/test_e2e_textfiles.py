@@ -86,3 +86,29 @@ def test_sorted_stream_reducer_path(spark):
             d % 1_000_000_000 for d in range(int(key), n_docs, 10)
         ) or firsts[0]["doc_id"] % 10 == key
         assert lasts[0]["doc_id"] > firsts[0]["doc_id"]
+
+
+def test_submit_mirrors_reference_payload(spark, tmp_path_factory):
+    """submit(JobSpec) == the reference's submit.py payload: input dir,
+    output dir, job, num_reducers -> N part files of results."""
+    import os
+
+    from distributed_mapreduce_server_spark.mapreduce.submit import JobSpec, submit
+
+    base = tmp_path_factory.mktemp("submit")
+    input_dir, output_dir = str(base / "in"), str(base / "out")
+    docs = load_tables(spark, SF_DIR, register_views=False)["documents"]
+    docs.select(F.col("text").alias("value")).repartition(2).write.format("text").save(input_dir)
+
+    result = submit(
+        spark,
+        JobSpec(
+            input_directory=input_dir,
+            output_directory=output_dir,
+            job=word_count_job(text_col="line"),
+            num_reducers=2,
+        ),
+    )
+    assert result.count() > 0
+    parts = [f for f in os.listdir(output_dir) if f.startswith("part-")]
+    assert len(parts) == 2

@@ -70,3 +70,11 @@ def test_overwrite_requires_opt_in(spark, nation, tmp_path_factory):
 
 def test_registry_covers_reference_formats():
     assert {"parquet", "csv", "json", "text"} <= set(FORMATS)
+
+
+def test_orc_round_trip(spark, nation, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("rt") / "nation_orc")
+    write_sink(nation, path, fmt="orc")
+    back = read_source(spark, path, fmt="orc")
+    assert back.count() == nation.count()
+    assert set(back.columns) == set(nation.columns)
