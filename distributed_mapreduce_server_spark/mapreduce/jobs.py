@@ -96,3 +96,49 @@ def mr_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("lang", "word")
     )
+
+
+def mr_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary sort: per-user event stream reduced in timestamp
+    order by a sorted-stream reducer — the reference's reducer-
+    executable contract (sorted stdin per key) through the
+    MapReduceJob API (run_sorted_stream -> applyInPandas).
+
+    Emits each user's first/last event and count; order-sensitive on
+    purpose so any sort-contract break changes the result.
+    """
+    import pandas as pd
+
+    from distributed_mapreduce_server_spark.mapreduce.api import MapReduceJob
+
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+
+    def mapper(df: DataFrame) -> DataFrame:
+        return df.select("user_id", "ts", "event_id", "event_type")
+
+    def reduce_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        first, last = pdf.iloc[0], pdf.iloc[-1]
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": first["user_id"],
+                    "n_events": len(pdf),
+                    "first_event_id": first["event_id"],
+                    "first_type": first["event_type"],
+                    "last_event_id": last["event_id"],
+                    "last_type": last["event_type"],
+                }
+            ]
+        )
+
+    job = MapReduceJob(mapper=mapper, key_cols=("user_id",), reducer_aggs=())
+    out = job.run_sorted_stream(
+        ev,
+        sort_cols=("ts", "event_id"),
+        reduce_fn=reduce_fn,
+        output_schema=(
+            "user_id long, n_events long, first_event_id long, "
+            "first_type string, last_event_id long, last_type string"
+        ),
+    )
+    return out.orderBy("user_id")

@@ -43,4 +43,15 @@ MAPREDUCE_ORACLES: dict[str, str] = {
                  '[^a-z0-9]+'), t -> t <> '')) AS word FROM documents)
         ORDER BY lang, word
     """,
+    "mr_secondary_sort": """
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               FIRST(event_id ORDER BY ts, event_id) AS first_event_id,
+               FIRST(event_type ORDER BY ts, event_id) AS first_type,
+               LAST(event_id ORDER BY ts, event_id) AS last_event_id,
+               LAST(event_type ORDER BY ts, event_id) AS last_type
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
 }

@@ -179,3 +179,31 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+def q_events_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: users who clicked AND purchased (INTERSECT),
+    minus users who ever hit an error (EXCEPT). Spark plans both as
+    left-semi/anti joins over distinct keys."""
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    u = lambda t: ev.filter(F.col("event_type") == t).select("user_id").distinct()  # noqa: E731
+    both = u("click").intersect(u("purchase"))
+    clean = both.exceptAll(u("error")).select("user_id")
+    return clean.orderBy("user_id")
+
+
+def q_events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(10) decile stats of event value per type — the window
+    partitions by type so each decile assignment is one shuffle."""
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+        .orderBy("event_type", "decile")
+    )

@@ -394,7 +394,29 @@ EVENTS_ORACLES: dict[str, str] = {
         GROUP BY event_type
         ORDER BY event_type
     """,
-"q_events_anomaly": """
+"q_events_intersect_except": """
+        SELECT user_id FROM (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        )
+        EXCEPT ALL
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        ORDER BY user_id
+    """,
+    "q_events_value_deciles": """
+        SELECT event_type, decile, COUNT(*) AS n,
+               ROUND(MIN(value), 2) AS lo, ROUND(MAX(value), 2) AS hi
+        FROM (
+            SELECT event_type, value,
+                   CAST(NTILE(10) OVER (PARTITION BY event_type
+                        ORDER BY value, event_id) AS INTEGER) AS decile
+            FROM events
+        )
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    "q_events_anomaly": """
         WITH stats AS (
             SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
             FROM events GROUP BY event_type

@@ -86,6 +86,7 @@ _register(
         "mr_distributed_sort",
         "mr_inverted_index",
         "mr_distinct",
+        "mr_secondary_sort",
     ],
 )
 _register(
@@ -142,6 +143,8 @@ _register(
         "q_events_json_extract",
         "q_events_funnel",
         "q_events_anomaly",
+        "q_events_intersect_except",
+        "q_events_value_deciles",
         "q_events_retention",
     ],
 )
