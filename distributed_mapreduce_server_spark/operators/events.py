@@ -181,15 +181,24 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ERROR_HEAVY_T = 12
+
+
 def q_events_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations: users who clicked AND purchased (INTERSECT),
-    minus users who ever hit an error (EXCEPT). Spark plans both as
-    left-semi/anti joins over distinct keys."""
+    minus error-heavy users (> ERROR_HEAVY_T error events, EXCEPT ALL).
+    Spark plans both as left-semi/anti joins over distinct keys."""
     ev = load_tables(spark, sf_dir, register_views=False)["events"]
     u = lambda t: ev.filter(F.col("event_type") == t).select("user_id").distinct()  # noqa: E731
     both = u("click").intersect(u("purchase"))
-    clean = both.exceptAll(u("error")).select("user_id")
-    return clean.orderBy("user_id")
+    heavy = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .count()
+        .filter(F.col("count") > ERROR_HEAVY_T)
+        .select("user_id")
+    )
+    return both.exceptAll(heavy).orderBy("user_id")
 
 
 def q_events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:

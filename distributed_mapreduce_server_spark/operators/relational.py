@@ -634,3 +634,74 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"), _r2(F.sum("o_totalprice")).alias("revenue"))
         .orderBy("c_mktsegment")
     )
+
+
+def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per return flag: correlation, sample
+    covariance, stddev/variance, and OLS slope/intercept of price on
+    quantity — one partial-aggregable pass (all six are distributive
+    moment sketches, so the shuffle carries one row per flag)."""
+    li = load_tables(spark, sf_dir, register_views=False)["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_price_qty"),
+            F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("covar_price_qty"),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("std_price"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope_price_on_qty"),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias("intercept_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+HIST_BUCKET_WIDTH = 25000
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals: bucket = floor(price/w).
+    The classic distributed histogram — a single map-side-combined
+    groupBy on a computed key, no windowing, no sort until the tiny
+    final result."""
+    orders = load_tables(spark, sf_dir, register_views=False)["orders"]
+    bucket = F.floor(F.col("o_totalprice") / HIST_BUCKET_WIDTH).cast("bigint")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            _r2(F.min("o_totalprice")).alias("lo"),
+            _r2(F.max("o_totalprice")).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap analysis: days since each customer's previous
+    order (lag window over the customer's order history), rolled up to
+    gap stats per market segment. One shuffle for the window (by
+    custkey), then a broadcast dim join — the window partitioning is
+    reused as the aggregation's distribution."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        t["orders"]
+        .withColumn("gap", F.datediff("o_orderdate", F.lag("o_orderdate").over(w)))
+        .filter(F.col("gap").isNotNull())
+    )
+    return (
+        gaps.join(
+            broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            _r2(F.avg("gap")).alias("avg_gap"),
+            F.max("gap").alias("max_gap"),
+        )
+        .orderBy("c_mktsegment")
+    )

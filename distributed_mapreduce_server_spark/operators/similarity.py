@@ -170,3 +170,40 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cos_sim", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors in long form (label, dim, centroid):
+    posexplode the embedding column and average per (label, dim). One
+    map-side-combined shuffle of 64 partial sums per label per task —
+    the building block for k-means / IVF codebook training at scale
+    (never materializes vectors on the driver)."""
+    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(F.round(F.avg(F.col("x").cast("double")), 4).alias("centroid"))
+        .orderBy("label", "dim")
+    )
+
+
+def emb_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-tightness diagnostic: per-label vector count and the L2
+    norm of the mean vector. Unit-norm inputs make the centroid norm
+    exactly the average pairwise-alignment of the class (||c|| close
+    to 1 = tight cluster, close to 0 = random). Same single-shuffle
+    shape as emb_centroids, then a 640-row fold."""
+    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
+    sums = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"), F.count("*").alias("n"))
+    )
+    return (
+        sums.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vectors"),
+            F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 4).alias("centroid_norm"),
+        )
+        .orderBy("label")
+    )

@@ -89,3 +89,27 @@ SIMILARITY_ORACLES["sim_ivf_ann"] = f"""
     FROM ranked WHERE rank <= {TOP_K}
     ORDER BY query_id, rank
 """
+
+SIMILARITY_ORACLES["emb_centroids"] = """
+    SELECT label, CAST(i AS INTEGER) AS dim,
+           ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) AS centroid
+    FROM embeddings, generate_series(1, 64) AS s(i)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+SIMILARITY_ORACLES["emb_label_coherence"] = """
+    WITH sums AS (
+        SELECT label, i,
+               AVG(CAST(embedding[i] AS DOUBLE)) AS c,
+               COUNT(*) AS n
+        FROM embeddings, generate_series(1, 64) AS s(i)
+        GROUP BY 1, 2
+    )
+    SELECT label,
+           MAX(n) AS n_vectors,
+           ROUND(SQRT(SUM(c * c)), 4) AS centroid_norm
+    FROM sums
+    GROUP BY label
+    ORDER BY label
+"""

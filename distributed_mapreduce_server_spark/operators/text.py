@@ -207,3 +207,90 @@ def text_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+CHUNK_SIZE = 20
+
+
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking: split each document into CHUNK_SIZE-token
+    chunks — the context-window packing step before tokenized training
+    data is written. 1:N row expansion stays in codegen (posexplode of a
+    chunk-index sequence + O(1) `slice` per chunk); at 100 TB the
+    explode multiplies rows ~n_tokens/CHUNK_SIZE so the output is
+    repartitioned downstream by the writer, never collected."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    t = tokens("text")
+    n_chunks = F.ceil(F.size("t") / F.lit(float(CHUNK_SIZE))).cast("int")
+    chunk_ids = F.when(
+        F.size("t") > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    chunk = F.slice(F.col("t"), F.col("chunk_id") * CHUNK_SIZE + 1, CHUNK_SIZE)
+    return (
+        docs.select("doc_id", t.alias("t"))
+        .select("doc_id", F.explode(chunk_ids).alias("chunk_id"), "t")
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).alias("n_tokens"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+TFIDF_TOP_K = 5
+
+
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-K terms by TF-IDF.
+
+    Two partial aggregations over one exploded token stream (tf per
+    (doc, term); document frequency per term), then a broadcast join of
+    the tiny term->df table back onto tf — no second shuffle of the
+    corpus. Ranking rounds tfidf to 6 decimals before the window so the
+    tie-break (term asc) fires identically in Spark and the oracle."""
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .drop("rk")
+        .orderBy("doc_id", F.desc("tfidf"), "term")
+    )
+
+
+SAMPLE_MOD = 5
+SAMPLE_SEED = 17
+
+
+def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% stratified sample of the corpus: seeded
+    content-independent hash of doc_id mod SAMPLE_MOD. Like the
+    train/val split, hash-based (not rand()/TABLESAMPLE) so the sample
+    is identical across engines, runs, and partitionings — no shuffle,
+    the filter runs at scan speed."""
+    from distributed_mapreduce_server_spark.functions import seeded_u60
+
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    keep = seeded_u60(F.col("doc_id").cast("string"), SAMPLE_SEED) % SAMPLE_MOD == 0
+    return docs.filter(keep).select("doc_id", "lang", "source").orderBy("doc_id")

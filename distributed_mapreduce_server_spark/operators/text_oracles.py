@@ -119,3 +119,46 @@ TEXT_ORACLES["text_train_val_split"] = f"""
     GROUP BY 1
     ORDER BY 1
 """
+
+
+from distributed_mapreduce_server_spark.operators.text import (  # noqa: E402
+    CHUNK_SIZE,
+    SAMPLE_MOD,
+    SAMPLE_SEED,
+    TFIDF_TOP_K,
+)
+
+TEXT_ORACLES["text_chunking"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+           array_to_string(t[(i*{CHUNK_SIZE}+1):(i*{CHUNK_SIZE}+{CHUNK_SIZE})], ' ') AS chunk_text,
+           CAST(len(t[(i*{CHUNK_SIZE}+1):(i*{CHUNK_SIZE}+{CHUNK_SIZE})]) AS INTEGER) AS n_tokens
+    FROM toks, UNNEST(range(0, CAST(ceil(len(t)/{CHUNK_SIZE}.0) AS BIGINT))) AS u(i)
+    ORDER BY doc_id, chunk_id
+"""
+
+TEXT_ORACLES["text_tfidf"] = f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    df_t AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df_t.df,
+               ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df_t.df), 6) AS tfidf
+        FROM tf JOIN df_t USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS rk
+        FROM scored
+    )
+    SELECT doc_id, term, tf, df, tfidf FROM ranked WHERE rk <= {TFIDF_TOP_K}
+    ORDER BY doc_id, tfidf DESC, term
+"""
+
+TEXT_ORACLES["text_sample_stratified"] = f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE CAST(concat('0x', substr(md5(concat('{SAMPLE_SEED}|', CAST(doc_id AS VARCHAR))), 1, 15))
+               AS BIGINT) % {SAMPLE_MOD} = 0
+    ORDER BY doc_id
+"""

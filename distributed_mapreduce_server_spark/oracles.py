@@ -333,6 +333,45 @@ RELATIONAL_ORACLES: dict[str, str] = {
         GROUP BY c_nationkey
         ORDER BY c_nationkey
     """,
+    "q_stats_suite": """
+        SELECT l_returnflag,
+               ROUND(CORR(l_extendedprice, l_quantity), 4) AS corr_price_qty,
+               ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 2) AS covar_price_qty,
+               ROUND(STDDEV_SAMP(l_extendedprice), 2) AS std_price,
+               ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+               ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope_price_on_qty,
+               ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 2) AS intercept_price
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "q_price_histogram": """
+        SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bucket,
+               COUNT(*) AS n,
+               ROUND(MIN(o_totalprice), 2) AS lo,
+               ROUND(MAX(o_totalprice), 2) AS hi
+        FROM orders
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "q_order_gaps": """
+        WITH g AS (
+            SELECT o_custkey,
+                   date_diff('day',
+                             lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                    ORDER BY o_orderdate, o_orderkey),
+                             o_orderdate) AS gap
+            FROM orders
+        )
+        SELECT c_mktsegment,
+               COUNT(*) AS n_gaps,
+               ROUND(AVG(gap), 2) AS avg_gap,
+               CAST(MAX(gap) AS INTEGER) AS max_gap
+        FROM g JOIN customer ON o_custkey = c_custkey
+        WHERE gap IS NOT NULL
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
 }
 
 EVENTS_ORACLES: dict[str, str] = {
@@ -401,7 +440,8 @@ EVENTS_ORACLES: dict[str, str] = {
             SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
         )
         EXCEPT ALL
-        SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        SELECT user_id FROM events WHERE event_type = 'error'
+        GROUP BY user_id HAVING COUNT(*) > 12
         ORDER BY user_id
     """,
     "q_events_value_deciles": """

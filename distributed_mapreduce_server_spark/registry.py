@@ -74,6 +74,9 @@ _register(
         "q22_idle_customers",
         "q_region_cube",
         "q_salted_skew_join",
+        "q_stats_suite",
+        "q_price_histogram",
+        "q_order_gaps",
     ],
 )
 _register(
@@ -117,6 +120,8 @@ _register(
         "sim_cosine_topk",
         "sim_lsh_ann",
         "sim_ivf_ann",
+        "emb_centroids",
+        "emb_label_coherence",
     ],
 )
 _register(
@@ -131,6 +136,9 @@ _register(
         "text_lang_distribution",
         "text_quality_keep",
         "text_train_val_split",
+        "text_chunking",
+        "text_tfidf",
+        "text_sample_stratified",
     ],
 )
 _register(

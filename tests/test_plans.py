@@ -87,6 +87,7 @@ DELIBERATE_NESTED_LOOP = {
     "sim_ivf_ann",
     "dedup_embedding_cosine",
     "q22_idle_customers",
+    "text_tfidf",
 }
 
 # Streaming / iterative ops execute eagerly inside the callable; the
