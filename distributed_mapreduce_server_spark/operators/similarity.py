@@ -207,3 +207,35 @@ def emb_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column —
+    the storage/serving compression step (4x smaller vectors, fast
+    int dot products). Per vector: scale = max|x| / 127, q_i =
+    round(x_i / scale). Everything is array expressions in codegen;
+    the verified output is one summary row per vector (scale + exact
+    moments of the quantized values), so the oracle checks every q_i
+    arithmetically without shipping a 100 TB long-form table through
+    the compare."""
+    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
+    amax = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    q = F.when(
+        amax > 0,
+        F.transform("embedding", lambda x: F.round(x.cast("double") * 127 / F.col("amax"))),
+    ).otherwise(F.transform("embedding", lambda x: F.lit(0.0)))
+    return (
+        emb.select("vec_id", "embedding", amax.alias("amax"))
+        .select("vec_id", "amax", q.cast("array<int>").alias("q"))
+        .select(
+            "vec_id",
+            F.round(F.col("amax") / 127, 6).alias("scale"),
+            F.aggregate("q", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+            F.aggregate(
+                "q", F.lit(0).cast("bigint"), lambda a, x: a + F.abs(x)
+            ).alias("q_l1"),
+            F.array_min("q").alias("q_min"),
+            F.array_max("q").alias("q_max"),
+        )
+        .orderBy("vec_id")
+    )

@@ -113,3 +113,23 @@ SIMILARITY_ORACLES["emb_label_coherence"] = """
     GROUP BY label
     ORDER BY label
 """
+
+SIMILARITY_ORACLES["emb_quantize"] = """
+    WITH q AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax,
+               list_transform(embedding,
+                              x -> CAST(round(CAST(x AS DOUBLE) * 127 /
+                                   list_max(list_transform(embedding,
+                                            y -> abs(CAST(y AS DOUBLE))))) AS INTEGER)) AS qv
+        FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(amax / 127, 6) AS scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+           list_min(qv) AS q_min,
+           list_max(qv) AS q_max
+    FROM q
+    ORDER BY vec_id
+"""

@@ -294,3 +294,81 @@ def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, register_views=False)["documents"]
     keep = seeded_u60(F.col("doc_id").cast("string"), SAMPLE_SEED) % SAMPLE_MOD == 0
     return docs.filter(keep).select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-token
+    fraction, duplicate-bigram/-trigram fractions, and the share of the
+    single most frequent token. All pure column expressions over one
+    tokenization — repetition filtering runs at scan speed and needs no
+    shuffle at all (the orderBy exists only for the deterministic
+    oracle compare; a real filter pipeline drops it)."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+
+    def ngrams(t, k):
+        ng = F.transform(
+            F.sequence(F.lit(0), F.size(t) - k),
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(k)]),
+        )
+        return F.when(F.size(t) >= k, ng).otherwise(F.array().cast("array<string>"))
+
+    def dup_frac(arr):
+        n = F.size(arr)
+        return F.round(
+            (n - F.size(F.array_distinct(arr))) / F.greatest(n, F.lit(1)).cast("double"), 4
+        )
+
+    t = F.col("t")
+    top_count = F.array_max(
+        F.transform(F.array_distinct(t), lambda u: F.size(F.filter(t, lambda x: x == u)))
+    )
+    return (
+        docs.select("doc_id", tokens("text").alias("t"))
+        .select(
+            "doc_id",
+            F.size("t").alias("n_tokens"),
+            dup_frac(t).alias("dup_token_frac"),
+            dup_frac(ngrams(t, 2)).alias("dup_bigram_frac"),
+            dup_frac(ngrams(t, 3)).alias("dup_trigram_frac"),
+            F.round(
+                top_count / F.greatest(F.size(t), F.lit(1)).cast("double"), 4
+            ).alias("top_token_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def text_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing table for a training run: per-source doc and token
+    counts, the source's token share, and a sqrt-damped sampling weight
+    (upweights small domains the way real data-mixture recipes do).
+    One map-side-combined aggregation of the corpus down to one row per
+    source; the share/weight normalizers come from a broadcast
+    cross-join of the tiny re-aggregated totals — the 100 TB scan is
+    touched exactly once."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    per_src = (
+        docs.select("source", F.size(tokens("text")).alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("tot_sqrt"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("tot_tokens"), 6).alias("token_share"),
+            F.round(
+                F.sqrt(F.col("n_tokens").cast("double")) / F.col("tot_sqrt"), 6
+            ).alias("sample_weight"),
+        )
+        .orderBy("source")
+    )

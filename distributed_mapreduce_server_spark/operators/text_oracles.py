@@ -162,3 +162,46 @@ TEXT_ORACLES["text_sample_stratified"] = f"""
                AS BIGINT) % {SAMPLE_MOD} = 0
     ORDER BY doc_id
 """
+
+TEXT_ORACLES["text_repetition_ratio"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    grams AS (
+        SELECT doc_id, t,
+               list_transform(range(1, greatest(len(t), 1)),
+                              i -> concat(t[i], ' ', t[i+1])) AS g2,
+               list_transform(range(1, greatest(len(t) - 1, 1)),
+                              i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])) AS g3
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(t) AS INTEGER) AS n_tokens,
+           ROUND((len(t) - len(list_distinct(t)))
+                 / CAST(greatest(len(t), 1) AS DOUBLE), 4) AS dup_token_frac,
+           ROUND((len(g2) - len(list_distinct(g2)))
+                 / CAST(greatest(len(g2), 1) AS DOUBLE), 4) AS dup_bigram_frac,
+           ROUND((len(g3) - len(list_distinct(g3)))
+                 / CAST(greatest(len(g3), 1) AS DOUBLE), 4) AS dup_trigram_frac,
+           ROUND(list_max(list_transform(list_distinct(t),
+                          u -> len(list_filter(t, x -> x = u))))
+                 / CAST(greatest(len(t), 1) AS DOUBLE), 4) AS top_token_frac
+    FROM grams
+    ORDER BY doc_id
+"""
+
+TEXT_ORACLES["text_source_mix"] = f"""
+    WITH per_src AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    totals AS (
+        SELECT SUM(n_tokens) AS tot_tokens,
+               SUM(sqrt(CAST(n_tokens AS DOUBLE))) AS tot_sqrt
+        FROM per_src
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(n_tokens / CAST(tot_tokens AS DOUBLE), 6) AS token_share,
+           ROUND(sqrt(CAST(n_tokens AS DOUBLE)) / tot_sqrt, 6) AS sample_weight
+    FROM per_src CROSS JOIN totals
+    ORDER BY source
+"""

@@ -122,6 +122,7 @@ _register(
         "sim_ivf_ann",
         "emb_centroids",
         "emb_label_coherence",
+        "emb_quantize",
     ],
 )
 _register(
@@ -139,6 +140,8 @@ _register(
         "text_chunking",
         "text_tfidf",
         "text_sample_stratified",
+        "text_repetition_ratio",
+        "text_source_mix",
     ],
 )
 _register(
@@ -173,6 +176,19 @@ _ORACLES["stream_static_join_windowed"] = """
 # other streaming jobs it gets the full batch oracle.
 _QUERIES["stream_dedup_exact"] = streaming_jobs.stream_dedup_exact
 _ORACLES["stream_dedup_exact"] = DEDUP_ORACLES["dedup_exact"].strip()
+# stream-stream inner join is append-mode deterministic -> full oracle.
+_QUERIES["stream_click_purchase_join"] = streaming_jobs.stream_click_purchase_join
+_ORACLES["stream_click_purchase_join"] = """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS delay_sec
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    ORDER BY 1, 2, 3
+""".strip()
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -198,3 +198,52 @@ def stream_static_join_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(agg, "complete")
     return out.orderBy("window_start", "c_mktsegment")
+
+
+ATTRIBUTION_WINDOW = "1 hour"
+
+
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition:
+    each purchase attributed to the same user's clicks in the prior
+    hour (ad-attribution shape). Both sides are the event stream,
+    filtered; watermarks + the time-range predicate bound the join
+    state Spark keeps (without them state grows forever on an
+    unbounded stream). Inner-join output is append-mode and
+    deterministic, so this carries the full SQL oracle."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        s = (
+            spark.readStream.schema(raw_schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
+        if dict(s.dtypes)["ts"] == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        s = s.filter(F.col("event_type") == event_type)
+        return s.select(
+            F.col("event_id").alias(f"{prefix}_id"),
+            F.col("user_id").alias(f"{prefix}_user"),
+            F.col("ts").alias(f"{prefix}_ts"),
+        ).withWatermark(f"{prefix}_ts", "1 day")
+
+    clicks = side("click", "click")
+    purchases = side("purchase", "purchase")
+    joined = clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")),
+    ).select(
+        F.col("click_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")).alias(
+            "delay_sec"
+        ),
+    )
+    out = _run_to_memory(joined, "append")
+    return out.orderBy("user_id", "click_id", "purchase_id")

@@ -88,6 +88,7 @@ DELIBERATE_NESTED_LOOP = {
     "dedup_embedding_cosine",
     "q22_idle_customers",
     "text_tfidf",
+    "text_source_mix",  # 1-row broadcast totals cross-join
 }
 
 # Streaming / iterative ops execute eagerly inside the callable; the
@@ -97,6 +98,7 @@ EAGER_OPS = {
     "stream_sessionize",
     "stream_dedup_exact",
     "stream_static_join_windowed",
+    "stream_click_purchase_join",
     "dedup_clusters",
     "dedup_keep_canonical",
 }
