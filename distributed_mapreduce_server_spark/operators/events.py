@@ -216,3 +216,41 @@ def q_events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "decile")
     )
+
+
+def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / rolling-7-day WAU / stickiness per day. Exact rolling
+    distinct without a rolling-window set union: collapse to one row
+    per (day, user) first (the only big shuffle), then each such row
+    contributes itself to the 7 forward days via an explode — a
+    bounded 7x fan-out that partial-aggregates, instead of a
+    per-day DISTINCT re-scan. Contributed days are semi-joined back
+    to real event days so trailing phantom days drop out."""
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    daily = ev.select(F.date_trunc("day", "ts").alias("d"), "user_id").distinct()
+    dau = daily.groupBy("d").agg(F.count("*").alias("dau"))
+    contrib = daily.select(
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.col("d") + F.expr("INTERVAL 6 DAY"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d"),
+        "user_id",
+    )
+    wau = (
+        contrib.join(dau.select("d"), "d", "left_semi")
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            "d",
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
+        )
+        .orderBy("d")
+    )

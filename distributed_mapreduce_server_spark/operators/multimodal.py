@@ -218,3 +218,88 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, register_views=False)["documents"]
     frames = sample_frames(attach_media(docs))
     return frames.orderBy("doc_id", "frame_idx")
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples long, duration_s double, "
+    "rms double, zero_crossings int, mfcc array<double>"
+)
+N_MFCC = 8
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Audio feature-extraction plumbing: decode (stub) -> sample-rate /
+    duration / RMS / zero-crossing-rate / MFCC-shaped vector. The real
+    torchaudio/librosa call replaces ``_audio_fake``; the Arrow
+    batching, schema, and audio-only filter pushed below the Python
+    boundary are the production shape."""
+
+    def _audio_fake(b: bytes) -> dict:
+        # Deterministic stand-in treating bytes as a PCM-ish signal.
+        sr = 16000
+        n = len(b)
+        mean = sum(b) / max(n, 1)
+        rms = (sum((x - mean) ** 2 for x in b) / max(n, 1)) ** 0.5
+        zc = sum(
+            1 for i in range(1, n) if (b[i] - mean) * (b[i - 1] - mean) < 0
+        )
+        mfcc = [
+            round(sum(b[j::N_MFCC]) / max(len(b[j::N_MFCC]), 1) - mean, 4)
+            for j in range(N_MFCC)
+        ]
+        return {
+            "sample_rate": sr,
+            "n_samples": n,
+            "duration_s": round(n / sr, 6),
+            "rms": round(rms, 4),
+            "zero_crossings": zc,
+            "mfcc": mfcc,
+        }
+
+    def _audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["media_meta"]):
+                if meta["media_type"] != "audio":
+                    continue
+                try:
+                    rec = _decode_real(bytes(payload), "audio")
+                except NotImplementedError:
+                    rec = _audio_fake(bytes(payload))
+                rec["doc_id"] = doc_id
+                out.append(rec)
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "sample_rate",
+                    "n_samples",
+                    "duration_s",
+                    "rms",
+                    "zero_crossings",
+                    "mfcc",
+                ],
+            )
+
+    # filter on the metadata column BEFORE the Python boundary so only
+    # audio payload bytes cross into Arrow.
+    audio = df.filter(F.col("media_meta.media_type") == "audio")
+    return audio.mapInPandas(_audio_batches, schema=AUDIO_SCHEMA)
+
+
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: audio feature extraction rollup (rows-only
+    check; decode core stubbed, Spark plumbing real)."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    feats = extract_audio_features(attach_media(docs))
+    return (
+        feats.groupBy("sample_rate")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.round(F.sum("duration_s"), 3).alias("total_duration_s"),
+            F.round(F.avg("rms"), 4).alias("avg_rms"),
+            F.round(F.avg("zero_crossings"), 2).alias("avg_zero_crossings"),
+            F.round(F.avg(F.element_at("mfcc", 1)), 4).alias("avg_mfcc0"),
+        )
+        .orderBy("sample_rate")
+    )

@@ -705,3 +705,60 @@ def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: one groupBy collapses orders to a
+    (recency, frequency, monetary) row per customer, fixed band edges
+    score each dimension 1-4, and a second (tiny) aggregation rolls up
+    segments. Fixed bands rather than ntile: a global ntile is a
+    single-partition sort at 100 TB, while banding keeps both
+    aggregations fully parallel and partial."""
+    orders = load_tables(spark, sf_dir, register_views=False)["orders"]
+    # decimal(18,2) sums: exact cents arithmetic in BOTH engines, so
+    # small segments can't land on a float rounding half-point.
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"),
+    )
+    anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
+    rec = F.datediff(F.col("anchor"), F.col("last_order"))
+    r_band = (
+        F.when(rec <= 180, 4).when(rec <= 730, 3).when(rec <= 1460, 2).otherwise(1)
+    )
+    f_band = (
+        F.when(F.col("n_orders") >= 15, 4)
+        .when(F.col("n_orders") >= 10, 3)
+        .when(F.col("n_orders") >= 5, 2)
+        .otherwise(1)
+    )
+    m_band = (
+        F.when(F.col("spend") >= 4e6, 4)
+        .when(F.col("spend") >= 2.5e6, 3)
+        .when(F.col("spend") >= 1e6, 2)
+        .otherwise(1)
+    )
+    scored = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        "spend",
+        r_band.alias("r"),
+        f_band.alias("f"),
+        m_band.alias("m"),
+    )
+    segment = (
+        F.when(F.col("r") + F.col("f") + F.col("m") >= 10, "champion")
+        .when(F.col("r") + F.col("f") + F.col("m") >= 7, "loyal")
+        .when(F.col("r") + F.col("f") + F.col("m") >= 5, "at_risk")
+        .otherwise("hibernating")
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("spend").cast("double"), 2).alias("total_spend"),
+        )
+        .withColumn("segment", segment)
+        .select("r", "f", "m", "segment", "n_customers", "total_spend")
+        .orderBy("r", "f", "m")
+    )

@@ -372,6 +372,41 @@ RELATIONAL_ORACLES: dict[str, str] = {
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
     """,
+    "q_customer_rfm": """
+        WITH pc AS (
+            SELECT o_custkey, MAX(o_orderdate) AS last_order,
+                   COUNT(*) AS n_orders,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+            FROM orders GROUP BY o_custkey
+        ),
+        a AS (SELECT MAX(o_orderdate) AS anchor FROM orders),
+        scored AS (
+            SELECT spend,
+                   CASE WHEN date_diff('day', last_order, anchor) <= 180 THEN 4
+                        WHEN date_diff('day', last_order, anchor) <= 730 THEN 3
+                        WHEN date_diff('day', last_order, anchor) <= 1460 THEN 2
+                        ELSE 1 END AS r,
+                   CASE WHEN n_orders >= 15 THEN 4
+                        WHEN n_orders >= 10 THEN 3
+                        WHEN n_orders >= 5 THEN 2
+                        ELSE 1 END AS f,
+                   CASE WHEN spend >= 4000000 THEN 4
+                        WHEN spend >= 2500000 THEN 3
+                        WHEN spend >= 1000000 THEN 2
+                        ELSE 1 END AS m
+            FROM pc CROSS JOIN a
+        )
+        SELECT r, f, m,
+               CASE WHEN r + f + m >= 10 THEN 'champion'
+                    WHEN r + f + m >= 7 THEN 'loyal'
+                    WHEN r + f + m >= 5 THEN 'at_risk'
+                    ELSE 'hibernating' END AS segment,
+               COUNT(*) AS n_customers,
+               ROUND(CAST(SUM(spend) AS DOUBLE), 2) AS total_spend
+        FROM scored
+        GROUP BY r, f, m
+        ORDER BY r, f, m
+    """,
 }
 
 EVENTS_ORACLES: dict[str, str] = {
@@ -498,5 +533,26 @@ EVENTS_ORACLES: dict[str, str] = {
                COUNT(DISTINCT CASE WHEN day_n = 1 THEN user_id END) AS d1_retained,
                COUNT(DISTINCT CASE WHEN day_n = 7 THEN user_id END) AS d7_retained
         FROM j GROUP BY cohort_day ORDER BY cohort_day
+    """,
+    "q_events_dau_wau": """
+        WITH daily AS (
+            SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+        ),
+        dau AS (SELECT d, COUNT(*) AS dau FROM daily GROUP BY d),
+        contrib AS (
+            SELECT u.dd AS d, user_id
+            FROM daily, UNNEST(generate_series(d, d + INTERVAL 6 DAY,
+                                               INTERVAL 1 DAY)) AS u(dd)
+        ),
+        wau AS (
+            SELECT c.d, COUNT(DISTINCT user_id) AS wau
+            FROM contrib c
+            WHERE c.d IN (SELECT d FROM dau)
+            GROUP BY c.d
+        )
+        SELECT dau.d, dau.dau, wau.wau,
+               ROUND(dau.dau / CAST(wau.wau AS DOUBLE), 4) AS stickiness
+        FROM dau JOIN wau ON dau.d = wau.d
+        ORDER BY dau.d
     """,
 }

@@ -77,6 +77,7 @@ _register(
         "q_stats_suite",
         "q_price_histogram",
         "q_order_gaps",
+        "q_customer_rfm",
     ],
 )
 _register(
@@ -157,11 +158,16 @@ _register(
         "q_events_intersect_except",
         "q_events_value_deciles",
         "q_events_retention",
+        "q_events_dau_wau",
     ],
 )
 
 
-_register(multimodal, {}, ["mm_decode_meta", "mm_resize_stats", "mm_frame_sample"])
+_register(
+    multimodal,
+    {},
+    ["mm_decode_meta", "mm_resize_stats", "mm_frame_sample", "mm_audio_features"],
+)
 _register(streaming_jobs, {}, ["stream_events_windowed", "stream_sessionize"])
 _QUERIES["stream_static_join_windowed"] = streaming_jobs.stream_static_join_windowed
 _ORACLES["stream_static_join_windowed"] = """

@@ -89,6 +89,7 @@ DELIBERATE_NESTED_LOOP = {
     "q22_idle_customers",
     "text_tfidf",
     "text_source_mix",  # 1-row broadcast totals cross-join
+    "q_customer_rfm",  # 1-row broadcast anchor-date cross-join
 }
 
 # Streaming / iterative ops execute eagerly inside the callable; the
