@@ -762,3 +762,32 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r", "f", "m", "segment", "n_customers", "total_spend")
         .orderBy("r", "f", "m")
     )
+
+
+PART_PAIRS_TOP_K = 20
+
+
+def q_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part pairs bought together
+    in one order. Equality self-join of lineitem on l_orderkey — the
+    fan-out is (items-per-order choose 2), bounded by basket size, not
+    n² — then a map-side-combined pair count and a TakeOrdered top-K
+    (no global sort materializes; each partition ships only its own
+    top K to the driver)."""
+    li = load_tables(spark, sf_dir, register_views=False)["lineitem"].select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(PART_PAIRS_TOP_K)
+    )

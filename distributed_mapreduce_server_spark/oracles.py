@@ -407,6 +407,15 @@ RELATIONAL_ORACLES: dict[str, str] = {
         GROUP BY r, f, m
         ORDER BY r, f, m
     """,
+    "q_part_pairs": """
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS n_orders
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        ORDER BY n_orders DESC, part_a, part_b
+        LIMIT 20
+    """,
 }
 
 EVENTS_ORACLES: dict[str, str] = {

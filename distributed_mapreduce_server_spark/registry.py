@@ -78,6 +78,7 @@ _register(
         "q_price_histogram",
         "q_order_gaps",
         "q_customer_rfm",
+        "q_part_pairs",
     ],
 )
 _register(

@@ -46,3 +46,50 @@ def test_stream_sessionize_closed_sessions_match_batch(spark, sf_smoke):
     expected_closed = {(u, s) for (u, s) in batch if s < last_seq[u]}
     got = {(r["user_id"], r["session_seq"]) for r in stream_rows}
     assert expected_closed <= got
+
+
+def test_stream_checkpoint_resume_is_incremental(spark, sf_smoke, tmp_path):
+    """Exactly-once file-source semantics across restarts: a second run
+    against the same checkpoint processes ONLY files that arrived after
+    the first run — the recovery contract a 100 TB ingest pipeline
+    leans on (reference analog: manager requeues only unfinished tasks
+    after a worker death, never re-runs completed ones)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    in_dir = tmp_path / "in"
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    in_dir.mkdir()
+    shutil.copy(f"{sf_smoke}/events.parquet", in_dir / "batch1.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(str(in_dir / "batch1.parquet")).schema
+    n = spark.read.parquet(str(in_dir / "batch1.parquet")).count()
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .load(str(in_dir))
+            .select("event_id", "event_type")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(out_dir).count() == n
+
+    # new file lands; resume from the SAME checkpoint
+    shutil.copy(f"{sf_smoke}/events.parquet", in_dir / "batch2.parquet")
+    run_once()
+    out = spark.read.parquet(out_dir)
+    # batch1 NOT reprocessed (3n would mean double-processing), batch2 in
+    assert out.count() == 2 * n
+    assert out.agg(F.count_distinct("event_id")).collect()[0][0] == n
