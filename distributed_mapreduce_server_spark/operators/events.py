@@ -254,3 +254,31 @@ def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (first-order Markov): per-user lag
+    window pairs (prev_type -> type), counted and normalized to
+    P(next | prev). One shuffle for the per-user window; the pair
+    count partial-aggregates; the row-normalizer joins back from a
+    broadcast-sized per-prev total (n_event_types rows)."""
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return (
+        pairs.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.col("tot"), 4).alias("p_next"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

@@ -791,3 +791,42 @@ def q_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(PART_PAIRS_TOP_K)
     )
+
+
+def q_orders_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per market segment: aggregate to
+    (segment, year) — the only full shuffle — then a lag window over
+    the tiny aggregated frame. Revenue summed in decimal cents so the
+    growth ratio is reproducible across engines."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    yearly = (
+        t["orders"]
+        .join(
+            broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("yr")
+    prev = F.lag("rev").over(w)
+    return (
+        yearly.withColumn("prev_rev", prev)
+        .select(
+            "c_mktsegment",
+            "yr",
+            F.col("rev").cast("double").alias("revenue"),
+            "n_orders",
+            F.round(
+                (F.col("rev") - F.col("prev_rev")).cast("double")
+                / F.col("prev_rev").cast("double") * 100,
+                4,
+            ).alias("yoy_pct"),
+        )
+        .orderBy("c_mktsegment", "yr")
+    )

@@ -416,6 +416,23 @@ RELATIONAL_ORACLES: dict[str, str] = {
         ORDER BY n_orders DESC, part_a, part_b
         LIMIT 20
     """,
+    "q_orders_yoy": """
+        WITH yearly AS (
+            SELECT c_mktsegment, EXTRACT(year FROM o_orderdate) AS yr,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        )
+        SELECT c_mktsegment, CAST(yr AS INTEGER) AS yr,
+               CAST(rev AS DOUBLE) AS revenue,
+               n_orders,
+               ROUND(CAST(rev - LAG(rev) OVER w AS DOUBLE)
+                     / CAST(LAG(rev) OVER w AS DOUBLE) * 100, 4) AS yoy_pct
+        FROM yearly
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY yr)
+        ORDER BY c_mktsegment, yr
+    """,
 }
 
 EVENTS_ORACLES: dict[str, str] = {
@@ -563,5 +580,23 @@ EVENTS_ORACLES: dict[str, str] = {
                ROUND(dau.dau / CAST(wau.wau AS DOUBLE), 4) AS stickiness
         FROM dau JOIN wau ON dau.d = wau.d
         ORDER BY dau.d
+    """,
+    "q_events_transitions": """
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        ),
+        pairs AS (
+            SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        tot AS (SELECT prev_type, SUM(n) AS tot FROM pairs GROUP BY 1)
+        SELECT p.prev_type, p.next_type, p.n,
+               ROUND(p.n / CAST(t.tot AS DOUBLE), 4) AS p_next
+        FROM pairs p JOIN tot t ON p.prev_type = t.prev_type
+        ORDER BY p.prev_type, p.next_type
     """,
 }

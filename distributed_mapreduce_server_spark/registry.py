@@ -79,6 +79,7 @@ _register(
         "q_order_gaps",
         "q_customer_rfm",
         "q_part_pairs",
+        "q_orders_yoy",
     ],
 )
 _register(
@@ -160,6 +161,7 @@ _register(
         "q_events_value_deciles",
         "q_events_retention",
         "q_events_dau_wau",
+        "q_events_transitions",
     ],
 )
 

@@ -44,6 +44,7 @@ EXPECTED_ROWS_ONLY = {
     "mm_decode_meta",
     "mm_resize_stats",
     "mm_frame_sample",
+    "mm_audio_features",
     "stream_events_windowed",
     "stream_sessionize",
 }
