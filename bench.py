@@ -34,6 +34,10 @@ HEADLINE = [
     "q_events_funnel",
     "sim_ivf_ann",
     "text_top_ngrams",
+    "text_tfidf",
+    "q_part_pairs",
+    "q_events_dau_wau",
+    "text_corpus_pipeline",
 ]
 
 

@@ -50,10 +50,10 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic document quality: length band + punctuation density +
-    stopword ratio + repetition (distinct/total token ratio)."""
-    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+def _quality_exprs() -> dict:
+    """Quality-score column expressions over the implicit `text`
+    column — shared by the score/keep analysis ops and the composed
+    corpus pipeline so all three filter on the identical quantity."""
     toks = tokens("text")
     n_tok = F.greatest(F.size(toks), F.lit(1))
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
@@ -67,6 +67,25 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0))
         + F.lit(0.2) * len_score
         + F.lit(0.1) * (1 - F.least(punct_density * 10, F.lit(1.0)))
+    )
+    return {
+        "toks": toks,
+        "distinct_ratio": distinct_ratio,
+        "stop_ratio": stop_ratio,
+        "quality": quality,
+    }
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length band + punctuation density +
+    stopword ratio + repetition (distinct/total token ratio)."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    q = _quality_exprs()
+    toks, distinct_ratio, stop_ratio, quality = (
+        q["toks"],
+        q["distinct_ratio"],
+        q["stop_ratio"],
+        q["quality"],
     )
     return (
         docs.select(
@@ -371,4 +390,40 @@ def text_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sample_weight"),
         )
         .orderBy("source")
+    )
+
+
+def text_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed end-to-end training-corpus build — what a user of
+    this engine actually ships: quality filter (score >= 0.5) ->
+    exact-dedup canonical keep (min doc_id per content fingerprint) ->
+    deterministic hash train/val split, reported per (split, lang).
+
+    One corpus scan computes quality + fingerprint + token count
+    together; dedup is a fingerprint groupBy + semi-join (the same
+    single-shuffle shape as dedup_exact); the split adds no shuffle.
+    """
+    from distributed_mapreduce_server_spark.functions import md5_u60
+
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    q = _quality_exprs()
+    enriched = docs.select(
+        "doc_id",
+        "lang",
+        F.size(q["toks"]).alias("n_tokens"),
+        F.md5(F.array_join(q["toks"], " ")).alias("fp"),
+        F.round(q["quality"], 4).alias("quality"),
+    ).filter(F.col("quality") >= QUALITY_KEEP_T)
+    keepers = enriched.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    canon = enriched.join(keepers, ["fp", "doc_id"], "left_semi")
+    bucket = md5_u60(F.col("doc_id").cast("string")) % 100
+    split = F.when(bucket < SPLIT_PCT_VAL, F.lit("val")).otherwise(F.lit("train"))
+    return (
+        canon.select(split.alias("split"), "lang", "n_tokens")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("split", "lang")
     )

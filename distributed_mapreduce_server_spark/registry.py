@@ -145,6 +145,7 @@ _register(
         "text_sample_stratified",
         "text_repetition_ratio",
         "text_source_mix",
+        "text_corpus_pipeline",
     ],
 )
 _register(
