@@ -830,3 +830,25 @@ def q_orders_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "yr")
     )
+
+
+def q_balance_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation customer balance percentile (percent_rank) and
+    cumulative distribution (cume_dist), tie-broken by custkey so the
+    rank is total and engine-reproducible. The window partitions by
+    nation — bounded cardinality per partition (customers/nation), so
+    unlike a global ntile this sorts in parallel across nations."""
+    from pyspark.sql.window import Window
+
+    cust = load_tables(spark, sf_dir, register_views=False)["customer"]
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select(
+            "c_custkey",
+            "c_nationkey",
+            _r2(F.col("c_acctbal")).alias("acctbal"),
+            F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 4).alias("cume"),
+        )
+        .orderBy("c_nationkey", "c_custkey")
+    )

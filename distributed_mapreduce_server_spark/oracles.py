@@ -433,6 +433,15 @@ RELATIONAL_ORACLES: dict[str, str] = {
         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY yr)
         ORDER BY c_mktsegment, yr
     """,
+    "q_balance_percentiles": """
+        SELECT c_custkey, c_nationkey,
+               ROUND(c_acctbal, 2) AS acctbal,
+               ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 4) AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        ORDER BY c_nationkey, c_custkey
+    """,
 }
 
 EVENTS_ORACLES: dict[str, str] = {

@@ -80,6 +80,7 @@ _register(
         "q_customer_rfm",
         "q_part_pairs",
         "q_orders_yoy",
+        "q_balance_percentiles",
     ],
 )
 _register(
