@@ -64,6 +64,10 @@ class MapReduceJob:
         reading sorted stdin. Arrow-batched; use only when the reduction
         is not expressible as aggregate Columns."""
         mapped = self.mapper(input_df)
+        if self.num_reducers:
+            # honor the reference's --nreducers here too, not just on
+            # the aggregate path
+            mapped = mapped.repartition(self.num_reducers, *self.key_cols)
 
         def _apply(pdf):
             return reduce_fn(pdf.sort_values(list(sort_cols)))

@@ -16,7 +16,7 @@ the same job description runs as one Spark action:
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -39,7 +39,9 @@ def submit(spark: SparkSession, spec: JobSpec) -> DataFrame:
     """Run the job and write ``num_reducers`` part files; returns the
     result DataFrame (already computed by the write action)."""
     lines = read_text_lines(spark, spec.input_directory)
-    spec.job.num_reducers = spec.num_reducers
-    result = spec.job.run(lines)
+    # replace(), not in-place mutation: a MapReduceJob shared across
+    # JobSpecs must not inherit this spec's reducer count.
+    job = replace(spec.job, num_reducers=spec.num_reducers)
+    result = job.run(lines)
     write_sink(result, spec.output_directory, fmt=spec.output_format)
     return result

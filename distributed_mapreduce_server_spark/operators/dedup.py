@@ -24,6 +24,11 @@ faster. MinHash then becomes 16 min-aggregations and SimHash 48
 conditional sums — no array materialization at all.
 
 No Python UDFs anywhere; exact DuckDB twins live in dedup_oracles.py.
+
+Cache contract: each operator eagerly materializes its (small) final
+result into the block cache, unpersists its large shingle/simhash
+intermediates before returning, and registers the result cache so
+long-running sessions can drop them with ``release_dedup_caches()``.
 """
 
 from __future__ import annotations
@@ -40,6 +45,26 @@ from distributed_mapreduce_server_spark.functions import (
     perm_constants,
     tokens,
 )
+
+_result_caches: list[DataFrame] = []
+
+
+def _cache_result(df: DataFrame) -> DataFrame:
+    """Eagerly cache a (small) final result so the operator can unpersist
+    its large intermediates before returning. Tracked so callers doing
+    many invocations per session can release with release_dedup_caches()
+    instead of a blanket clearCache()."""
+    df.persist()
+    df.count()
+    _result_caches.append(df)
+    return df
+
+
+def release_dedup_caches() -> None:
+    """Unpersist every cached dedup result from this session."""
+    while _result_caches:
+        _result_caches.pop().unpersist()
+
 
 SHINGLE_K = 3
 JACCARD_T = 0.8
@@ -134,20 +159,27 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs with 3-gram Jaccard >= 0.8 via inverted shingle
-    index (compare only docs sharing at least one shingle). Shingles
-    join as 32-bit hashes, not strings — smaller shuffle keys."""
+def _ngram_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(pairs, shingles): jaccard >= 0.8 pairs plus the persisted shingle
+    frame they read from. Caller must materialize pairs, then unpersist
+    the shingle frame."""
     e = _shingle_rows(spark, sf_dir, 32).persist()
     e.count()  # materialize BEFORE the 3-way fan-out (self-join a/b +
     # sizes); a lazy persist would race-fill the cache inside one job
     # and compute the shingle subtree up to 3x (measured 2x slower).
     jac = _pair_jaccard(e, None)
-    return (
-        jac.filter(F.col("jaccard") >= JACCARD_T)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
-    )
+    pairs = jac.filter(F.col("jaccard") >= JACCARD_T).select("doc_a", "doc_b", "jaccard")
+    return pairs, e
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with 3-gram Jaccard >= 0.8 via inverted shingle
+    index (compare only docs sharing at least one shingle). Shingles
+    join as 32-bit hashes, not strings — smaller shuffle keys."""
+    pairs, e = _ngram_pairs(spark, sf_dir)
+    out = _cache_result(pairs.orderBy("doc_a", "doc_b"))
+    e.unpersist()
+    return out
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,11 +228,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     verified = _pair_jaccard(e, cand)
-    return (
+    out = _cache_result(
         verified.filter(F.col("jaccard") >= JACCARD_T)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
+    e.unpersist()
+    return out
 
 
 def _simhashes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,7 +290,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return cand.filter(F.col("hamming") <= HAMMING_T).orderBy("doc_a", "doc_b")
+    out = _cache_result(cand.filter(F.col("hamming") <= HAMMING_T).orderBy("doc_a", "doc_b"))
+    sh.unpersist()
+    return out
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,11 +316,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric (src, dst) edge list from the jaccard >= 0.8 pairs."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    return pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
-        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    """Symmetric (src, dst) edge list from the jaccard >= 0.8 pairs.
+    Returned persisted + materialized; caller unpersists."""
+    pairs, e = _ngram_pairs(spark, sf_dir)
+    pairs = pairs.select("doc_a", "doc_b")
+    edges = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .persist()
     )
+    edges.count()
+    e.unpersist()
+    return edges
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,7 +342,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm). Each round is one shuffle join against the static
     edge list; convergence is checked with a cheap count.
     """
-    edges = _near_dup_edges(spark, sf_dir).persist()
+    edges = _near_dup_edges(spark, sf_dir)
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -332,8 +375,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_labels.unpersist()
         if n_changed == 0:
             break
+    out = _cache_result(labels.orderBy("doc_id"))
     edges.unpersist()
-    return labels.orderBy("doc_id")
+    labels.unpersist()
+    return out
 
 
 def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import tempfile
 import uuid
+from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 
@@ -87,6 +88,11 @@ def _sessionize_group(key, pdfs, state: GroupState):
     else:
         session_seq, last_ts, start_ts, n, value = 0, None, None, 0, 0.0
 
+    # HALF_UP like the batch operator's F.round — Python's round() is
+    # banker's rounding and diverges on .xx5 values.
+    def _round2(v: float) -> float:
+        return float(Decimal(repr(v)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
+
     gap_us = SESSION_GAP_SECONDS * 1_000_000
     closed = []
     for pdf in pdfs:
@@ -95,7 +101,7 @@ def _sessionize_group(key, pdfs, state: GroupState):
             ts_us = int(ts.value // 1000)
             if last_ts is None or ts_us - last_ts > gap_us:
                 if last_ts is not None:
-                    closed.append((user_id, session_seq, n, start_ts, last_ts, round(value, 2)))
+                    closed.append((user_id, session_seq, n, start_ts, last_ts, _round2(value)))
                 session_seq += 1
                 start_ts, n, value = ts_us, 0, 0.0
             n += 1

@@ -27,7 +27,12 @@ def test_stream_windowed_matches_batch(spark, sf_smoke):
 
 def test_stream_sessionize_closed_sessions_match_batch(spark, sf_smoke):
     batch = {
-        (r["user_id"], r["session_seq"]): (r["n_events"], r["session_start"], r["session_end"])
+        (r["user_id"], r["session_seq"]): (
+            r["n_events"],
+            r["session_start"],
+            r["session_end"],
+            r["session_value"],
+        )
         for r in q_events_sessionize(spark, sf_smoke).collect()
     }
     stream_rows = stream_sessionize(spark, sf_smoke).collect()
@@ -35,10 +40,12 @@ def test_stream_sessionize_closed_sessions_match_batch(spark, sf_smoke):
     for r in stream_rows:
         key = (r["user_id"], r["session_seq"])
         assert key in batch, f"stream session {key} unknown to batch"
-        n, start, end = batch[key]
+        n, start, end, value = batch[key]
         assert r["n_events"] == n
         assert r["session_start"] == start
         assert r["session_end"] == end
+        # exact equality incl. rounding: both sides round HALF_UP
+        assert r["session_value"] == value
     # every user's non-final session must have been emitted by the stream
     last_seq = {}
     for u, s in batch:
