@@ -852,3 +852,69 @@ def q_balance_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_custkey")
     )
+
+
+LATE_DAYS = 90
+
+
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted to this schema (no l_shipmode/l_receiptdate
+    columns — reference parity is the priority-split conditional
+    counts): lineitems shipped more than LATE_DAYS after their order
+    date, counted per return flag as high- vs low-priority orders.
+
+    One shuffle join on orderkey (both sides pre-projected so the scan
+    reads 3 columns), then conditional sums that fold map-side into a
+    3-row result.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    li = t["lineitem"].select("l_orderkey", "l_returnflag", "l_shipdate")
+    o = t["orders"].select("o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted (late = shipped > LATE_DAYS after order date):
+    suppliers who were the SOLE late supplier on a multi-supplier
+    order, ranked by how often.
+
+    The classic formulation is two correlated EXISTS/NOT EXISTS
+    self-joins on lineitem; here both collapse into ONE aggregation
+    per order (distinct suppliers, distinct late suppliers, and —
+    when exactly one is late — its key via min), so the 100 TB fact
+    is shuffled once on orderkey and never self-joined. The supplier
+    dim broadcasts onto the tiny per-supplier rollup.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = t["orders"].select("o_orderkey", "o_orderdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+            F.min(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+    )
+    sole_late = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    s = t["supplier"].select("s_suppkey", "s_name")
+    return (
+        sole_late.groupBy("late_supp")
+        .agg(F.count("*").alias("numwait"))
+        .join(broadcast(s), F.col("late_supp") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )

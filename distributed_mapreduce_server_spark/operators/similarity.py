@@ -239,3 +239,26 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution statistics over the embedding corpus
+    (mean / population stddev / min / max / L2 energy per dim) — the
+    whitening & normalization table computed before building an index
+    or quantizer. Same single posexplode + map-side-combined shuffle
+    as emb_centroids: 64 partial rows per task regardless of corpus
+    size, never a vector on the driver."""
+    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
+    x = F.col("x").cast("double")
+    return (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy((F.col("pos") + 1).alias("dim"))
+        .agg(
+            F.round(F.avg(x), 4).alias("mean"),
+            F.round(F.stddev_pop(x), 4).alias("std"),
+            F.round(F.min(x), 4).alias("vmin"),
+            F.round(F.max(x), 4).alias("vmax"),
+            F.round(F.sum(x * x), 4).alias("energy"),
+        )
+        .orderBy("dim")
+    )

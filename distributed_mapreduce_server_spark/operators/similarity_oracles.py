@@ -133,3 +133,15 @@ SIMILARITY_ORACLES["emb_quantize"] = """
     FROM q
     ORDER BY vec_id
 """
+
+SIMILARITY_ORACLES["emb_dim_stats"] = """
+    SELECT CAST(i AS INTEGER) AS dim,
+           ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) AS mean,
+           ROUND(STDDEV_POP(CAST(embedding[i] AS DOUBLE)), 4) AS std,
+           ROUND(MIN(CAST(embedding[i] AS DOUBLE)), 4) AS vmin,
+           ROUND(MAX(CAST(embedding[i] AS DOUBLE)), 4) AS vmax,
+           ROUND(SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 4) AS energy
+    FROM embeddings, generate_series(1, 64) AS s(i)
+    GROUP BY 1
+    ORDER BY 1
+"""

@@ -427,3 +427,81 @@ def text_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+def _trigram_rows(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, gram) trigram rows, row-form (posexplode +
+    window lead — stays in codegen; see dedup._shingle_rows)."""
+    from pyspark.sql.window import Window
+
+    tok = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        tok.withColumn("t1", F.lead("tok", 1).over(w))
+        .withColumn("t2", F.lead("tok", 2).over(w))
+        .filter(F.col("t2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "t1", "t2").alias("gram"))
+        .dropDuplicates(["doc_id", "gram"])
+    )
+
+
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit (GPT-3/PaLM style n-gram overlap):
+    for every val-split document, the fraction of its distinct trigrams
+    that also occur anywhere in the train split.
+
+    The split is the same deterministic md5(doc_id) bucket as
+    text_train_val_split. Both gram sets come from ONE trigram
+    build over the corpus; the val side left-joins the distinct train
+    gram set on the gram key — a key-partitioned shuffle join (the
+    train side is corpus-sized at 100 TB, so no broadcast), with
+    map-side-combined counts per val doc after it."""
+    from distributed_mapreduce_server_spark.functions import md5_u60
+
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"].repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    grams = _trigram_rows(docs).withColumn(
+        "is_val", md5_u60(F.col("doc_id").cast("string")) % 100 < SPLIT_PCT_VAL
+    )
+    train_grams = grams.filter(~F.col("is_val")).select("gram").distinct()
+    val_grams = grams.filter(F.col("is_val")).select("doc_id", "gram")
+    return (
+        val_grams.join(train_grams.withColumn("hit", F.lit(1)), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("hit").alias("n_overlap"),
+            F.round(F.count("hit") / F.count("*").cast("double"), 4).alias(
+                "contamination_rate"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM scoring — the cheap perplexity proxy quality filters
+    use: per document, mean -ln p(token) under the corpus unigram
+    distribution (high = rare-token-heavy / out-of-distribution text).
+
+    Two partial aggregations over one exploded token stream (corpus
+    term counts; per-doc sums) plus a broadcast of the tiny vocabulary
+    table back onto the stream — the corpus is scanned once and never
+    re-shuffled."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    vocab = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    neg_lp = -F.log(F.col("cnt") / F.col("total").cast("double"))
+    return (
+        tok.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(neg_lp), 4).alias("avg_neg_logprob"),
+            F.round(F.max(neg_lp), 4).alias("max_neg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -239,3 +239,38 @@ TEXT_ORACLES["text_corpus_pipeline"] = f"""
     GROUP BY 1, 2
     ORDER BY 1, 2
 """
+
+TEXT_ORACLES["text_contamination_check"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    grams AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % 100 < {SPLIT_PCT_VAL} AS is_val,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))) AS gram
+        FROM toks
+    ),
+    train_grams AS (SELECT DISTINCT gram FROM grams WHERE NOT is_val),
+    val_grams AS (SELECT doc_id, gram FROM grams WHERE is_val)
+    SELECT v.doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(t.gram) AS n_overlap,
+           ROUND(COUNT(t.gram) / CAST(COUNT(*) AS DOUBLE), 4) AS contamination_rate
+    FROM val_grams v LEFT JOIN train_grams t ON v.gram = t.gram
+    GROUP BY v.doc_id
+    ORDER BY v.doc_id
+"""
+
+TEXT_ORACLES["text_unigram_logprob"] = f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    vocab AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1),
+    total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(-ln(cnt / CAST(total AS DOUBLE))), 4) AS avg_neg_logprob,
+           ROUND(MAX(-ln(cnt / CAST(total AS DOUBLE))), 4) AS max_neg_logprob
+    FROM tok JOIN vocab USING (term) CROSS JOIN total
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""

@@ -609,3 +609,34 @@ EVENTS_ORACLES: dict[str, str] = {
         ORDER BY p.prev_type, p.next_type
     """,
 }
+
+RELATIONAL_ORACLES["q12_late_shipments"] = """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+RELATIONAL_ORACLES["q21_late_suppliers"] = """
+    WITH per_order AS (
+        SELECT l_orderkey,
+               COUNT(DISTINCT l_suppkey) AS n_supp,
+               COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                                   THEN l_suppkey END) AS n_late_supp,
+               MIN(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                        THEN l_suppkey END) AS late_supp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_orderkey
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM per_order JOIN supplier ON late_supp = s_suppkey
+    WHERE n_supp >= 2 AND n_late_supp = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+"""

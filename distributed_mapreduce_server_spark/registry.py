@@ -81,6 +81,8 @@ _register(
         "q_part_pairs",
         "q_orders_yoy",
         "q_balance_percentiles",
+        "q12_late_shipments",
+        "q21_late_suppliers",
     ],
 )
 _register(
@@ -127,6 +129,7 @@ _register(
         "emb_centroids",
         "emb_label_coherence",
         "emb_quantize",
+        "emb_dim_stats",
     ],
 )
 _register(
@@ -147,6 +150,8 @@ _register(
         "text_repetition_ratio",
         "text_source_mix",
         "text_corpus_pipeline",
+        "text_contamination_check",
+        "text_unigram_logprob",
     ],
 )
 _register(
@@ -187,6 +192,10 @@ _ORACLES["stream_static_join_windowed"] = """
 # other streaming jobs it gets the full batch oracle.
 _QUERIES["stream_dedup_exact"] = streaming_jobs.stream_dedup_exact
 _ORACLES["stream_dedup_exact"] = DEDUP_ORACLES["dedup_exact"].strip()
+# the reference's flagship wordcount as an incremental stream —
+# deterministic counts, so it carries mr_wordcount's full oracle.
+_QUERIES["stream_wordcount"] = streaming_jobs.stream_wordcount
+_ORACLES["stream_wordcount"] = MAPREDUCE_ORACLES["mr_wordcount"].strip()
 # stream-stream inner join is append-mode deterministic -> full oracle.
 _QUERIES["stream_click_purchase_join"] = streaming_jobs.stream_click_purchase_join
 _ORACLES["stream_click_purchase_join"] = """

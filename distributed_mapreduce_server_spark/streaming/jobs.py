@@ -253,3 +253,30 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(joined, "append")
     return out.orderBy("user_id", "click_id", "purchase_id")
+
+
+def stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship wordcount job as an incremental stream:
+    documents replayed as a file stream, tokenized, reduced with a
+    stateful streaming aggregation. This is the reference's map ->
+    shuffle -> reduce pipeline (wc_map.sh | sort | wc_reduce.sh) in
+    micro-batch form — new files only ever touch their own tokens, the
+    running per-word state does the merge the reference re-sorts for.
+    Deterministic (counts are order-insensitive), so unlike most
+    streaming jobs it carries the FULL batch oracle (mr_wordcount's).
+    """
+    from distributed_mapreduce_server_spark.functions import tokens
+
+    docs = (
+        spark.readStream.schema(spark.read.parquet(f"{sf_dir}/documents.parquet").schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    agg = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.orderBy(F.desc("cnt"), "word")

@@ -90,6 +90,7 @@ DELIBERATE_NESTED_LOOP = {
     "text_tfidf",
     "text_source_mix",  # 1-row broadcast totals cross-join
     "q_customer_rfm",  # 1-row broadcast anchor-date cross-join
+    "text_unigram_logprob",  # 1-row broadcast corpus-total cross-join
 }
 
 # Streaming / iterative ops execute eagerly inside the callable; the
@@ -100,6 +101,7 @@ EAGER_OPS = {
     "stream_dedup_exact",
     "stream_static_join_windowed",
     "stream_click_purchase_join",
+    "stream_wordcount",
     "dedup_clusters",
     "dedup_keep_canonical",
 }
