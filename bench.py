@@ -49,8 +49,17 @@ def main() -> None:
     queries = registry.all_queries()
     names = [n for n in HEADLINE if n in queries]
 
-    # warm the JVM + parquet footers once so per-query times measure the
-    # query, not session bootstrap.
+    # Warm-up: run every headline query once at the smallest SF so the
+    # JVM JIT + whole-stage-codegen compile of each plan happens outside
+    # the timed region (plans are structurally identical across SFs, so
+    # the codegen cache hits below), then touch the timed SF once for
+    # parquet footers. Timed numbers measure steady-state query time on
+    # a warm engine — the regime a long-lived cluster actually runs in.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
+        for name in names:
+            queries[name](spark, warm_dir).count()
+        spark.catalog.clearCache()
     queries[names[0]](spark, sf_dir).count()
 
     times: dict[str, float] = {}

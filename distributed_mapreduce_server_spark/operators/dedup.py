@@ -53,7 +53,12 @@ def _cache_result(df: DataFrame) -> DataFrame:
     """Eagerly cache a (small) final result so the operator can unpersist
     its large intermediates before returning. Tracked so callers doing
     many invocations per session can release with release_dedup_caches()
-    instead of a blanket clearCache()."""
+    instead of a blanket clearCache().
+
+    Call on the UNSORTED result: a persist boundary below an orderBy
+    would force the sort to materialize into the cache (count() alone
+    lets Catalyst eliminate it); sorting the few cached result rows in
+    the caller's action is free."""
     df.persist()
     df.count()
     _result_caches.append(df)
@@ -177,9 +182,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     index (compare only docs sharing at least one shingle). Shingles
     join as 32-bit hashes, not strings — smaller shuffle keys."""
     pairs, e = _ngram_pairs(spark, sf_dir)
-    out = _cache_result(pairs.orderBy("doc_a", "doc_b"))
+    out = _cache_result(pairs)
     e.unpersist()
-    return out
+    return out.orderBy("doc_a", "doc_b")
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,12 +234,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     verified = _pair_jaccard(e, cand)
     out = _cache_result(
-        verified.filter(F.col("jaccard") >= JACCARD_T)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+        verified.filter(F.col("jaccard") >= JACCARD_T).select("doc_a", "doc_b", "jaccard")
     )
     e.unpersist()
-    return out
+    return out.orderBy("doc_a", "doc_b")
 
 
 def _simhashes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,9 +293,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    out = _cache_result(cand.filter(F.col("hamming") <= HAMMING_T).orderBy("doc_a", "doc_b"))
+    out = _cache_result(cand.filter(F.col("hamming") <= HAMMING_T))
     sh.unpersist()
-    return out
+    return out.orderBy("doc_a", "doc_b")
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -375,10 +378,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_labels.unpersist()
         if n_changed == 0:
             break
-    out = _cache_result(labels.orderBy("doc_id"))
+    # labels is already persisted+counted by the loop; just track it as
+    # the result cache (re-persist is a no-op) — do NOT unpersist it.
+    out = _cache_result(labels)
     edges.unpersist()
-    labels.unpersist()
-    return out
+    return out.orderBy("doc_id")
 
 
 def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -58,4 +58,14 @@ def get_spark(app_name: str = "dmrs-spark", shuffle_partitions: int | None = Non
         # the reference's worker-death/task-redistribution guarantee is
         # Spark task re-execution, and local runs should exhibit it too.
         builder = builder.master(f"local[{cpus},2]")
+        # Local-ONLY latency trims (a real cluster keeps the defaults:
+        # compression pays for itself once shuffle blocks cross a NIC,
+        # and locality waits matter when data has a home executor):
+        # in-process shuffles are pure memcpy, so compressing them only
+        # burns CPU, and every block is process-local by construction.
+        builder = (
+            builder.config("spark.shuffle.compress", "false")
+            .config("spark.shuffle.spill.compress", "false")
+            .config("spark.locality.wait", "0")
+        )
     return builder.getOrCreate()
