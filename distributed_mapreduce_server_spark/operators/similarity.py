@@ -262,3 +262,87 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 5
+
+
+def _kmeans_fit(spark: SparkSession, sf_dir: str, k: int, iters: int):
+    """Lloyd's k-means over the embedding corpus, DataFrame-iterative
+    (the real codebook builder behind sim_ivf_ann's deterministic
+    stand-in).
+
+    Per round: assignment is a broadcast of the K x dim centroid table
+    against the corpus (one scan, no shuffle of the vectors); the
+    update is a posexplode + map-side-combined avg per (cluster, dim)
+    — 64*K partial rows per task regardless of corpus size — then a
+    K-row array rebuild. Centroids persist each round so lineage stays
+    flat (same pattern as dedup_clusters). Returns (assignments,
+    centroids) DataFrames; assignments = (vec_id, cid, dist_sq).
+    """
+    from pyspark.sql.window import Window
+
+    emb = (
+        load_tables(spark, sf_dir, register_views=False)["embeddings"]
+        .select("vec_id", "embedding")
+        .persist()
+    )
+    emb.count()
+    # deterministic init: the first K vectors by vec_id
+    centroids = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cen"),
+    )
+    centroids = centroids.persist()
+    centroids.count()
+
+    def dist_sq():
+        d = F.zip_with("embedding", "cen", lambda x, c: (x.cast("double") - c) ** 2)
+        return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+
+    assigned = None
+    for _ in range(iters):
+        w = Window.partitionBy("vec_id").orderBy("dist_sq", "cid")
+        assigned = (
+            emb.crossJoin(broadcast(centroids))
+            .withColumn("dist_sq", dist_sq())
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "cid", "dist_sq", "embedding")
+        )
+        new_centroids = (
+            assigned.select("cid", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.transform("pm", lambda s: s["m"]).alias("cen"))
+            .persist()
+        )
+        new_centroids.count()
+        centroids.unpersist()
+        centroids = new_centroids
+    assignments = assigned.select("vec_id", "cid", "dist_sq").persist()
+    assignments.count()
+    emb.unpersist()
+    return assignments, centroids
+
+
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering summary: per-cluster size and within-cluster
+    sum of squares after KMEANS_ITERS Lloyd rounds. Iterative and
+    float-accumulation-dependent, so rows-only at the driver gate;
+    tests assert the algorithmic invariants (partition completeness,
+    monotone WCSS, fixed-point assignment) instead."""
+    assignments, centroids = _kmeans_fit(spark, sf_dir, KMEANS_K, KMEANS_ITERS)
+    out = assignments.groupBy("cid").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.sum("dist_sq"), 2).alias("wcss"),
+    )
+    out = out.persist()
+    out.count()
+    # K summary rows stay cached; the big intermediates are released.
+    assignments.unpersist()
+    centroids.unpersist()
+    return out.orderBy("cid")

@@ -130,6 +130,7 @@ _register(
         "emb_label_coherence",
         "emb_quantize",
         "emb_dim_stats",
+        "emb_kmeans",
     ],
 )
 _register(
@@ -178,7 +179,20 @@ _register(
     {},
     ["mm_decode_meta", "mm_resize_stats", "mm_frame_sample", "mm_audio_features"],
 )
-_register(streaming_jobs, {}, ["stream_events_windowed", "stream_sessionize"])
+_register(streaming_jobs, {}, ["stream_sessionize"])
+# complete-mode windowed agg under availableNow is deterministic ->
+# full oracle (the stream omits distinct_users: distinct aggregations
+# are unsupported in streaming, so its oracle is the batch one minus
+# that column).
+_QUERIES["stream_events_windowed"] = streaming_jobs.stream_events_windowed
+_ORACLES["stream_events_windowed"] = """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+""".strip()
 _QUERIES["stream_static_join_windowed"] = streaming_jobs.stream_static_join_windowed
 _ORACLES["stream_static_join_windowed"] = """
     SELECT date_trunc('hour', ts) AS window_start, c_mktsegment,

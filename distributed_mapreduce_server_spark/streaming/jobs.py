@@ -280,3 +280,28 @@ def stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(agg, "complete")
     return out.orderBy(F.desc("cnt"), "word")
+
+
+def stream_ingest_partitioned(
+    spark: SparkSession, sf_dir: str, out_dir: str, ckpt_dir: str
+) -> None:
+    """The canonical ingest pipeline: the event stream written to a
+    date-partitioned parquet sink (hive layout, one directory per
+    event_date) with the file sink's exactly-once manifest + the
+    checkpoint for restart recovery. availableNow here; on an
+    unbounded stream the same code runs with a processing-time
+    trigger. Downstream batch queries on the sink get partition
+    pruning on event_date for free."""
+    ev = _events_stream(spark, sf_dir)
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    q = (
+        ev.withColumn("event_date", F.to_date("ts"))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .partitionBy("event_date")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

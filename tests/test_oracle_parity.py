@@ -41,11 +41,11 @@ def test_rows_only_queries_run(name, spark, sf_dir):
 EXPECTED_ROWS_ONLY = {
     "q_approx_distinct",
     "sim_lsh_ann",
+    "emb_kmeans",  # iterative, float-accumulation-order dependent
     "mm_decode_meta",
     "mm_resize_stats",
     "mm_frame_sample",
     "mm_audio_features",
-    "stream_events_windowed",
     "stream_sessionize",
 }
 

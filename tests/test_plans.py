@@ -104,6 +104,7 @@ EAGER_OPS = {
     "stream_wordcount",
     "dedup_clusters",
     "dedup_keep_canonical",
+    "emb_kmeans",
 }
 
 

@@ -49,3 +49,30 @@ def test_quantize_reconstruction_bound(spark, sf_dir):
         assert max(abs(r["q_min"]), abs(r["q_max"])) == 127
         assert r["q_l1"] >= abs(r["q_sum"])
         assert r["scale"] > 0
+
+
+def test_kmeans_invariants(spark, sf_dir):
+    """Lloyd's algorithm contracts: every vector assigned exactly once,
+    cluster count bounded by K, WCSS strictly positive, and WCSS after
+    more rounds <= WCSS after one round (monotone descent)."""
+    from distributed_mapreduce_server_spark.operators.similarity import (
+        KMEANS_K,
+        _kmeans_fit,
+        emb_kmeans,
+    )
+
+    summary = emb_kmeans(spark, sf_dir).collect()
+    n_total = sum(r["n_vectors"] for r in summary)
+    from distributed_mapreduce_server_spark.catalog import load_tables
+
+    n_vecs = load_tables(spark, sf_dir, register_views=False)["embeddings"].count()
+    assert n_total == n_vecs
+    assert 0 < len(summary) <= KMEANS_K
+    assert all(r["wcss"] > 0 for r in summary)
+
+    a1, c1 = _kmeans_fit(spark, sf_dir, KMEANS_K, 1)
+    wcss_1 = a1.groupBy().sum("dist_sq").collect()[0][0]
+    a1.unpersist()
+    c1.unpersist()
+    wcss_n = sum(r["wcss"] for r in summary)
+    assert wcss_n <= wcss_1 + 1e-6

@@ -100,3 +100,36 @@ def test_stream_checkpoint_resume_is_incremental(spark, sf_smoke, tmp_path):
     # batch1 NOT reprocessed (3n would mean double-processing), batch2 in
     assert out.count() == 2 * n
     assert out.agg(F.count_distinct("event_id")).collect()[0][0] == n
+
+
+def test_stream_ingest_partitioned_layout_and_pruning(spark, sf_smoke, tmp_path):
+    """Streaming ingest to a date-partitioned parquet sink: hive
+    layout on disk, row counts match the batch read, re-running on the
+    same checkpoint is a no-op (exactly-once), and a batch reader gets
+    partition pruning on the sink."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_server_spark.streaming.jobs import stream_ingest_partitioned
+
+    out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    stream_ingest_partitioned(spark, sf_smoke, out, ckpt)
+
+    part_dirs = [d for d in os.listdir(out) if d.startswith("event_date=")]
+    assert len(part_dirs) > 1
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    n_src = spark.read.parquet(f"{sf_smoke}/events.parquet").count()
+    back = spark.read.parquet(out)
+    assert back.count() == n_src
+
+    n_files_before = sum(len(fs) for _, _, fs in os.walk(out))
+    stream_ingest_partitioned(spark, sf_smoke, out, ckpt)  # same checkpoint
+    n_files_after = sum(len(fs) for _, _, fs in os.walk(out))
+    assert n_files_after == n_files_before
+
+    one_day = sorted(part_dirs)[0].split("=", 1)[1]
+    pruned = back.filter(F.col("event_date") == one_day)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_date" in plan
