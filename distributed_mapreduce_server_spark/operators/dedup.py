@@ -399,3 +399,26 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("kept", F.lit(True))
         .orderBy("doc_id")
     )
+
+
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup-style corpus filter (Abbas et al. 2023 shape): drop any
+    document whose embedding is a near-duplicate (cosine >=
+    COSINE_DEDUP_T) of an EARLIER document's embedding — keep-lowest-id
+    greedy semantics, deterministic across engines. Documents without
+    an embedding row pass through untouched (at sf0.1 only a prefix of
+    the corpus is embedded — exactly the partial-coverage situation a
+    real pipeline hits mid-embedding-backfill).
+
+    Candidate pairs reuse dedup_embedding_cosine's bounded pair join
+    (the correctness baseline; at 100 TB candidates come from LSH
+    plane-buckets like sim_lsh_ann instead). The filter itself is one
+    anti-join of the corpus against the distinct drop set."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"].select("doc_id")
+    pairs = dedup_embedding_cosine(spark, sf_dir)
+    dropped = pairs.select(F.col("vec_b").alias("doc_id")).distinct()
+    return (
+        docs.join(dropped, "doc_id", "left_anti")
+        .withColumn("kept", F.lit(True))
+        .orderBy("doc_id")
+    )

@@ -219,3 +219,21 @@ DEDUP_ORACLES["dedup_keep_canonical"] = f"""
     WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
     ORDER BY doc_id
 """
+
+_COS_AB = """ROUND(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             4)"""
+
+DEDUP_ORACLES["dedup_semantic_keep"] = f"""
+    WITH dropped AS (
+        SELECT DISTINCT b.vec_id AS doc_id
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_COS_AB} >= {COSINE_DEDUP_T}
+    )
+    SELECT d.doc_id, TRUE AS kept
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+    ORDER BY d.doc_id
+"""

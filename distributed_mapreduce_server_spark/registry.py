@@ -117,6 +117,7 @@ _register(
         "dedup_embedding_cosine",
         "dedup_clusters",
         "dedup_keep_canonical",
+        "dedup_semantic_keep",
     ],
 )
 _register(

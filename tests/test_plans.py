@@ -86,6 +86,7 @@ DELIBERATE_NESTED_LOOP = {
     "sim_lsh_ann",
     "sim_ivf_ann",
     "dedup_embedding_cosine",
+    "dedup_semantic_keep",  # reuses dedup_embedding_cosine's pair join
     "q22_idle_customers",
     "text_tfidf",
     "text_source_mix",  # 1-row broadcast totals cross-join
