@@ -16,6 +16,7 @@ replacing one function.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 
@@ -25,6 +26,14 @@ from pyspark.sql import functions as F
 from distributed_mapreduce_server_spark.catalog import load_tables
 
 MEDIA_TYPES = ("image", "audio", "video")
+
+
+def _round_half_up(v: float, nd: int) -> float:
+    """HALF_UP on the shortest decimal repr — matches Spark's F.round
+    and DuckDB's ROUND; Python's round() is banker's and diverges on
+    repr-exact .xx5 values (e.g. 0.0615 -> 0.061 vs 0.062)."""
+    q = Decimal(1).scaleb(-nd)
+    return float(Decimal(repr(v)).quantize(q, rounding=ROUND_HALF_UP))
 
 DECODE_SCHEMA = (
     "doc_id long, media_type string, n_bytes int, "
@@ -155,7 +164,7 @@ def resize_media(df: DataFrame, target_w: int = 224, target_h: int = 224) -> Dat
                         "height": rec["height"],
                         "target_w": target_w,
                         "target_h": target_h,
-                        "scale": round(scale, 6),
+                        "scale": _round_half_up(scale, 6),
                     }
                 )
             yield pd.DataFrame(out)
@@ -187,7 +196,7 @@ def sample_frames(df: DataFrame) -> DataFrame:
                         {
                             "doc_id": doc_id,
                             "frame_idx": i,
-                            "frame_ts": round(dur * i / N_FRAMES, 3),
+                            "frame_ts": _round_half_up(dur * i / N_FRAMES, 3),
                             "frame_checksum": f"{sum(b[lo:hi]) & 0xFFFFFFFF:08x}",
                         }
                     )

@@ -175,9 +175,13 @@ _register(
 )
 
 
+from distributed_mapreduce_server_spark.operators.multimodal_oracles import (  # noqa: E402
+    MULTIMODAL_ORACLES,
+)
+
 _register(
     multimodal,
-    {},
+    MULTIMODAL_ORACLES,
     ["mm_decode_meta", "mm_resize_stats", "mm_frame_sample", "mm_audio_features"],
 )
 _register(streaming_jobs, {}, ["stream_sessionize"])

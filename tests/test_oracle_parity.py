@@ -42,10 +42,7 @@ EXPECTED_ROWS_ONLY = {
     "q_approx_distinct",
     "sim_lsh_ann",
     "emb_kmeans",  # iterative, float-accumulation-order dependent
-    "mm_decode_meta",
-    "mm_resize_stats",
-    "mm_frame_sample",
-    "mm_audio_features",
+    "mm_audio_features",  # zero-crossing chain needs the lagged byte seq
     "stream_sessionize",
 }
 
