@@ -253,14 +253,14 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
             1 for i in range(1, n) if (b[i] - mean) * (b[i - 1] - mean) < 0
         )
         mfcc = [
-            round(sum(b[j::N_MFCC]) / max(len(b[j::N_MFCC]), 1) - mean, 4)
+            _round_half_up(sum(b[j::N_MFCC]) / max(len(b[j::N_MFCC]), 1) - mean, 4)
             for j in range(N_MFCC)
         ]
         return {
             "sample_rate": sr,
             "n_samples": n,
-            "duration_s": round(n / sr, 6),
-            "rms": round(rms, 4),
+            "duration_s": _round_half_up(n / sr, 6),
+            "rms": _round_half_up(rms, 4),
             "zero_crossings": zc,
             "mfcc": mfcc,
         }

@@ -71,3 +71,42 @@ MULTIMODAL_ORACLES: dict[str, str] = {
         ORDER BY doc_id, frame_idx
     """,
 }
+
+# Audio: bytes-as-PCM stub (multimodal.py _audio_fake) reproduced in
+# SQL — mean/RMS/zero-crossings/strided-mean "MFCC", audio docs only
+# (doc_id % 3 == 1 maps to media_type 'audio').
+MULTIMODAL_ORACLES["mm_audio_features"] = """
+    WITH base AS (
+        SELECT doc_id, text, length(text) AS n,
+               CAST(list_sum(list_transform(range(1, length(text) + 1),
+                                            i -> ascii(text[i]))) AS BIGINT) AS stot
+        FROM documents
+        WHERE doc_id % 3 = 1
+    ),
+    m AS (SELECT doc_id, text, n, stot / CAST(n AS DOUBLE) AS mean FROM base),
+    feat AS (
+        SELECT doc_id,
+               16000 AS sample_rate,
+               ROUND(n / 16000.0, 6) AS duration_s,
+               ROUND(sqrt(list_sum(list_transform(range(1, n + 1),
+                          i -> (ascii(text[i]) - mean) * (ascii(text[i]) - mean))) / n),
+                     4) AS rms,
+               CAST(list_sum(list_transform(range(2, n + 1),
+                    i -> CASE WHEN (ascii(text[i]) - mean)
+                                   * (ascii(text[i-1]) - mean) < 0
+                              THEN 1 ELSE 0 END)) AS INTEGER) AS zc,
+               ROUND(list_sum(list_transform(range(1, n + 1, 8),
+                              i -> CAST(ascii(text[i]) AS DOUBLE)))
+                     / len(range(1, n + 1, 8)) - mean, 4) AS mfcc0
+        FROM m
+    )
+    SELECT sample_rate,
+           COUNT(*) AS n_clips,
+           ROUND(SUM(duration_s), 3) AS total_duration_s,
+           ROUND(AVG(rms), 4) AS avg_rms,
+           ROUND(AVG(zc), 2) AS avg_zero_crossings,
+           ROUND(AVG(mfcc0), 4) AS avg_mfcc0
+    FROM feat
+    GROUP BY sample_rate
+    ORDER BY sample_rate
+"""

@@ -42,7 +42,6 @@ EXPECTED_ROWS_ONLY = {
     "q_approx_distinct",
     "sim_lsh_ann",
     "emb_kmeans",  # iterative, float-accumulation-order dependent
-    "mm_audio_features",  # zero-crossing chain needs the lagged byte seq
     "stream_sessionize",
 }
 
