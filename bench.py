@@ -38,6 +38,9 @@ HEADLINE = [
     "q_part_pairs",
     "q_events_dau_wau",
     "text_corpus_pipeline",
+    "q21_late_suppliers",
+    "text_contamination_check",
+    "dedup_semantic_keep",
 ]
 
 

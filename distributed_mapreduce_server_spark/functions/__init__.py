@@ -97,6 +97,11 @@ def cosine_sim(a: Column, b: Column) -> Column:
     Sequential fold (left-to-right) matches DuckDB's
     ``list_dot_product``-free explicit form used in the oracles, so the
     float result is bit-comparable after rounding.
+
+    The array lambdas execute interpreted (~35 us/pair on 64 dims), so
+    this is for BOUNDED pair sets only — a handful of query vectors, a
+    centroid codebook. All-pairs similarity goes through the vectorized
+    numpy block-matmul kernel in operators/dedup.py instead.
     """
     prod = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),

@@ -889,24 +889,26 @@ def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, ranked by how often.
 
     The classic formulation is two correlated EXISTS/NOT EXISTS
-    self-joins on lineitem; here both collapse into ONE aggregation
-    per order (distinct suppliers, distinct late suppliers, and —
-    when exactly one is late — its key via min), so the 100 TB fact
-    is shuffled once on orderkey and never self-joined. The supplier
+    self-joins on lineitem; here both collapse into a CASCADED
+    aggregation — per (order, supplier) any-late flags, then per order
+    — so the 100 TB fact is shuffled once on orderkey and never
+    self-joined, and no distinct aggregate forces Spark's 2x expand
+    (two count_distincts measured ~2x slower at sf0.1). The supplier
     dim broadcasts onto the tiny per-supplier rollup.
     """
     t = load_tables(spark, sf_dir, register_views=False)
     li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
     o = t["orders"].select("o_orderkey", "o_orderdate")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
-    per_order = (
+    per_supp = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("l_orderkey")
-        .agg(
-            F.count_distinct("l_suppkey").alias("n_supp"),
-            F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
-            F.min(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
-        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late.cast("int")).alias("is_late"))
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("is_late").alias("n_late_supp"),
+        F.min(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("late_supp"),
     )
     sole_late = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     s = t["supplier"].select("s_suppkey", "s_name")
