@@ -24,7 +24,8 @@ from distributed_mapreduce_server_spark.functions import cosine_sim
 
 N_QUERIES = 5
 TOP_K = 10
-N_PLANES = 8
+N_PLANES = 6
+N_TABLES = 4
 EMB_DIM = 64
 
 
@@ -49,29 +50,37 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes() -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes from md5(seed|dim):
+def _hyperplanes(table: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5(table|plane|dim):
     components in [-1, 1], reproducible everywhere."""
     planes = []
     for j in range(N_PLANES):
         row = []
         for d in range(EMB_DIM):
-            h = int(hashlib.md5(f"{j}|{d}".encode()).hexdigest()[:15], 16)
+            h = int(hashlib.md5(f"{table}|{j}|{d}".encode()).hexdigest()[:15], 16)
             row.append((h % 2001 - 1000) / 1000.0)
         planes.append(row)
     return planes
 
 
 def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via random-hyperplane LSH: 8-bit sign bucket, exact rerank
-    within bucket. Rows-only check (approximate recall by design);
-    tests assert bucket-recall against the exact top-k."""
-    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
-    planes = _hyperplanes()
+    """ANN via random-hyperplane LSH: L=4 independent 6-bit hash
+    tables (the standard recall lever — a neighbor is found if ANY
+    table buckets it with the query) with Hamming-1 multi-probe on the
+    query side (7 probes per table — costs probes, not index space),
+    exact rerank over the deduplicated candidates. Rows-only check
+    (approximate recall by design); tests assert recall against the
+    exact top-k.
 
-    def bucket(col):
+    Scale shape: candidates partition by (table, bucket) — the
+    inverted index; each query touches ~L*(1+n_planes)/2^n_planes of
+    the corpus instead of all of it, tunable via N_TABLES/N_PLANES.
+    """
+    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
+
+    def bucket(col, table: int):
         bits = []
-        for j, plane in enumerate(planes):
+        for j, plane in enumerate(_hyperplanes(table)):
             pl = F.array(*[F.lit(x) for x in plane])
             dot = F.aggregate(
                 F.zip_with(col, pl, lambda a, b: a.cast("double") * b),
@@ -84,18 +93,37 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = out + b
         return out
 
-    with_bucket = emb.select("vec_id", "embedding", bucket(F.col("embedding")).alias("bucket"))
+    tables = F.array(
+        *[
+            F.struct(F.lit(t).alias("tbl"), bucket(F.col("embedding"), t).alias("bucket"))
+            for t in range(N_TABLES)
+        ]
+    )
+    with_bucket = emb.select("vec_id", "embedding", F.explode(tables).alias("tb")).select(
+        "vec_id", "embedding", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+    probes = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)]
+    )
     q = with_bucket.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), F.col("bucket").alias("qb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        "tbl",
+        F.explode(probes).alias("qb"),
     )
     c = with_bucket.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), F.col("bucket").alias("cb")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("tbl").alias("ctbl"),
+        F.col("bucket").alias("cb"),
     )
-    scored = (
+    cand = (
         broadcast(q)
-        .join(c, F.col("qb") == F.col("cb"))
-        .withColumn("cos_sim", F.round(cosine_sim(F.col("qe"), F.col("ce")), 4))
+        .join(c, (F.col("tbl") == F.col("ctbl")) & (F.col("qb") == F.col("cb")))
+        .select("query_id", "qe", "neighbor_id", "ce")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
+    scored = cand.withColumn("cos_sim", F.round(cosine_sim(F.col("qe"), F.col("ce")), 4))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
