@@ -86,9 +86,10 @@ HAMMING_T = 6
 COSINE_DEDUP_T = 0.45
 
 
-def _shingle_rows(spark: SparkSession, sf_dir: str, mask_bits: int) -> DataFrame:
-    """(doc_id, h) rows: distinct ``mask_bits``-bit hashes of the doc's
-    3-gram shingles, built codegen-only:
+def _shingle_rows_from(spark: SparkSession, docs: DataFrame, mask_bits: int) -> DataFrame:
+    """(doc_id, h) rows from any (doc_id, text, ...) frame: distinct
+    ``mask_bits``-bit hashes of the doc's 3-gram shingles, built
+    codegen-only:
 
     tokenize -> posexplode -> window lead(1), lead(2) -> concat ->
     md5 -> mask -> dropDuplicates.
@@ -98,9 +99,7 @@ def _shingle_rows(spark: SparkSession, sf_dir: str, mask_bits: int) -> DataFrame
     bytes than repartitioning the exploded token rows), and the window
     reuses that hash partitioning — no second shuffle.
     """
-    docs = load_tables(spark, sf_dir, register_views=False)["documents"].repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     tok = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     sh = (
@@ -116,6 +115,12 @@ def _shingle_rows(spark: SparkSession, sf_dir: str, mask_bits: int) -> DataFrame
         "doc_id",
         md5_u60(F.col("g")).bitwiseAND(F.lit((1 << mask_bits) - 1)).alias("h"),
     ).dropDuplicates(["doc_id", "h"])
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str, mask_bits: int) -> DataFrame:
+    """_shingle_rows_from over the full documents table."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    return _shingle_rows_from(spark, docs, mask_bits)
 
 
 def _pair_jaccard(e: DataFrame, cand: DataFrame | None) -> DataFrame:
@@ -198,7 +203,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle join whose fan-out is bucket size, not n². This is the
     strategy that survives 100 TB.
     """
-    e = _shingle_rows(spark, sf_dir, 32).persist()
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    pairs, e = _minhash_pairs_from(spark, docs)
+    out = _cache_result(pairs)
+    e.unpersist()
+    return out.orderBy("doc_a", "doc_b")
+
+
+def _minhash_pairs_from(spark: SparkSession, docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """MinHash+LSH verified pairs (jaccard >= 0.8) from any
+    (doc_id, text, ...) frame; returns (pairs, persisted shingle frame)
+    — caller materializes pairs, then unpersists the shingle frame."""
+    e = _shingle_rows_from(spark, docs, 32).persist()
     e.count()  # eager: one cache fill, then sig/verify/sizes all hit it
     # (lazy persist = 2x wall clock; see dedup_ngram_jaccard note)
     consts = perm_constants(N_PERMS)
@@ -233,11 +249,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     verified = _pair_jaccard(e, cand)
-    out = _cache_result(
-        verified.filter(F.col("jaccard") >= JACCARD_T).select("doc_a", "doc_b", "jaccard")
-    )
-    e.unpersist()
-    return out.orderBy("doc_a", "doc_b")
+    pairs = verified.filter(F.col("jaccard") >= JACCARD_T).select("doc_a", "doc_b", "jaccard")
+    return pairs, e
 
 
 def _simhashes(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -87,38 +87,8 @@ DEDUP_ORACLES: dict[str, str] = {
         WHERE ROUND(i / (len(sa.hs) + len(sb.hs) - i), 4) >= {JACCARD_T}
         ORDER BY doc_a, doc_b
     """,
-    "dedup_minhash_lsh": f"""
-        WITH s AS ({_DOC_SHINGLES}),
-        hashed AS (SELECT doc_id, sh, {_HS} AS hs FROM s),
-        sig AS (
-            SELECT doc_id,
-               {_MH_COLS}
-            FROM hashed
-        ),
-        bands AS (
-            SELECT doc_id, unnest([{_BAND_STRUCTS}], recursive := true)
-            FROM sig
-        ),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a
-            JOIN bands b ON a.band_idx = b.band_idx
-                        AND a.band_sig = b.band_sig
-                        AND a.doc_id < b.doc_id
-        ),
-        verified AS (
-            SELECT doc_a, doc_b,
-                   len(list_intersect(sa.hs, sb.hs)) AS i,
-                   len(sa.hs) AS na, len(sb.hs) AS nb
-            FROM cand
-            JOIN hashed sa ON doc_a = sa.doc_id
-            JOIN hashed sb ON doc_b = sb.doc_id
-        )
-        SELECT doc_a, doc_b, ROUND(i / (na + nb - i), 4) AS jaccard
-        FROM verified
-        WHERE ROUND(i / (na + nb - i), 4) >= {JACCARD_T}
-        ORDER BY doc_a, doc_b
-    """,
+    # dedup_minhash_lsh is added below via minhash_pairs_sql (the
+    # composable form the corpus-pipeline oracle also builds on).
     "dedup_simhash": f"""
         WITH s AS ({_DOC_SHINGLES}),
         e AS (
@@ -169,6 +139,56 @@ DEDUP_ORACLES: dict[str, str] = {
         ORDER BY vec_a, vec_b
     """,
 }
+
+
+def minhash_pairs_sql(doc_source: str) -> str:
+    """Parenthesized subquery yielding the MinHash-LSH verified pairs
+    (doc_a, doc_b, jaccard >= threshold) over any (doc_id, text)
+    source — ``documents`` for the standalone operator, a filtered CTE
+    for the composed corpus pipeline."""
+    return f"""(
+        WITH s AS (
+            SELECT doc_id, sh FROM (
+                SELECT doc_id, {_SHINGLES} AS sh
+                FROM (SELECT doc_id, {_TOKS} AS toks FROM {doc_source})
+            ) WHERE len(sh) > 0
+        ),
+        hashed AS (SELECT doc_id, sh, {_HS} AS hs FROM s),
+        sig AS (
+            SELECT doc_id,
+               {_MH_COLS}
+            FROM hashed
+        ),
+        bands AS (
+            SELECT doc_id, unnest([{_BAND_STRUCTS}], recursive := true)
+            FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band_idx = b.band_idx
+                        AND a.band_sig = b.band_sig
+                        AND a.doc_id < b.doc_id
+        ),
+        verified AS (
+            SELECT doc_a, doc_b,
+                   len(list_intersect(sa.hs, sb.hs)) AS i,
+                   len(sa.hs) AS na, len(sb.hs) AS nb
+            FROM cand
+            JOIN hashed sa ON doc_a = sa.doc_id
+            JOIN hashed sb ON doc_b = sb.doc_id
+        )
+        SELECT doc_a, doc_b, ROUND(i / (na + nb - i), 4) AS jaccard
+        FROM verified
+        WHERE ROUND(i / (na + nb - i), 4) >= {JACCARD_T}
+    )"""
+
+
+DEDUP_ORACLES["dedup_minhash_lsh"] = f"""
+    SELECT doc_a, doc_b, jaccard
+    FROM {minhash_pairs_sql("documents")} p
+    ORDER BY doc_a, doc_b
+"""
 
 
 # Near-dup pair list (the ngram-jaccard query without the projection),

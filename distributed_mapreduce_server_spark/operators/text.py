@@ -505,3 +505,55 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def text_corpus_pipeline_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL training-corpus build, near-dup removal included —
+    corpus_pipeline v2: quality filter (score >= 0.5) -> exact-dedup
+    canonical keep -> MinHash-LSH near-dup removal (greedy keep-lowest
+    -doc-id over verified jaccard >= 0.8 pairs, the same rule as
+    dedup_semantic_keep) -> deterministic hash train/val split,
+    reported per (split, lang).
+
+    Composition notes at scale: one scan computes quality + fingerprint
+    + token count; exact dedup is one fingerprint shuffle; the MinHash
+    stage runs on the ALREADY-FILTERED corpus (each stage shrinks the
+    data the next one touches — the reason pipelines order cheap
+    filters first); the split adds no shuffle. Full DuckDB oracle via
+    the composable minhash-pairs SQL in dedup_oracles."""
+    from distributed_mapreduce_server_spark.functions import md5_u60
+    from distributed_mapreduce_server_spark.operators.dedup import _minhash_pairs_from
+
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    q = _quality_exprs()
+    enriched = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(q["toks"]).alias("n_tokens"),
+        F.md5(F.array_join(q["toks"], " ")).alias("fp"),
+        F.round(q["quality"], 4).alias("quality"),
+    ).filter(F.col("quality") >= QUALITY_KEEP_T)
+    keepers = enriched.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    canon = enriched.join(keepers, ["fp", "doc_id"], "left_semi").persist()
+    canon.count()  # feeds both the shingle build and the final anti-join
+
+    pairs, e = _minhash_pairs_from(spark, canon.select("doc_id", "text"))
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    kept = canon.join(dropped, "doc_id", "left_anti")
+
+    bucket = md5_u60(F.col("doc_id").cast("string")) % 100
+    split = F.when(bucket < SPLIT_PCT_VAL, F.lit("val")).otherwise(F.lit("train"))
+    out = (
+        kept.select(split.alias("split"), "lang", "n_tokens")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+    out = out.persist()
+    out.count()
+    e.unpersist()
+    canon.unpersist()
+    return out.orderBy("split", "lang")

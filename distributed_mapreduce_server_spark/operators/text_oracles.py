@@ -274,3 +274,46 @@ TEXT_ORACLES["text_unigram_logprob"] = f"""
     GROUP BY doc_id
     ORDER BY doc_id
 """
+
+from distributed_mapreduce_server_spark.operators.dedup_oracles import (  # noqa: E402
+    minhash_pairs_sql,
+)
+
+TEXT_ORACLES["text_corpus_pipeline_neardup"] = f"""
+    WITH base AS (SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents),
+    m AS (
+        SELECT doc_id, lang, text,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               md5(array_to_string(toks, ' ')) AS fp,
+               ROUND(0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                            / greatest(len(toks), 1))
+                     + 0.3 * least(CAST(len(list_filter(toks, t -> list_contains(
+                           ['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
+                           / greatest(len(toks), 1) * 4, 1.0)
+                     + 0.2 * (CASE WHEN length(text) >= 100 AND length(text) <= 20000
+                              THEN 1.0 ELSE 0.5 END)
+                     + 0.1 * (1 - least(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                           / greatest(length(text), 1) * 10, 1.0)), 4) AS quality
+        FROM base
+    ),
+    kept AS (SELECT * FROM m WHERE quality >= {QUALITY_KEEP_T}),
+    canon AS (
+        SELECT k.* FROM kept k
+        JOIN (SELECT fp, MIN(doc_id) AS doc_id FROM kept GROUP BY fp) c
+          ON k.fp = c.fp AND k.doc_id = c.doc_id
+    ),
+    near_pairs AS (SELECT * FROM {minhash_pairs_sql("canon")} p),
+    final AS (
+        SELECT * FROM canon
+        WHERE doc_id NOT IN (SELECT doc_b FROM near_pairs)
+    )
+    SELECT CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                     % 100 < {SPLIT_PCT_VAL}
+                THEN 'val' ELSE 'train' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM final
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""

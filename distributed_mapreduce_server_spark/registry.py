@@ -154,6 +154,7 @@ _register(
         "text_corpus_pipeline",
         "text_contamination_check",
         "text_unigram_logprob",
+        "text_corpus_pipeline_neardup",
     ],
 )
 _register(
