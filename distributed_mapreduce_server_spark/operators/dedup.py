@@ -40,7 +40,6 @@ from pyspark.sql.window import Window
 from distributed_mapreduce_server_spark.catalog import load_tables
 from distributed_mapreduce_server_spark.functions import (
     MINHASH_P32,
-    cosine_sim,
     md5_u60,
     perm_constants,
     tokens,
