@@ -86,3 +86,34 @@ def test_num_reducers_controls_output_shards(spark, tmp_path_factory):
     out.write.format("csv").save(path)
     parts = [f for f in os.listdir(path) if f.startswith("part-")]
     assert len(parts) == 3
+
+
+def test_mapreduce_job_matches_python_reference_on_random_corpora(spark):
+    """Property-based parity with a pure-Python MapReduce evaluation
+    (the reference's semantics): for random corpora, the DataFrame
+    compilation of map -> shuffle -> reduce produces exactly the
+    counts a hand-run mapper/reducer would."""
+    import re
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    token = st.text(alphabet="ab z0.!", min_size=0, max_size=6)
+    corpus = st.lists(token, min_size=1, max_size=12)
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(corpus)
+    def check(texts):
+        df = spark.createDataFrame([(t,) for t in texts], ["text"])
+        got = {r["key"]: r["cnt"] for r in word_count_job().run(df).collect()}
+        want = Counter()
+        for t in texts:
+            want.update(w for w in re.split(r"[^a-z0-9]+", t.lower()) if w)
+        assert got == dict(want)
+
+    check()

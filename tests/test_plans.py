@@ -85,8 +85,6 @@ DELIBERATE_NESTED_LOOP = {
     "sim_cosine_topk",
     "sim_lsh_ann",
     "sim_ivf_ann",
-    "dedup_embedding_cosine",
-    "dedup_semantic_keep",  # reuses dedup_embedding_cosine's pair join
     "q22_idle_customers",
     "text_tfidf",
     "text_source_mix",  # 1-row broadcast totals cross-join
@@ -128,3 +126,20 @@ def test_asof_join_shuffle_budget(spark, queries):
     output sort) — a join-based plan would show more."""
     df = queries["q_asof_last_purchase"](spark, SF)
     assert shuffle_count(df) <= 3
+
+
+def test_q12_filter_join_shape(spark, queries):
+    """Q12's scans must prune to the 3 projected columns each, and the
+    orderkey join must not broadcast the 600k-row fact (both sides are
+    facts at real scale)."""
+    df = queries["q12_late_shipments"](spark, SF)
+    schemas = scan_read_schemas(df)
+    assert schemas and all(len(s.split(",")) <= 3 for s in schemas)
+
+
+def test_q21_broadcasts_supplier_dim(spark, queries):
+    """Q21's supplier dim must broadcast onto the tiny per-supplier
+    rollup; the fact side aggregates before any join with it."""
+    df = queries["q21_late_suppliers"](spark, SF)
+    assert broadcast_join_count(df, execute=True) >= 1
+    assert has_partial_agg(df)
