@@ -140,17 +140,40 @@ N_PROBE = 4
 def _centroid_assign(emb: DataFrame, centroids: DataFrame, n_best: int) -> DataFrame:
     """(vec_id, centroid_id) for each vector's ``n_best`` nearest
     centroids by cosine (rounded, centroid_id tie-break — deterministic
-    across engines)."""
-    scored = broadcast(
-        centroids.select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cen"))
-    ).crossJoin(emb.select("vec_id", "embedding")).withColumn(
-        "cen_sim", F.round(cosine_sim(F.col("embedding"), F.col("cen")), 4)
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cen_sim"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") <= n_best)
-        .select("vec_id", "centroid_id")
+    across engines).
+
+    Vectorized like dedup's pair kernel: the (tiny) codebook matrix is
+    broadcast, each Arrow batch of vectors scores all centroids in one
+    numpy matmul (a per-pair array-lambda crossJoin runs interpreted at
+    ~35 us/pair — the assignment alone was >1 s at sf0.1). Matmul
+    reassociation stays ~1e-15 from the oracle's sequential fold, far
+    below the 1e-4 rounding grid."""
+    import numpy as np
+    import pandas as pd
+
+    cen_rows = centroids.select("vec_id", "embedding").collect()
+    cen_ids = np.array([r["vec_id"] for r in cen_rows], dtype=np.int64)
+    cen_mat = np.array([r["embedding"] for r in cen_rows], dtype=np.float64)
+    cen_norms = np.sqrt((cen_mat * cen_mat).sum(axis=1))
+    bc = emb.sparkSession.sparkContext.broadcast((cen_ids, cen_mat, cen_norms))
+
+    def blocks(batches):
+        ids_b, mat_b, norms_b = bc.value
+        for pdf in batches:
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+            cos = np.round((a_mat @ mat_b.T) / np.outer(a_norms, norms_b), 4)
+            out_vec, out_cen = [], []
+            for i in range(len(a_ids)):
+                # row_number() over (cos desc, centroid_id asc)
+                top = np.lexsort((ids_b, -cos[i]))[:n_best]
+                out_vec.extend([a_ids[i]] * len(top))
+                out_cen.extend(ids_b[top])
+            yield pd.DataFrame({"vec_id": out_vec, "centroid_id": out_cen})
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        blocks, "vec_id long, centroid_id long"
     )
 
 

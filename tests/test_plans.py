@@ -84,7 +84,6 @@ def test_wordcount_shuffle_budget(spark, queries):
 DELIBERATE_NESTED_LOOP = {
     "sim_cosine_topk",
     "sim_lsh_ann",
-    "sim_ivf_ann",
     "q22_idle_customers",
     "text_tfidf",
     "text_source_mix",  # 1-row broadcast totals cross-join
