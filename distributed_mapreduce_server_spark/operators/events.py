@@ -282,3 +282,29 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+PATHS_TOP_K = 20
+
+
+def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step user journeys (path analysis) — the discovery
+    companion to q_events_funnel, which checks one FIXED path. Window
+    lead x2 over the per-user event sequence (one shuffle, the same
+    partitioning every sequence operator here reuses), then a
+    map-side-combined path count and a TakeOrdered top-K."""
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("e2", F.lead("event_type", 1).over(w))
+        .withColumn("e3", F.lead("event_type", 2).over(w))
+        .filter(F.col("e3").isNotNull())
+    )
+    return (
+        seq.select(F.concat_ws(" > ", "event_type", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n_journeys"))
+        .orderBy(F.desc("n_journeys"), "path")
+        .limit(PATHS_TOP_K)
+    )

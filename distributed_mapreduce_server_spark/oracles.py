@@ -640,3 +640,18 @@ RELATIONAL_ORACLES["q21_late_suppliers"] = """
     ORDER BY numwait DESC, s_name
     LIMIT 20
 """
+
+EVENTS_ORACLES["q_events_paths"] = """
+    WITH seq AS (
+        SELECT event_type AS e1,
+               LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+               LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+        FROM events
+    )
+    SELECT concat(e1, ' > ', e2, ' > ', e3) AS path,
+           COUNT(*) AS n_journeys
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n_journeys DESC, path
+    LIMIT 20
+"""

@@ -172,6 +172,7 @@ _register(
         "q_events_retention",
         "q_events_dau_wau",
         "q_events_transitions",
+        "q_events_paths",
     ],
 )
 
