@@ -70,6 +70,18 @@ def release_dedup_caches() -> None:
         _result_caches.pop().unpersist()
 
 
+class _UnpersistGroup:
+    """Bundles persisted intermediate frames so callers release them
+    with a single unpersist() call."""
+
+    def __init__(self, *dfs: DataFrame) -> None:
+        self._dfs = dfs
+
+    def unpersist(self) -> None:
+        for df in self._dfs:
+            df.unpersist()
+
+
 SHINGLE_K = 3
 JACCARD_T = 0.8
 N_PERMS = 16
@@ -122,11 +134,16 @@ def _shingle_rows(spark: SparkSession, sf_dir: str, mask_bits: int) -> DataFrame
     return _shingle_rows_from(spark, docs, mask_bits)
 
 
-def _pair_jaccard(e: DataFrame, cand: DataFrame | None) -> DataFrame:
+def _pair_jaccard(
+    e: DataFrame, cand: DataFrame | None, sizes: DataFrame | None = None
+) -> DataFrame:
     """(doc_a, doc_b, jaccard) from distinct-hash rows ``e``.
 
     With ``cand`` given, intersections are computed only for candidate
     pairs (LSH verify); otherwise via the full inverted-index self-join.
+    ``sizes`` (doc_id, n_sh) can be passed in when the caller already
+    aggregated per-doc shingle counts (the minhash signature pass does)
+    to avoid a second aggregation over ``e``.
     """
     if cand is None:
         a, b = e.alias("a"), e.alias("b")
@@ -144,7 +161,8 @@ def _pair_jaccard(e: DataFrame, cand: DataFrame | None) -> DataFrame:
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("inter"))
         )
-    sizes = e.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    if sizes is None:
+        sizes = e.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     return (
         inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"}), "doc_a")
         .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"}), "doc_b")
@@ -221,7 +239,12 @@ def _minhash_pairs_from(spark: SparkSession, docs: DataFrame) -> tuple[DataFrame
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P32)).alias(f"mh{i}")
         for i, (a, b) in enumerate(consts)
     ]
-    sig = e.groupBy("doc_id").agg(*mh)
+    # n_sh rides along in the signature aggregation so the verify stage
+    # doesn't re-aggregate e for set sizes.
+    sig = e.groupBy("doc_id").agg(*mh, F.count("*").alias("n_sh"))
+    sig = sig.persist()
+    sig.count()
+    sizes = sig.select("doc_id", "n_sh")
     band_structs = [
         F.struct(
             F.lit(b).alias("band_idx"),
@@ -247,9 +270,9 @@ def _minhash_pairs_from(spark: SparkSession, docs: DataFrame) -> tuple[DataFrame
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    verified = _pair_jaccard(e, cand)
+    verified = _pair_jaccard(e, cand, sizes=sizes)
     pairs = verified.filter(F.col("jaccard") >= JACCARD_T).select("doc_a", "doc_b", "jaccard")
-    return pairs, e
+    return pairs, _UnpersistGroup(e, sig)
 
 
 def _simhashes(spark: SparkSession, sf_dir: str) -> DataFrame:
