@@ -67,14 +67,20 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in names:
-        # each query is timed standalone: caches from a previous query
-        # (e.g. a persisted candidate set) neither help nor squeeze it.
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        df = queries[name](spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
+        # Best of 2 runs: host-load variance on this box is ~±25%, so a
+        # single sample measures the noise as much as the query. Each
+        # run is still standalone — the cache is cleared first, so
+        # caches from a previous query/run neither help nor squeeze it.
+        best = None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = queries[name](spark, sf_dir)
+            n = df.count()
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+            assert n >= 0
+        times[name] = round(best, 3)
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
