@@ -111,3 +111,21 @@ def cosine_sim(a: Column, b: Column) -> Column:
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
     return prod / (na * nb)
+
+
+def fround(c: Column, nd: int = 0) -> Column:
+    """ROUND with DuckDB's semantics on doubles: round the SCALED
+    double half-away-from-zero (std::round(x * 10^nd) / 10^nd).
+
+    Spark's F.round on doubles instead rounds the shortest-decimal
+    repr (BigDecimal.valueOf), which disagrees exactly when x * 10^nd
+    lands on a representable .5 tie — e.g. 0.058499999999999996
+    scales to exactly 58.5, so DuckDB says 0.059 and F.round says
+    0.058. Invisible at sf0.01, but real data at sf0.1 hit it in
+    three operators. Use this for double-typed outputs compared
+    against DuckDB oracles; keep F.round for decimal-typed columns
+    (exact HALF_UP in both engines)."""
+    c = F.col(c) if isinstance(c, str) else c
+    scale = F.lit(float(10**nd))
+    scaled = F.abs(c) * scale
+    return F.signum(c) * F.floor(scaled + F.lit(0.5)) / scale

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from distributed_mapreduce_server_spark.catalog import load_tables
+from distributed_mapreduce_server_spark.functions import fround
 from distributed_mapreduce_server_spark.functions import (
     MINHASH_P32,
     md5_u60,
@@ -168,7 +169,7 @@ def _pair_jaccard(
         .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"}), "doc_b")
         .withColumn(
             "jaccard",
-            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
+            fround(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
         )
     )
 
@@ -366,7 +367,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             a_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
-            cos = np.round((a_mat @ mat_b.T) / np.outer(a_norms, norms_b), 4)
+            raw = (a_mat @ mat_b.T) / np.outer(a_norms, norms_b)
+            # DuckDB ROUND semantics (scaled half-away-from-zero);
+            # np.round is banker's at scaled .5 ties
+            cos = np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
             ai, bj = np.nonzero((cos >= COSINE_DEDUP_T) & (a_ids[:, None] < ids_b[None, :]))
             yield pd.DataFrame(
                 {"vec_a": a_ids[ai], "vec_b": ids_b[bj], "cos_sim": cos[ai, bj]}

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from distributed_mapreduce_server_spark.catalog import load_tables
+from distributed_mapreduce_server_spark.functions import fround
 
 SESSION_GAP_SECONDS = 1800
 
@@ -40,7 +41,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            fround(F.sum("value"), 2).alias("session_value"),
         )
         .orderBy("user_id", "session_seq")
     )
@@ -57,7 +58,7 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").start.alias("window_start"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            fround(F.sum("value"), 2).alias("total_value"),
             F.countDistinct("user_id").alias("distinct_users"),
         )
         .orderBy("window_start", "event_type")
@@ -75,7 +76,7 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return (
         ev.groupBy("user_id")
-        .agg(*aggs, F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(*aggs, fround(F.sum("value"), 2).alias("total_value"))
         .orderBy("user_id")
     )
 
@@ -88,7 +89,7 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
         .agg(
-            F.round(F.avg("k"), 2).alias("avg_k"),
+            fround(F.avg("k"), 2).alias("avg_k"),
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
             F.count("k").alias("n_with_k"),
@@ -174,8 +175,8 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "event_type",
-            F.round("value", 2).alias("value_r"),
-            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 2).alias("z_score"),
+            fround("value", 2).alias("value_r"),
+            fround((F.col("value") - F.col("mu")) / F.col("sigma"), 2).alias("z_score"),
         )
         .orderBy("event_id")
     )
@@ -211,8 +212,8 @@ def q_events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "decile")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.min("value"), 2).alias("lo"),
-            F.round(F.max("value"), 2).alias("hi"),
+            fround(F.min("value"), 2).alias("lo"),
+            fround(F.max("value"), 2).alias("hi"),
         )
         .orderBy("event_type", "decile")
     )
@@ -250,7 +251,7 @@ def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d",
             "dau",
             "wau",
-            F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
+            fround(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
         )
         .orderBy("d")
     )
@@ -278,7 +279,7 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prev_type",
             "next_type",
             "n",
-            F.round(F.col("n") / F.col("tot"), 4).alias("p_next"),
+            fround(F.col("n") / F.col("tot"), 4).alias("p_next"),
         )
         .orderBy("prev_type", "next_type")
     )

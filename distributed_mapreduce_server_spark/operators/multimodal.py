@@ -15,8 +15,8 @@ replacing one function.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
-from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 
@@ -24,16 +24,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_mapreduce_server_spark.catalog import load_tables
+from distributed_mapreduce_server_spark.functions import fround
 
 MEDIA_TYPES = ("image", "audio", "video")
 
 
 def _round_half_up(v: float, nd: int) -> float:
-    """HALF_UP on the shortest decimal repr — matches Spark's F.round
-    and DuckDB's ROUND; Python's round() is banker's and diverges on
-    repr-exact .xx5 values (e.g. 0.0615 -> 0.061 vs 0.062)."""
-    q = Decimal(1).scaleb(-nd)
-    return float(Decimal(repr(v)).quantize(q, rounding=ROUND_HALF_UP))
+    """DuckDB ROUND semantics: round the SCALED double half away from
+    zero (std::round(v * 10^nd) / 10^nd). Neither Python's round()
+    (banker's on the binary value) nor repr-based HALF_UP matches it
+    when v * 10^nd lands exactly on a representable .5 tie — see
+    functions.fround, the Spark-side twin of this helper."""
+    scale = 10.0**nd
+    a = abs(v) * scale
+    return math.copysign(math.floor(a + 0.5) / scale, v)
 
 DECODE_SCHEMA = (
     "doc_id long, media_type string, n_bytes int, "
@@ -130,9 +134,9 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_items"),
             F.sum("n_bytes").alias("total_bytes"),
-            F.round(F.avg("width"), 2).alias("avg_width"),
-            F.round(F.avg("height"), 2).alias("avg_height"),
-            F.round(F.avg(F.element_at("features", 1)), 4).alias("avg_byte_mean"),
+            fround(F.avg("width"), 2).alias("avg_width"),
+            fround(F.avg("height"), 2).alias("avg_height"),
+            fround(F.avg(F.element_at("features", 1)), 4).alias("avg_byte_mean"),
         )
         .orderBy("media_type")
     )
@@ -213,7 +217,7 @@ def mm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         resized.groupBy("media_type")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.avg("scale"), 4).alias("avg_scale"),
+            fround(F.avg("scale"), 4).alias("avg_scale"),
             F.min("width").alias("min_width"),
             F.max("height").alias("max_height"),
         )
@@ -305,10 +309,10 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats.groupBy("sample_rate")
         .agg(
             F.count("*").alias("n_clips"),
-            F.round(F.sum("duration_s"), 3).alias("total_duration_s"),
-            F.round(F.avg("rms"), 4).alias("avg_rms"),
-            F.round(F.avg("zero_crossings"), 2).alias("avg_zero_crossings"),
-            F.round(F.avg(F.element_at("mfcc", 1)), 4).alias("avg_mfcc0"),
+            fround(F.sum("duration_s"), 3).alias("total_duration_s"),
+            fround(F.avg("rms"), 4).alias("avg_rms"),
+            fround(F.avg("zero_crossings"), 2).alias("avg_zero_crossings"),
+            fround(F.avg(F.element_at("mfcc", 1)), 4).alias("avg_mfcc0"),
         )
         .orderBy("sample_rate")
     )

@@ -24,10 +24,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from distributed_mapreduce_server_spark.catalog import load_tables
+from distributed_mapreduce_server_spark.functions import fround
 
 
 def _r2(c):
-    return F.round(c, 2)
+    return fround(c, 2)
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,7 +255,7 @@ def q_moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r2(F.col("value")).alias("value_r"),
             # 4dp, not 2: a 4-row avg of 2-decimal values terminates at
             # 4 decimals, so no engine-dependent .xx5 rounding boundary.
-            F.round(F.avg("value").over(wf), 4).alias("moving_avg"),
+            fround(F.avg("value").over(wf), 4).alias("moving_avg"),
             _r2(F.lag("value", 1).over(w)).alias("prev_value"),
             _r2(F.lead("value", 1).over(w)).alias("next_value"),
         )
@@ -645,12 +646,12 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_price_qty"),
-            F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("covar_price_qty"),
-            F.round(F.stddev_samp("l_extendedprice"), 2).alias("std_price"),
-            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope_price_on_qty"),
-            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias("intercept_price"),
+            fround(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_price_qty"),
+            fround(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("covar_price_qty"),
+            fround(F.stddev_samp("l_extendedprice"), 2).alias("std_price"),
+            fround(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            fround(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope_price_on_qty"),
+            fround(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias("intercept_price"),
         )
         .orderBy("l_returnflag")
     )
@@ -756,7 +757,7 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("r", "f", "m")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("spend").cast("double"), 2).alias("total_spend"),
+            fround(F.sum("spend").cast("double"), 2).alias("total_spend"),
         )
         .withColumn("segment", segment)
         .select("r", "f", "m", "segment", "n_customers", "total_spend")
@@ -821,7 +822,7 @@ def q_orders_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yr",
             F.col("rev").cast("double").alias("revenue"),
             "n_orders",
-            F.round(
+            fround(
                 (F.col("rev") - F.col("prev_rev")).cast("double")
                 / F.col("prev_rev").cast("double") * 100,
                 4,
@@ -846,8 +847,8 @@ def q_balance_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_nationkey",
             _r2(F.col("c_acctbal")).alias("acctbal"),
-            F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 4).alias("cume"),
+            fround(F.percent_rank().over(w), 4).alias("pct_rank"),
+            fround(F.cume_dist().over(w), 4).alias("cume"),
         )
         .orderBy("c_nationkey", "c_custkey")
     )

@@ -20,6 +20,7 @@ from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
 from distributed_mapreduce_server_spark.catalog import load_tables
+from distributed_mapreduce_server_spark.functions import fround
 from distributed_mapreduce_server_spark.functions import cosine_sim
 
 N_QUERIES = 5
@@ -39,7 +40,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
     )
     scored = broadcast(q).crossJoin(c).withColumn(
-        "cos_sim", F.round(cosine_sim(F.col("qe"), F.col("ce")), 4)
+        "cos_sim", fround(cosine_sim(F.col("qe"), F.col("ce")), 4)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -123,7 +124,7 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "qe", "neighbor_id", "ce")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn("cos_sim", F.round(cosine_sim(F.col("qe"), F.col("ce")), 4))
+    scored = cand.withColumn("cos_sim", fround(cosine_sim(F.col("qe"), F.col("ce")), 4))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -163,7 +164,10 @@ def _centroid_assign(emb: DataFrame, centroids: DataFrame, n_best: int) -> DataF
             a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             a_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
-            cos = np.round((a_mat @ mat_b.T) / np.outer(a_norms, norms_b), 4)
+            raw = (a_mat @ mat_b.T) / np.outer(a_norms, norms_b)
+            # DuckDB ROUND semantics (scaled half-away-from-zero);
+            # np.round is banker's at scaled .5 ties
+            cos = np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
             out_vec, out_cen = [], []
             for i in range(len(a_ids)):
                 # row_number() over (cos desc, centroid_id asc)
@@ -210,7 +214,7 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_sim(F.col("qe"), F.col("ce")), 4).alias("cos_sim"),
+            fround(cosine_sim(F.col("qe"), F.col("ce")), 4).alias("cos_sim"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -233,7 +237,7 @@ def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.select("label", F.posexplode("embedding").alias("pos", "x"))
         .groupBy("label", (F.col("pos") + 1).alias("dim"))
-        .agg(F.round(F.avg(F.col("x").cast("double")), 4).alias("centroid"))
+        .agg(fround(F.avg(F.col("x").cast("double")), 4).alias("centroid"))
         .orderBy("label", "dim")
     )
 
@@ -254,7 +258,7 @@ def emb_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         sums.groupBy("label")
         .agg(
             F.max("n").alias("n_vectors"),
-            F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 4).alias("centroid_norm"),
+            fround(F.sqrt(F.sum(F.col("c") * F.col("c"))), 4).alias("centroid_norm"),
         )
         .orderBy("label")
     )
@@ -273,14 +277,14 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     amax = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
     q = F.when(
         amax > 0,
-        F.transform("embedding", lambda x: F.round(x.cast("double") * 127 / F.col("amax"))),
+        F.transform("embedding", lambda x: fround(x.cast("double") * 127 / F.col("amax"))),
     ).otherwise(F.transform("embedding", lambda x: F.lit(0.0)))
     return (
         emb.select("vec_id", "embedding", amax.alias("amax"))
         .select("vec_id", "amax", q.cast("array<int>").alias("q"))
         .select(
             "vec_id",
-            F.round(F.col("amax") / 127, 6).alias("scale"),
+            fround(F.col("amax") / 127, 6).alias("scale"),
             F.aggregate("q", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
             F.aggregate(
                 "q", F.lit(0).cast("bigint"), lambda a, x: a + F.abs(x)
@@ -305,11 +309,11 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select(F.posexplode("embedding").alias("pos", "x"))
         .groupBy((F.col("pos") + 1).alias("dim"))
         .agg(
-            F.round(F.avg(x), 4).alias("mean"),
-            F.round(F.stddev_pop(x), 4).alias("std"),
-            F.round(F.min(x), 4).alias("vmin"),
-            F.round(F.max(x), 4).alias("vmax"),
-            F.round(F.sum(x * x), 4).alias("energy"),
+            fround(F.avg(x), 4).alias("mean"),
+            fround(F.stddev_pop(x), 4).alias("std"),
+            fround(F.min(x), 4).alias("vmin"),
+            fround(F.max(x), 4).alias("vmax"),
+            fround(F.sum(x * x), 4).alias("energy"),
         )
         .orderBy("dim")
     )
@@ -389,7 +393,7 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignments, centroids = _kmeans_fit(spark, sf_dir, KMEANS_K, KMEANS_ITERS)
     out = assignments.groupBy("cid").agg(
         F.count("*").alias("n_vectors"),
-        F.round(F.sum("dist_sq"), 2).alias("wcss"),
+        fround(F.sum("dist_sq"), 2).alias("wcss"),
     )
     out = out.persist()
     out.count()

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_mapreduce_server_spark.catalog import load_tables
+from distributed_mapreduce_server_spark.functions import fround
 from distributed_mapreduce_server_spark.functions import tokens
 
 # Per-language marker words for the n-gram/stopword language-ID
@@ -40,7 +41,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ws_count.alias("n_ws_tokens"),
             F.size(toks).alias("n_word_tokens"),
             F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-            F.round(
+            fround(
                 F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
                 / F.greatest(F.size(toks), F.lit(1)),
                 4,
@@ -92,9 +93,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.length("text").alias("n_chars_text"),
             F.size(toks).alias("n_tokens"),
-            F.round(distinct_ratio, 4).alias("distinct_ratio"),
-            F.round(stop_ratio, 4).alias("stop_ratio"),
-            F.round(quality, 4).alias("quality"),
+            fround(distinct_ratio, 4).alias("distinct_ratio"),
+            fround(stop_ratio, 4).alias("stop_ratio"),
+            fround(quality, 4).alias("quality"),
         )
         .orderBy("doc_id")
     )
@@ -284,7 +285,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term",
             "tf",
             "df",
-            F.round(
+            fround(
                 F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
             ).alias("tfidf"),
         )
@@ -333,7 +334,7 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def dup_frac(arr):
         n = F.size(arr)
-        return F.round(
+        return fround(
             (n - F.size(F.array_distinct(arr))) / F.greatest(n, F.lit(1)).cast("double"), 4
         )
 
@@ -349,7 +350,7 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             dup_frac(t).alias("dup_token_frac"),
             dup_frac(ngrams(t, 2)).alias("dup_bigram_frac"),
             dup_frac(ngrams(t, 3)).alias("dup_trigram_frac"),
-            F.round(
+            fround(
                 top_count / F.greatest(F.size(t), F.lit(1)).cast("double"), 4
             ).alias("top_token_frac"),
         )
@@ -384,8 +385,8 @@ def text_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "n_tokens",
-            F.round(F.col("n_tokens") / F.col("tot_tokens"), 6).alias("token_share"),
-            F.round(
+            fround(F.col("n_tokens") / F.col("tot_tokens"), 6).alias("token_share"),
+            fround(
                 F.sqrt(F.col("n_tokens").cast("double")) / F.col("tot_sqrt"), 6
             ).alias("sample_weight"),
         )
@@ -412,7 +413,7 @@ def text_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.size(q["toks"]).alias("n_tokens"),
         F.md5(F.array_join(q["toks"], " ")).alias("fp"),
-        F.round(q["quality"], 4).alias("quality"),
+        fround(q["quality"], 4).alias("quality"),
     ).filter(F.col("quality") >= QUALITY_KEEP_T)
     keepers = enriched.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     canon = enriched.join(keepers, ["fp", "doc_id"], "left_semi")
@@ -472,7 +473,7 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_grams"),
             F.count("hit").alias("n_overlap"),
-            F.round(F.count("hit") / F.count("*").cast("double"), 4).alias(
+            fround(F.count("hit") / F.count("*").cast("double"), 4).alias(
                 "contamination_rate"
             ),
         )
@@ -500,8 +501,8 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(F.avg(neg_lp), 4).alias("avg_neg_logprob"),
-            F.round(F.max(neg_lp), 4).alias("max_neg_logprob"),
+            fround(F.avg(neg_lp), 4).alias("avg_neg_logprob"),
+            fround(F.max(neg_lp), 4).alias("max_neg_logprob"),
         )
         .orderBy("doc_id")
     )
@@ -532,7 +533,7 @@ def text_corpus_pipeline_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.size(q["toks"]).alias("n_tokens"),
         F.md5(F.array_join(q["toks"], " ")).alias("fp"),
-        F.round(q["quality"], 4).alias("quality"),
+        fround(q["quality"], 4).alias("quality"),
     ).filter(F.col("quality") >= QUALITY_KEEP_T)
     keepers = enriched.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     canon = enriched.join(keepers, ["fp", "doc_id"], "left_semi").persist()
@@ -557,3 +558,46 @@ def text_corpus_pipeline_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e.unpersist()
     canon.unpersist()
     return out.orderBy("split", "lang")
+
+
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM scoring with add-one smoothing — the next step up from
+    the unigram proxy: per document, mean/max -ln P(w_i | w_{i-1}) with
+    P(b|a) = (c(a,b)+1) / (c(a,*)+V). Flags locally-implausible token
+    sequences that unigram frequency misses.
+
+    One row-form bigram build (posexplode + window lead, codegen) feeds
+    both the corpus counts and the per-doc stream; counts join back on
+    the bigram key — key-partitioned (the bigram table is vocab-bounded
+    but can exceed broadcast size on real corpora), contexts and V are
+    broadcast-sized."""
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"].repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    tok = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.withColumn("nxt", F.lead("tok", 1).over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.col("tok").alias("w1"), F.col("nxt").alias("w2"))
+    )
+    bigram_counts = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    context_counts = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab_size = tok.agg(F.count_distinct("tok").alias("v"))
+    neg_lp = -F.log(
+        (F.col("c12") + 1) / (F.col("c1") + F.col("v")).cast("double")
+    )
+    return (
+        big.join(bigram_counts, ["w1", "w2"])
+        .join(F.broadcast(context_counts), "w1")
+        .crossJoin(F.broadcast(vocab_size))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            fround(F.avg(neg_lp), 4).alias("avg_neg_logprob"),
+            fround(F.max(neg_lp), 4).alias("max_neg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

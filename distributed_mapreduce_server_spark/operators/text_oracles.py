@@ -317,3 +317,21 @@ TEXT_ORACLES["text_corpus_pipeline_neardup"] = f"""
     GROUP BY 1, 2
     ORDER BY 1, 2
 """
+
+TEXT_ORACLES["text_bigram_logprob"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    big AS (
+        SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        FROM toks, UNNEST(range(1, greatest(len(toks), 1))) AS u(i)
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+    cc AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT t) AS v FROM (SELECT unnest(toks) AS t FROM toks))
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(-ln((c12 + 1) / CAST(c1 + v AS DOUBLE))), 4) AS avg_neg_logprob,
+           ROUND(MAX(-ln((c12 + 1) / CAST(c1 + v AS DOUBLE))), 4) AS max_neg_logprob
+    FROM big JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""

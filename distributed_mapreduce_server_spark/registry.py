@@ -155,6 +155,7 @@ _register(
         "text_contamination_check",
         "text_unigram_logprob",
         "text_corpus_pipeline_neardup",
+        "text_bigram_logprob",
     ],
 )
 _register(

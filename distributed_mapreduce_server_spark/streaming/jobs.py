@@ -10,9 +10,9 @@ history would run: same code, bounded trigger.
 
 from __future__ import annotations
 
+import math
 import tempfile
 import uuid
-from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 
@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from distributed_mapreduce_server_spark.operators.events import SESSION_GAP_SECONDS
+from distributed_mapreduce_server_spark.functions import fround
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,7 +67,7 @@ def stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").start.alias("window_start"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), fround(F.sum("value"), 2).alias("total_value"))
     )
     out = _run_to_memory(agg, "complete")
     return out.orderBy("window_start", "event_type")
@@ -88,10 +89,12 @@ def _sessionize_group(key, pdfs, state: GroupState):
     else:
         session_seq, last_ts, start_ts, n, value = 0, None, None, 0, 0.0
 
-    # HALF_UP like the batch operator's F.round — Python's round() is
-    # banker's rounding and diverges on .xx5 values.
+    # Scaled half-away-from-zero like the batch operator's fround (the
+    # DuckDB ROUND semantics) — Python's round() is banker's and
+    # repr-HALF_UP misses scaled .5 ties; see functions.fround.
     def _round2(v: float) -> float:
-        return float(Decimal(repr(v)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
+        a = abs(v) * 100.0
+        return math.copysign(math.floor(a + 0.5) / 100.0, v)
 
     gap_us = SESSION_GAP_SECONDS * 1_000_000
     closed = []
@@ -200,7 +203,7 @@ def stream_static_join_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         joined.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").start.alias("window_start"), "c_mktsegment")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), fround(F.sum("value"), 2).alias("total_value"))
     )
     out = _run_to_memory(agg, "complete")
     return out.orderBy("window_start", "c_mktsegment")

@@ -89,6 +89,7 @@ DELIBERATE_NESTED_LOOP = {
     "text_source_mix",  # 1-row broadcast totals cross-join
     "q_customer_rfm",  # 1-row broadcast anchor-date cross-join
     "text_unigram_logprob",  # 1-row broadcast corpus-total cross-join
+    "text_bigram_logprob",  # 1-row broadcast vocab-size cross-join
 }
 
 # Streaming / iterative ops execute eagerly inside the callable; the
