@@ -29,7 +29,7 @@ from distributed_mapreduce_server_spark.functions import fround
 MEDIA_TYPES = ("image", "audio", "video")
 
 
-def _round_half_up(v: float, nd: int) -> float:
+def _round_sql(v: float, nd: int) -> float:
     """DuckDB ROUND semantics: round the SCALED double half away from
     zero (std::round(v * 10^nd) / 10^nd). Neither Python's round()
     (banker's on the binary value) nor repr-based HALF_UP matches it
@@ -168,7 +168,7 @@ def resize_media(df: DataFrame, target_w: int = 224, target_h: int = 224) -> Dat
                         "height": rec["height"],
                         "target_w": target_w,
                         "target_h": target_h,
-                        "scale": _round_half_up(scale, 6),
+                        "scale": _round_sql(scale, 6),
                     }
                 )
             yield pd.DataFrame(out)
@@ -200,7 +200,7 @@ def sample_frames(df: DataFrame) -> DataFrame:
                         {
                             "doc_id": doc_id,
                             "frame_idx": i,
-                            "frame_ts": _round_half_up(dur * i / N_FRAMES, 3),
+                            "frame_ts": _round_sql(dur * i / N_FRAMES, 3),
                             "frame_checksum": f"{sum(b[lo:hi]) & 0xFFFFFFFF:08x}",
                         }
                     )
@@ -257,14 +257,14 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
             1 for i in range(1, n) if (b[i] - mean) * (b[i - 1] - mean) < 0
         )
         mfcc = [
-            _round_half_up(sum(b[j::N_MFCC]) / max(len(b[j::N_MFCC]), 1) - mean, 4)
+            _round_sql(sum(b[j::N_MFCC]) / max(len(b[j::N_MFCC]), 1) - mean, 4)
             for j in range(N_MFCC)
         ]
         return {
             "sample_rate": sr,
             "n_samples": n,
-            "duration_s": _round_half_up(n / sr, 6),
-            "rms": _round_half_up(rms, 4),
+            "duration_s": _round_sql(n / sr, 6),
+            "rms": _round_sql(rms, 4),
             "zero_crossings": zc,
             "mfcc": mfcc,
         }
