@@ -51,3 +51,14 @@ def test_every_query_has_oracle_unless_listed():
     assert not missing, f"queries silently lacking an oracle: {sorted(missing)}"
     stale = EXPECTED_ROWS_ONLY & set(ORACLES)
     assert not stale, f"listed rows-only but an oracle exists: {sorted(stale)}"
+
+
+def test_release_dedup_caches_empties_registry(spark, sf_smoke):
+    """The dedup cache contract: operators leave only their (small)
+    result frames cached, tracked for release."""
+    from distributed_mapreduce_server_spark.operators import dedup
+
+    dedup.dedup_ngram_jaccard(spark, sf_smoke).collect()
+    assert dedup._result_caches
+    dedup.release_dedup_caches()
+    assert not dedup._result_caches
