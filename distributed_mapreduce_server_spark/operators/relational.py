@@ -920,3 +920,29 @@ def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles per return flag (approx_percentile
+    sketch, accuracy 10000) next to the exact q_percentiles operator —
+    at 100 TB the sketch is the only single-pass option: fixed-size
+    mergeable state per partition instead of the exact percentile's
+    per-group value buffer. Rows-only at the gate (sketch results are
+    engine-specific); tests bound its error against the exact values."""
+    li = load_tables(spark, sf_dir, register_views=False)["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            fround(F.expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 2).alias(
+                "approx_p50"
+            ),
+            fround(F.expr("approx_percentile(l_extendedprice, 0.9, 10000)"), 2).alias(
+                "approx_p90"
+            ),
+            fround(F.expr("approx_percentile(l_extendedprice, 0.99, 10000)"), 2).alias(
+                "approx_p99"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )

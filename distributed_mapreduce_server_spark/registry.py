@@ -83,6 +83,7 @@ _register(
         "q_balance_percentiles",
         "q12_late_shipments",
         "q21_late_suppliers",
+        "q_approx_quantiles",
     ],
 )
 _register(

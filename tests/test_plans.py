@@ -143,3 +143,28 @@ def test_q21_broadcasts_supplier_dim(spark, queries):
     df = queries["q21_late_suppliers"](spark, SF)
     assert broadcast_join_count(df, execute=True) >= 1
     assert has_partial_agg(df)
+
+
+def test_approx_quantiles_error_bound(spark, queries):
+    """The percentile sketch must land within 1% relative error of the
+    exact per-group percentiles at accuracy 10000."""
+    approx = {r["l_returnflag"]: r for r in queries["q_approx_quantiles"](spark, SF).collect()}
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_server_spark.catalog import load_tables
+
+    li = load_tables(spark, SF, register_views=False)["lineitem"]
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    for flag, a in approx.items():
+        e = exact[flag]
+        for ak, ek in [("approx_p50", "p50"), ("approx_p90", "p90"), ("approx_p99", "p99")]:
+            assert abs(a[ak] - e[ek]) / e[ek] < 0.01, (flag, ak, a[ak], e[ek])
