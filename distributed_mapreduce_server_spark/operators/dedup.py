@@ -228,10 +228,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_a", "doc_b")
 
 
-def _minhash_pairs_from(spark: SparkSession, docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _minhash_pairs_from(spark: SparkSession, docs: DataFrame) -> "tuple[DataFrame, _UnpersistGroup]":
     """MinHash+LSH verified pairs (jaccard >= 0.8) from any
-    (doc_id, text, ...) frame; returns (pairs, persisted shingle frame)
-    — caller materializes pairs, then unpersists the shingle frame."""
+    (doc_id, text, ...) frame; returns (pairs, unpersist handle for the
+    persisted shingle+signature frames) — caller materializes pairs,
+    then calls .unpersist() on the handle."""
     e = _shingle_rows_from(spark, docs, 32).persist()
     e.count()  # eager: one cache fill, then sig/verify/sizes all hit it
     # (lazy persist = 2x wall clock; see dedup_ngram_jaccard note)
@@ -356,14 +357,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
     ref = emb.select("vec_id", "embedding").collect()
+    if not ref:
+        return spark.createDataFrame([], "vec_a long, vec_b long, cos_sim double")
     ref_ids = np.array([r["vec_id"] for r in ref], dtype=np.int64)
     ref_mat = np.array([r["embedding"] for r in ref], dtype=np.float64)
     ref_norms = np.sqrt((ref_mat * ref_mat).sum(axis=1))
+    # the broadcast lives as long as the returned (lazy) plan does;
+    # ContextCleaner releases its blocks once the plan is GC'd.
     bc = spark.sparkContext.broadcast((ref_ids, ref_mat, ref_norms))
 
     def blocks(batches):
         ids_b, mat_b, norms_b = bc.value
         for pdf in batches:
+            if pdf.empty:
+                continue
             a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             a_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
@@ -474,10 +481,11 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus is embedded — exactly the partial-coverage situation a
     real pipeline hits mid-embedding-backfill).
 
-    Candidate pairs reuse dedup_embedding_cosine's bounded pair join
-    (the correctness baseline; at 100 TB candidates come from LSH
-    plane-buckets like sim_lsh_ann instead). The filter itself is one
-    anti-join of the corpus against the distinct drop set."""
+    Candidate pairs come from dedup_embedding_cosine's block-matmul
+    kernel (bounded reference matrix broadcast, vectors streamed; at
+    100 TB candidates come from LSH plane-buckets like sim_lsh_ann
+    instead). The filter itself is one anti-join of the corpus against
+    the distinct drop set."""
     docs = load_tables(spark, sf_dir, register_views=False)["documents"].select("doc_id")
     pairs = dedup_embedding_cosine(spark, sf_dir)
     dropped = pairs.select(F.col("vec_b").alias("doc_id")).distinct()

@@ -22,12 +22,19 @@ _SHINGLES = (
     "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1), "
     "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"
 )
-_DOC_SHINGLES = f"""
+def _doc_shingles_sql(doc_source: str) -> str:
+    """The shingle-build fragment over any (doc_id, text) source —
+    shared by the standalone dedup oracles and minhash_pairs_sql so
+    the two can never diverge."""
+    return f"""
     SELECT doc_id, sh FROM (
         SELECT doc_id, {_SHINGLES} AS sh
-        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM {doc_source})
     ) WHERE len(sh) > 0
 """
+
+
+_DOC_SHINGLES = _doc_shingles_sql("documents")
 
 
 def _u60(expr: str) -> str:
@@ -147,12 +154,7 @@ def minhash_pairs_sql(doc_source: str) -> str:
     source — ``documents`` for the standalone operator, a filtered CTE
     for the composed corpus pipeline."""
     return f"""(
-        WITH s AS (
-            SELECT doc_id, sh FROM (
-                SELECT doc_id, {_SHINGLES} AS sh
-                FROM (SELECT doc_id, {_TOKS} AS toks FROM {doc_source})
-            ) WHERE len(sh) > 0
-        ),
+        WITH s AS ({_doc_shingles_sql(doc_source)}),
         hashed AS (SELECT doc_id, sh, {_HS} AS hs FROM s),
         sig AS (
             SELECT doc_id,

@@ -3,10 +3,9 @@
 The decode core is a stub, but a *deterministic* one: byte statistics
 over the utf-8 payload (multimodal.py _decode_fake). The corpus text
 is ASCII, so byte k of the payload == ascii(text[k]) and the whole
-stub is SQL-expressible — which upgrades these from the weaker
-rows-only check to full value parity. mm_audio_features stays
-rows-only (its zero-crossing chain needs the lagged byte sequence;
-expressible but disproportionate).
+stub is SQL-expressible — which upgrades all four multimodal operators
+from the weaker rows-only check to full value parity (incl.
+mm_audio_features' lagged zero-crossing chain).
 """
 
 # media_type assignment + payload stats shared by all three oracles.

@@ -156,11 +156,14 @@ def _centroid_assign(emb: DataFrame, centroids: DataFrame, n_best: int) -> DataF
     cen_ids = np.array([r["vec_id"] for r in cen_rows], dtype=np.int64)
     cen_mat = np.array([r["embedding"] for r in cen_rows], dtype=np.float64)
     cen_norms = np.sqrt((cen_mat * cen_mat).sum(axis=1))
+    # broadcast lifetime = the returned plan's; ContextCleaner reclaims it.
     bc = emb.sparkSession.sparkContext.broadcast((cen_ids, cen_mat, cen_norms))
 
     def blocks(batches):
         ids_b, mat_b, norms_b = bc.value
         for pdf in batches:
+            if pdf.empty:
+                continue
             a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             a_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
@@ -334,7 +337,10 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str, k: int, iters: int):
     — 64*K partial rows per task regardless of corpus size — then a
     K-row array rebuild. Centroids persist each round so lineage stays
     flat (same pattern as dedup_clusters). Returns (assignments,
-    centroids) DataFrames; assignments = (vec_id, cid, dist_sq).
+    centroids); assignments = (vec_id, cid, dist_sq) under the FINAL
+    centroids (one closing assign pass, materialized while those
+    centroids are still persisted — an assignment built from an
+    earlier round would recompute the whole unpersisted chain).
     """
     from pyspark.sql.window import Window
 
@@ -356,16 +362,18 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str, k: int, iters: int):
         d = F.zip_with("embedding", "cen", lambda x, c: (x.cast("double") - c) ** 2)
         return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
 
-    assigned = None
-    for _ in range(iters):
+    def assign(cen_df):
         w = Window.partitionBy("vec_id").orderBy("dist_sq", "cid")
-        assigned = (
-            emb.crossJoin(broadcast(centroids))
+        return (
+            emb.crossJoin(broadcast(cen_df))
             .withColumn("dist_sq", dist_sq())
             .withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") == 1)
             .select("vec_id", "cid", "dist_sq", "embedding")
         )
+
+    for _ in range(iters):
+        assigned = assign(centroids)
         new_centroids = (
             assigned.select("cid", F.posexplode("embedding").alias("pos", "x"))
             .groupBy("cid", "pos")
@@ -378,7 +386,9 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str, k: int, iters: int):
         new_centroids.count()
         centroids.unpersist()
         centroids = new_centroids
-    assignments = assigned.select("vec_id", "cid", "dist_sq").persist()
+    # closing assignment under the FINAL (still-persisted) centroids;
+    # the loop's `assigned` references centroids already unpersisted.
+    assignments = assign(centroids).select("vec_id", "cid", "dist_sq").persist()
     assignments.count()
     emb.unpersist()
     return assignments, centroids

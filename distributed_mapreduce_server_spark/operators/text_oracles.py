@@ -206,10 +206,14 @@ TEXT_ORACLES["text_source_mix"] = f"""
     ORDER BY source
 """
 
-TEXT_ORACLES["text_corpus_pipeline"] = f"""
-    WITH base AS (SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents),
+def _canon_cte(keep_text: bool) -> str:
+    """Shared quality-score -> exact-dedup-canonical CTE chain (base/m/
+    kept/canon) for the two corpus-pipeline oracles — one copy of the
+    five-term quality formula, so the pipelines can never desync."""
+    text_col = "text," if keep_text else ""
+    return f"""base AS (SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents),
     m AS (
-        SELECT doc_id, lang,
+        SELECT doc_id, lang, {text_col}
                CAST(len(toks) AS INTEGER) AS n_tokens,
                md5(array_to_string(toks, ' ')) AS fp,
                ROUND(0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE)
@@ -228,10 +232,17 @@ TEXT_ORACLES["text_corpus_pipeline"] = f"""
         SELECT k.* FROM kept k
         JOIN (SELECT fp, MIN(doc_id) AS doc_id FROM kept GROUP BY fp) c
           ON k.fp = c.fp AND k.doc_id = c.doc_id
-    )
-    SELECT CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+    )"""
+
+
+_SPLIT_CASE = f"""CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
                      % 100 < {SPLIT_PCT_VAL}
-                THEN 'val' ELSE 'train' END AS split,
+                THEN 'val' ELSE 'train' END"""
+
+
+TEXT_ORACLES["text_corpus_pipeline"] = f"""
+    WITH {_canon_cte(keep_text=False)}
+    SELECT {_SPLIT_CASE} AS split,
            lang,
            COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
@@ -280,36 +291,13 @@ from distributed_mapreduce_server_spark.operators.dedup_oracles import (  # noqa
 )
 
 TEXT_ORACLES["text_corpus_pipeline_neardup"] = f"""
-    WITH base AS (SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents),
-    m AS (
-        SELECT doc_id, lang, text,
-               CAST(len(toks) AS INTEGER) AS n_tokens,
-               md5(array_to_string(toks, ' ')) AS fp,
-               ROUND(0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE)
-                            / greatest(len(toks), 1))
-                     + 0.3 * least(CAST(len(list_filter(toks, t -> list_contains(
-                           ['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
-                           / greatest(len(toks), 1) * 4, 1.0)
-                     + 0.2 * (CASE WHEN length(text) >= 100 AND length(text) <= 20000
-                              THEN 1.0 ELSE 0.5 END)
-                     + 0.1 * (1 - least(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
-                           / greatest(length(text), 1) * 10, 1.0)), 4) AS quality
-        FROM base
-    ),
-    kept AS (SELECT * FROM m WHERE quality >= {QUALITY_KEEP_T}),
-    canon AS (
-        SELECT k.* FROM kept k
-        JOIN (SELECT fp, MIN(doc_id) AS doc_id FROM kept GROUP BY fp) c
-          ON k.fp = c.fp AND k.doc_id = c.doc_id
-    ),
+    WITH {_canon_cte(keep_text=True)},
     near_pairs AS (SELECT * FROM {minhash_pairs_sql("canon")} p),
     final AS (
         SELECT * FROM canon
         WHERE doc_id NOT IN (SELECT doc_b FROM near_pairs)
     )
-    SELECT CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-                     % 100 < {SPLIT_PCT_VAL}
-                THEN 'val' ELSE 'train' END AS split,
+    SELECT {_SPLIT_CASE} AS split,
            lang,
            COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens

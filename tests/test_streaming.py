@@ -44,7 +44,8 @@ def test_stream_sessionize_closed_sessions_match_batch(spark, sf_smoke):
         assert r["n_events"] == n
         assert r["session_start"] == start
         assert r["session_end"] == end
-        # exact equality incl. rounding: both sides round HALF_UP
+        # exact equality incl. rounding: both sides round scaled
+        # half-away-from-zero (functions.fround / _round2)
         assert r["session_value"] == value
     # every user's non-final session must have been emitted by the stream
     last_seq = {}
