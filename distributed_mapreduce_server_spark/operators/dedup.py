@@ -38,9 +38,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from distributed_mapreduce_server_spark.catalog import load_tables
-from distributed_mapreduce_server_spark.functions import fround
 from distributed_mapreduce_server_spark.functions import (
     MINHASH_P32,
+    fround,
     md5_u60,
     perm_constants,
     tokens,

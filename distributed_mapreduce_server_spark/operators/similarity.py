@@ -20,8 +20,7 @@ from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
 from distributed_mapreduce_server_spark.catalog import load_tables
-from distributed_mapreduce_server_spark.functions import fround
-from distributed_mapreduce_server_spark.functions import cosine_sim
+from distributed_mapreduce_server_spark.functions import cosine_sim, fround
 
 N_QUERIES = 5
 TOP_K = 10

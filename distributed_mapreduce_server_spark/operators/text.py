@@ -11,8 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_mapreduce_server_spark.catalog import load_tables
-from distributed_mapreduce_server_spark.functions import fround
-from distributed_mapreduce_server_spark.functions import tokens
+from distributed_mapreduce_server_spark.functions import fround, tokens
 
 # Per-language marker words for the n-gram/stopword language-ID
 # heuristic. On real corpora these would be the top function words per
