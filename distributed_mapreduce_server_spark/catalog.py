@@ -58,6 +58,12 @@ def load_tables(spark: SparkSession, sf_dir: str | None = None, register_views: 
                 # integer `div`, not `/`: ns epoch values exceed 2^53 so
                 # float division would be off by ±1us.
                 df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        # Parquet written without isAdjustedToUTC reads as TIMESTAMP_NTZ;
+        # normalize to TIMESTAMP so operators see one type either way.
+        # Value-preserving: the session timezone is pinned to UTC.
+        for field in df.schema.fields:
+            if isinstance(field.dataType, T.TimestampNTZType):
+                df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
         out[name] = df
         if register_views:
             df.createOrReplaceTempView(name)

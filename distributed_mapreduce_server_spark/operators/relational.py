@@ -946,3 +946,156 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted to this schema (no partsupp table — supply
+    cost is derived from lineitem): for ECONOMY parts under size 15,
+    the ASIA supplier(s) offering the minimum unit price, ranked by
+    account balance.
+
+    Unit price = MIN(l_extendedprice / l_quantity) per (part, supp):
+    MIN is order-insensitive, so the regional-minimum equality
+    comparison is reproducible across engines (an AVG here would
+    depend on summation order). Both dims broadcast below the fact
+    scan, so the part/region selectivity prunes the aggregation
+    input; the only fact shuffle is the (partkey, suppkey) groupBy,
+    and the correlated min-cost subquery of the classic Q2 is a
+    window over that already-aggregated frame.
+    """
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    part_f = (
+        t["part"]
+        .filter((F.col("p_type") == "ECONOMY") & (F.col("p_size") < 15))
+        .select("p_partkey", "p_name")
+    )
+    supp = (
+        t["supplier"]
+        .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costs = (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        costs.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .select(
+            _r2(F.col("s_acctbal")).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            _r2(F.col("unit_cost")).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+IMPORTANT_PART_SHARE = 0.0005
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted (no partsupp — "stock value" is lineitem
+    revenue through EUROPE suppliers): parts whose revenue share
+    exceeds IMPORTANT_PART_SHARE of the regional total.
+
+    Revenue is summed in DECIMAL so both the per-part values and the
+    group total are exact (order-insensitive) — the share threshold
+    is then a safe comparison on doubles derived from identical
+    decimals. One fact shuffle (groupBy partkey after the broadcast
+    supplier filter); the grand total aggregates the per-part frame
+    (part-dim cardinality) and broadcasts back as a literal join.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    supp_eu = (
+        t["supplier"]
+        .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    per_part = (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(broadcast(supp_eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(rev).alias("value_dec"))
+    )
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        per_part.join(broadcast(total))
+        .filter(
+            F.col("value_dec").cast("double")
+            > F.lit(IMPORTANT_PART_SHARE) * F.col("total_dec").cast("double")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            _r2(F.col("value_dec").cast("double")).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted (no partsupp availqty — "excess share" is
+    shipped quantity concentration): suppliers who shipped more than
+    half of a PROMO part's total 1996 quantity on parts with at least
+    two suppliers, counted per supplier.
+
+    Quantity sums are integer-valued doubles (exact, order-free), so
+    the dominance comparison is reproducible. The part filter
+    broadcasts below the fact scan; one groupBy(part, supp) shuffle,
+    then the per-part totals are a window over the aggregated frame
+    and the supplier dim broadcasts onto the final per-supplier
+    rollup.
+    """
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    part_promo = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
+    qty = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(broadcast(part_promo), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        qty.withColumn("part_q", F.sum("q").over(w))
+        .withColumn("n_supp", F.count("*").over(w))
+        .filter((F.col("n_supp") >= 2) & (F.col("q") > 0.5 * F.col("part_q")))
+    )
+    s = t["supplier"].select("s_suppkey", "s_name", "s_nationkey")
+    n = t["nation"].select("n_nationkey", "n_name")
+    return (
+        dominant.groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_parts_dominated"))
+        .join(broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name", "n_parts_dominated")
+        .orderBy(F.desc("n_parts_dominated"), "s_name")
+    )

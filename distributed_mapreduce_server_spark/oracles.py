@@ -655,3 +655,69 @@ EVENTS_ORACLES["q_events_paths"] = """
     ORDER BY n_journeys DESC, path
     LIMIT 20
 """
+
+RELATIONAL_ORACLES["q2_min_cost_supplier"] = """
+    WITH costs AS (
+        SELECT p.p_partkey, p.p_name, s.s_name, s.s_acctbal, n.n_name,
+               MIN(l.l_extendedprice / l.l_quantity) AS unit_cost
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+         AND p.p_type = 'ECONOMY' AND p.p_size < 15
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        GROUP BY 1, 2, 3, 4, 5
+    ),
+    mins AS (
+        SELECT *, MIN(unit_cost) OVER (PARTITION BY p_partkey) AS min_cost
+        FROM costs
+    )
+    SELECT ROUND(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_name,
+           ROUND(unit_cost, 2) AS unit_cost
+    FROM mins
+    WHERE unit_cost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
+RELATIONAL_ORACLES["q11_important_parts"] = """
+    WITH per_part AS (
+        SELECT l.l_partkey,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS value_dec
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+        GROUP BY 1
+    ),
+    tot AS (SELECT SUM(value_dec) AS total_dec FROM per_part)
+    SELECT l_partkey AS p_partkey,
+           ROUND(CAST(value_dec AS DOUBLE), 2) AS part_value
+    FROM per_part, tot
+    WHERE CAST(value_dec AS DOUBLE) > 0.0005 * CAST(total_dec AS DOUBLE)
+    ORDER BY part_value DESC, p_partkey
+"""
+
+RELATIONAL_ORACLES["q20_promo_suppliers"] = """
+    WITH qty AS (
+        SELECT l.l_partkey, l.l_suppkey, SUM(l.l_quantity) AS q
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT *, SUM(q) OVER (PARTITION BY l_partkey) AS part_q,
+               COUNT(*) OVER (PARTITION BY l_partkey) AS n_supp
+        FROM qty
+    )
+    SELECT s_name, n_name, COUNT(*) AS n_parts_dominated
+    FROM tot
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_supp >= 2 AND q > 0.5 * part_q
+    GROUP BY 1, 2
+    ORDER BY n_parts_dominated DESC, s_name
+"""

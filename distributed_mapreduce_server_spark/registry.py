@@ -84,6 +84,9 @@ _register(
         "q12_late_shipments",
         "q21_late_suppliers",
         "q_approx_quantiles",
+        "q2_min_cost_supplier",
+        "q11_important_parts",
+        "q20_promo_suppliers",
     ],
 )
 _register(

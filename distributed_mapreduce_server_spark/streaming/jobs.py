@@ -24,6 +24,20 @@ from distributed_mapreduce_server_spark.operators.events import SESSION_GAP_SECO
 from distributed_mapreduce_server_spark.functions import fround
 
 
+def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Match the batch catalog's timestamp normalization: the driver has
+    shipped `ts` both as INT64 nanos (read as bigint under
+    nanosAsLong) and as naive timestamp[us] (read as TIMESTAMP_NTZ).
+    Either way, emit TIMESTAMP — value-preserving under the UTC
+    session timezone."""
+    dt = dict(df.dtypes)[col]
+    if dt == "bigint":
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # schema must match the file exactly (ts is INT64 nanos on disk),
     # so take it from a raw batch read, not the converted catalog.
@@ -31,7 +45,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the sf dir holds one parquet file per table; the file-stream
     # source wants a directory, so glob-filter down to the events file.
-    return (
+    return _normalize_ts(
         spark.readStream.schema(raw_schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
@@ -62,8 +76,6 @@ def stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     long; the stream converts exactly like the batch catalog does.
     """
     ev = _events_stream(spark, sf_dir)
-    if dict(ev.dtypes)["ts"] == "bigint":
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     agg = (
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").start.alias("window_start"), "event_type")
@@ -133,8 +145,6 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final still-open session per user stays in state — asserted
     against the batch sessionizer in tests."""
     ev = _events_stream(spark, sf_dir)
-    if dict(ev.dtypes)["ts"] == "bigint":
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     sessions = ev.groupBy("user_id").applyInPandasWithState(
         _sessionize_group,
         outputStructType=SESSION_OUT_SCHEMA,
@@ -194,8 +204,7 @@ def stream_static_join_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if dict(ev.dtypes)["ts"] == "bigint":
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = _normalize_ts(ev)
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_mktsegment"
     )
@@ -230,8 +239,7 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("pathGlobFilter", "events.parquet")
             .load(sf_dir)
         )
-        if dict(s.dtypes)["ts"] == "bigint":
-            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        s = _normalize_ts(s)
         s = s.filter(F.col("event_type") == event_type)
         return s.select(
             F.col("event_id").alias(f"{prefix}_id"),
@@ -296,8 +304,6 @@ def stream_ingest_partitioned(
     trigger. Downstream batch queries on the sink get partition
     pruning on event_date for free."""
     ev = _events_stream(spark, sf_dir)
-    if dict(ev.dtypes)["ts"] == "bigint":
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     q = (
         ev.withColumn("event_date", F.to_date("ts"))
         .writeStream.format("parquet")

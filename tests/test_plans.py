@@ -90,6 +90,7 @@ DELIBERATE_NESTED_LOOP = {
     "q_customer_rfm",  # 1-row broadcast anchor-date cross-join
     "text_unigram_logprob",  # 1-row broadcast corpus-total cross-join
     "text_bigram_logprob",  # 1-row broadcast vocab-size cross-join
+    "q11_important_parts",  # 1-row broadcast grand-total cross-join
 }
 
 # Streaming / iterative ops execute eagerly inside the callable; the
