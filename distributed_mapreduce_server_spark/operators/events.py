@@ -309,3 +309,35 @@ def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_journeys"), "path")
         .limit(PATHS_TOP_K)
     )
+
+
+def q_events_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC / upsert compaction: the latest event per (user_id,
+    event_type) key — the "current state" table a changelog compacts
+    to (Kafka log compaction / SCD type-1 semantics; the reference's
+    reducer keeps last-value-per-key the same way).
+
+    One shuffle: row_number over the (user, type) key partitioning,
+    descending event time with event_id as the deterministic
+    tie-break. At 100 TB the key space is what's retained — the
+    window never globally sorts, and AQE coalesces the post-filter
+    partitions; an aggregate max_by form would be one shuffle too but
+    loses the full-row payload without a second self-join.
+    """
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.select("user_id", "event_type", "event_id", "ts", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("ts").alias("latest_ts"),
+            fround(F.col("value"), 2).alias("latest_value"),
+        )
+        .orderBy("user_id", "event_type")
+    )

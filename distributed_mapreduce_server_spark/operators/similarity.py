@@ -410,3 +410,61 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignments.unpersist()
     centroids.unpersist()
     return out.orderBy("cid")
+
+
+def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding corpus in
+    long form (i <= j, population covariance) — the PCA / ZCA-whitening
+    input that pairs with emb_dim_stats' per-dim moments.
+
+    Scale shape: each Arrow batch folds into one 64x64 partial Gram
+    matrix via numpy matmul (the same kernel as _centroid_assign), so
+    the shuffle carries ~2k rows PER PARTITION regardless of corpus
+    size — never a row per (vector, dim-pair). Means arrive by
+    broadcast-joining the 64-row moment frame onto the pair totals;
+    no driver collect, no cross join. Matmul reassociation stays
+    ~1e-15 of the oracle's fold, far below the 1e-5 rounding grid.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
+
+    def gram(batches):
+        acc = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            g = m.T @ m
+            acc = g if acc is None else acc + g
+        if acc is None:
+            return
+        iu = np.triu_indices(acc.shape[0])
+        yield pd.DataFrame(
+            {"i": (iu[0] + 1).astype("int32"), "j": (iu[1] + 1).astype("int32"), "s": acc[iu]}
+        )
+
+    pair_sums = (
+        emb.select("embedding")
+        .mapInPandas(gram, "i int, j int, s double")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+    )
+    means = (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy((F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(F.avg(F.col("x").cast("double")).alias("mu"), F.count("*").alias("n"))
+    )
+    mi = means.select(F.col("dim").alias("i"), F.col("mu").alias("mu_i"), "n")
+    mj = means.select(F.col("dim").alias("j"), F.col("mu").alias("mu_j"))
+    return (
+        pair_sums.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            fround(F.col("s") / F.col("n") - F.col("mu_i") * F.col("mu_j"), 5).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )

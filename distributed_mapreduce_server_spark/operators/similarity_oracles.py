@@ -145,3 +145,29 @@ SIMILARITY_ORACLES["emb_dim_stats"] = """
     GROUP BY 1
     ORDER BY 1
 """
+
+SIMILARITY_ORACLES["emb_covariance"] = """
+    WITH pairs AS (
+        SELECT i.i AS i, j.j AS j
+        FROM (SELECT unnest(generate_series(1, 64)) AS i) i,
+             (SELECT unnest(generate_series(1, 64)) AS j) j
+        WHERE j.j >= i.i
+    ),
+    s AS (
+        SELECT p.i, p.j,
+               SUM(CAST(e.embedding[p.i] AS DOUBLE) * CAST(e.embedding[p.j] AS DOUBLE)) AS s,
+               COUNT(*) AS n
+        FROM embeddings e, pairs p
+        GROUP BY p.i, p.j
+    ),
+    mu AS (
+        SELECT d.d AS dim, AVG(CAST(embedding[d.d] AS DOUBLE)) AS mu
+        FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS d) d
+        GROUP BY d.d
+    )
+    SELECT s.i, s.j, ROUND(s.s / s.n - mi.mu * mj.mu, 5) AS cov
+    FROM s
+    JOIN mu mi ON mi.dim = s.i
+    JOIN mu mj ON mj.dim = s.j
+    ORDER BY s.i, s.j
+"""

@@ -600,3 +600,105 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# PII scrubbing patterns — RE2/Java-regex common subset (no
+# lookarounds) so the Spark and DuckDB runs compile identically.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d[\d.-]{6,}\d"
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: redact emails, IPv4 addresses, and +intl phone
+    numbers to typed placeholders, with per-doc redaction counts.
+
+    The synthetic corpus carries no PII, so a deterministic injection
+    step (doc_id-derived email/IP/phone appended to the text) makes
+    the scrub observable; both engines inject identically, so parity
+    covers the actual replacement behavior, not zeros. Scrubbed text
+    is asserted by md5 — full content equality without hauling text
+    into the compare. Pure regexp column expressions: scan-speed at
+    100 TB, no shuffle at all (the output orderBy is the test
+    harness's, droppable in production)."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id"),
+        F.lit("@example.com or 10.0."),
+        F.col("doc_id") % 256,
+        F.lit("."),
+        (F.col("doc_id") * 7) % 256,
+        F.lit(" tel +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(injected, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE,
+            "<IP>",
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.regexp_count(injected, F.lit(PII_EMAIL_RE)).alias("n_emails"),
+            F.regexp_count(injected, F.lit(PII_IPV4_RE)).alias("n_ips"),
+            F.regexp_count(injected, F.lit(PII_PHONE_RE)).alias("n_phones"),
+            F.length(scrubbed).alias("scrubbed_len"),
+            F.md5(scrubbed).alias("scrubbed_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PACK_BUDGET = 256
+
+
+def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy next-fit sequence packing: assign documents (in doc_id
+    order) to fixed PACK_BUDGET-token context windows, one pack feed
+    per source shard — how a training pipeline packs tokenized docs
+    into context-length batches without truncation bookkeeping.
+
+    Next-fit is a sequential recurrence (pack boundary depends on the
+    running remainder), so it is NOT a prefix-sum; the parallel form
+    is pack-per-shard: token counts are computed JVM-side, only the
+    narrow (source, doc_id, n_tokens) frame crosses the Arrow
+    boundary, and applyInPandas packs each source partition
+    independently. At 100 TB the shard key is the file/path prefix, so
+    packing scales with shard count and never needs a global order.
+    Oracle: DuckDB recursive CTE walking doc ranks per source."""
+    import pandas as pd
+
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    narrow = docs.select(
+        "source", "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_ids, used_after = [], []
+        pack_id, used = 0, 0
+        for n in pdf["n_tokens"]:
+            if used > 0 and used + n > PACK_BUDGET:
+                pack_id += 1
+                used = 0
+            used += int(n)
+            pack_ids.append(pack_id)
+            used_after.append(used)
+        pdf["pack_id"] = pack_ids
+        pdf["pack_used"] = used_after
+        return pdf
+
+    return (
+        narrow.groupBy("source")
+        .applyInPandas(
+            pack,
+            "source string, doc_id long, n_tokens long, pack_id long, pack_used long",
+        )
+        .orderBy("source", "doc_id")
+    )

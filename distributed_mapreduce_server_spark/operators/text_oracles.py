@@ -323,3 +323,75 @@ TEXT_ORACLES["text_bigram_logprob"] = f"""
     GROUP BY doc_id
     ORDER BY doc_id
 """
+
+
+def _pii_oracle() -> str:
+    """Built by concatenation (not f-string) so the regex braces stay
+    literal; patterns imported from the operator module so both
+    engines compile the identical source."""
+    from distributed_mapreduce_server_spark.operators.text import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+    )
+
+    inj = (
+        "text || ' contact user' || doc_id || '@example.com or 10.0.' "
+        "|| (doc_id % 256) || '.' || ((doc_id * 7) % 256) "
+        "|| ' tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+    scrub = (
+        "regexp_replace(regexp_replace(regexp_replace(inj, '"
+        + PII_EMAIL_RE
+        + "', '<EMAIL>', 'g'), '"
+        + PII_IPV4_RE
+        + "', '<IP>', 'g'), '"
+        + PII_PHONE_RE
+        + "', '<PHONE>', 'g')"
+    )
+    return (
+        "WITH base AS (SELECT doc_id, " + inj + " AS inj FROM documents),\n"
+        "s AS (SELECT doc_id, inj, " + scrub + " AS scrubbed FROM base)\n"
+        "SELECT doc_id,\n"
+        "  CAST(len(regexp_extract_all(inj, '" + PII_EMAIL_RE + "')) AS INTEGER) AS n_emails,\n"
+        "  CAST(len(regexp_extract_all(inj, '" + PII_IPV4_RE + "')) AS INTEGER) AS n_ips,\n"
+        "  CAST(len(regexp_extract_all(inj, '" + PII_PHONE_RE + "')) AS INTEGER) AS n_phones,\n"
+        "  length(scrubbed) AS scrubbed_len,\n"
+        "  md5(scrubbed) AS scrubbed_md5\n"
+        "FROM s ORDER BY doc_id"
+    )
+
+
+TEXT_ORACLES["text_pii_scrub"] = _pii_oracle()
+
+
+def _packing_oracle() -> str:
+    from distributed_mapreduce_server_spark.operators.text import PACK_BUDGET
+
+    b = str(PACK_BUDGET)
+    return f"""
+        WITH RECURSIVE toks AS (
+            SELECT source, doc_id,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+            FROM documents
+        ),
+        pk AS (
+            SELECT source, doc_id, n_tokens, rn,
+                   CAST(0 AS BIGINT) AS pack_id, n_tokens AS pack_used
+            FROM toks WHERE rn = 1
+            UNION ALL
+            SELECT t.source, t.doc_id, t.n_tokens, t.rn,
+                   CASE WHEN p.pack_used > 0 AND p.pack_used + t.n_tokens > {b}
+                        THEN p.pack_id + 1 ELSE p.pack_id END,
+                   CASE WHEN p.pack_used > 0 AND p.pack_used + t.n_tokens > {b}
+                        THEN t.n_tokens ELSE p.pack_used + t.n_tokens END
+            FROM pk p JOIN toks t ON t.source = p.source AND t.rn = p.rn + 1
+        )
+        SELECT source, doc_id, n_tokens, pack_id, pack_used
+        FROM pk
+        ORDER BY source, doc_id
+    """
+
+
+TEXT_ORACLES["text_sequence_packing"] = _packing_oracle()

@@ -721,3 +721,19 @@ RELATIONAL_ORACLES["q20_promo_suppliers"] = """
     GROUP BY 1, 2
     ORDER BY n_parts_dominated DESC, s_name
 """
+
+EVENTS_ORACLES["q_events_latest_per_key"] = """
+    SELECT user_id, event_type,
+           latest_event_id, latest_ts, latest_value
+    FROM (
+        SELECT user_id, event_type, event_id AS latest_event_id,
+               ts AS latest_ts, ROUND(value, 2) AS latest_value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    ORDER BY user_id, event_type
+"""

@@ -136,6 +136,7 @@ _register(
         "emb_quantize",
         "emb_dim_stats",
         "emb_kmeans",
+        "emb_covariance",
     ],
 )
 _register(
@@ -160,6 +161,8 @@ _register(
         "text_unigram_logprob",
         "text_corpus_pipeline_neardup",
         "text_bigram_logprob",
+        "text_pii_scrub",
+        "text_sequence_packing",
     ],
 )
 _register(
@@ -178,6 +181,7 @@ _register(
         "q_events_dau_wau",
         "q_events_transitions",
         "q_events_paths",
+        "q_events_latest_per_key",
     ],
 )
 
