@@ -1,0 +1,72 @@
+"""Executable mapper/reducer jobs via ``RDD.pipe`` — the Spark-native
+realization of the reference's Hadoop-streaming contract (reference:
+mapreduce/worker/__main__.py:137-183 pipes input files through a
+mapper executable, sorts lines, and pipes merged groups through a
+reducer executable; mapreduce/manager/__main__.py:436-461 assigns
+keys to reducers round-robin in globally-sorted distinct-key order).
+
+Semantics preserved:
+
+- mapper executable reads raw lines on stdin, writes
+  ``key<TAB>value`` lines on stdout;
+- each reducer executable reads ITS keys' lines on stdin, sorted
+  lexicographically (the "sorted stdin" contract reducers rely on);
+- a key's lines all reach one reducer; keys are spread round-robin
+  over reducers in sorted-key order (num_reducers output groups).
+
+Deliberate deviation: the reference invokes the mapper once per input
+FILE; Spark pipes once per SPLIT. Identical output for any
+stream-stateless mapper (the streaming contract — both wc_map.sh and
+grep_map.py qualify); a mapper emitting per-invocation
+headers/footers would differ.
+
+Scale shape: the map pipe is embarrassingly parallel; the rank table
+is distinct-key-sized and built with a shuffle of keys only, then
+joined back (hash join keyed on the same key as the line shuffle).
+``repartitionAndSortWithinPartitions`` gives each reducer its sorted
+stream via Spark's external sort — no driver merge like the
+reference's single-process heapq.merge bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def run_executable_job(
+    spark: SparkSession,
+    input_paths: list[str] | str,
+    mapper_cmd: str,
+    reducer_cmd: str,
+    num_mappers: int = 4,
+    num_reducers: int = 1,
+) -> DataFrame:
+    """Run a reference-style executable job; returns a DataFrame of
+    ``(part, line)`` — ``part`` is the reducer index (the reference's
+    outputfileNN), ``line`` the reducer's raw stdout line."""
+    sc = spark.sparkContext
+    if isinstance(input_paths, list):
+        input_paths = ",".join(input_paths)
+
+    lines = sc.textFile(input_paths, minPartitions=num_mappers)
+    mapped = lines.pipe(mapper_cmd, checkCode=True)
+
+    keyed = mapped.map(lambda ln: (ln.split("\t", 1)[0], ln))
+    # rank of each key in global sorted order -> reducer id (mod R);
+    # key-cardinality sized, never the line count
+    ranks = (
+        keyed.keys()
+        .distinct()
+        .sortBy(lambda k: k)
+        .zipWithIndex()
+        .mapValues(lambda i: int(i) % num_reducers)
+    )
+    by_rid = keyed.join(ranks).map(lambda kv: ((kv[1][1], kv[1][0]), None))
+    part_sorted = by_rid.repartitionAndSortWithinPartitions(
+        numPartitions=num_reducers, partitionFunc=lambda key: key[0]
+    )
+    reduced = part_sorted.map(lambda kv: kv[0][1]).pipe(reducer_cmd, checkCode=True)
+    tagged = reduced.mapPartitionsWithIndex(
+        lambda idx, it: ((idx, ln) for ln in it if ln != "")
+    )
+    return spark.createDataFrame(tagged, "part int, line string")

@@ -142,3 +142,51 @@ def mr_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out.orderBy("user_id")
+
+
+def _exec_input_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize documents.text as a directory of line-oriented text
+    files — the reference's input_directory shape. Test-scale fixture
+    plumbing only: at real scale the corpus IS already text files on a
+    DFS and this step disappears. Cached per sf_dir (the _SUCCESS
+    marker Spark writes makes the check atomic-enough for one host)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"dmrs_exec_input_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+        docs.select("text").repartition(8).write.mode("overwrite").text(out)
+    return out
+
+
+def mr_exec_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count run through REAL mapper/reducer executables via
+    RDD.pipe (exec_job.run_executable_job) — the executable-faithful
+    twin of mr_wordcount: a reference user's wc_map.sh/wc_reduce.sh
+    pair drops in unchanged. Token definition matches functions.tokens
+    so the same SQL oracle verifies both paths end-to-end (map pipe,
+    sorted-key round-robin reducer assignment, reduce pipe, 3 output
+    groups reassembled)."""
+    import os
+    import sys
+
+    from distributed_mapreduce_server_spark.mapreduce.exec_job import run_executable_job
+
+    exec_dir = os.path.join(os.path.dirname(__file__), "exec")
+    py = sys.executable
+    res = run_executable_job(
+        spark,
+        _exec_input_dir(spark, sf_dir),
+        f"{py} {os.path.join(exec_dir, 'tok_map.py')}",
+        f"{py} {os.path.join(exec_dir, 'sum_reduce.py')}",
+        num_mappers=4,
+        num_reducers=3,
+    )
+    kv = F.split(F.col("line"), "\t")
+    return (
+        res.select(kv[0].alias("word"), kv[1].cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+    )

@@ -55,3 +55,12 @@ MAPREDUCE_ORACLES: dict[str, str] = {
         ORDER BY user_id
     """,
 }
+
+# the executable-pipe path computes the same wordcount as the
+# DataFrame path; the oracle is shared modulo the count column name
+MAPREDUCE_ORACLES["mr_exec_wordcount"] = f"""
+    SELECT word, COUNT(*) AS cnt
+    FROM (SELECT unnest({_TOKENS}) AS word FROM documents)
+    GROUP BY word
+    ORDER BY cnt DESC, word
+"""

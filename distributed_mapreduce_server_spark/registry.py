@@ -100,6 +100,7 @@ _register(
         "mr_inverted_index",
         "mr_distinct",
         "mr_secondary_sort",
+        "mr_exec_wordcount",
     ],
 )
 _register(

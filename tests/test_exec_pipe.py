@@ -1,0 +1,110 @@
+"""Executable-pipe jobs (mapreduce/exec_job.py): the reference's
+Hadoop-streaming contract driven end-to-end through RDD.pipe —
+real subprocesses, sorted reducer stdin, round-robin key->reducer
+assignment (reference: mapreduce/manager/__main__.py:436-461,
+mapreduce/worker/__main__.py:137-183)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_server_spark.mapreduce.exec_job import run_executable_job
+from distributed_mapreduce_server_spark.mapreduce.jobs import (
+    _exec_input_dir,
+    mr_exec_wordcount,
+    mr_wordcount,
+)
+
+EXEC_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "distributed_mapreduce_server_spark",
+    "mapreduce",
+    "exec",
+)
+PY = sys.executable
+
+
+def _cmd(script: str, *args: str) -> str:
+    return " ".join([PY, os.path.join(EXEC_DIR, script), *args])
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("exec_corpus")
+    (d / "a.txt").write_text("Spark maps the DATA\nthe data flows\n")
+    (d / "b.txt").write_text("spark reduces\nThe spark JOB\n")
+    return str(d)
+
+
+def test_exec_wordcount_matches_dataframe_path(spark, sf_smoke):
+    """The executable pipeline and the pure-DataFrame wordcount agree
+    on the full (word, count) multiset."""
+    exec_rows = {
+        (r["word"], r["cnt"]) for r in mr_exec_wordcount(spark, sf_smoke).collect()
+    }
+    df_rows = {(r["word"], r["cnt"]) for r in mr_wordcount(spark, sf_smoke).collect()}
+    assert exec_rows == df_rows
+
+
+def test_exec_grep_pipeline(spark, corpus_dir):
+    """match_map + identity_reduce == the lines containing the pattern
+    (the reference's grep_map.py/grep_reduce.py integration shape)."""
+    out = run_executable_job(
+        spark,
+        corpus_dir,
+        _cmd("match_map.py", "spark"),
+        _cmd("identity_reduce.py"),
+        num_mappers=2,
+        num_reducers=1,
+    )
+    got = sorted(r["line"] for r in out.collect())
+    assert got == sorted(
+        ["Spark maps the DATA", "spark reduces", "The spark JOB"]
+    )
+
+
+def test_exec_reducer_assignment_is_sorted_round_robin(spark, corpus_dir):
+    """Key -> reducer follows the reference manager's merge rule: the
+    i-th key in global sorted order lands in reduce group i % R."""
+    out = run_executable_job(
+        spark,
+        corpus_dir,
+        _cmd("tok_map.py"),
+        _cmd("sum_reduce.py"),
+        num_mappers=2,
+        num_reducers=3,
+    )
+    rows = out.select(
+        "part", F.split("line", "\t")[0].alias("word")
+    ).collect()
+    words = sorted({r["word"] for r in rows})
+    expected = {w: i % 3 for i, w in enumerate(words)}
+    by_word = {}
+    for r in rows:
+        # each key appears in exactly one reduce group
+        assert by_word.setdefault(r["word"], r["part"]) == r["part"]
+        assert r["part"] == expected[r["word"]]
+
+
+def test_exec_mapper_failure_raises(spark, corpus_dir):
+    """A non-zero mapper exit must fail the job (checkCode), not
+    silently truncate output — the analog of the reference's task
+    status: failed path."""
+    with pytest.raises(Exception):
+        run_executable_job(
+            spark,
+            corpus_dir,
+            f"{PY} -c 'import sys; sys.exit(3)'",
+            _cmd("identity_reduce.py"),
+        ).collect()
+
+
+def test_exec_input_dir_is_cached(spark, sf_smoke):
+    d1 = _exec_input_dir(spark, sf_smoke)
+    mtime = os.path.getmtime(os.path.join(d1, "_SUCCESS"))
+    d2 = _exec_input_dir(spark, sf_smoke)
+    assert d1 == d2 and os.path.getmtime(os.path.join(d2, "_SUCCESS")) == mtime

@@ -106,6 +106,7 @@ EAGER_OPS = {
     "dedup_keep_canonical",
     "emb_kmeans",
     "text_corpus_pipeline_neardup",
+    "mr_exec_wordcount",  # RDD pipe job: zipWithIndex runs eagerly
 }
 
 
