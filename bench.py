@@ -41,6 +41,10 @@ HEADLINE = [
     "q21_late_suppliers",
     "text_contamination_check",
     "dedup_semantic_keep",
+    "q_events_latest_per_key",
+    "text_pii_scrub",
+    "text_sequence_packing",
+    "emb_covariance",
 ]
 
 
