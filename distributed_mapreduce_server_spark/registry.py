@@ -240,6 +240,39 @@ _ORACLES["stream_click_purchase_join"] = """
      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
     ORDER BY 1, 2, 3
 """.strip()
+# sliding-window counts are complete-mode deterministic; the top-K
+# rank is a plain window function over them -> full oracle. Each
+# event lands in exactly 2 overlapping 60-min windows (slide 30 min).
+_QUERIES["stream_trending_topk"] = streaming_jobs.stream_trending_topk
+_ORACLES["stream_trending_topk"] = """
+    WITH slid AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts)
+                   - o.off * INTERVAL '30 minutes' AS window_start,
+               event_type, value
+        FROM events, (SELECT unnest([0, 1]) AS off) o
+    ),
+    agg AS (
+        SELECT window_start, event_type, COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS win_value
+        FROM slid
+        GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n, win_value, rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n DESC, event_type) AS rank
+        FROM agg
+    )
+    WHERE rank <= 3
+    ORDER BY window_start, rank
+""".strip()
+# the foreachBatch upsert sink must converge to exactly the batch
+# compaction's state -> it carries q_events_latest_per_key's oracle.
+_QUERIES["stream_upsert_foreachbatch"] = streaming_jobs.stream_upsert_foreachbatch
+_ORACLES["stream_upsert_foreachbatch"] = EVENTS_ORACLES[
+    "q_events_latest_per_key"
+].strip()
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -314,3 +314,124 @@ def stream_ingest_partitioned(
         .start()
     )
     q.awaitTermination()
+
+
+TRENDING_SLIDE_MINUTES = 30
+TRENDING_WINDOW_MINUTES = 60
+TRENDING_TOP_K = 3
+
+
+def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window trending: top-K event types per overlapping
+    1-hour window sliding every 30 minutes (each event contributes to
+    2 windows) — the "what's hot right now" streaming dashboard.
+
+    The streaming agg holds one state row per (window, event_type):
+    fixed-cardinality state no matter the event volume, watermark
+    bounds window count. The top-K rank is a batch window function
+    over the complete-mode result — ranking is not an incremental
+    streaming op, and a production job would rank in the serving
+    layer; the streaming part is exactly the sliding counts.
+    Complete-mode deterministic -> full SQL oracle."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window(
+                "ts",
+                f"{TRENDING_WINDOW_MINUTES} minutes",
+                f"{TRENDING_SLIDE_MINUTES} minutes",
+            ),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("win_value"))
+    )
+    out = _run_to_memory(agg, "complete")
+    from pyspark.sql.window import Window
+
+    rk = Window.partitionBy("window").orderBy(F.desc("n"), "event_type")
+    return (
+        out.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= TRENDING_TOP_K)
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            fround(F.col("win_value"), 2).alias("win_value"),
+            "rank",
+        )
+        .orderBy("window_start", "rank")
+    )
+
+
+def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply via foreachBatch: the event stream upserts a keyed
+    state table (latest row per (user_id, event_type)) maintained as
+    parquet — the production sink pattern when the target store has no
+    native streaming writer (JDBC, Delta-less parquet, KV stores).
+
+    Each micro-batch reduces to its per-key latest, unions with the
+    current table, and rewrites the compacted state (read-merge-write;
+    a Delta/Iceberg MERGE INTO would replace the rewrite at real
+    scale, the reduce-then-merge shape is identical). The final table
+    must equal the batch q_events_latest_per_key — that operator's
+    oracle verifies this job end-to-end."""
+    import os
+
+    state_dir = os.path.join(
+        tempfile.gettempdir(), f"dmrs_upsert_{uuid.uuid4().hex[:12]}"
+    )
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if os.path.isdir(state_dir):
+            current = sess.read.parquet(state_dir)
+            merged = (
+                current.unionByName(latest)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+        else:
+            merged = latest
+        # rewrite to a temp dir then swap: the read above streams from
+        # the same path being replaced
+        tmp = state_dir + ".next"
+        merged.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        if os.path.isdir(state_dir):
+            shutil.rmtree(state_dir)
+        os.replace(tmp, state_dir)
+
+    from pyspark.sql.window import Window
+
+    q = (
+        ev.writeStream.foreachBatch(apply_batch)
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.gettempdir(), f"dmrs_upsert_ck_{uuid.uuid4().hex[:12]}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(state_dir)
+    return final.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("latest_event_id"),
+        F.col("ts").alias("latest_ts"),
+        fround(F.col("value"), 2).alias("latest_value"),
+    ).orderBy("user_id", "event_type")

@@ -102,6 +102,8 @@ EAGER_OPS = {
     "stream_static_join_windowed",
     "stream_click_purchase_join",
     "stream_wordcount",
+    "stream_trending_topk",
+    "stream_upsert_foreachbatch",
     "dedup_clusters",
     "dedup_keep_canonical",
     "emb_kmeans",
