@@ -172,3 +172,49 @@ def test_approx_quantiles_error_bound(spark, queries):
         e = exact[flag]
         for ak, ek in [("approx_p50", "p50"), ("approx_p90", "p90"), ("approx_p99", "p99")]:
             assert abs(a[ak] - e[ek]) / e[ek] < 0.01, (flag, ak, a[ak], e[ek])
+
+
+@pytest.mark.parametrize("key", ["q2_min_cost_supplier", "q11_important_parts", "q20_promo_suppliers"])
+def test_new_tpch_adaptations_broadcast_dims(spark, queries, key):
+    """Q2/Q11/Q20: every dim (part filter, supplier/nation/region) must
+    broadcast below the fact scan — the only fact shuffle is the
+    aggregation key."""
+    df = queries[key](spark, SF)
+    assert broadcast_join_count(df, execute=True) >= 1
+    assert cartesian_count(df) == 0 or key == "q11_important_parts"
+
+
+def test_latest_per_key_single_shuffle(spark, queries):
+    """CDC compaction = one keyed window shuffle + the output sort."""
+    df = queries["q_events_latest_per_key"](spark, SF)
+    assert shuffle_count(df) <= 2
+
+
+def test_emb_covariance_shuffle_is_tiny(spark, queries):
+    """The covariance shuffle must carry partial-Gram rows (~2k per
+    partition), not per-(vector, pair) rows: the plan aggregates the
+    mapInPandas output, and the means side partial-aggregates the
+    posexplode before its shuffle."""
+    df = queries["emb_covariance"](spark, SF)
+    assert has_partial_agg(df)
+    # partial Gram + means + broadcast joins + output sort stay bounded
+    assert shuffle_count(df) <= 4
+
+
+def test_pii_scrub_no_shuffle_before_sort(spark, queries):
+    """PII scrubbing is scan-speed: pure column expressions, so the
+    only exchange in the plan is the harness's output ordering."""
+    df = queries["text_pii_scrub"](spark, SF)
+    assert shuffle_count(df) <= 1
+
+
+def test_sequence_packing_narrow_arrow_frame(spark, queries):
+    """Only (source, doc_id, n_tokens) may cross the Python boundary —
+    token counting must stay JVM-side so the Arrow transfer is 3
+    narrow columns, never the text."""
+    df = queries["text_sequence_packing"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"FlatMapGroupsInPandas.*", plan)
+    assert m is not None
+    assert "text" not in m.group(0)
