@@ -889,31 +889,47 @@ def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, ranked by how often.
 
     The classic formulation is two correlated EXISTS/NOT EXISTS
-    self-joins on lineitem; here both collapse into a CASCADED
-    aggregation — per (order, supplier) any-late flags, then per order
-    — so the 100 TB fact is shuffled once on orderkey and never
-    self-joined, and no distinct aggregate forces Spark's 2x expand
-    (two count_distincts measured ~2x slower at sf0.1). The supplier
-    dim broadcasts onto the tiny per-supplier rollup.
+    self-joins on lineitem; here both collapse into ONE per-order
+    aggregation — collect the (supplier, late) pairs per order, then
+    distinct/filter them with array expressions — so the 100 TB fact
+    is shuffled once on orderkey and never self-joined. A cascaded
+    (order, supplier)-then-order double aggregation was measured 20%
+    slower at sf0.1: (orderkey, suppkey) is nearly unique in lineitem,
+    so its first aggregation reduced nothing and just paid a second
+    shuffle. The per-order array is bounded by lines-per-order (7 in
+    TPC-H), so the interpreted array lambdas touch ~7 elements —
+    noise next to a shuffle — and state stays bounded at any scale.
+    The supplier dim broadcasts onto the tiny per-supplier rollup.
     """
     t = load_tables(spark, sf_dir, register_views=False)
     li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
     o = t["orders"].select("o_orderkey", "o_orderdate")
-    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
-    per_supp = (
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
+    ).cast("int")
+    per_order = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max(late.cast("int")).alias("is_late"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("l_suppkey").alias("s"), late.alias("lt"))
+            ).alias("arr")
+        )
+        .select(
+            F.size(F.array_distinct(F.transform("arr", lambda x: x["s"]))).alias(
+                "n_supp"
+            ),
+            F.array_distinct(
+                F.transform(F.filter("arr", lambda x: x["lt"] == 1), lambda x: x["s"])
+            ).alias("late_supps"),
+        )
     )
-    per_order = per_supp.groupBy("l_orderkey").agg(
-        F.count("*").alias("n_supp"),
-        F.sum("is_late").alias("n_late_supp"),
-        F.min(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+    sole_late = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.size("late_supps") == 1)
     )
-    sole_late = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     s = t["supplier"].select("s_suppkey", "s_name")
     return (
-        sole_late.groupBy("late_supp")
+        sole_late.groupBy(F.col("late_supps")[0].alias("late_supp"))
         .agg(F.count("*").alias("numwait"))
         .join(broadcast(s), F.col("late_supp") == F.col("s_suppkey"))
         .select("s_name", "numwait")
