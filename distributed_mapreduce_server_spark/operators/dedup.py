@@ -336,8 +336,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: pairs with cosine >= 0.45, via a vectorized
-    block-matmul kernel.
+    """Embedding near-dup: pairs with cosine >= 0.45 (sorted output
+    form of _embedding_cosine_pairs)."""
+    return _embedding_cosine_pairs(spark, sf_dir).orderBy("vec_a", "vec_b")
+
+
+def _embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.45), UNSORTED, via a
+    vectorized block-matmul kernel — consumers that aggregate
+    (dedup_semantic_keep's distinct) use this directly so no range
+    exchange sneaks in below their shuffle.
 
     A pair-join with per-pair array lambdas runs interpreted (~35
     us/pair -> ~70 s for a mere 2M pairs); instead the bounded
@@ -383,10 +391,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"vec_a": a_ids[ai], "vec_b": ids_b[bj], "cos_sim": cos[ai, bj]}
             )
 
-    out = emb.select("vec_id", "embedding").mapInPandas(
+    return emb.select("vec_id", "embedding").mapInPandas(
         blocks, "vec_a long, vec_b long, cos_sim double"
     )
-    return out.orderBy("vec_a", "vec_b")
 
 
 def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -487,7 +494,7 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead). The filter itself is one anti-join of the corpus against
     the distinct drop set."""
     docs = load_tables(spark, sf_dir, register_views=False)["documents"].select("doc_id")
-    pairs = dedup_embedding_cosine(spark, sf_dir)
+    pairs = _embedding_cosine_pairs(spark, sf_dir)
     dropped = pairs.select(F.col("vec_b").alias("doc_id")).distinct()
     return (
         docs.join(dropped, "doc_id", "left_anti")
