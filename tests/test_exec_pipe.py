@@ -108,3 +108,63 @@ def test_exec_input_dir_is_cached(spark, sf_smoke):
     mtime = os.path.getmtime(os.path.join(d1, "_SUCCESS"))
     d2 = _exec_input_dir(spark, sf_smoke)
     assert d1 == d2 and os.path.getmtime(os.path.join(d2, "_SUCCESS")) == mtime
+
+
+def test_submit_exec_writes_reference_output_layout(spark, corpus_dir, tmp_path_factory):
+    """submit_exec must produce the manager's wrap-up layout: one
+    outputfileNN per reducer group, containing that group's lines."""
+    from distributed_mapreduce_server_spark.mapreduce.submit import (
+        ExecJobSpec,
+        submit_exec,
+    )
+
+    outdir = str(tmp_path_factory.mktemp("exec_out"))
+    submit_exec(
+        spark,
+        ExecJobSpec(
+            input_directory=corpus_dir,
+            output_directory=outdir,
+            mapper_executable=_cmd("tok_map.py"),
+            reducer_executable=_cmd("sum_reduce.py"),
+            num_reducers=2,
+        ),
+    )
+    files = sorted(os.listdir(outdir))
+    assert files == ["outputfile01", "outputfile02"]
+    words = {}
+    for f in files:
+        for line in open(os.path.join(outdir, f), encoding="utf-8"):
+            w, _, n = line.strip().partition("\t")
+            assert w not in words  # each key in exactly one output file
+            words[w] = int(n)
+    assert words["the"] == 3 and words["spark"] == 3 and words["data"] == 2
+
+
+def test_job_queue_fifo_and_failure_isolation(spark, corpus_dir, tmp_path_factory):
+    """The queue drains FIFO; a failed job is recorded FAILED with its
+    error and later jobs still run (the reference manager's lifecycle)."""
+    from distributed_mapreduce_server_spark.mapreduce.submit import (
+        ExecJobSpec,
+        JobQueue,
+        JobState,
+    )
+
+    q = JobQueue(spark)
+    good = ExecJobSpec(
+        input_directory=corpus_dir,
+        output_directory=str(tmp_path_factory.mktemp("jq_out1")),
+        mapper_executable=_cmd("tok_map.py"),
+        reducer_executable=_cmd("sum_reduce.py"),
+    )
+    bad = ExecJobSpec(
+        input_directory=corpus_dir,
+        output_directory=str(tmp_path_factory.mktemp("jq_out2")),
+        mapper_executable=f"{PY} -c 'import sys; sys.exit(9)'",
+        reducer_executable=_cmd("sum_reduce.py"),
+    )
+    j1, j2, j3 = q.submit(good), q.submit(bad), q.submit(good)
+    assert all(q.state(j) == JobState.PENDING for j in (j1, j2, j3))
+    final = q.run_all()
+    assert final[j1] == JobState.FINISHED
+    assert final[j2] == JobState.FAILED and q.error(j2)
+    assert final[j3] == JobState.FINISHED
