@@ -341,3 +341,28 @@ def q_events_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+def q_events_daily_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-day HLL user sketches, merged into
+    per-event-type distinct-user estimates — THE pattern for distinct
+    counts at 100 TB. Exact distincts need every day's full user set
+    in one shuffle; sketches reduce each day to a fixed-size binary
+    (hll_sketch_agg, lgK=14: ~0.8% rel. error), daily partials are
+    storable/incremental, and the rollup is hll_union_agg over a
+    day-count-sized frame. Rows-only at the gate (sketch estimates
+    are engine-specific); tests bound the error vs the exact counts.
+    """
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_users"),
+            F.count("*").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )

@@ -183,6 +183,7 @@ _register(
         "q_events_transitions",
         "q_events_paths",
         "q_events_latest_per_key",
+        "q_events_daily_sketch_rollup",
     ],
 )
 

@@ -41,6 +41,7 @@ def test_rows_only_queries_run(name, spark, sf_dir):
 EXPECTED_ROWS_ONLY = {
     "q_approx_distinct",
     "q_approx_quantiles",  # sketch results are engine-specific
+    "q_events_daily_sketch_rollup",  # HLL estimates are engine-specific
     "sim_lsh_ann",
     "emb_kmeans",  # iterative, float-accumulation-order dependent
     "stream_sessionize",

@@ -218,3 +218,26 @@ def test_sequence_packing_narrow_arrow_frame(spark, queries):
     m = re.search(r"FlatMapGroupsInPandas.*", plan)
     assert m is not None
     assert "text" not in m.group(0)
+
+
+def test_daily_sketch_rollup_error_bound(spark, queries):
+    """Merged daily HLL estimates must land within 2% of the exact
+    per-type distinct user counts (lgK=14 -> ~0.8% expected)."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_server_spark.catalog import load_tables
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in queries["q_events_daily_sketch_rollup"](spark, SF).collect()
+    }
+    ev = load_tables(spark, SF, register_views=False)["events"]
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, est in approx.items():
+        assert abs(est - exact[et]) / exact[et] < 0.02, (et, est, exact[et])

@@ -78,3 +78,16 @@ def test_orc_round_trip(spark, nation, tmp_path_factory):
     back = read_source(spark, path, fmt="orc")
     assert back.count() == nation.count()
     assert set(back.columns) == set(nation.columns)
+
+
+def test_gzip_text_read(spark, tmp_path_factory):
+    """Compressed line-oriented input (the reference's text inputs,
+    gzipped as they arrive at scale) must read transparently."""
+    import gzip
+    import os
+
+    d = str(tmp_path_factory.mktemp("gz_src"))
+    with gzip.open(os.path.join(d, "in.txt.gz"), "wt", encoding="utf-8") as f:
+        f.write("alpha beta\ngamma\n")
+    lines = sorted(r["value"] for r in spark.read.text(d).collect())
+    assert lines == ["alpha beta", "gamma"]
