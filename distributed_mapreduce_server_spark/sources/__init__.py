@@ -11,16 +11,20 @@ reader/writer wiring, so operators stay format-agnostic.
 
 from distributed_mapreduce_server_spark.sources.registry import (
     FORMATS,
+    compact_small_files,
     read_source,
     read_text_lines,
     write_partitioned,
     write_sink,
+    write_sorted_parquet,
 )
 
 __all__ = [
     "FORMATS",
+    "compact_small_files",
     "read_source",
     "read_text_lines",
     "write_partitioned",
     "write_sink",
+    "write_sorted_parquet",
 ]

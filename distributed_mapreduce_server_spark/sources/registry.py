@@ -118,3 +118,69 @@ def write_partitioned(
         .mode(mode)
         .save(path)
     )
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_by: list[str],
+    n_files: int | None = None,
+    mode: str = "error",
+    **options: str,
+) -> None:
+    """Layout-optimized parquet: range-partition + sort by ``sort_by``
+    before writing, so each file (and each row group inside it) covers
+    a narrow key range and parquet min/max statistics let readers skip
+    whole files/row groups for selective filters on those columns —
+    the Z-order-lite clustering every 100 TB lake table wants on its
+    dominant filter column. ``repartitionByRange`` + ``sortWithin``
+    beats a global orderBy: same layout, no single-point sort."""
+    out = df.repartitionByRange(*sort_by) if n_files is None else df.repartitionByRange(
+        n_files, *sort_by
+    )
+    (
+        out.sortWithinPartitions(*sort_by)
+        .write.format("parquet")
+        .options(**options)
+        .mode(mode)
+        .save(path)
+    )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction: rewrite a dataset into ``target_files``
+    output files (read -> coalesce -> atomic-ish swap via a sibling
+    temp dir). The lake-maintenance job that keeps file counts sane
+    when streaming ingest (e.g. stream_ingest_partitioned) leaves one
+    file per micro-batch — at 100 TB, listing and opening millions of
+    tiny files costs more than the scan itself. Returns the file count
+    after compaction. ``coalesce`` (not repartition): no shuffle, it
+    just merges read splits into fewer write tasks."""
+    import glob
+    import os
+    import shutil
+
+    sf = FORMATS[fmt]
+    df = spark.read.format(sf.name).options(**sf.read_options).load(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    (
+        df.coalesce(target_files)
+        .write.format(sf.name)
+        .options(**sf.write_options)
+        .mode("overwrite")
+        .save(tmp)
+    )
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+    return len(
+        [
+            p
+            for p in glob.glob(os.path.join(path, "part-*"))
+            if not p.endswith(".crc")
+        ]
+    )

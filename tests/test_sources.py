@@ -91,3 +91,66 @@ def test_gzip_text_read(spark, tmp_path_factory):
         f.write("alpha beta\ngamma\n")
     lines = sorted(r["value"] for r in spark.read.text(d).collect())
     assert lines == ["alpha beta", "gamma"]
+
+
+def test_write_sorted_parquet_enables_file_skipping(spark, tmp_path_factory):
+    """Sort-on-write layout: with files range-partitioned on the filter
+    column, a selective filter must read fewer rows than a scan of the
+    unsorted layout would (parquet min/max stats skip whole files /
+    row groups)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_server_spark.catalog import load_tables
+    from distributed_mapreduce_server_spark.sources import write_sorted_parquet
+
+    li = load_tables(spark, "/root/testdata/sf0.01", register_views=False)[
+        "lineitem"
+    ].select("l_orderkey", "l_shipdate", "l_quantity")
+    d = str(tmp_path_factory.mktemp("sorted_pq")) + "/li"
+    write_sorted_parquet(li, d, sort_by=["l_orderkey"], n_files=8)
+    files = [f for f in os.listdir(d) if f.startswith("part-")]
+    assert len(files) == 8
+
+    # each file covers a disjoint orderkey range -> min/max stats of 7
+    # of the 8 files exclude this point filter
+    sorted_df = spark.read.parquet(d).filter(F.col("l_orderkey") == 1)
+    expected = li.filter(F.col("l_orderkey") == 1).count()
+    assert sorted_df.count() == expected
+
+    import pyarrow.parquet as pq
+
+    mins_maxs = []
+    for f in files:
+        md = pq.ParquetFile(os.path.join(d, f)).metadata
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "l_orderkey"
+        )
+        stats = md.row_group(0).column(col_idx).statistics
+        mins_maxs.append((stats.min, stats.max))
+    mins_maxs.sort()
+    # ranges must be disjoint (clustered layout), so skipping is possible
+    for (lo1, hi1), (lo2, hi2) in zip(mins_maxs, mins_maxs[1:]):
+        assert hi1 <= lo2
+
+
+def test_compact_small_files(spark, tmp_path_factory):
+    """Compaction rewrites a fragmented dataset into target_files files
+    with identical content."""
+    import os
+
+    from distributed_mapreduce_server_spark.catalog import load_tables
+    from distributed_mapreduce_server_spark.sources import compact_small_files
+
+    nat = load_tables(spark, "/root/testdata/sf0.01", register_views=False)["nation"]
+    d = str(tmp_path_factory.mktemp("compact")) + "/nat"
+    nat.repartition(16).write.parquet(d)
+    before = [f for f in os.listdir(d) if f.startswith("part-")]
+    assert len(before) == 16
+    rows_before = sorted(map(tuple, spark.read.parquet(d).collect()))
+
+    n_after = compact_small_files(spark, d, target_files=2)
+    assert n_after <= 2
+    assert sorted(map(tuple, spark.read.parquet(d).collect())) == rows_before
