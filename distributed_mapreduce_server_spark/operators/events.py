@@ -366,3 +366,50 @@ def q_events_daily_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+SKEW_TOP_K = 10
+
+
+def q_shuffle_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics for events.user_id — the pre-flight
+    check before picking a join/agg strategy at scale: the top-10
+    heaviest keys with their row share, alongside corpus-wide key
+    stats (key count, median and p99 per-key rows, p99/median skew
+    ratio). A ratio near 1 means hash partitioning balances; a high
+    ratio says salt this key or lean on AQE skew splitting.
+
+    One shuffle (the per-key count); the top-K is a distributed
+    TakeOrdered (orderBy+limit — per-partition top-K then a 10-row
+    merge, never a global sort of the key frame), ranked locally; the
+    stats fold is over the key-cardinality frame and broadcasts back
+    onto the tiny top-K.
+    """
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    stats = per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("total_rows"),
+        fround(F.expr("percentile(n, 0.5)"), 4).alias("p50_n"),
+        fround(F.expr("percentile(n, 0.99)"), 4).alias("p99_n"),
+        fround(
+            F.expr("percentile(n, 0.99)") / F.expr("percentile(n, 0.5)"), 4
+        ).alias("skew_ratio"),
+    )
+    top10 = per_key.orderBy(F.desc("n"), "user_id").limit(SKEW_TOP_K)
+    w = Window.orderBy(F.desc("n"), "user_id")  # over 10 rows only
+    top = top10.withColumn("rank", F.row_number().over(w))
+    return (
+        top.join(F.broadcast(stats))
+        .select(
+            "rank",
+            "user_id",
+            "n",
+            fround(F.col("n") / F.col("total_rows"), 6).alias("share"),
+            "n_keys",
+            "p50_n",
+            "p99_n",
+            "skew_ratio",
+        )
+        .orderBy("rank")
+    )

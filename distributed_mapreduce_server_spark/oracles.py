@@ -737,3 +737,26 @@ EVENTS_ORACLES["q_events_latest_per_key"] = """
     WHERE rn = 1
     ORDER BY user_id, event_type
 """
+
+EVENTS_ORACLES["q_shuffle_key_skew"] = """
+    WITH per_key AS (
+        SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_keys, SUM(n) AS total_rows,
+               ROUND(quantile_cont(n, 0.5), 4) AS p50_n,
+               ROUND(quantile_cont(n, 0.99), 4) AS p99_n,
+               ROUND(quantile_cont(n, 0.99) / quantile_cont(n, 0.5), 4)
+                   AS skew_ratio
+        FROM per_key
+    )
+    SELECT rank, user_id, n,
+           ROUND(CAST(n AS DOUBLE) / total_rows, 6) AS share,
+           n_keys, p50_n, p99_n, skew_ratio
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rank
+        FROM per_key
+    ), stats
+    WHERE rank <= 10
+    ORDER BY rank
+"""

@@ -184,6 +184,7 @@ _register(
         "q_events_paths",
         "q_events_latest_per_key",
         "q_events_daily_sketch_rollup",
+        "q_shuffle_key_skew",
     ],
 )
 
