@@ -316,3 +316,61 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sample_rate")
     )
+
+
+def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed dedup of binary media payloads: md5 digest of
+    the raw bytes, one canonical item (min doc_id) per digest within
+    each media type — the blob-store dedup every multimodal lake runs
+    before feature extraction (dedup by digest is exact, format-aware
+    near-dup comes later in the pipeline). Pure column expressions on
+    the binary column (md5 over bytes stays JVM-side); one digest
+    shuffle. Oracle: the payload is the utf-8 of text, so DuckDB
+    reproduces the digest from the string."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    media = attach_media(docs)
+    return (
+        media.select(
+            F.col("media_meta.media_type").alias("media_type"),
+            F.md5("payload").alias("digest"),
+            "doc_id",
+            F.length("payload").alias("n_bytes"),
+        )
+        .groupBy("media_type", "digest")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.min("n_bytes").alias("n_bytes"),
+        )
+        .orderBy("media_type", "keep_doc_id")
+    )
+
+
+def mm_modality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality-mix table (the multimodal analog of text_source_mix):
+    item count, byte volume, and byte share per media type — what a
+    training-data curator reads before setting modality sampling
+    ratios. One metadata-only aggregation; the payload column is
+    projected to its length, so the scan never moves blob bytes
+    further than the local length computation."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    media = attach_media(docs)
+    per_type = media.groupBy(
+        F.col("media_meta.media_type").alias("media_type")
+    ).agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+    )
+    totals = per_type.agg(F.sum("total_bytes").alias("corpus_bytes"))
+    return (
+        per_type.join(F.broadcast(totals))
+        .select(
+            "media_type",
+            "n_items",
+            "total_bytes",
+            fround(F.col("total_bytes") / F.col("corpus_bytes"), 6).alias(
+                "byte_share"
+            ),
+        )
+        .orderBy("media_type")
+    )

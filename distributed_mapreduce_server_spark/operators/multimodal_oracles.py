@@ -109,3 +109,38 @@ MULTIMODAL_ORACLES["mm_audio_features"] = """
     GROUP BY sample_rate
     ORDER BY sample_rate
 """
+
+# payload == utf-8 bytes of text, so digests/lengths reproduce from
+# the string; media_type is doc_id % 3 over (image, audio, video).
+_MEDIA_TYPE = "['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1]"
+
+MULTIMODAL_ORACLES["mm_payload_dedup"] = f"""
+    SELECT media_type, digest,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keep_doc_id,
+           MIN(n_bytes) AS n_bytes
+    FROM (
+        SELECT {_MEDIA_TYPE} AS media_type,
+               md5(text) AS digest,
+               doc_id,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    )
+    GROUP BY media_type, digest
+    ORDER BY media_type, keep_doc_id
+"""
+
+MULTIMODAL_ORACLES["mm_modality_mix"] = f"""
+    WITH per_type AS (
+        SELECT {_MEDIA_TYPE} AS media_type,
+               COUNT(*) AS n_items,
+               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+        FROM documents
+        GROUP BY 1
+    ),
+    tot AS (SELECT SUM(total_bytes) AS corpus_bytes FROM per_type)
+    SELECT media_type, n_items, total_bytes,
+           ROUND(CAST(total_bytes AS DOUBLE) / corpus_bytes, 6) AS byte_share
+    FROM per_type, tot
+    ORDER BY media_type
+"""

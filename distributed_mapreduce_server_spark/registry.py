@@ -196,7 +196,14 @@ from distributed_mapreduce_server_spark.operators.multimodal_oracles import (  #
 _register(
     multimodal,
     MULTIMODAL_ORACLES,
-    ["mm_decode_meta", "mm_resize_stats", "mm_frame_sample", "mm_audio_features"],
+    [
+        "mm_decode_meta",
+        "mm_resize_stats",
+        "mm_frame_sample",
+        "mm_audio_features",
+        "mm_payload_dedup",
+        "mm_modality_mix",
+    ],
 )
 _register(streaming_jobs, {}, ["stream_sessionize"])
 # complete-mode windowed agg under availableNow is deterministic ->

@@ -92,6 +92,7 @@ DELIBERATE_NESTED_LOOP = {
     "text_bigram_logprob",  # 1-row broadcast vocab-size cross-join
     "q11_important_parts",  # 1-row broadcast grand-total cross-join
     "q_shuffle_key_skew",  # 1-row broadcast stats cross-join
+    "mm_modality_mix",  # 1-row broadcast corpus-bytes cross-join
 }
 
 # Streaming / iterative ops execute eagerly inside the callable; the
