@@ -364,7 +364,12 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_upsert_foreachbatch(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """CDC apply via foreachBatch: the event stream upserts a keyed
     state table (latest row per (user_id, event_type)) maintained as
     parquet — the production sink pattern when the target store has no
@@ -375,10 +380,15 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     a Delta/Iceberg MERGE INTO would replace the rewrite at real
     scale, the reduce-then-merge shape is identical). The final table
     must equal the batch q_events_latest_per_key — that operator's
-    oracle verifies this job end-to-end."""
+    oracle verifies this job end-to-end.
+
+    Pass ``state_dir``/``checkpoint_dir`` to make the job resumable:
+    re-running against the same checkpoint is a no-op (the file
+    source's offsets are committed, so already-applied batches never
+    re-apply — the exactly-once contract tests assert)."""
     import os
 
-    state_dir = os.path.join(
+    state_dir = state_dir or os.path.join(
         tempfile.gettempdir(), f"dmrs_upsert_{uuid.uuid4().hex[:12]}"
     )
     ev = _events_stream(spark, sf_dir).select(
@@ -421,7 +431,10 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.writeStream.foreachBatch(apply_batch)
         .option(
             "checkpointLocation",
-            os.path.join(tempfile.gettempdir(), f"dmrs_upsert_ck_{uuid.uuid4().hex[:12]}"),
+            checkpoint_dir
+            or os.path.join(
+                tempfile.gettempdir(), f"dmrs_upsert_ck_{uuid.uuid4().hex[:12]}"
+            ),
         )
         .trigger(availableNow=True)
         .start()

@@ -134,3 +134,30 @@ def test_stream_ingest_partitioned_layout_and_pruning(spark, sf_smoke, tmp_path)
     pruned = back.filter(F.col("event_date") == one_day)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "event_date" in plan
+
+
+def test_upsert_sink_checkpoint_restart_is_noop(spark, sf_smoke, tmp_path_factory):
+    """Exactly-once for the foreachBatch upsert sink: a restart against
+    the same checkpoint must not re-apply batches — the state table's
+    files and contents are untouched."""
+    import os
+
+    from distributed_mapreduce_server_spark.streaming.jobs import (
+        stream_upsert_foreachbatch,
+    )
+
+    base = tmp_path_factory.mktemp("upsert_restart")
+    state = str(base / "state")
+    ck = str(base / "ck")
+    first = stream_upsert_foreachbatch(spark, sf_smoke, state_dir=state, checkpoint_dir=ck)
+    rows1 = sorted(map(tuple, first.collect()))
+    listing1 = sorted(os.listdir(state))
+    mtimes1 = {f: os.path.getmtime(os.path.join(state, f)) for f in listing1}
+
+    second = stream_upsert_foreachbatch(spark, sf_smoke, state_dir=state, checkpoint_dir=ck)
+    rows2 = sorted(map(tuple, second.collect()))
+    listing2 = sorted(os.listdir(state))
+    mtimes2 = {f: os.path.getmtime(os.path.join(state, f)) for f in listing2}
+
+    assert rows1 == rows2
+    assert listing1 == listing2 and mtimes1 == mtimes2
