@@ -715,3 +715,47 @@ def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "doc_id")
     )
+
+
+C4_MIN_TOKENS = 5
+C4_BAD_PHRASES = ("lorem ipsum", "terms of service", "cookie policy")
+C4_TERMINAL_RE = r'[.!?"]\s*$'
+
+
+def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style heuristic cleaning signals (Raffel et al. 2020 §2.2
+    shape, adapted to this corpus): per-document line count, fraction
+    of lines with terminal punctuation, boilerplate-phrase and
+    curly-brace flags, token count, and the resulting keep decision —
+    the cheap rule pass a pipeline runs BEFORE model-based quality
+    scoring. All pure column expressions (line split + array filters
+    over per-doc line arrays, bounded by doc size): scan speed, no
+    shuffle beyond the harness's output ordering."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    lines = F.filter(F.split("text", "\n"), lambda l: l != F.lit(""))
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    n_terminal = F.size(F.filter(lines, lambda l: l.rlike(C4_TERMINAL_RE)))
+    lower = F.lower(F.col("text"))
+    has_bad = None
+    for p in C4_BAD_PHRASES:
+        c = lower.contains(p)
+        has_bad = c if has_bad is None else (has_bad | c)
+    n_tokens = F.size(tokens("text"))
+    terminal_ratio = fround(n_terminal / n_lines, 4)
+    keep = (
+        (~has_bad)
+        & (~F.col("text").contains("{"))
+        & (n_tokens >= C4_MIN_TOKENS)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(lines).alias("n_lines"),
+            terminal_ratio.alias("terminal_punct_ratio"),
+            has_bad.alias("has_bad_phrase"),
+            F.col("text").contains("{").alias("has_curly"),
+            n_tokens.alias("n_tokens"),
+            keep.alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -395,3 +395,35 @@ def _packing_oracle() -> str:
 
 
 TEXT_ORACLES["text_sequence_packing"] = _packing_oracle()
+
+
+def _c4_oracle() -> str:
+    from distributed_mapreduce_server_spark.operators.text import (
+        C4_BAD_PHRASES,
+        C4_MIN_TOKENS,
+    )
+
+    bad = " OR ".join(f"contains(lower(text), '{p}')" for p in C4_BAD_PHRASES)
+    return f"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   list_filter(string_split(text, chr(10)), l -> l <> '') AS ls,
+                   {_TOKS} AS toks
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(ls) AS INTEGER) AS n_lines,
+               ROUND(CAST(len(list_filter(ls,
+                        l -> regexp_matches(l, '[.!?"]\\s*$'))) AS DOUBLE)
+                     / greatest(len(ls), 1), 4) AS terminal_punct_ratio,
+               ({bad}) AS has_bad_phrase,
+               contains(text, '{{') AS has_curly,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               (NOT ({bad}) AND NOT contains(text, '{{')
+                AND len(toks) >= {C4_MIN_TOKENS}) AS keep
+        FROM base
+        ORDER BY doc_id
+    """
+
+
+TEXT_ORACLES["text_c4_filters"] = _c4_oracle()

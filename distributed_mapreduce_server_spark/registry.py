@@ -164,6 +164,7 @@ _register(
         "text_bigram_logprob",
         "text_pii_scrub",
         "text_sequence_packing",
+        "text_c4_filters",
     ],
 )
 _register(
