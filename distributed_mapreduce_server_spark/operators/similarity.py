@@ -468,3 +468,64 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("i", "j")
     )
+
+
+PCA_K = 2
+
+
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection onto the top-PCA_K principal components — the
+    dimensionality-reduction step after emb_covariance: whitening,
+    visualization, or a compact pre-index embedding.
+
+    Scale shape: the spectral solve runs on the DRIVER over the
+    64x64 covariance matrix (fixed-size regardless of corpus — the
+    only driver-sized object in the pipeline), then the k projection
+    vectors broadcast and every Arrow batch projects with one numpy
+    matmul. Rows-only at the gate: eigenvector sign/order is
+    LAPACK-specific; tests assert the invariants (variance ordering,
+    per-component variance ~= eigenvalue) instead.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cov_rows = emb_covariance(spark, sf_dir).collect()
+    dim = max(r["j"] for r in cov_rows)
+    C = np.zeros((dim, dim))
+    for r in cov_rows:
+        C[r["i"] - 1, r["j"] - 1] = r["cov"]
+        C[r["j"] - 1, r["i"] - 1] = r["cov"]
+    vals, vecs = np.linalg.eigh(C)  # ascending
+    top = vecs[:, ::-1][:, :PCA_K]  # top-K components, leading first
+    means = np.zeros(dim)
+    # center with per-dim means so projections are of (x - mu)
+    m_rows = (
+        load_tables(spark, sf_dir, register_views=False)["embeddings"]
+        .select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("mu"))
+        .collect()
+    )
+    for r in m_rows:
+        means[r["pos"]] = r["mu"]
+    bc = spark.sparkContext.broadcast((top, means))
+
+    def project(batches):
+        comp, mu = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64) - mu
+            p = m @ comp
+            out = {"vec_id": pdf["vec_id"].to_numpy(dtype=np.int64)}
+            for k in range(comp.shape[1]):
+                out[f"pc{k + 1}"] = np.round(p[:, k], 6)
+            yield pd.DataFrame(out)
+
+    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
+    schema = "vec_id long, " + ", ".join(f"pc{k + 1} double" for k in range(PCA_K))
+    return (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(project, schema)
+        .orderBy("vec_id")
+    )

@@ -138,6 +138,7 @@ _register(
         "emb_dim_stats",
         "emb_kmeans",
         "emb_covariance",
+        "emb_pca_project",
     ],
 )
 _register(

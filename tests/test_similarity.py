@@ -78,3 +78,33 @@ def test_kmeans_invariants(spark, sf_dir):
     c1.unpersist()
     wcss_n = sum(r["wcss"] for r in summary)
     assert wcss_n <= wcss_1 + 1e-6
+
+
+def test_pca_projection_invariants(spark, sf_dir):
+    """PCA invariants (sign/order are LAPACK-specific, so parity is
+    impossible — assert the math instead): projections are centered,
+    var(pc1) >= var(pc2), and each component's variance matches the
+    corresponding eigenvalue of the covariance matrix within 2%."""
+    import numpy as np
+
+    from distributed_mapreduce_server_spark.operators.similarity import (
+        emb_covariance,
+        emb_pca_project,
+    )
+
+    rows = emb_pca_project(spark, sf_dir).collect()
+    p1 = np.array([r["pc1"] for r in rows])
+    p2 = np.array([r["pc2"] for r in rows])
+    assert abs(p1.mean()) < 1e-3 and abs(p2.mean()) < 1e-3
+    v1, v2 = p1.var(), p2.var()
+    assert v1 >= v2 > 0
+
+    cov_rows = emb_covariance(spark, sf_dir).collect()
+    dim = max(r["j"] for r in cov_rows)
+    C = np.zeros((dim, dim))
+    for r in cov_rows:
+        C[r["i"] - 1, r["j"] - 1] = r["cov"]
+        C[r["j"] - 1, r["i"] - 1] = r["cov"]
+    vals = np.sort(np.linalg.eigvalsh(C))[::-1]
+    assert abs(v1 - vals[0]) / vals[0] < 0.02
+    assert abs(v2 - vals[1]) / vals[1] < 0.02
