@@ -190,3 +190,30 @@ def mr_exec_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         res.select(kv[0].alias("word"), kv[1].cast("long").alias("cnt"))
         .orderBy(F.desc("cnt"), "word")
     )
+
+
+EXEC_GREP_PATTERN = "data"
+
+
+def mr_exec_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grep through REAL executables (the reference's grep_map.py /
+    grep_reduce.py integration shape): the mapper emits "1\\t<line>"
+    for case-insensitive matches, the identity reducer prints the
+    line back — all matched lines share one key, so they land in one
+    reduce group exactly like the reference run."""
+    import os
+    import sys
+
+    from distributed_mapreduce_server_spark.mapreduce.exec_job import run_executable_job
+
+    exec_dir = os.path.join(os.path.dirname(__file__), "exec")
+    py = sys.executable
+    res = run_executable_job(
+        spark,
+        _exec_input_dir(spark, sf_dir),
+        f"{py} {os.path.join(exec_dir, 'match_map.py')} {EXEC_GREP_PATTERN}",
+        f"{py} {os.path.join(exec_dir, 'identity_reduce.py')}",
+        num_mappers=4,
+        num_reducers=2,
+    )
+    return res.select("line").orderBy("line")

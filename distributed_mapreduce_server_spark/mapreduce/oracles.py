@@ -64,3 +64,13 @@ MAPREDUCE_ORACLES["mr_exec_wordcount"] = f"""
     GROUP BY word
     ORDER BY cnt DESC, word
 """
+
+# the exec input dir is documents.text written as line files, so the
+# grep executables' output is exactly the matching text lines
+MAPREDUCE_ORACLES["mr_exec_grep"] = """
+    SELECT ls[i] AS line
+    FROM (SELECT string_split(text, chr(10)) AS ls FROM documents) t,
+         UNNEST(range(1, len(ls) + 1)) AS u(i)
+    WHERE ls[i] <> '' AND contains(lower(ls[i]), 'data')
+    ORDER BY line
+"""

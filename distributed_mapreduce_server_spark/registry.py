@@ -101,6 +101,7 @@ _register(
         "mr_distinct",
         "mr_secondary_sort",
         "mr_exec_wordcount",
+        "mr_exec_grep",
     ],
 )
 _register(

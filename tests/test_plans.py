@@ -111,6 +111,7 @@ EAGER_OPS = {
     "emb_kmeans",
     "text_corpus_pipeline_neardup",
     "mr_exec_wordcount",  # RDD pipe job: zipWithIndex runs eagerly
+    "mr_exec_grep",  # RDD pipe job: zipWithIndex runs eagerly
     "emb_pca_project",  # driver spectral solve at plan time
 }
 
