@@ -38,12 +38,14 @@ _NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {
 }
 
 
-# (session id, sf_dir) -> table frames. DataFrames are immutable
+# (application id, sf_dir) -> table frames. DataFrames are immutable
 # logical plans, so reusing them across operator invocations is safe
 # and skips 10 parquet footer reads per call (a measurable fixed cost
-# when a session runs hundreds of queries). Keyed by id(spark) so a
-# restarted session (new JVM state) never sees stale plans.
-_plan_cache: dict[tuple[int, str], dict[str, DataFrame]] = {}
+# when a session runs hundreds of queries). Keyed by the Spark
+# applicationId — unique per context — so a restarted session (new
+# JVM state) never sees stale plans; id(spark) could be reused by the
+# allocator after a session is garbage-collected.
+_plan_cache: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 
 def load_tables(spark: SparkSession, sf_dir: str | None = None, register_views: bool = True) -> dict[str, DataFrame]:
@@ -54,7 +56,7 @@ def load_tables(spark: SparkSession, sf_dir: str | None = None, register_views: 
     """
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    cache_key = (id(spark), sf_dir)
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
     cached = _plan_cache.get(cache_key)
     if cached is not None:
         if register_views:
