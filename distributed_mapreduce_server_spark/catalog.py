@@ -38,14 +38,24 @@ _NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {
 }
 
 
-# (application id, sf_dir) -> table frames. DataFrames are immutable
-# logical plans, so reusing them across operator invocations is safe
-# and skips 10 parquet footer reads per call (a measurable fixed cost
-# when a session runs hundreds of queries). Keyed by the Spark
-# applicationId — unique per context — so a restarted session (new
-# JVM state) never sees stale plans; id(spark) could be reused by the
-# allocator after a session is garbage-collected.
-_plan_cache: dict[tuple[str, str], dict[str, DataFrame]] = {}
+# (application id, sf_dir) -> (owning session, table frames).
+# DataFrames are immutable logical plans, so reusing them across
+# operator invocations is safe and skips 10 parquet footer reads per
+# call (a measurable fixed cost when a session runs hundreds of
+# queries). The owning SparkSession rides along (a strong ref, so its
+# identity can't be recycled) and is compared on every hit: a
+# DIFFERENT session in the same context (spark.newSession()) must not
+# reuse the frames — createOrReplaceTempView would register views in
+# the owner's catalog, not the caller's. Source files are assumed
+# immutable for the app's lifetime (testdata is); a mutable table
+# would need refresh_tables().
+_plan_cache: dict[tuple[str, str], tuple[SparkSession, dict[str, DataFrame]]] = {}
+
+
+def refresh_tables() -> None:
+    """Drop all cached table plans (the REFRESH TABLE analog) — call
+    after rewriting files under an sf_dir within one application."""
+    _plan_cache.clear()
 
 
 def load_tables(spark: SparkSession, sf_dir: str | None = None, register_views: bool = True) -> dict[str, DataFrame]:
@@ -58,11 +68,12 @@ def load_tables(spark: SparkSession, sf_dir: str | None = None, register_views: 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     cache_key = (spark.sparkContext.applicationId, sf_dir)
     cached = _plan_cache.get(cache_key)
-    if cached is not None:
+    if cached is not None and cached[0] is spark:
+        frames = cached[1]
         if register_views:
-            for name, df in cached.items():
+            for name, df in frames.items():
                 df.createOrReplaceTempView(name)
-        return dict(cached)
+        return dict(frames)
     out: dict[str, DataFrame] = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -84,5 +95,5 @@ def load_tables(spark: SparkSession, sf_dir: str | None = None, register_views: 
         out[name] = df
         if register_views:
             df.createOrReplaceTempView(name)
-    _plan_cache[cache_key] = dict(out)
+    _plan_cache[cache_key] = (spark, dict(out))
     return out

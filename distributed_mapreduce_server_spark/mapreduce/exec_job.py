@@ -66,7 +66,9 @@ def run_executable_job(
         numPartitions=num_reducers, partitionFunc=lambda key: key[0]
     )
     reduced = part_sorted.map(lambda kv: kv[0][1]).pipe(reducer_cmd, checkCode=True)
+    # keep every reducer stdout line, empty ones included — a
+    # reference reducer's output is reproduced byte-for-line
     tagged = reduced.mapPartitionsWithIndex(
-        lambda idx, it: ((idx, ln) for ln in it if ln != "")
+        lambda idx, it: ((idx, ln) for ln in it)
     )
     return spark.createDataFrame(tagged, "part int, line string")

@@ -156,7 +156,13 @@ def _exec_input_dir(spark: SparkSession, sf_dir: str) -> str:
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     out = os.path.join(tempfile.gettempdir(), f"dmrs_exec_input_{tag}")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+    marker = os.path.join(out, "_SUCCESS")
+    src = os.path.join(sf_dir, "documents.parquet")
+    # stale-cache guard: a regenerated source parquet (newer mtime than
+    # the marker) forces a rewrite, so the text fixture can never
+    # silently diverge from what the oracle reads.
+    stale = os.path.exists(marker) and os.path.getmtime(src) > os.path.getmtime(marker)
+    if stale or not os.path.exists(marker):
         docs = load_tables(spark, sf_dir, register_views=False)["documents"]
         docs.select("text").repartition(8).write.mode("overwrite").text(out)
     return out

@@ -56,14 +56,10 @@ MAPREDUCE_ORACLES: dict[str, str] = {
     """,
 }
 
-# the executable-pipe path computes the same wordcount as the
-# DataFrame path; the oracle is shared modulo the count column name
-MAPREDUCE_ORACLES["mr_exec_wordcount"] = f"""
-    SELECT word, COUNT(*) AS cnt
-    FROM (SELECT unnest({_TOKENS}) AS word FROM documents)
-    GROUP BY word
-    ORDER BY cnt DESC, word
-"""
+# the executable-pipe path computes the identical wordcount as the
+# DataFrame path, so it carries the same oracle object — one source
+# of truth, edits can't desynchronize the two
+MAPREDUCE_ORACLES["mr_exec_wordcount"] = MAPREDUCE_ORACLES["mr_wordcount"]
 
 # the exec input dir is documents.text written as line files, so the
 # grep executables' output is exactly the matching text lines

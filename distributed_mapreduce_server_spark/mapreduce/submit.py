@@ -87,15 +87,17 @@ def submit_exec(spark: SparkSession, spec: ExecJobSpec) -> DataFrame:
     # final-result sized; if that's ever too big to pass through the
     # driver, swap for a partitioned DFS write.
     rows = result.collect()
-    by_part: dict[int, list[str]] = {}
+    by_part: dict[int, list[str]] = {i: [] for i in range(spec.num_reducers)}
     for r in rows:
         by_part.setdefault(r["part"], []).append(r["line"])
+    # every reducer group gets its file, empty groups included — the
+    # reference's wrap-up produces exactly num_reducers output files
     for part, lines in by_part.items():
         path = os.path.join(
             spec.output_directory, f"outputfile{part + 1:02d}"
         )
         with open(path, "w", encoding="utf-8") as f:
-            f.write("\n".join(lines) + "\n")
+            f.write("\n".join(lines) + ("\n" if lines else ""))
     return result
 
 

@@ -412,10 +412,11 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("cid")
 
 
-def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cov_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangle covariance matrix of the embedding corpus in
-    long form (i <= j, population covariance) — the PCA / ZCA-whitening
-    input that pairs with emb_dim_stats' per-dim moments.
+    long form (i <= j, population covariance, plus the row's mu_i so
+    PCA can rebuild the mean vector from the same frame) — the PCA /
+    ZCA-whitening input that pairs with emb_dim_stats' per-dim moments.
 
     Scale shape: each Arrow batch folds into one 64x64 partial Gram
     matrix via numpy matmul (the same kernel as _centroid_assign), so
@@ -465,9 +466,16 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i",
             "j",
             fround(F.col("s") / F.col("n") - F.col("mu_i") * F.col("mu_j"), 5).alias("cov"),
+            "mu_i",
         )
         .orderBy("i", "j")
     )
+
+
+def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix (registry view of
+    _cov_enriched without the means column)."""
+    return _cov_enriched(spark, sf_dir).select("i", "j", "cov")
 
 
 PCA_K = 2
@@ -489,25 +497,18 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    cov_rows = emb_covariance(spark, sf_dir).collect()
+    # one collect serves both the matrix and the mean vector (mu_i
+    # rides on every row; row (i, i) pins dim i's mean)
+    cov_rows = _cov_enriched(spark, sf_dir).collect()
     dim = max(r["j"] for r in cov_rows)
     C = np.zeros((dim, dim))
+    means = np.zeros(dim)
     for r in cov_rows:
         C[r["i"] - 1, r["j"] - 1] = r["cov"]
         C[r["j"] - 1, r["i"] - 1] = r["cov"]
+        means[r["i"] - 1] = r["mu_i"]
     vals, vecs = np.linalg.eigh(C)  # ascending
     top = vecs[:, ::-1][:, :PCA_K]  # top-K components, leading first
-    means = np.zeros(dim)
-    # center with per-dim means so projections are of (x - mu)
-    m_rows = (
-        load_tables(spark, sf_dir, register_views=False)["embeddings"]
-        .select(F.posexplode("embedding").alias("pos", "x"))
-        .groupBy("pos")
-        .agg(F.avg(F.col("x").cast("double")).alias("mu"))
-        .collect()
-    )
-    for r in m_rows:
-        means[r["pos"]] = r["mu"]
     bc = spark.sparkContext.broadcast((top, means))
 
     def project(batches):

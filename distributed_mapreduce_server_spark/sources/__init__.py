@@ -14,6 +14,7 @@ from distributed_mapreduce_server_spark.sources.registry import (
     compact_small_files,
     read_source,
     read_text_lines,
+    swap_dataset_dir,
     write_partitioned,
     write_sink,
     write_sorted_parquet,
@@ -24,6 +25,7 @@ __all__ = [
     "compact_small_files",
     "read_source",
     "read_text_lines",
+    "swap_dataset_dir",
     "write_partitioned",
     "write_sink",
     "write_sorted_parquet",

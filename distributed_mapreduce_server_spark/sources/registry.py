@@ -147,40 +147,63 @@ def write_sorted_parquet(
     )
 
 
+def swap_dataset_dir(tmp: str, path: str) -> None:
+    """Install ``tmp`` at ``path`` with the smallest possible loss
+    window: move the live dataset aside, move the replacement in, then
+    delete the old copy. A crash between the two renames leaves BOTH
+    copies on disk (recoverable); deleting the live dir before the
+    replacement lands would not."""
+    import os
+    import shutil
+
+    old = path.rstrip("/") + "._old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.replace(path, old)
+    os.replace(tmp, path)
+    shutil.rmtree(old)
+
+
 def compact_small_files(
     spark: SparkSession,
     path: str,
     target_files: int,
     fmt: str = "parquet",
+    partition_by: list[str] | None = None,
 ) -> int:
     """Small-file compaction: rewrite a dataset into ``target_files``
-    output files (read -> coalesce -> atomic-ish swap via a sibling
-    temp dir). The lake-maintenance job that keeps file counts sane
-    when streaming ingest (e.g. stream_ingest_partitioned) leaves one
-    file per micro-batch — at 100 TB, listing and opening millions of
-    tiny files costs more than the scan itself. Returns the file count
-    after compaction. ``coalesce`` (not repartition): no shuffle, it
-    just merges read splits into fewer write tasks."""
+    output files per partition directory (read -> coalesce -> two-
+    rename swap via swap_dataset_dir). The lake-maintenance job that
+    keeps file counts sane when streaming ingest (e.g.
+    stream_ingest_partitioned) leaves one file per micro-batch — at
+    100 TB, listing and opening millions of tiny files costs more
+    than the scan itself. Returns the data-file count after
+    compaction. ``coalesce`` (not repartition): no shuffle, it just
+    merges read splits into fewer write tasks.
+
+    Pass ``partition_by`` for Hive-partitioned datasets — the rewrite
+    preserves the col=value directory layout (without it the dataset
+    would flatten and downstream partition pruning would be lost).
+    """
     import glob
     import os
-    import shutil
 
     sf = FORMATS[fmt]
     df = spark.read.format(sf.name).options(**sf.read_options).load(path)
     tmp = path.rstrip("/") + "._compact_tmp"
-    (
+    writer = (
         df.coalesce(target_files)
         .write.format(sf.name)
         .options(**sf.write_options)
         .mode("overwrite")
-        .save(tmp)
     )
-    shutil.rmtree(path)
-    os.replace(tmp, path)
-    return len(
-        [
-            p
-            for p in glob.glob(os.path.join(path, "part-*"))
-            if not p.endswith(".crc")
-        ]
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(tmp)
+    swap_dataset_dir(tmp, path)
+    pattern = (
+        os.path.join(path, *(["*"] * len(partition_by)), "part-*")
+        if partition_by
+        else os.path.join(path, "part-*")
     )
+    return len([p for p in glob.glob(pattern) if not p.endswith(".crc")])

@@ -385,9 +385,17 @@ def stream_upsert_foreachbatch(
     Pass ``state_dir``/``checkpoint_dir`` to make the job resumable:
     re-running against the same checkpoint is a no-op (the file
     source's offsets are committed, so already-applied batches never
-    re-apply — the exactly-once contract tests assert)."""
+    re-apply — the exactly-once contract tests assert). The pair is
+    one atomic unit — committed offsets assume exactly the state
+    those batches built — so passing only one of the two is refused
+    rather than silently producing divergent (or missing) state."""
     import os
 
+    if (state_dir is None) != (checkpoint_dir is None):
+        raise ValueError(
+            "state_dir and checkpoint_dir must be passed together: "
+            "committed offsets are only valid against the state they built"
+        )
     state_dir = state_dir or os.path.join(
         tempfile.gettempdir(), f"dmrs_upsert_{uuid.uuid4().hex[:12]}"
     )
@@ -419,11 +427,12 @@ def stream_upsert_foreachbatch(
         # the same path being replaced
         tmp = state_dir + ".next"
         merged.write.mode("overwrite").parquet(tmp)
-        import shutil
-
         if os.path.isdir(state_dir):
-            shutil.rmtree(state_dir)
-        os.replace(tmp, state_dir)
+            from distributed_mapreduce_server_spark.sources import swap_dataset_dir
+
+            swap_dataset_dir(tmp, state_dir)
+        else:
+            os.replace(tmp, state_dir)
 
     from pyspark.sql.window import Window
 

@@ -185,7 +185,8 @@ def test_new_tpch_adaptations_broadcast_dims(spark, queries, key):
     aggregation key."""
     df = queries[key](spark, SF)
     assert broadcast_join_count(df, execute=True) >= 1
-    assert cartesian_count(df) == 0 or key == "q11_important_parts"
+    allowed = 1 if key == "q11_important_parts" else 0  # grand-total cross-join
+    assert cartesian_count(df) <= allowed
 
 
 def test_latest_per_key_single_shuffle(spark, queries):
