@@ -281,6 +281,40 @@ _ORACLES["stream_trending_topk"] = """
 """.strip()
 # the foreachBatch upsert sink must converge to exactly the batch
 # compaction's state -> it carries q_events_latest_per_key's oracle.
+# native session_window under availableNow emits exactly the sessions
+# whose (last_ts + gap) precedes the final watermark (max ts - 10min);
+# the oracle sessionizes in SQL and applies the same cutoff.
+_QUERIES["stream_session_window_native"] = streaming_jobs.stream_session_window_native
+_ORACLES["stream_session_window_native"] = """
+    WITH o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE OR
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ),
+    s AS (
+        SELECT *, SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM o
+    ),
+    agg AS (
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS session_value
+        FROM s
+        GROUP BY user_id, sess_id
+    ),
+    wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS watermark FROM events)
+    SELECT user_id, session_start, session_end, n_events, session_value
+    FROM agg, wm
+    WHERE session_end < watermark
+    ORDER BY user_id, session_start
+""".strip()
 _QUERIES["stream_upsert_foreachbatch"] = streaming_jobs.stream_upsert_foreachbatch
 _ORACLES["stream_upsert_foreachbatch"] = EVENTS_ORACLES[
     "q_events_latest_per_key"

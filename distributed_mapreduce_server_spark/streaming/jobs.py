@@ -457,3 +457,38 @@ def stream_upsert_foreachbatch(
         F.col("ts").alias("latest_ts"),
         fround(F.col("value"), 2).alias("latest_value"),
     ).orderBy("user_id", "event_type")
+
+
+def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via Spark's NATIVE session_window — the
+    idiomatic built-in beside the applyInPandasWithState version
+    (stream_sessionize keeps the custom-operator surface; this is
+    what a production job should reach for first). State merges
+    per-user windows JVM-side; append mode emits a session once the
+    watermark passes its end.
+
+    Deterministic under availableNow: the final watermark is
+    max(event time) - 10 min, and a session's window end is
+    last_ts + gap, so EXACTLY the sessions with
+    last_ts + gap < watermark are emitted — the oracle replicates
+    that cutoff, making this rare among sessionizers: a streaming
+    operator with full value parity."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.session_window("ts", f"{SESSION_GAP_SECONDS} seconds"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            fround(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "session_value",
+    ).orderBy("user_id", "session_start")

@@ -106,6 +106,7 @@ EAGER_OPS = {
     "stream_wordcount",
     "stream_trending_topk",
     "stream_upsert_foreachbatch",
+    "stream_session_window_native",
     "dedup_clusters",
     "dedup_keep_canonical",
     "emb_kmeans",
