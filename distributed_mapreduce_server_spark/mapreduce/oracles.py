@@ -62,11 +62,17 @@ MAPREDUCE_ORACLES: dict[str, str] = {
 MAPREDUCE_ORACLES["mr_exec_wordcount"] = MAPREDUCE_ORACLES["mr_wordcount"]
 
 # the exec input dir is documents.text written as line files, so the
-# grep executables' output is exactly the matching text lines
-MAPREDUCE_ORACLES["mr_exec_grep"] = """
+# grep executables' output is exactly the matching text lines. The
+# pattern interpolates from jobs.EXEC_GREP_PATTERN — one source of
+# truth, so editing the constant can't silently desync the oracle.
+from distributed_mapreduce_server_spark.mapreduce.jobs import (  # noqa: E402
+    EXEC_GREP_PATTERN as _EXEC_GREP_PATTERN,
+)
+
+MAPREDUCE_ORACLES["mr_exec_grep"] = f"""
     SELECT ls[i] AS line
     FROM (SELECT string_split(text, chr(10)) AS ls FROM documents) t,
          UNNEST(range(1, len(ls) + 1)) AS u(i)
-    WHERE ls[i] <> '' AND contains(lower(ls[i]), 'data')
+    WHERE ls[i] <> '' AND contains(lower(ls[i]), '{_EXEC_GREP_PATTERN}')
     ORDER BY line
 """

@@ -282,12 +282,13 @@ _ORACLES["stream_trending_topk"] = """
 # the foreachBatch upsert sink must converge to exactly the batch
 # compaction's state -> it carries q_events_latest_per_key's oracle.
 # native session_window under availableNow emits exactly the sessions
-# whose (last_ts + gap) precedes the final watermark (max ts - 10min);
-# the oracle sessionizes in SQL and applies the same cutoff.
+# whose (last_ts + gap) <= the final watermark (max ts - 10min) —
+# equality emits, verified empirically; the oracle applies the same
+# cutoff, with the same (ts, event_id) tie order in both windows.
 _QUERIES["stream_session_window_native"] = streaming_jobs.stream_session_window_native
 _ORACLES["stream_session_window_native"] = """
     WITH o AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                          > INTERVAL 30 MINUTE OR
                          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -296,7 +297,7 @@ _ORACLES["stream_session_window_native"] = """
     ),
     s AS (
         SELECT *, SUM(new_sess) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING) AS sess_id
         FROM o
     ),
@@ -312,7 +313,7 @@ _ORACLES["stream_session_window_native"] = """
     wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS watermark FROM events)
     SELECT user_id, session_start, session_end, n_events, session_value
     FROM agg, wm
-    WHERE session_end < watermark
+    WHERE session_end <= watermark
     ORDER BY user_id, session_start
 """.strip()
 _QUERIES["stream_upsert_foreachbatch"] = streaming_jobs.stream_upsert_foreachbatch

@@ -470,9 +470,11 @@ def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic under availableNow: the final watermark is
     max(event time) - 10 min, and a session's window end is
     last_ts + gap, so EXACTLY the sessions with
-    last_ts + gap < watermark are emitted — the oracle replicates
-    that cutoff, making this rare among sessionizers: a streaming
-    operator with full value parity."""
+    last_ts + gap <= watermark are emitted (equality EMITS —
+    verified empirically with a session end landing exactly on the
+    final watermark) — the oracle replicates that cutoff, making
+    this rare among sessionizers: a streaming operator with full
+    value parity."""
     ev = _events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "10 minutes")
