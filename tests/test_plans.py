@@ -247,3 +247,22 @@ def test_daily_sketch_rollup_error_bound(spark, queries):
     assert set(approx) == set(exact)
     for et, est in approx.items():
         assert abs(est - exact[et]) / exact[et] < 0.02, (et, est, exact[et])
+
+
+def test_embedding_dedup_no_driver_collect(spark, queries):
+    """Building the embedding-dedup plans must never materialize the
+    corpus on the driver (the scale-killer the blocked pair-matmul
+    kernel replaced): plan construction with DataFrame.collect()
+    forbidden must succeed, and the plan must carry the cogrouped
+    block-pair kernel."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+
+    with mock.patch.object(
+        DataFrame, "collect", side_effect=AssertionError("driver collect in plan build")
+    ):
+        cos = queries["dedup_embedding_cosine"](spark, SF)
+        keep = queries["dedup_semantic_keep"](spark, SF)
+    for df in (cos, keep):
+        assert "FlatMapCoGroupsInPandas" in df._jdf.queryExecution().executedPlan().toString()
