@@ -66,8 +66,20 @@ def submit_exec(spark: SparkSession, spec: ExecJobSpec) -> DataFrame:
     """Run an executable job and wrap up like the reference manager:
     one ``outputfileNN`` per reducer group in the output directory
     (reference: mapreduce/manager/__main__.py:490-505 moves
-    reducer-output files to outputfile01..NN)."""
+    reducer-output files to outputfile01..NN).
+
+    Reducer output is written EXECUTOR-SIDE via a hive-partitioned
+    text write (``part=N`` directories, each filled by the reducer
+    partition that owns it), then renamed to the reference's
+    outputfileNN layout — the driver never materializes a single
+    reducer line, so an identity reduce over a huge grep is bounded
+    by the sink, not driver memory. Line order inside a file is the
+    reducer's stdout order (the text writer preserves task row
+    order), and empty reducer groups still get their (empty) file —
+    the reference's wrap-up contract."""
+    import glob
     import os
+    import shutil
 
     from distributed_mapreduce_server_spark.mapreduce.exec_job import (
         run_executable_job,
@@ -82,22 +94,17 @@ def submit_exec(spark: SparkSession, spec: ExecJobSpec) -> DataFrame:
         num_reducers=spec.num_reducers,
     )
     os.makedirs(spec.output_directory, exist_ok=True)
-    # one driver pass, grouped by reducer index — output files are the
-    # reference's contract (NN = reducer id + 1). Reducer output is
-    # final-result sized; if that's ever too big to pass through the
-    # driver, swap for a partitioned DFS write.
-    rows = result.collect()
-    by_part: dict[int, list[str]] = {i: [] for i in range(spec.num_reducers)}
-    for r in rows:
-        by_part.setdefault(r["part"], []).append(r["line"])
-    # every reducer group gets its file, empty groups included — the
-    # reference's wrap-up produces exactly num_reducers output files
-    for part, lines in by_part.items():
-        path = os.path.join(
-            spec.output_directory, f"outputfile{part + 1:02d}"
-        )
-        with open(path, "w", encoding="utf-8") as f:
-            f.write("\n".join(lines) + ("\n" if lines else ""))
+    staging = os.path.join(spec.output_directory, "_spark_staging")
+    shutil.rmtree(staging, ignore_errors=True)
+    result.write.mode("overwrite").partitionBy("part").text(staging)
+    for part in range(spec.num_reducers):
+        dst = os.path.join(spec.output_directory, f"outputfile{part + 1:02d}")
+        srcs = sorted(glob.glob(os.path.join(staging, f"part={part}", "part-*")))
+        with open(dst, "wb") as out:
+            for src in srcs:
+                with open(src, "rb") as f:
+                    shutil.copyfileobj(f, out)
+    shutil.rmtree(staging, ignore_errors=True)
     return result
 
 

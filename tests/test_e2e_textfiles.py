@@ -113,3 +113,49 @@ def test_submit_mirrors_reference_payload(spark, tmp_path_factory):
     assert result.count() > 0
     parts = [f for f in os.listdir(output_dir) if f.startswith("part-")]
     assert len(parts) == 2
+
+
+def test_cli_submit_entrypoint(tmp_path):
+    """The reference's mapreduce-submit front door as a subprocess:
+    python -m distributed_mapreduce_server_spark.submit with the
+    reference's flags must run the executable job end-to-end and
+    write the outputfileNN layout."""
+    import os
+    import subprocess
+    import sys
+
+    exec_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "distributed_mapreduce_server_spark",
+        "mapreduce",
+        "exec",
+    )
+    indir = tmp_path / "cli_in"
+    indir.mkdir()
+    (indir / "a.txt").write_text("spark counts words\nwords count spark\n")
+    outdir = tmp_path / "cli_out"
+    py = sys.executable
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [
+            py, "-m", "distributed_mapreduce_server_spark.submit",
+            "--input", str(indir),
+            "--output", str(outdir),
+            "--mapper", f"{py} {os.path.join(exec_dir, 'tok_map.py')}",
+            "--reducer", f"{py} {os.path.join(exec_dir, 'sum_reduce.py')}",
+            "--nreducers", "2",
+        ],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "Submitted job to Spark" in proc.stdout
+    files = sorted(os.listdir(outdir))
+    assert files == ["outputfile01", "outputfile02"]
+    counts = {}
+    for f in files:
+        for line in (outdir / f).read_text().splitlines():
+            w, _, n = line.partition("\t")
+            counts[w] = int(n)
+    assert counts == {"spark": 2, "counts": 1, "words": 2, "count": 1}

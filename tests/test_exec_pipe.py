@@ -168,3 +168,33 @@ def test_job_queue_fifo_and_failure_isolation(spark, corpus_dir, tmp_path_factor
     assert final[j1] == JobState.FINISHED
     assert final[j2] == JobState.FAILED and q.error(j2)
     assert final[j3] == JobState.FINISHED
+
+
+def test_submit_exec_empty_reducer_groups_get_files(spark, tmp_path_factory):
+    """More reducers than distinct keys: the surplus reducer groups
+    must still produce their (empty) outputfileNN — the reference
+    manager's wrap-up always emits exactly num_reducers files, and
+    the executor-side write path must preserve that."""
+    from distributed_mapreduce_server_spark.mapreduce.submit import (
+        ExecJobSpec,
+        submit_exec,
+    )
+
+    indir = tmp_path_factory.mktemp("one_key_in")
+    (indir / "a.txt").write_text("solo solo solo\n")
+    outdir = str(tmp_path_factory.mktemp("one_key_out"))
+    submit_exec(
+        spark,
+        ExecJobSpec(
+            input_directory=str(indir),
+            output_directory=outdir,
+            mapper_executable=_cmd("tok_map.py"),
+            reducer_executable=_cmd("sum_reduce.py"),
+            num_reducers=3,
+        ),
+    )
+    files = sorted(os.listdir(outdir))
+    assert files == ["outputfile01", "outputfile02", "outputfile03"]
+    contents = [open(os.path.join(outdir, f), encoding="utf-8").read() for f in files]
+    assert contents[0] == "solo\t3\n"
+    assert contents[1] == "" and contents[2] == ""
