@@ -83,6 +83,61 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fixed-width bucket for the keyless range join: equal to the query
+# interval length, so every interval covers at most 2 buckets
+RANGE_BUCKET_SECONDS = 3600
+
+
+def q_range_join_keyless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS interval join: per purchase, how many view events — by
+    ANY user — fall in the hour before it ([ts - 1h, ts)). No equality
+    key exists, so a plain join degenerates to an O(n^2) nested-loop
+    range predicate.
+
+    The bucketed realization (the variant
+    q_range_join_views_before_purchase's docstring promises): both
+    sides map onto fixed-width epoch buckets (width == interval
+    length, RANGE_BUCKET_SECONDS); each interval explodes into the
+    <= 2 buckets it can touch, the point side keeps its single
+    bucket, and the join runs on the bucket id — a normal shuffle
+    hash join whose candidate fan-out per bucket is |intervals in
+    bucket| x |points in bucket|, bounded by time locality instead of
+    n^2. The exact range predicate then re-filters candidates, so
+    results are exact. Zero-view purchases are restored with a final
+    left join against the aggregated counts (broadcast-sized after
+    aggregation at any corpus scale, since it is one row per
+    purchase... the left join keys on purchase_id, co-partitioned).
+    """
+    events = load_tables(spark, sf_dir, register_views=False)["events"]
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    w = RANGE_BUCKET_SECONDS
+    vb = views.withColumn("bucket", F.floor(F.col("view_ts").cast("long") / w))
+    pe = F.col("purchase_ts").cast("long")
+    pb = purchases.withColumn(
+        "bucket",
+        F.explode(F.array(F.floor((pe - w) / w), F.floor(pe / w))),
+    )
+    cand = pb.join(vb, "bucket").filter(
+        (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("view_ts") < F.col("purchase_ts"))
+    )
+    counts = cand.groupBy("purchase_id").agg(F.count("*").alias("n_views"))
+    return (
+        purchases.join(counts, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            "purchase_ts",
+            F.coalesce(F.col("n_views"), F.lit(0)).alias("n_views_prior_hour"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
 def q_range_join_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: per purchase, how many of the user's view events
     fall in the hour before it ([ts - 1h, ts)).

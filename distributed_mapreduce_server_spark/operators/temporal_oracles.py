@@ -38,4 +38,19 @@ TEMPORAL_ORACLES: dict[str, str] = {
         GROUP BY 1, 2, 3
         ORDER BY purchase_id
     """,
+    # DuckDB's optimizer handles the keyless interval predicate
+    # natively (IEJoin) — exactly the engine-side ground truth the
+    # bucketed Spark realization needs.
+    "q_range_join_keyless": """
+        WITH p AS (SELECT event_id AS purchase_id, ts AS purchase_ts
+                   FROM events WHERE event_type = 'purchase'),
+        v AS (SELECT ts AS view_ts FROM events WHERE event_type = 'view')
+        SELECT purchase_id, purchase_ts,
+               COUNT(view_ts) AS n_views_prior_hour
+        FROM p LEFT JOIN v
+          ON v.view_ts >= p.purchase_ts - INTERVAL 1 HOUR
+         AND v.view_ts < p.purchase_ts
+        GROUP BY 1, 2
+        ORDER BY purchase_id
+    """,
 }

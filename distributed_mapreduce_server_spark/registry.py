@@ -110,6 +110,7 @@ _register(
     [
         "q_asof_last_purchase",
         "q_range_join_views_before_purchase",
+        "q_range_join_keyless",
     ],
 )
 _register(
