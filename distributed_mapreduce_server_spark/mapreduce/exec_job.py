@@ -14,11 +14,14 @@ Semantics preserved:
 - a key's lines all reach one reducer; keys are spread round-robin
   over reducers in sorted-key order (num_reducers output groups).
 
-Deliberate deviation: the reference invokes the mapper once per input
-FILE; Spark pipes once per SPLIT. Identical output for any
-stream-stateless mapper (the streaming contract — both wc_map.sh and
-grep_map.py qualify); a mapper emitting per-invocation
-headers/footers would differ.
+Mapper invocation granularity: by default Spark pipes once per SPLIT
+(identical output for any stream-stateless mapper — the streaming
+contract both wc_map.sh and grep_map.py satisfy, and the faster
+path: splits parallelize inside big files). ``per_file=True`` selects
+the reference's STRICT granularity — the mapper runs exactly once
+per input file with that file's full content on stdin (reference
+worker/__main__.py:137-183) — so stateful mappers emitting
+per-invocation headers/footers match byte-for-byte.
 
 Scale shape: the map pipe is embarrassingly parallel; the rank table
 is distinct-key-sized and built with a shuffle of keys only, then
@@ -33,6 +36,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _pipe_record(cmd: str):
+    """One subprocess invocation per (filename, content) record — the
+    reference worker's per-file mapper contract. Runs executor-side;
+    raises like RDD.pipe's checkCode on a nonzero exit."""
+    import shlex
+    import subprocess
+
+    argv = shlex.split(cmd)
+
+    def run(record):
+        fname, content = record
+        proc = subprocess.run(
+            argv, input=content, capture_output=True, text=True
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"mapper {cmd!r} exited {proc.returncode} on {fname}: "
+                f"{proc.stderr[-500:]}"
+            )
+        return proc.stdout.splitlines()
+
+    return run
+
+
 def run_executable_job(
     spark: SparkSession,
     input_paths: list[str] | str,
@@ -40,16 +67,26 @@ def run_executable_job(
     reducer_cmd: str,
     num_mappers: int = 4,
     num_reducers: int = 1,
+    per_file: bool = False,
 ) -> DataFrame:
     """Run a reference-style executable job; returns a DataFrame of
     ``(part, line)`` — ``part`` is the reducer index (the reference's
-    outputfileNN), ``line`` the reducer's raw stdout line."""
+    outputfileNN), ``line`` the reducer's raw stdout line.
+
+    ``per_file=True``: strict reference granularity — the mapper runs
+    once per input FILE over its whole content (wholeTextFiles, so a
+    file is never split; use for stateful mappers; per-split piping
+    is faster for large files and identical for stateless ones)."""
     sc = spark.sparkContext
     if isinstance(input_paths, list):
         input_paths = ",".join(input_paths)
 
-    lines = sc.textFile(input_paths, minPartitions=num_mappers)
-    mapped = lines.pipe(mapper_cmd, checkCode=True)
+    if per_file:
+        files = sc.wholeTextFiles(input_paths, minPartitions=num_mappers)
+        mapped = files.flatMap(_pipe_record(mapper_cmd))
+    else:
+        lines = sc.textFile(input_paths, minPartitions=num_mappers)
+        mapped = lines.pipe(mapper_cmd, checkCode=True)
 
     keyed = mapped.map(lambda ln: (ln.split("\t", 1)[0], ln))
     # rank of each key in global sorted order -> reducer id (mod R);

@@ -60,6 +60,10 @@ class ExecJobSpec:
     reducer_executable: str
     num_mappers: int = 4
     num_reducers: int = 1
+    # strict reference granularity: mapper invoked once per input file
+    # (reference worker/__main__.py:137-183) — needed only for
+    # stateful mappers; per-split piping is identical for stateless
+    per_file: bool = False
 
 
 def submit_exec(spark: SparkSession, spec: ExecJobSpec) -> DataFrame:
@@ -92,6 +96,7 @@ def submit_exec(spark: SparkSession, spec: ExecJobSpec) -> DataFrame:
         spec.reducer_executable,
         num_mappers=spec.num_mappers,
         num_reducers=spec.num_reducers,
+        per_file=spec.per_file,
     )
     os.makedirs(spec.output_directory, exist_ok=True)
     staging = os.path.join(spec.output_directory, "_spark_staging")

@@ -198,3 +198,38 @@ def test_submit_exec_empty_reducer_groups_get_files(spark, tmp_path_factory):
     contents = [open(os.path.join(outdir, f), encoding="utf-8").read() for f in files]
     assert contents[0] == "solo\t3\n"
     assert contents[1] == "" and contents[2] == ""
+
+
+def test_per_file_mapper_strict_reference_granularity(spark, tmp_path_factory):
+    """A STATEFUL mapper (emits one '__header__\\t1' per invocation)
+    must see exactly one invocation per input file under
+    per_file=True — the reference worker's granularity (reference
+    worker/__main__.py:137-183) — regardless of how many splits the
+    default path would use."""
+    d = tmp_path_factory.mktemp("per_file_in")
+    for i, body in enumerate(["alpha beta\n", "beta gamma\n", "gamma alpha\n"]):
+        (d / f"f{i}.txt").write_text(body)
+    mapper = d / "header_map.py"
+    mapper.write_text(
+        "import sys\n"
+        "print('__header__\\t1')\n"
+        "for line in sys.stdin:\n"
+        "    for tok in line.split():\n"
+        "        print(f'{tok}\\t1')\n"
+    )
+    out = run_executable_job(
+        spark,
+        str(d / "*.txt"),
+        f"{PY} {mapper}",
+        _cmd("sum_reduce.py"),
+        num_mappers=8,  # more splits than files: per-split piping
+        # would emit >3 headers if files were ever split further
+        per_file=True,
+    ).collect()
+    counts = {}
+    for r in out:
+        w, _, n = r["line"].partition("\t")
+        counts[w] = int(n)
+    # exactly one header per input FILE, and token counts intact
+    assert counts["__header__"] == 3
+    assert counts == {"__header__": 3, "alpha": 2, "beta": 2, "gamma": 2}
