@@ -286,6 +286,39 @@ _ORACLES["stream_trending_topk"] = """
 # whose (last_ts + gap) <= the final watermark (max ts - 10min) —
 # equality emits, verified empirically; the oracle applies the same
 # cutoff, with the same (ts, event_id) tie order in both windows.
+# append-mode trending: each sliding window emitted once, when the
+# watermark (max ts - 10min) passes its end — equality emits, same
+# verified predicate as the session-window job; the oracle applies
+# the identical cutoff on window_end = start + 60min.
+_QUERIES["stream_trending_topk_append"] = streaming_jobs.stream_trending_topk_append
+_ORACLES["stream_trending_topk_append"] = """
+    WITH slid AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts)
+                   - o.off * INTERVAL '30 minutes' AS window_start,
+               event_type, value
+        FROM events, (SELECT unnest([0, 1]) AS off) o
+    ),
+    agg AS (
+        SELECT window_start, event_type, COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS win_value
+        FROM slid
+        GROUP BY 1, 2
+    ),
+    wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS watermark FROM events),
+    closed AS (
+        SELECT agg.* FROM agg, wm
+        WHERE window_start + INTERVAL 60 MINUTE <= watermark
+    )
+    SELECT window_start, event_type, n, win_value, rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n DESC, event_type) AS rank
+        FROM closed
+    )
+    WHERE rank <= 3
+    ORDER BY window_start, rank
+""".strip()
 _QUERIES["stream_session_window_native"] = streaming_jobs.stream_session_window_native
 _ORACLES["stream_session_window_native"] = """
     WITH o AS (

@@ -364,6 +364,47 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_trending_topk_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_trending_topk's unbounded-stream form: APPEND mode, so a
+    sliding window is emitted exactly once — when the watermark passes
+    its end — instead of the complete-mode re-emission of all state
+    every trigger (fine under availableNow, quadratic on a live
+    stream). The cost: windows still open at the end of input (end >
+    final watermark) are never emitted; that cutoff is deterministic
+    (window_end <= max_ts - 10min, equality EMITS — same empirically
+    verified predicate as stream_session_window_native), so the oracle
+    replicates it and the job keeps full value parity."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window(
+                "ts",
+                f"{TRENDING_WINDOW_MINUTES} minutes",
+                f"{TRENDING_SLIDE_MINUTES} minutes",
+            ),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("win_value"))
+    )
+    out = _run_to_memory(agg, "append")
+    from pyspark.sql.window import Window
+
+    rk = Window.partitionBy("window").orderBy(F.desc("n"), "event_type")
+    return (
+        out.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= TRENDING_TOP_K)
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            fround(F.col("win_value"), 2).alias("win_value"),
+            "rank",
+        )
+        .orderBy("window_start", "rank")
+    )
+
+
 def stream_upsert_foreachbatch(
     spark: SparkSession,
     sf_dir: str,
