@@ -405,6 +405,85 @@ def stream_trending_topk_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+UPSERT_BUCKETS = 16
+
+
+def upsert_apply_batch(state_dir: str):
+    """foreachBatch body for the hash-bucketed CDC upsert sink
+    (module-level so tests can drive micro-batches directly).
+
+    Per batch: reduce to per-key latest, tag each row with
+    bucket = hash(user_id) mod UPSERT_BUCKETS, read back only the
+    touched ``bucket=N`` partitions of the state table (the filter is
+    on the hive partition column, so pruning happens at file listing
+    — untouched buckets are never opened), merge, write the touched
+    buckets to a staging dir, and swap exactly those bucket
+    directories in. Untouched bucket files keep their identity
+    (mtime-asserted in tests)."""
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("user_id"), F.lit(UPSERT_BUCKETS)).cast("int"),
+            )
+        )
+        latest = latest.persist()
+        touched = sorted(
+            r["bucket"] for r in latest.select("bucket").distinct().collect()
+        )
+        if not touched:  # empty micro-batch: nothing to rewrite
+            latest.unpersist()
+            return
+        if os.path.isdir(state_dir):
+            # partition-pruned read: only the touched bucket dirs
+            current = sess.read.parquet(state_dir).filter(
+                F.col("bucket").isin(touched)
+            )
+            merged = (
+                current.unionByName(latest)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+        else:
+            merged = latest
+        tmp = state_dir + ".next"
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        latest.unpersist()
+        if os.path.isdir(state_dir):
+            # install ONLY the touched bucket dirs; everything else in
+            # the live table is left untouched on disk
+            for b in touched:
+                src = os.path.join(tmp, f"bucket={b}")
+                dst = os.path.join(state_dir, f"bucket={b}")
+                old = dst + "._old"
+                if os.path.exists(old):
+                    shutil.rmtree(old)
+                if os.path.isdir(dst):
+                    os.replace(dst, old)
+                os.replace(src, dst)
+                if os.path.isdir(old):
+                    shutil.rmtree(old)
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            os.replace(tmp, state_dir)
+
+    return apply_batch
+
+
 def stream_upsert_foreachbatch(
     spark: SparkSession,
     sf_dir: str,
@@ -416,12 +495,18 @@ def stream_upsert_foreachbatch(
     parquet — the production sink pattern when the target store has no
     native streaming writer (JDBC, Delta-less parquet, KV stores).
 
-    Each micro-batch reduces to its per-key latest, unions with the
-    current table, and rewrites the compacted state (read-merge-write;
-    a Delta/Iceberg MERGE INTO would replace the rewrite at real
-    scale, the reduce-then-merge shape is identical). The final table
-    must equal the batch q_events_latest_per_key — that operator's
-    oracle verifies this job end-to-end.
+    The state table is laid out in UPSERT_BUCKETS hash partitions of
+    the upsert key (hive dirs ``bucket=N``). Each micro-batch reduces
+    to its per-key latest, computes which buckets it touches, reads
+    back ONLY those partitions (partition pruning on the bucket
+    column), merges, and swaps ONLY those bucket directories —
+    untouched buckets are never read or rewritten (tests assert their
+    files' mtimes are byte-identical across batches). This is the
+    plain-parquet realization of MERGE INTO's file pruning: per-batch
+    work scales with the batch's key spread, not the accumulated
+    state size. The final table must equal the batch
+    q_events_latest_per_key — that operator's oracle verifies this
+    job end-to-end.
 
     Pass ``state_dir``/``checkpoint_dir`` to make the job resumable:
     re-running against the same checkpoint is a no-op (the file
@@ -444,41 +529,8 @@ def stream_upsert_foreachbatch(
         "user_id", "event_type", "event_id", "ts", "value"
     )
 
-    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        sess = batch_df.sparkSession
-        w = Window.partitionBy("user_id", "event_type").orderBy(
-            F.desc("ts"), F.desc("event_id")
-        )
-        latest = (
-            batch_df.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-        )
-        if os.path.isdir(state_dir):
-            current = sess.read.parquet(state_dir)
-            merged = (
-                current.unionByName(latest)
-                .withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .drop("rn")
-            )
-        else:
-            merged = latest
-        # rewrite to a temp dir then swap: the read above streams from
-        # the same path being replaced
-        tmp = state_dir + ".next"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(state_dir):
-            from distributed_mapreduce_server_spark.sources import swap_dataset_dir
-
-            swap_dataset_dir(tmp, state_dir)
-        else:
-            os.replace(tmp, state_dir)
-
-    from pyspark.sql.window import Window
-
     q = (
-        ev.writeStream.foreachBatch(apply_batch)
+        ev.writeStream.foreachBatch(upsert_apply_batch(state_dir))
         .option(
             "checkpointLocation",
             checkpoint_dir

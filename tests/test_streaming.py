@@ -161,3 +161,76 @@ def test_upsert_sink_checkpoint_restart_is_noop(spark, sf_smoke, tmp_path_factor
 
     assert rows1 == rows2
     assert listing1 == listing2 and mtimes1 == mtimes2
+
+
+def test_upsert_rewrites_only_touched_buckets(spark, sf_smoke, tmp_path_factory):
+    """Partition-pruned CDC apply: a micro-batch touching one user must
+    rewrite only that user's hash bucket — every other bucket=N dir's
+    files keep their exact paths and mtimes — while the merged state
+    still equals latest-per-key over both batches."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_server_spark.catalog import load_tables
+    from distributed_mapreduce_server_spark.streaming.jobs import (
+        UPSERT_BUCKETS,
+        upsert_apply_batch,
+    )
+
+    state = str(tmp_path_factory.mktemp("bucketed_state") / "state")
+    apply_batch = upsert_apply_batch(state)
+    ev = load_tables(spark, sf_smoke, register_views=False)["events"].select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    one_user = ev.select("user_id").first()["user_id"]
+
+    apply_batch(ev, 0)  # seed: full table -> all buckets exist
+    def snapshot():
+        files = {}
+        for b in range(UPSERT_BUCKETS):
+            d = os.path.join(state, f"bucket={b}")
+            if os.path.isdir(d):
+                for f in os.listdir(d):
+                    p = os.path.join(d, f)
+                    files[p] = os.path.getmtime(p)
+        return files
+
+    before = snapshot()
+    # strictly newer event_ids: the merge tie-break is (ts desc,
+    # event_id desc), so reusing identical (ts, event_id) pairs would
+    # make the winner between old and new rows nondeterministic
+    batch2 = (
+        ev.filter(F.col("user_id") == one_user)
+        .withColumn("event_id", F.col("event_id") + F.lit(10_000_000))
+        .withColumn("value", F.col("value") + 1000.0)
+    )
+    apply_batch(batch2, 1)
+    after = snapshot()
+
+    touched_bucket = batch2.select(
+        F.pmod(F.xxhash64("user_id"), F.lit(UPSERT_BUCKETS)).cast("int").alias("b")
+    ).first()["b"]
+    untouched_before = {p: m for p, m in before.items() if f"bucket={touched_bucket}" + os.sep not in p}
+    untouched_after = {p: m for p, m in after.items() if f"bucket={touched_bucket}" + os.sep not in p}
+    assert untouched_before == untouched_after  # identical paths AND mtimes
+    assert any(f"bucket={touched_bucket}" + os.sep in p for p in after)
+
+    # and the state is still exactly latest-per-key over both batches
+    from pyspark.sql.window import Window
+
+    merged_input = ev.unionByName(batch2)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    expect = {
+        (r["user_id"], r["event_type"]): (r["event_id"], r["value"])
+        for r in merged_input.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    got = {
+        (r["user_id"], r["event_type"]): (r["event_id"], r["value"])
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got == expect
