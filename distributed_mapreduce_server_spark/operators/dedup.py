@@ -200,6 +200,62 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 NGRAM_DF_CAP = 16
 
 
+# incremental-ingest split: documents below the cutoff (the first 4/5
+# of the id space) act as the already-ingested historical index
+INCR_INDEX_FRACTION = (4, 5)
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup — the shape a 100 TB pipeline actually
+    runs day-to-day: dedup a NEW BATCH of documents against the
+    historical fingerprint index (plus within-batch), without ever
+    re-deduping the historical corpus itself.
+
+    The first 4/5 of the doc_id space stands in for the index; each
+    new-batch doc gets a status: 'dup_of_index' (fingerprint already
+    ingested), 'dup_in_batch' (an earlier new doc has it), or 'kept'.
+
+    Scale shape: the index side is fingerprints ONLY (16-byte md5 per
+    historical doc — the stored dedup index, never the text), the
+    join is key-partitioned on fingerprint, and the within-batch
+    window shuffles just the (small) new batch. Per-day cost scales
+    with the batch, not the corpus.
+    """
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    num, den = INCR_INDEX_FRACTION
+    fp = docs.select(
+        "doc_id", F.md5(F.array_join(tokens("text"), " ")).alias("fingerprint")
+    )
+    # explicit floor: Spark's long cast truncates but DuckDB's rounds,
+    # so both engines floor before casting
+    cut = docs.agg(
+        F.floor(((F.max("doc_id") + 1) * num) / den).cast("long").alias("cutoff")
+    )
+    fpx = fp.crossJoin(F.broadcast(cut))
+    index_fps = (
+        fpx.filter(F.col("doc_id") < F.col("cutoff"))
+        .select("fingerprint")
+        .distinct()
+        .withColumn("in_index", F.lit(True))
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    batch = (
+        fpx.filter(F.col("doc_id") >= F.col("cutoff"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return (
+        batch.join(index_fps, "fingerprint", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("in_index"), F.lit("dup_of_index"))
+            .when(F.col("rn") > 1, F.lit("dup_in_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _ngram_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(pairs, shingles): jaccard >= 0.8 pairs plus the persisted shingle
     frame they read from. Caller must materialize pairs, then unpersist

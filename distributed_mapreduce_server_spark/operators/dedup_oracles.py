@@ -259,3 +259,31 @@ DEDUP_ORACLES["dedup_semantic_keep"] = f"""
     WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
     ORDER BY d.doc_id
 """
+
+from distributed_mapreduce_server_spark.operators.dedup import (  # noqa: E402
+    INCR_INDEX_FRACTION,
+)
+
+_INCR_NUM, _INCR_DEN = INCR_INDEX_FRACTION
+DEDUP_ORACLES["dedup_incremental"] = f"""
+    WITH fp AS (
+        SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS fingerprint
+        FROM documents
+    ),
+    cut AS (SELECT CAST(FLOOR(((MAX(doc_id) + 1) * {_INCR_NUM})
+                              / {_INCR_DEN}) AS BIGINT) AS cutoff
+            FROM documents),
+    idx AS (SELECT DISTINCT fingerprint FROM fp, cut WHERE doc_id < cutoff),
+    batch AS (
+        SELECT doc_id, fingerprint,
+               ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                  ORDER BY doc_id) AS rn
+        FROM fp, cut WHERE doc_id >= cutoff
+    )
+    SELECT b.doc_id,
+           CASE WHEN i.fingerprint IS NOT NULL THEN 'dup_of_index'
+                WHEN b.rn > 1 THEN 'dup_in_batch'
+                ELSE 'kept' END AS status
+    FROM batch b LEFT JOIN idx i USING (fingerprint)
+    ORDER BY b.doc_id
+"""

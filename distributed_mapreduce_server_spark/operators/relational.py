@@ -1115,3 +1115,43 @@ def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name", "n_parts_dominated")
         .orderBy(F.desc("n_parts_dominated"), "s_name")
     )
+
+
+def q_rolling_revenue_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer 30-day rolling revenue — a RANGE window frame over
+    event time (every order sees the sum of the same customer's orders
+    in the trailing 30 days, ties-by-timestamp included), the frame
+    shape the ROWS-based windows elsewhere can't express when rows per
+    time unit vary.
+
+    Spark has no RANGE-over-interval frame, so the order date is cast
+    to epoch seconds and the frame is rangeBetween(-30 days, 0) on
+    that monotone key — value-identical to DuckDB's native
+    ``RANGE BETWEEN INTERVAL 30 DAYS PRECEDING``. Revenue sums in
+    DECIMAL(18,2) (exact, engine-order-independent — the q_orders_yoy
+    pattern), cast to double only for the verified output. One keyed
+    shuffle (the per-customer window); each customer's orders stay a
+    single sorted run at any skew."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    orders = t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.col("o_orderdate").cast("long").alias("ts_sec"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("ts_sec")
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return (
+        orders.withColumn(
+            "rolling_30d_revenue",
+            F.sum("price").over(w).cast("double"),
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate", "rolling_30d_revenue")
+        .orderBy("o_orderkey")
+    )

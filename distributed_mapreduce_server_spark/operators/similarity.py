@@ -530,3 +530,35 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(project, schema)
         .orderBy("vec_id")
     )
+
+
+def emb_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-backfill coverage audit: per document source, how many
+    docs have an embedding row (doc_id == vec_id) and the coverage
+    fraction — the monitoring table a pipeline watches while an
+    embedding backfill crawls a 100 TB corpus (dedup_semantic_keep
+    documents the partial-coverage semantics this audit quantifies).
+
+    Scale shape: a key-partitioned left join of ids only (no text, no
+    vectors cross the shuffle) followed by a map-side-combined
+    aggregation down to one row per source."""
+    tables = load_tables(spark, sf_dir, register_views=False)
+    docs = tables["documents"].select("doc_id", "source")
+    emb_ids = tables["embeddings"].select(
+        F.col("vec_id").alias("doc_id"), F.lit(True).alias("embedded")
+    )
+    return (
+        docs.join(emb_ids, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("embedded").alias("n_embedded"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_embedded",
+            fround(F.col("n_embedded") / F.col("n_docs"), 4).alias("coverage"),
+        )
+        .orderBy("source")
+    )

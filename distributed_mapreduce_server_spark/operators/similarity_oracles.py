@@ -171,3 +171,14 @@ SIMILARITY_ORACLES["emb_covariance"] = """
     JOIN mu mj ON mj.dim = s.j
     ORDER BY s.i, s.j
 """
+
+
+SIMILARITY_ORACLES["emb_coverage"] = """
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           COUNT(e.vec_id) AS n_embedded,
+           ROUND(COUNT(e.vec_id) / CAST(COUNT(*) AS DOUBLE), 4) AS coverage
+    FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.source
+    ORDER BY d.source
+"""

@@ -759,3 +759,121 @@ def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def text_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle — the training-order
+    permutation step before sharding a dataset for a run. Each doc's
+    shuffle key is md5(doc_id); the output position is its global
+    1-based rank under that key. Hash-keyed (not rand()) so the
+    permutation is reproducible across runs, engines, and
+    partitionings.
+
+    Scale shape — two-phase distributed ranking (a global-partition
+    ``row_number`` window would collapse everything onto ONE task):
+    range-partition on the shuffle key (sampled quantile boundaries,
+    the mr_distributed_sort machinery), count rows per partition (a
+    partition-count-sized collect — bounded by cluster width, never
+    data size), broadcast the cumulative offsets back, and rank
+    WITHIN each partition in parallel. Output values are independent
+    of where the sampled range boundaries land, so the result is
+    deterministic even though the partitioning isn't.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    n_parts = spark.sparkContext.defaultParallelism
+    keyed = docs.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("shuffle_key")
+    )
+    tagged = (
+        keyed.repartitionByRange(n_parts, "shuffle_key", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in tagged.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off = spark.createDataFrame(offsets or [(0, 0)], "pid int, offset long")
+    w = Window.partitionBy("pid").orderBy("shuffle_key", "doc_id")
+    out = (
+        tagged.join(F.broadcast(off), "pid")
+        .select(
+            (F.row_number().over(w) + F.col("offset")).alias("position"),
+            "doc_id",
+            "shuffle_key",
+        )
+        .orderBy("position")
+    )
+    out = out.persist()
+    out.count()
+    tagged.unpersist()
+    return out
+
+
+# equalizing mixture: each source's token budget is the mean source
+# size; bigger sources are hash-downsampled toward it, smaller ones
+# keep everything (rate capped at 1)
+MIXTURE_RATE_GRID = 10_000
+
+
+def text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling — the step that turns a raw
+    domain mix into the training mixture: each source gets a token
+    budget (here: the mean source size, i.e. equalize domains), and
+    oversized sources are DETERMINISTICALLY downsampled to their
+    budget by hashing doc_id against the source's keep-rate. Hash
+    selection (not rand()) keeps the sampled corpus stable across
+    runs, engines, and repartitioning, and is scan-speed at 100 TB.
+
+    Output: per-source audit row — keep rate on a 1/10000 grid,
+    docs/tokens kept. The same predicate filters the full corpus in a
+    real run; aggregating here keeps the verified result small while
+    the oracle checks every per-doc keep decision arithmetically.
+    """
+    from distributed_mapreduce_server_spark.functions import md5_u60
+
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    per_doc = docs.select(
+        "doc_id", "source", F.size(tokens("text")).alias("n_tok")
+    )
+    per_src = per_doc.groupBy("source").agg(F.sum("n_tok").alias("src_tokens"))
+    budget = per_src.agg(
+        F.floor(F.avg("src_tokens")).cast("long").alias("budget")
+    )
+    rates = per_src.crossJoin(F.broadcast(budget)).select(
+        "source",
+        F.least(
+            F.lit(MIXTURE_RATE_GRID),
+            F.floor(F.lit(MIXTURE_RATE_GRID) * F.col("budget") / F.col("src_tokens"))
+            .cast("long"),
+        ).alias("keep_grid"),
+    )
+    kept = (
+        per_doc.join(F.broadcast(rates), "source")
+        .withColumn(
+            "keep",
+            md5_u60(F.col("doc_id").cast("string")) % MIXTURE_RATE_GRID
+            < F.col("keep_grid"),
+        )
+        .filter(F.col("keep"))
+    )
+    return (
+        kept.groupBy("source", "keep_grid")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("n_tok").alias("tokens_kept"),
+        )
+        .select(
+            "source",
+            fround(F.col("keep_grid") / MIXTURE_RATE_GRID, 4).alias("keep_rate"),
+            "n_docs_kept",
+            "tokens_kept",
+        )
+        .orderBy("source")
+    )

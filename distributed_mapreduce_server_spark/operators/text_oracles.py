@@ -427,3 +427,43 @@ def _c4_oracle() -> str:
 
 
 TEXT_ORACLES["text_c4_filters"] = _c4_oracle()
+
+
+TEXT_ORACLES["text_global_shuffle"] = """
+    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS position,
+           doc_id,
+           md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents
+    ORDER BY position
+"""
+
+from distributed_mapreduce_server_spark.operators.text import (  # noqa: E402
+    MIXTURE_RATE_GRID,
+)
+
+_U60_DOC = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+TEXT_ORACLES["text_mixture_sample"] = f"""
+    WITH per_doc AS (
+        SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    per_src AS (SELECT source, SUM(n_tok) AS src_tokens FROM per_doc GROUP BY source),
+    budget AS (SELECT CAST(FLOOR(AVG(src_tokens)) AS BIGINT) AS budget FROM per_src),
+    rates AS (
+        SELECT source,
+               LEAST(CAST({MIXTURE_RATE_GRID} AS BIGINT),
+                     CAST(FLOOR({MIXTURE_RATE_GRID} * budget
+                                / CAST(src_tokens AS DOUBLE)) AS BIGINT))
+                   AS keep_grid
+        FROM per_src, budget
+    )
+    SELECT d.source,
+           ROUND(r.keep_grid / CAST({MIXTURE_RATE_GRID} AS DOUBLE), 4) AS keep_rate,
+           COUNT(*) AS n_docs_kept,
+           CAST(SUM(d.n_tok) AS BIGINT) AS tokens_kept
+    FROM per_doc d JOIN rates r USING (source)
+    WHERE {_U60_DOC} % {MIXTURE_RATE_GRID} < r.keep_grid
+    GROUP BY 1, 2
+    ORDER BY d.source
+"""

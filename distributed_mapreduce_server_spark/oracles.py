@@ -442,6 +442,20 @@ RELATIONAL_ORACLES: dict[str, str] = {
         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
         ORDER BY c_nationkey, c_custkey
     """,
+    # DECIMAL sums are exact in both engines, so the RANGE-frame
+    # rolling sum needs no rounding tolerance; DuckDB's native
+    # interval frame == Spark's rangeBetween on epoch seconds
+    # (monotone key, 30 days = 2592000 s exactly).
+    "q_rolling_revenue_30d": """
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 30 DAYS PRECEDING
+                             AND CURRENT ROW) AS DOUBLE)
+                   AS rolling_30d_revenue
+        FROM orders
+        ORDER BY o_orderkey
+    """,
 }
 
 EVENTS_ORACLES: dict[str, str] = {

@@ -87,6 +87,7 @@ _register(
         "q2_min_cost_supplier",
         "q11_important_parts",
         "q20_promo_suppliers",
+        "q_rolling_revenue_30d",
     ],
 )
 _register(
@@ -125,6 +126,7 @@ _register(
         "dedup_clusters",
         "dedup_keep_canonical",
         "dedup_semantic_keep",
+        "dedup_incremental",
     ],
 )
 _register(
@@ -141,6 +143,7 @@ _register(
         "emb_kmeans",
         "emb_covariance",
         "emb_pca_project",
+        "emb_coverage",
     ],
 )
 _register(
@@ -168,6 +171,8 @@ _register(
         "text_pii_scrub",
         "text_sequence_packing",
         "text_c4_filters",
+        "text_global_shuffle",
+        "text_mixture_sample",
     ],
 )
 _register(

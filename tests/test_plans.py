@@ -93,6 +93,8 @@ DELIBERATE_NESTED_LOOP = {
     "q11_important_parts",  # 1-row broadcast grand-total cross-join
     "q_shuffle_key_skew",  # 1-row broadcast stats cross-join
     "mm_modality_mix",  # 1-row broadcast corpus-bytes cross-join
+    "dedup_incremental",  # 1-row broadcast id-cutoff cross-join
+    "text_mixture_sample",  # 1-row broadcast token-budget cross-join
 }
 
 # Streaming / iterative ops execute eagerly inside the callable; the
