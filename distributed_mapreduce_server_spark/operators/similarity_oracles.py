@@ -182,3 +182,103 @@ SIMILARITY_ORACLES["emb_coverage"] = """
     GROUP BY d.source
     ORDER BY d.source
 """
+
+
+from distributed_mapreduce_server_spark.operators.similarity import (  # noqa: E402
+    PQ_K,
+    PQ_M,
+    PQ_SUB_DIM,
+)
+
+_PQ_CODE_COLS = ",\n           ".join(
+    f"MAX(CASE WHEN m = {m} THEN cid END) AS code{m}" for m in range(PQ_M)
+)
+SIMILARITY_ORACLES["emb_pq_quantize"] = f"""
+    WITH cen AS (
+        SELECT vec_id AS cid, embedding AS c
+        FROM embeddings
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
+    ),
+    d AS (
+        SELECT x.vec_id, sub.m, cen.cid,
+               ROUND(list_sum(list_transform(range(1, {PQ_SUB_DIM} + 1),
+                   i -> (CAST(x.embedding[sub.m * {PQ_SUB_DIM} + i] AS DOUBLE)
+                         - CAST(cen.c[sub.m * {PQ_SUB_DIM} + i] AS DOUBLE))
+                        * (CAST(x.embedding[sub.m * {PQ_SUB_DIM} + i] AS DOUBLE)
+                           - CAST(cen.c[sub.m * {PQ_SUB_DIM} + i] AS DOUBLE)))),
+                     4) AS dist
+        FROM embeddings x, cen,
+             (SELECT unnest(range(0, {PQ_M})) AS m) sub
+    ),
+    best AS (
+        SELECT vec_id, m, cid, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist, cid) AS rn
+        FROM d
+    )
+    SELECT vec_id,
+           {_PQ_CODE_COLS},
+           ROUND(SUM(dist), 4) AS recon_err
+    FROM best WHERE rn = 1
+    GROUP BY vec_id
+    ORDER BY vec_id
+"""
+
+
+from distributed_mapreduce_server_spark.operators.similarity import TOP_K as _PQ_TOP_K  # noqa: E402
+
+
+def _pq_subdist(vec: str, cen: str) -> str:
+    """Rounded squared distance between subspace m of ``vec`` and
+    ``cen`` — shared by the PQ encoder and the ADC LUT so the two can
+    never diverge."""
+    a = f"CAST({vec}[sub.m * {PQ_SUB_DIM} + i] AS DOUBLE)"
+    b = f"CAST({cen}[sub.m * {PQ_SUB_DIM} + i] AS DOUBLE)"
+    return (
+        f"ROUND(list_sum(list_transform(range(1, {PQ_SUB_DIM} + 1), "
+        f"i -> ({a} - {b}) * ({a} - {b}))), 4)"
+    )
+
+
+SIMILARITY_ORACLES["sim_pq_adc_ann"] = f"""
+    WITH cen AS (
+        SELECT vec_id AS cid, embedding AS c
+        FROM embeddings
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
+    ),
+    subs AS (SELECT unnest(range(0, {PQ_M})) AS m),
+    d AS (
+        SELECT x.vec_id, sub.m, cen.cid,
+               {_pq_subdist('x.embedding', 'cen.c')} AS dist
+        FROM embeddings x, cen, subs sub
+        WHERE x.vec_id >= {N_QUERIES}
+    ),
+    codes AS (
+        SELECT vec_id, m, cid FROM (
+            SELECT vec_id, m, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dist, cid) AS rn
+            FROM d
+        ) WHERE rn = 1
+    ),
+    lut AS (
+        SELECT q.vec_id AS query_id, sub.m, cen.cid,
+               {_pq_subdist('q.embedding', 'cen.c')} AS ldist
+        FROM embeddings q, cen, subs sub
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    adc AS (
+        SELECT l.query_id, c.vec_id AS neighbor_id,
+               ROUND(SUM(l.ldist), 4) AS adc_dist
+        FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.cid
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_dist, rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist, neighbor_id) AS rank
+        FROM adc
+    )
+    WHERE rank <= {_PQ_TOP_K}
+    ORDER BY query_id, rank
+"""

@@ -144,6 +144,8 @@ _register(
         "emb_covariance",
         "emb_pca_project",
         "emb_coverage",
+        "emb_pq_quantize",
+        "sim_pq_adc_ann",
     ],
 )
 _register(

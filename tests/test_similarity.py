@@ -108,3 +108,43 @@ def test_pca_projection_invariants(spark, sf_dir):
     vals = np.sort(np.linalg.eigvalsh(C))[::-1]
     assert abs(v1 - vals[0]) / vals[0] < 0.02
     assert abs(v2 - vals[1]) / vals[1] < 0.02
+
+
+def test_pq_centroid_vectors_reconstruct_exactly(spark, sf_dir):
+    """A codebook vector must encode to ITSELF in every subspace
+    (sub-distance 0 -> own id wins every argmin), giving zero
+    reconstruction error — the fixed point of the quantizer."""
+    from distributed_mapreduce_server_spark.operators.similarity import (
+        N_QUERIES,
+        PQ_K,
+        PQ_M,
+        emb_pq_quantize,
+    )
+
+    rows = {r["vec_id"]: r for r in emb_pq_quantize(spark, sf_dir).collect()}
+    for cid in range(N_QUERIES, N_QUERIES + PQ_K):
+        r = rows[cid]
+        assert r["recon_err"] == 0.0, (cid, r["recon_err"])
+        for m in range(PQ_M):
+            assert r[f"code{m}"] == cid
+
+
+def test_pq_adc_topk_shape_and_monotone(spark, sf_dir):
+    """Every query returns exactly TOP_K neighbors with non-decreasing
+    ADC distance and dense ranks 1..K."""
+    from distributed_mapreduce_server_spark.operators.similarity import (
+        TOP_K,
+        sim_pq_adc_ann,
+    )
+
+    rows = sim_pq_adc_ann(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert by_q
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, TOP_K + 1))
+        dists = [r["adc_dist"] for r in rs]
+        assert dists == sorted(dists)
+        assert all(d >= 0 for d in dists)
