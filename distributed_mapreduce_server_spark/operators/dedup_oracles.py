@@ -287,3 +287,8 @@ DEDUP_ORACLES["dedup_incremental"] = f"""
     FROM batch b LEFT JOIN idx i USING (fingerprint)
     ORDER BY b.doc_id
 """
+
+# prefix filtering is candidate-generation only — verification is the
+# exact jaccard, so its result set IS dedup_ngram_jaccard's: one
+# oracle object serves both (edits can't desynchronize them).
+DEDUP_ORACLES["dedup_prefix_filter_jaccard"] = DEDUP_ORACLES["dedup_ngram_jaccard"]

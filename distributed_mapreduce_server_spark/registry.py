@@ -127,6 +127,7 @@ _register(
         "dedup_keep_canonical",
         "dedup_semantic_keep",
         "dedup_incremental",
+        "dedup_prefix_filter_jaccard",
     ],
 )
 _register(
