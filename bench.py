@@ -45,6 +45,16 @@ HEADLINE = [
     "text_pii_scrub",
     "text_sequence_packing",
     "emb_covariance",
+    # round-3 additions
+    "q_range_join_keyless",
+    "q_rolling_revenue_30d",
+    "dedup_incremental",
+    "dedup_prefix_filter_jaccard",
+    "text_global_shuffle",
+    "text_mixture_sample",
+    "emb_pq_quantize",
+    "sim_pq_adc_ann",
+    "emb_coverage",
 ]
 
 

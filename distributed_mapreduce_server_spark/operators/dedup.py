@@ -516,10 +516,17 @@ def _embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     reassociates the 64-term sums, which moves values only ~1e-15
     relative — far below the 1e-4 rounding grid.
     """
+    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
+    return _blocked_cosine_pairs(spark, emb)
+
+
+def _blocked_cosine_pairs(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """The blocked pair-matmul kernel over any (vec_id, embedding)
+    frame — _embedding_cosine_pairs runs it on the full table, the
+    composed corpus pipelines on their surviving subset."""
     import numpy as np
     import pandas as pd
 
-    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
     B = COSINE_BLOCKS
     grid = [(a * B + b, a, b) for a in range(B) for b in range(a, B)]
     a_side = spark.createDataFrame([(p, a) for p, a, _ in grid], "pid int, blk int")

@@ -877,3 +877,78 @@ def text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def text_corpus_pipeline_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_pipeline v3 — the full modern LLM-corpus build: quality
+    filter -> exact-dedup canonical keep -> MinHash-LSH near-dup
+    removal -> SemDedup-style SEMANTIC dedup (drop any survivor whose
+    embedding near-dups an earlier surviving doc; un-embedded docs
+    pass) -> deterministic hash train/val split, reported per
+    (split, lang).
+
+    Composition at scale: every stage runs on the PREVIOUS stage's
+    survivors, so the expensive stages see the least data — the
+    semantic stage's blocked pair-matmul (dedup._blocked_cosine_pairs,
+    distributed, collect-free) only embeds-joins the docs that made it
+    through the cheap filters. Full DuckDB oracle composed from the
+    same minhash-pairs SQL and cosine fragment the standalone
+    operators verify against."""
+    from distributed_mapreduce_server_spark.functions import md5_u60
+    from distributed_mapreduce_server_spark.operators.dedup import (
+        COSINE_DEDUP_T,
+        _blocked_cosine_pairs,
+        _minhash_pairs_from,
+    )
+    from pyspark.sql.window import Window
+
+    tables = load_tables(spark, sf_dir, register_views=False)
+    docs = tables["documents"]
+    q = _quality_exprs()
+    enriched = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(q["toks"]).alias("n_tokens"),
+        F.md5(F.array_join(q["toks"], " ")).alias("fp"),
+        fround(q["quality"], 4).alias("quality"),
+    ).filter(F.col("quality") >= QUALITY_KEEP_T)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    canon = (
+        enriched.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .persist()
+    )
+    canon.count()
+
+    near_pairs, e = _minhash_pairs_from(spark, canon.select("doc_id", "text"))
+    near_dropped = near_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    survivors = canon.join(near_dropped, "doc_id", "left_anti").persist()
+    survivors.count()
+    e.unpersist()
+
+    emb_s = tables["embeddings"].join(
+        survivors.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    ).select("vec_id", "embedding")
+    sem_pairs = _blocked_cosine_pairs(spark, emb_s).filter(
+        F.col("cos_sim") >= COSINE_DEDUP_T
+    )
+    sem_dropped = sem_pairs.select(F.col("vec_b").alias("doc_id")).distinct()
+    final = survivors.join(sem_dropped, "doc_id", "left_anti")
+
+    bucket = md5_u60(F.col("doc_id").cast("string")) % 100
+    split = F.when(bucket < SPLIT_PCT_VAL, F.lit("val")).otherwise(F.lit("train"))
+    out = (
+        final.select(split.alias("split"), "lang", "n_tokens")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+    out = out.persist()
+    out.count()
+    survivors.unpersist()
+    canon.unpersist()
+    return out.orderBy("split", "lang")

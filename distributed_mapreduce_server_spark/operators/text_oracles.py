@@ -467,3 +467,42 @@ TEXT_ORACLES["text_mixture_sample"] = f"""
     GROUP BY 1, 2
     ORDER BY d.source
 """
+
+
+# v3 semantic stage reuses dedup_oracles' cosine fragment so the
+# pipeline and the standalone dedup_semantic_keep can never diverge.
+from distributed_mapreduce_server_spark.operators.dedup import (  # noqa: E402
+    COSINE_DEDUP_T as _SEM_T,
+)
+from distributed_mapreduce_server_spark.operators.dedup_oracles import (  # noqa: E402
+    _COS_AB,
+    minhash_pairs_sql,
+)
+
+TEXT_ORACLES["text_corpus_pipeline_semantic"] = f"""
+    WITH {_canon_cte(keep_text=True)},
+    near_pairs AS (SELECT * FROM {minhash_pairs_sql("canon")} p),
+    survivors AS (
+        SELECT * FROM canon
+        WHERE doc_id NOT IN (SELECT doc_b FROM near_pairs)
+    ),
+    sem_pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM embeddings a
+        JOIN survivors sa ON sa.doc_id = a.vec_id
+        JOIN embeddings b ON a.vec_id < b.vec_id
+        JOIN survivors sb ON sb.doc_id = b.vec_id
+        WHERE {_COS_AB} >= {_SEM_T}
+    ),
+    final AS (
+        SELECT * FROM survivors
+        WHERE doc_id NOT IN (SELECT vb FROM sem_pairs)
+    )
+    SELECT {_SPLIT_CASE} AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM final
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""

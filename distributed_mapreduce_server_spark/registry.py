@@ -176,6 +176,7 @@ _register(
         "text_c4_filters",
         "text_global_shuffle",
         "text_mixture_sample",
+        "text_corpus_pipeline_semantic",
     ],
 )
 _register(

@@ -113,6 +113,8 @@ EAGER_OPS = {
     "dedup_keep_canonical",
     "emb_kmeans",
     "text_corpus_pipeline_neardup",
+    "text_corpus_pipeline_semantic",
+    "text_global_shuffle",  # partition-offset collect runs eagerly
     "mr_exec_wordcount",  # RDD pipe job: zipWithIndex runs eagerly
     "mr_exec_grep",  # RDD pipe job: zipWithIndex runs eagerly
     "emb_pca_project",  # driver spectral solve at plan time
