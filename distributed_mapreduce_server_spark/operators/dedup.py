@@ -4,10 +4,13 @@ Five dedup strategies, all avoiding O(n²) at scale:
 
 - exact: hash-groupBy on a normalized fingerprint (one shuffle).
 - ngram_jaccard: candidate pairs via an inverted shingle index
-  (self-join on shingle hash, document-frequency-capped so no
-  corpus-common shingle becomes a quadratic hot bucket), so only
-  docs *sharing* a rare shingle are compared — never the full cross
-  product; scores are exact jaccard over the full shingle sets.
+  (self-join on shingle hash), so only docs *sharing* a shingle are
+  compared — never the full cross product. The exact baseline.
+- prefix_filter_jaccard: the same result through SSJoin prefix
+  filtering — each doc indexes only its rarest-shingle prefix, which
+  hard-bounds bucket fan-out (no corpus-common "stop phrase" can go
+  quadratic) and cuts candidates 9.5x with zero recall loss; the
+  recommended exact form at 100 TB.
 - minhash_lsh: 16 MinHash permutations -> 4 bands x 4 rows; only
   docs colliding in a band bucket are verified. The scale path: at
   100 TB the band join touches a tiny fraction of pairs.
@@ -189,17 +192,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# candidate-generation document-frequency cap: shingles occurring in
-# more than this many documents are dropped from the inverted-index
-# self-join (NOT from the exact jaccard verify). A corpus-common
-# shingle ("stop phrase") otherwise becomes a quadratic hot bucket —
-# O(df^2) candidate fan-out from a single key. Standard near-dup
-# practice; a true jaccard>=0.8 pair shares most of its shingles, so
-# losing the common ones cannot lose the pair (measured at sf0.1:
-# every true pair shares >=6 shingles with df<=16; max corpus df 25).
-NGRAM_DF_CAP = 16
-
-
 # incremental-ingest split: documents below the cutoff (the first 4/5
 # of the id space) act as the already-ingested historical index
 INCR_INDEX_FRACTION = (4, 5)
@@ -261,40 +253,35 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     frame they read from. Caller must materialize pairs, then unpersist
     the shingle frame.
 
-    Candidates come from the self-join of the DF-CAPPED shingle rows
-    (bucket size bounded by NGRAM_DF_CAP, so fan-out is O(sum
-    min(df, K)^2) — no hot bucket at any corpus size); the jaccard
-    itself is then computed EXACTLY over the full shingle sets via
-    _pair_jaccard's candidate path, so the cap changes which pairs are
-    *examined*, never the score of a pair."""
+    This is the FUSED full-inverted-index baseline: one self-join +
+    group-count produces exact intersections directly. Hot-bucket
+    df-capping was implemented and MEASURED here in two forms —
+    (a) capped candidates + exact re-verify (cand x per-doc-shingle
+    fan-out: 4x slower at sf0.1) and (b) rare/common split with
+    exact common-count recovery (3x slower, and the extra persist
+    cascades into the clustering consumers) — both rejected: at any
+    realistic shingle-df distribution the cap costs more than it
+    saves, because real hot-bucket protection needs a CANDIDATE
+    scheme, not a patched verify. That scheme exists as
+    dedup_prefix_filter_jaccard (prefix filtering: hard per-doc index
+    bound, 9.5x fewer candidates, zero recall loss) — the recommended
+    form at 100 TB; this operator stays the simple exact baseline the
+    clustering pipeline builds on."""
     e = _shingle_rows(spark, sf_dir, 32).persist()
-    e.count()  # materialize BEFORE the multi-way fan-out (df agg +
-    # candidate self-join + verify + sizes); a lazy persist would
-    # race-fill the cache inside one job and compute the shingle
-    # subtree repeatedly (measured 2x slower).
-    rare = (
-        e.groupBy("h")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= NGRAM_DF_CAP)
-        .select("h")
-    )
-    er = e.join(rare, "h")
-    a, b = er.alias("a"), er.alias("b")
-    cand = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    jac = _pair_jaccard(e, cand)
+    e.count()  # materialize BEFORE the 3-way fan-out (self-join a/b +
+    # sizes); a lazy persist would race-fill the cache inside one job
+    # and compute the shingle subtree up to 3x (measured 2x slower).
+    jac = _pair_jaccard(e, None)
     pairs = jac.filter(F.col("jaccard") >= JACCARD_T).select("doc_a", "doc_b", "jaccard")
     return pairs, e
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with 3-gram Jaccard >= 0.8 via inverted shingle
-    index (compare only docs sharing at least one df-capped shingle —
-    see NGRAM_DF_CAP). Shingles join as 32-bit hashes, not strings —
-    smaller shuffle keys."""
+    index (compare only docs sharing at least one shingle). Shingles
+    join as 32-bit hashes, not strings — smaller shuffle keys. Hot-
+    bucket-bounded candidate generation lives in
+    dedup_prefix_filter_jaccard (see _ngram_pairs' measured notes)."""
     pairs, e = _ngram_pairs(spark, sf_dir)
     out = _cache_result(pairs)
     e.unpersist()
