@@ -309,29 +309,47 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose buckets are small BY CONSTRUCTION (rarest-first order).
     """
     e = _shingle_rows(spark, sf_dir, 32).persist()
-    e.count()  # eager: df agg + window + candidate join + verify all
+    e.count()  # eager: window pass + candidate join + verify all
     # read this cache (lazy persist would recompute the subtree)
-    dfreq = e.groupBy("h").agg(F.count("*").alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "h")
+    # Document frequency as a window count over h — one shuffle, no
+    # agg+join round trip — and set sizes reused from the same window
+    # pass (measured 4.0 s -> 2.4 s at sf0.1 vs the former
+    # groupBy(h)+join + re-aggregated-sizes form). rk and n share one
+    # window spec (same partition + order): a single sort pass.
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "h")
     ranked = (
-        e.join(dfreq, "h")
-        .withColumn("rk", F.row_number().over(w))
-        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+        e.withColumn("df", F.count("*").over(Window.partitionBy("h")))
+        .withColumn("rk", F.row_number().over(wdoc))
+        .withColumn(
+            "n",
+            F.count("*").over(
+                wdoc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ),
+        )
     )
-    prefix = ranked.filter(
-        F.col("rk")
-        <= F.col("n") - F.floor((F.lit(4) * F.col("n") + 4) / 5) + 1
-    ).select("doc_id", "h")
-    a, b = prefix.alias("a"), prefix.alias("b")
+    pref = (
+        ranked.filter(
+            F.col("rk")
+            <= F.col("n") - F.floor((F.lit(4) * F.col("n") + 4) / 5) + 1
+        )
+        .select("doc_id", "h", "rk", "n")
+        .persist()
+    )
+    pref.count()  # referenced 3x below (self-join both sides + sizes)
+    a, b = pref.alias("a"), pref.alias("b")
     cand = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    jac = _pair_jaccard(e, cand)
+    # every doc keeps >= 1 prefix row, so per-doc sizes read off the
+    # rk=1 rows — no second aggregation over e
+    sizes = pref.filter(F.col("rk") == 1).select("doc_id", F.col("n").alias("n_sh"))
+    jac = _pair_jaccard(e, cand, sizes=sizes)
     pairs = jac.filter(F.col("jaccard") >= JACCARD_T).select("doc_a", "doc_b", "jaccard")
     out = _cache_result(pairs)
     e.unpersist()
+    pref.unpersist()
     return out.orderBy("doc_a", "doc_b")
 
 
@@ -353,25 +371,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_a", "doc_b")
 
 
-def _minhash_pairs_from(spark: SparkSession, docs: DataFrame) -> "tuple[DataFrame, _UnpersistGroup]":
-    """MinHash+LSH verified pairs (jaccard >= 0.8) from any
-    (doc_id, text, ...) frame; returns (pairs, unpersist handle for the
-    persisted shingle+signature frames) — caller materializes pairs,
-    then calls .unpersist() on the handle."""
-    e = _shingle_rows_from(spark, docs, 32).persist()
-    e.count()  # eager: one cache fill, then sig/verify/sizes all hit it
-    # (lazy persist = 2x wall clock; see dedup_ngram_jaccard note)
+def _minhash_bands(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(sig, bands) from the distinct shingle-hash rows ``e``: the
+    per-doc MinHash signature frame (with n_sh riding along so verify
+    never re-aggregates ``e``) and its exploded LSH band-bucket rows
+    (doc_id, band_idx, band_sig). Shared by the batch LSH dedup and
+    the incremental-ingest variant."""
     consts = perm_constants(N_PERMS)
     mh = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P32)).alias(f"mh{i}")
         for i, (a, b) in enumerate(consts)
     ]
-    # n_sh rides along in the signature aggregation so the verify stage
-    # doesn't re-aggregate e for set sizes.
     sig = e.groupBy("doc_id").agg(*mh, F.count("*").alias("n_sh"))
-    sig = sig.persist()
-    sig.count()
-    sizes = sig.select("doc_id", "n_sh")
     band_structs = [
         F.struct(
             F.lit(b).alias("band_idx"),
@@ -386,6 +397,21 @@ def _minhash_pairs_from(spark: SparkSession, docs: DataFrame) -> "tuple[DataFram
     bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("band")).select(
         "doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_sig").alias("band_sig")
     )
+    return sig, bands
+
+
+def _minhash_pairs_from(spark: SparkSession, docs: DataFrame) -> "tuple[DataFrame, _UnpersistGroup]":
+    """MinHash+LSH verified pairs (jaccard >= 0.8) from any
+    (doc_id, text, ...) frame; returns (pairs, unpersist handle for the
+    persisted shingle+signature frames) — caller materializes pairs,
+    then calls .unpersist() on the handle."""
+    e = _shingle_rows_from(spark, docs, 32).persist()
+    e.count()  # eager: one cache fill, then sig/verify/sizes all hit it
+    # (lazy persist = 2x wall clock; see dedup_ngram_jaccard note)
+    sig, bands = _minhash_bands(e)
+    sig = sig.persist()
+    sig.count()
+    sizes = sig.select("doc_id", "n_sh")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -634,6 +660,197 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the result cache (re-persist is a no-op) — do NOT unpersist it.
     out = _cache_result(labels)
     edges.unpersist()
+    return out.orderBy("doc_id")
+
+
+def dedup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14) — the 100 TB-proper CC algorithm beside the
+    simple min-label propagation of dedup_clusters, with the identical
+    result (same oracle object).
+
+    Why a second CC implementation: min-label propagation needs
+    diameter-many rounds and each round re-joins the FULL static edge
+    list — fine for shallow near-dup clusters, but a long path or
+    high-degree hub costs O(diameter) shuffles of every edge.
+    Star contraction instead rewires the edge set itself each round:
+
+    - large-star: per node u, connect every LARGER neighbor v > u to
+      m(u) = min(N(u) ∪ {u}). Cuts long paths toward minima in
+      parallel; provably never increases the edge count.
+    - small-star: per node u, connect every neighbor v <= u (and u)
+      to that minimum. Collapses the remaining small neighborhoods.
+
+    Both halves converge in O(log^2 n) rounds REGARDLESS of diameter
+    (in practice single digits), and the edge set shrinks monotonically
+    toward one star per component — so late rounds shuffle far fewer
+    bytes than early ones, the opposite of label propagation's
+    constant per-round cost. Each half-round is one groupBy + one
+    join, persisted with flat lineage.
+
+    Convergence detection: the canonical edge set's (count,
+    xor-of-xxhash64) signature is compared across rounds (edges are
+    distinct, so xor cancellation can't occur within one set) — one cheap
+    aggregate instead of two exceptAll jobs. At the fixed point every
+    edge is (node, component-min), so labels read directly off the
+    final stars.
+
+    Lineage management: each round's edge set becomes a LEAF via an
+    eager localCheckpoint, not just a persist. Persist leaves the
+    logical plan in place, and one star round references its input
+    ~6x (sym union, mins join, two small-star reads), so the plan
+    tree grows geometrically and Catalyst re-analyzes every prior
+    round on each action — measured as a minutes-long analyzer stall
+    by round 3. Checkpointing bounds analysis to one round; the
+    (small, shrinking) edge blocks free on GC via the ContextCleaner.
+    """
+    edges = _near_dup_edges(spark, sf_dir)  # symmetric (src, dst)
+    # members: every node of the original graph (output row set);
+    # star contraction rewires edges, so keep the roster separately.
+    members = edges.select(F.col("src").alias("doc_id")).distinct().persist()
+    members.count()
+
+    def _sym(canon: DataFrame) -> DataFrame:
+        """Symmetric view of a canonical (u > v) edge frame."""
+        return canon.unionByName(
+            canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+    def _signature(canon: DataFrame) -> tuple[int, int]:
+        row = canon.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("s"),
+        ).collect()[0]
+        return row["n"], row["s"]
+
+    # canonical edges: u > v, distinct — checkpointed to a leaf
+    canon = (
+        edges.filter(F.col("src") > F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sig = _signature(canon)
+    edges.unpersist()
+    while True:
+        sym = _sym(canon)
+        # large-star: m(u) = min over N(u) ∪ {u}; emit (v, m) for v > u
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # small-star over the large-star output: neighbors v < u only,
+        # m = min(N_<(u)); emit (w, m) for w in N_<(u) ∪ {u}, w != m
+        ls_canon = large.distinct().persist()
+        ls_canon.count()
+        sm = ls_canon.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            ls_canon.join(sm, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(sm.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+        )
+        new_canon = small.distinct().localCheckpoint(eager=True)
+        new_sig = _signature(new_canon)
+        ls_canon.unpersist()
+        canon = new_canon
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # fixed point: every edge is (node, component-min). Leaves label
+    # via their edge; centers label as themselves; the members roster
+    # keeps isolated-after-rewire nodes impossible (components >= 2
+    # always retain their star edge).
+    labels = (
+        canon.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+        .unionByName(
+            canon.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id"))
+        )
+        .distinct()
+    )
+    out = _cache_result(members.join(labels, "doc_id"))
+    members.unpersist()
+    return out.orderBy("doc_id")
+
+
+def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingest — the day-2 shape of MinHash dedup:
+    a new batch of documents (the last 1/5 of the id space) is checked
+    against the historical corpus's stored LSH BAND INDEX plus itself,
+    without ever re-pairing the historical corpus. Per-doc status:
+    'neardup_of_index' (jaccard >= 0.8 with an already-ingested doc),
+    'neardup_in_batch' (with an earlier doc of the same batch), else
+    'kept' — index matches win, mirroring dedup_incremental's exact
+    variant.
+
+    Scale shape: in production the index side is the STORED
+    (band_sig -> doc_id) table plus per-doc shingle-hash sets —
+    written once at ingest, never recomputed (here both sides derive
+    from the same documents table for the oracle's sake; the split is
+    the cutoff filter). The candidate join is batch bands against
+    index bands, key-partitioned on band_sig — cost scales with the
+    batch's collisions, not the corpus — and batch-internal candidates
+    come from the batch's own (tiny) self-join. Verification fetches
+    only candidate docs' shingle sets. The historical pair set is
+    never touched.
+    """
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    num, den = INCR_INDEX_FRACTION
+    cut = docs.agg(
+        F.floor(((F.max("doc_id") + 1) * num) / den).cast("long").alias("cutoff")
+    )
+    e = _shingle_rows(spark, sf_dir, 32).persist()
+    e.count()
+    sig, bands = _minhash_bands(e)
+    sig = sig.persist()
+    sig.count()
+    sizes = sig.select("doc_id", "n_sh")
+    bands = bands.crossJoin(F.broadcast(cut))
+    batch_bands = bands.filter(F.col("doc_id") >= F.col("cutoff")).drop("cutoff")
+    index_bands = bands.filter(F.col("doc_id") < F.col("cutoff")).drop("cutoff")
+    bb, ib = batch_bands.alias("bb"), index_bands.alias("ib")
+    cand_index = ib.join(
+        bb,
+        (F.col("ib.band_idx") == F.col("bb.band_idx"))
+        & (F.col("ib.band_sig") == F.col("bb.band_sig")),
+    ).select(F.col("ib.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+    b1, b2 = batch_bands.alias("b1"), batch_bands.alias("b2")
+    cand_batch = b1.join(
+        b2,
+        (F.col("b1.band_idx") == F.col("b2.band_idx"))
+        & (F.col("b1.band_sig") == F.col("b2.band_sig"))
+        & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+    ).select(F.col("b1.doc_id").alias("doc_a"), F.col("b2.doc_id").alias("doc_b"))
+    cand = cand_index.unionByName(cand_batch).distinct()
+    verified = _pair_jaccard(e, cand, sizes=sizes)
+    pairs = verified.filter(F.col("jaccard") >= JACCARD_T)
+    flags = (
+        pairs.crossJoin(F.broadcast(cut))
+        .groupBy(F.col("doc_b").alias("doc_id"))
+        .agg(F.max(F.col("doc_a") < F.col("cutoff")).alias("from_index"))
+    )
+    batch_docs = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(cut))
+        .filter(F.col("doc_id") >= F.col("cutoff"))
+        .select("doc_id")
+    )
+    out = _cache_result(
+        batch_docs.join(flags, "doc_id", "left").select(
+            "doc_id",
+            F.when(F.col("from_index"), F.lit("neardup_of_index"))
+            .when(F.col("from_index") == F.lit(False), F.lit("neardup_in_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )
+    e.unpersist()
+    sig.unpersist()
     return out.orderBy("doc_id")
 
 

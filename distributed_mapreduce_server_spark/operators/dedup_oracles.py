@@ -292,3 +292,32 @@ DEDUP_ORACLES["dedup_incremental"] = f"""
 # exact jaccard, so its result set IS dedup_ngram_jaccard's: one
 # oracle object serves both (edits can't desynchronize them).
 DEDUP_ORACLES["dedup_prefix_filter_jaccard"] = DEDUP_ORACLES["dedup_ngram_jaccard"]
+
+# large-star/small-star CC computes the same components as the label
+# propagation — one oracle object serves both implementations.
+DEDUP_ORACLES["dedup_clusters_bigstar"] = DEDUP_ORACLES["dedup_clusters"]
+
+# incremental near-dup: MinHash-LSH pairs over the full table, then
+# classify each batch doc (id >= cutoff) by its lowest-tier partner —
+# an index pair (doc_a below the cutoff) wins over a batch pair.
+DEDUP_ORACLES["dedup_incremental_neardup"] = f"""
+    WITH cut AS (SELECT CAST(FLOOR(((MAX(doc_id) + 1) * {_INCR_NUM})
+                                   / {_INCR_DEN}) AS BIGINT) AS cutoff
+                 FROM documents),
+    pairs AS (SELECT doc_a, doc_b FROM {minhash_pairs_sql("documents")} p),
+    flags AS (
+        SELECT doc_b AS doc_id,
+               MAX(CASE WHEN doc_a < cutoff THEN 1 ELSE 0 END) AS from_index
+        FROM pairs, cut
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CASE WHEN f.from_index = 1 THEN 'neardup_of_index'
+                WHEN f.from_index = 0 THEN 'neardup_in_batch'
+                ELSE 'kept' END AS status
+    FROM documents d
+    CROSS JOIN cut
+    LEFT JOIN flags f ON f.doc_id = d.doc_id
+    WHERE d.doc_id >= cutoff
+    ORDER BY d.doc_id
+"""

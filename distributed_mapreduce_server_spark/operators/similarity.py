@@ -726,3 +726,109 @@ def sim_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "adc_dist", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# all-pairs k-NN join: block grid size (B(B+1)/2 cogroup tasks) and
+# neighbors kept per vector
+KNN_BLOCKS = 8
+KNN_K = 5
+
+
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs k-NN JOIN: every vector's top-5 most-similar other
+    vectors by cosine — the batch kernel behind SemDedup-style
+    clustering, embedding-graph construction, and retrieval-index
+    bootstrapping (sim_cosine_topk answers a small query SET; this
+    answers it for the WHOLE corpus).
+
+    Scale shape: vectors hash into KNN_BLOCKS blocks; each unordered
+    block pair is one cogrouped applyInPandas task that computes its
+    cos sub-matrix (numpy matmul) and emits only each vector's LOCAL
+    top-k within that cell — so the shuffle out of the kernel is
+    <= k rows per (vector, cell), i.e. k*B per vector, never the n^2
+    score matrix. A final per-vector window merges the partial top-ks.
+    Per-task memory is two n/B-row blocks; B trades task count
+    against replication exactly like the dedup matmul
+    (dedup.py:_blocked_cosine_pairs). The n^2 flop count is the
+    operator's exact semantics; the approximate regime (IVF/LSH/PQ)
+    lives in the sim_*_ann family.
+
+    Determinism: scores are rounded to the 1e-4 grid half-away (DuckDB
+    ROUND semantics) BEFORE local selection AND the local selection
+    uses the same (cos desc, nbr_id asc) order as the final window, so
+    a tied global top-k member can never be dropped by a cell.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
+    B = KNN_BLOCKS
+    grid = [(a * B + b, a, b) for a in range(B) for b in range(a, B)]
+    a_side = spark.createDataFrame([(p, a) for p, a, _ in grid], "pid int, blk int")
+    b_side = spark.createDataFrame([(p, b) for p, _, b in grid], "pid int, blk int")
+    e = emb.select(
+        "vec_id", "embedding", F.pmod(F.col("vec_id"), F.lit(B)).cast("int").alias("blk")
+    )
+    rep_a = e.join(broadcast(a_side), "blk").select("pid", "vec_id", "embedding")
+    rep_b = (
+        e.withColumnsRenamed({"vec_id": "vec_id_b", "embedding": "embedding_b"})
+        .join(broadcast(b_side), "blk")
+        .select("pid", "vec_id_b", "embedding_b")
+    )
+
+    empty = pd.DataFrame({"vec_id": [], "nbr_id": [], "cos_sim": []})
+
+    def _local_topk(ids_from: np.ndarray, ids_to: np.ndarray, cos: np.ndarray):
+        """Per row of ``cos``: the <=k best (cos desc, id asc) columns."""
+        out_v, out_n, out_c = [], [], []
+        k = KNN_K
+        for i in range(cos.shape[0]):
+            row = cos[i]
+            order = np.lexsort((ids_to, -row))[:k]
+            keep = order[row[order] > -np.inf]
+            out_v.append(np.full(len(keep), ids_from[i]))
+            out_n.append(ids_to[keep])
+            out_c.append(row[keep])
+        if not out_v:
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_v),
+                "nbr_id": np.concatenate(out_n),
+                "cos_sim": np.concatenate(out_c),
+            }
+        )
+
+    def block_pair(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return empty
+        (pid,) = key
+        diagonal = (pid // B) == (pid % B)
+        a_ids = left["vec_id"].to_numpy(dtype=np.int64)
+        a_mat = np.stack(left["embedding"].to_numpy()).astype(np.float64)
+        b_ids = right["vec_id_b"].to_numpy(dtype=np.int64)
+        b_mat = np.stack(right["embedding_b"].to_numpy()).astype(np.float64)
+        a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+        b_norms = np.sqrt((b_mat * b_mat).sum(axis=1))
+        raw = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
+        cos = np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
+        if diagonal:
+            cos[a_ids[:, None] == b_ids[None, :]] = -np.inf
+            return _local_topk(a_ids, b_ids, cos)
+        return pd.concat(
+            [_local_topk(a_ids, b_ids, cos), _local_topk(b_ids, a_ids, cos.T)],
+            ignore_index=True,
+        )
+
+    cand = (
+        rep_a.groupby("pid")
+        .cogroup(rep_b.groupby("pid"))
+        .applyInPandas(block_pair, "vec_id long, nbr_id long, cos_sim double")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("nbr_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("vec_id", "nbr_id", "cos_sim", "rank")
+        .orderBy("vec_id", "rank")
+    )

@@ -282,3 +282,22 @@ SIMILARITY_ORACLES["sim_pq_adc_ann"] = f"""
     WHERE rank <= {_PQ_TOP_K}
     ORDER BY query_id, rank
 """
+
+from distributed_mapreduce_server_spark.operators.similarity import KNN_K  # noqa: E402
+
+SIMILARITY_ORACLES["sim_knn_join"] = f"""
+    WITH scored AS (
+        SELECT q.vec_id, c.vec_id AS nbr_id,
+               ROUND({_DOT} / ({_NORM_Q} * {_NORM_C}), 4) AS cos_sim
+        FROM embeddings q
+        JOIN embeddings c ON q.vec_id <> c.vec_id
+    ), ranked AS (
+        SELECT vec_id, nbr_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY cos_sim DESC, nbr_id) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT vec_id, nbr_id, cos_sim, rank
+    FROM ranked WHERE rank <= {KNN_K}
+    ORDER BY vec_id, rank
+"""

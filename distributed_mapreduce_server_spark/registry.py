@@ -128,6 +128,8 @@ _register(
         "dedup_semantic_keep",
         "dedup_incremental",
         "dedup_prefix_filter_jaccard",
+        "dedup_clusters_bigstar",
+        "dedup_incremental_neardup",
     ],
 )
 _register(
@@ -147,6 +149,7 @@ _register(
         "emb_coverage",
         "emb_pq_quantize",
         "sim_pq_adc_ann",
+        "sim_knn_join",
     ],
 )
 _register(
