@@ -18,6 +18,8 @@ from distributed_mapreduce_server_spark.sources.registry import (
     write_partitioned,
     write_sink,
     write_sorted_parquet,
+    write_zorder_parquet,
+    zorder_key,
 )
 
 __all__ = [
@@ -29,4 +31,6 @@ __all__ = [
     "write_partitioned",
     "write_sink",
     "write_sorted_parquet",
+    "write_zorder_parquet",
+    "zorder_key",
 ]

@@ -207,3 +207,73 @@ def compact_small_files(
         else os.path.join(path, "part-*")
     )
     return len([p for p in glob.glob(pattern) if not p.endswith(".crc")])
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 12):
+    """Z-order (Morton) key expression over numeric ``cols``: each
+    column min-max normalized into a ``bits``-bit integer, then the
+    bits of all columns interleaved. Rows close in Z-value are close
+    in EVERY ``cols`` dimension, so sorting by it clusters the data
+    for multi-column skipping — the layout trick behind Delta/Iceberg
+    OPTIMIZE ZORDER.
+
+    The normalization stats are one tiny aggregate collect (2 scalars
+    per column — a bounded driver artifact at any scale); the key
+    itself is pure codegen arithmetic (shifts/masks), no UDF.
+    Returns (key_column, stats_row).
+    """
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"mx_{c}")]
+    stats = df.agg(*aggs).collect()[0]
+    n = len(cols)
+    top = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        scaled = F.least(
+            F.lit(top).cast("long"),
+            F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * F.lit(top + 1)).cast("long"),
+        )
+        for j in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(scaled, j).bitwiseAND(F.lit(1)), j * n + ci)
+            )
+    return z, stats
+
+
+def write_zorder_parquet(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    bits: int = 12,
+    n_files: int | None = None,
+    mode: str = "error",
+    **options: str,
+) -> None:
+    """Multi-dimensional clustered parquet: range-partition + sort by
+    a Z-order key over ``zorder_by`` before writing. Where
+    write_sorted_parquet gives perfect skipping on ONE leading column,
+    Z-order gives useful min/max skipping on ALL listed columns at
+    once — the right layout when the dominant access pattern is a
+    conjunctive box filter (e.g. part AND supplier, lat AND lon,
+    time AND tenant). Same shuffle budget as a single-column sort:
+    one range exchange on the key, per-partition sorts, no global
+    single-point sort."""
+    z, _ = zorder_key(df, zorder_by, bits)
+    keyed = df.withColumn("_zorder", z)
+    out = (
+        keyed.repartitionByRange("_zorder")
+        if n_files is None
+        else keyed.repartitionByRange(n_files, "_zorder")
+    )
+    (
+        out.sortWithinPartitions("_zorder")
+        .drop("_zorder")
+        .write.format("parquet")
+        .options(**options)
+        .mode(mode)
+        .save(path)
+    )

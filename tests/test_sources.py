@@ -154,3 +154,69 @@ def test_compact_small_files(spark, tmp_path_factory):
     n_after = compact_small_files(spark, d, target_files=2)
     assert n_after <= 2
     assert sorted(map(tuple, spark.read.parquet(d).collect())) == rows_before
+
+
+def test_write_zorder_parquet_skips_on_both_dims(spark, tmp_path_factory):
+    """Z-order layout: a conjunctive box filter on BOTH interleaved
+    columns must be able to skip most files via min/max stats — which
+    a single-column sort cannot do for the second column — and the
+    data must round-trip exactly."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_server_spark.catalog import load_tables
+    from distributed_mapreduce_server_spark.sources import (
+        write_sorted_parquet,
+        write_zorder_parquet,
+    )
+
+    li = load_tables(spark, "/root/testdata/sf0.01", register_views=False)[
+        "lineitem"
+    ].select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    base = str(tmp_path_factory.mktemp("zorder_pq"))
+    zd, sd = base + "/z", base + "/s"
+    write_zorder_parquet(li, zd, zorder_by=["l_partkey", "l_suppkey"], n_files=16)
+    write_sorted_parquet(li, sd, sort_by=["l_partkey"], n_files=16)
+
+    # round-trip: same rows, and a box filter returns identical counts
+    pk_hi = li.agg(F.max("l_partkey")).collect()[0][0]
+    sk_hi = li.agg(F.max("l_suppkey")).collect()[0][0]
+    box = (
+        (F.col("l_partkey") < pk_hi * 0.25)
+        & (F.col("l_suppkey") < sk_hi * 0.25)
+    )
+    expected = li.filter(box).count()
+    assert spark.read.parquet(zd).filter(box).count() == expected
+    assert spark.read.parquet(zd).count() == li.count()
+
+    def overlapping_files(d: str) -> int:
+        """Files whose min/max footer stats intersect the box filter —
+        the files a stats-pruning reader must actually open."""
+        n = 0
+        for f in os.listdir(d):
+            if not f.startswith("part-") or f.endswith(".crc"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            mins = {"l_partkey": [], "l_suppkey": []}
+            for rg in range(md.num_row_groups):
+                for j in range(md.num_columns):
+                    c = md.row_group(rg).column(j)
+                    if c.path_in_schema in mins:
+                        mins[c.path_in_schema].append(c.statistics.min)
+            if (
+                min(mins["l_partkey"]) < pk_hi * 0.25
+                and min(mins["l_suppkey"]) < sk_hi * 0.25
+            ):
+                n += 1
+        return n
+
+    z_overlap = overlapping_files(zd)
+    s_overlap = overlapping_files(sd)
+    # the partkey-sorted layout clusters ONLY partkey: every file spans
+    # the full suppkey range, so ~all files whose partkey range touches
+    # the box must be read. Z-order clusters both dims -> strictly
+    # fewer candidate files for the 2-D box.
+    assert z_overlap < s_overlap, (z_overlap, s_overlap)
+    assert z_overlap <= 16 * 0.5
