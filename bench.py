@@ -55,6 +55,9 @@ HEADLINE = [
     "emb_pq_quantize",
     "sim_pq_adc_ann",
     "emb_coverage",
+    "sim_knn_join",
+    "emb_encode_backfill",
+    "dedup_incremental_neardup",
 ]
 
 

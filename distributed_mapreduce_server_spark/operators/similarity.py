@@ -832,3 +832,66 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "nbr_id", "cos_sim", "rank")
         .orderBy("vec_id", "rank")
     )
+
+
+# deterministic fake encoder: output dim and the re-encode tail size
+# (newest docs re-embedded after a model refresh)
+ENC_DIM = 8
+EMB_REFRESH_TAIL = 100
+
+
+def emb_encode_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding BACKFILL inference — the pipeline stage emb_coverage
+    audits and dedup_semantic_keep consumes: encode every document
+    that is missing an embedding row, plus re-encode the newest
+    EMB_REFRESH_TAIL docs (the shard a model refresh re-embeds).
+    Output is long-form (doc_id, dim, val).
+
+    Scale shape: the backfill set comes from one ids-only
+    key-partitioned left join (flag null = missing) + a 1-row
+    broadcast max-id cutoff; encoding runs in mapInPandas — Arrow
+    batches stream through the Python worker with NO shuffle, memory
+    bounded by spark.sql.execution.arrow.maxRecordsPerBatch, perfectly
+    parallel across input splits. That is exactly the production
+    batch-inference shape; swapping the hash kernel below for a real
+    model forward pass (ONNX/torch session per worker, reused across
+    batches) changes nothing about the plan. The deterministic
+    stand-in — val(d) = (md5_u60(text|'|'|d) % 2001 - 1000)/1000 —
+    exists so the whole stage carries a FULL value oracle (DuckDB
+    reproduces md5 bit-for-bit), like the multimodal decode fake
+    (multimodal.py).
+    """
+    import hashlib
+
+    import pandas as pd
+
+    tables = load_tables(spark, sf_dir, register_views=False)
+    docs = tables["documents"].select("doc_id", "text")
+    have = tables["embeddings"].select(
+        F.col("vec_id").alias("doc_id"), F.lit(True).alias("has_emb")
+    )
+    cut = docs.agg((F.max("doc_id") - (EMB_REFRESH_TAIL - 1)).alias("tail_from"))
+    backfill = (
+        docs.join(have, "doc_id", "left")
+        .crossJoin(broadcast(cut))
+        .filter(F.col("has_emb").isNull() | (F.col("doc_id") >= F.col("tail_from")))
+        .select("doc_id", "text")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, dims, vals = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                for d in range(1, ENC_DIM + 1):
+                    h = int(hashlib.md5(f"{text}|{d}".encode()).hexdigest()[:15], 16)
+                    ids.append(did)
+                    dims.append(d)
+                    vals.append((h % 2001 - 1000) / 1000.0)
+            yield pd.DataFrame({"doc_id": ids, "dim": dims, "val": vals})
+
+    return (
+        backfill.mapInPandas(encode, "doc_id long, dim int, val double")
+        .orderBy("doc_id", "dim")
+    )

@@ -301,3 +301,23 @@ SIMILARITY_ORACLES["sim_knn_join"] = f"""
     FROM ranked WHERE rank <= {KNN_K}
     ORDER BY vec_id, rank
 """
+
+from distributed_mapreduce_server_spark.operators.similarity import (  # noqa: E402
+    EMB_REFRESH_TAIL,
+    ENC_DIM,
+)
+
+SIMILARITY_ORACLES["emb_encode_backfill"] = f"""
+    WITH cut AS (SELECT MAX(doc_id) - {EMB_REFRESH_TAIL - 1} AS tail_from
+                 FROM documents),
+    bf AS (
+        SELECT doc_id, text FROM documents CROSS JOIN cut
+        WHERE doc_id >= tail_from
+           OR doc_id NOT IN (SELECT vec_id FROM embeddings)
+    )
+    SELECT doc_id, CAST(d AS INTEGER) AS dim,
+           (CAST(concat('0x', substr(md5(concat(text, '|', d)), 1, 15))
+                 AS BIGINT) % 2001 - 1000) / 1000.0 AS val
+    FROM bf CROSS JOIN (SELECT unnest(range(1, {ENC_DIM + 1})) AS d) dims
+    ORDER BY doc_id, dim
+"""

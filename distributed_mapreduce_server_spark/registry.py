@@ -150,6 +150,7 @@ _register(
         "emb_pq_quantize",
         "sim_pq_adc_ann",
         "sim_knn_join",
+        "emb_encode_backfill",
     ],
 )
 _register(

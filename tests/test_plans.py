@@ -95,6 +95,8 @@ DELIBERATE_NESTED_LOOP = {
     "mm_modality_mix",  # 1-row broadcast corpus-bytes cross-join
     "dedup_incremental",  # 1-row broadcast id-cutoff cross-join
     "text_mixture_sample",  # 1-row broadcast token-budget cross-join
+    "dedup_incremental_neardup",  # 1-row broadcast id-cutoff cross-join
+    "emb_encode_backfill",  # 1-row broadcast tail-cutoff cross-join
 }
 
 # Streaming / iterative ops execute eagerly inside the callable; the
@@ -110,6 +112,7 @@ EAGER_OPS = {
     "stream_upsert_foreachbatch",
     "stream_session_window_native",
     "dedup_clusters",
+    "dedup_clusters_bigstar",
     "dedup_keep_canonical",
     "emb_kmeans",
     "text_corpus_pipeline_neardup",
