@@ -536,44 +536,17 @@ def _embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _blocked_cosine_pairs(spark: SparkSession, emb: DataFrame) -> DataFrame:
     """The blocked pair-matmul kernel over any (vec_id, embedding)
     frame — _embedding_cosine_pairs runs it on the full table, the
-    composed corpus pipelines on their surviving subset."""
+    composed corpus pipelines on their surviving subset. The grid
+    scaffold (replication frames, cell cogroup, engine-stable
+    rounding) is shared with sim_knn_join via blocked.py."""
     import numpy as np
     import pandas as pd
 
-    B = COSINE_BLOCKS
-    grid = [(a * B + b, a, b) for a in range(B) for b in range(a, B)]
-    a_side = spark.createDataFrame([(p, a) for p, a, _ in grid], "pid int, blk int")
-    b_side = spark.createDataFrame([(p, b) for p, _, b in grid], "pid int, blk int")
-    e = emb.select(
-        "vec_id", "embedding", F.pmod(F.col("vec_id"), F.lit(B)).cast("int").alias("blk")
-    )
-    rep_a = e.join(F.broadcast(a_side), "blk").select("pid", "vec_id", "embedding")
-    # fresh aliases on the b side: both cogroup inputs descend from the
-    # same scan, and unaliased self-reference trips Spark's ambiguous
-    # self-join analyzer inside flatMapCoGroupsInPandas
-    rep_b = (
-        e.withColumnsRenamed({"vec_id": "vec_id_b", "embedding": "embedding_b"})
-        .join(F.broadcast(b_side), "blk")
-        .select("pid", "vec_id_b", "embedding_b")
+    from distributed_mapreduce_server_spark.operators.blocked import (
+        blocked_cosine_grid,
     )
 
-    empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
-
-    def block_pair(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if left.empty or right.empty:
-            return empty
-        (pid,) = key
-        diagonal = (pid // B) == (pid % B)
-        a_ids = left["vec_id"].to_numpy(dtype=np.int64)
-        a_mat = np.stack(left["embedding"].to_numpy()).astype(np.float64)
-        b_ids = right["vec_id_b"].to_numpy(dtype=np.int64)
-        b_mat = np.stack(right["embedding_b"].to_numpy()).astype(np.float64)
-        a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
-        b_norms = np.sqrt((b_mat * b_mat).sum(axis=1))
-        raw = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
-        # DuckDB ROUND semantics (scaled half-away-from-zero);
-        # np.round is banker's at scaled .5 ties
-        cos = np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
+    def cell(diagonal, a_ids, b_ids, cos):
         thresh = cos >= COSINE_DEDUP_T
         if diagonal:
             # both blocks are the same vectors: a<b counts each
@@ -589,10 +562,8 @@ def _blocked_cosine_pairs(spark: SparkSession, emb: DataFrame) -> DataFrame:
             vb = np.maximum(a_ids[ai], b_ids[bj])
         return pd.DataFrame({"vec_a": va, "vec_b": vb, "cos_sim": cos[ai, bj]})
 
-    return (
-        rep_a.groupby("pid")
-        .cogroup(rep_b.groupby("pid"))
-        .applyInPandas(block_pair, "vec_a long, vec_b long, cos_sim double")
+    return blocked_cosine_grid(
+        spark, emb, COSINE_BLOCKS, cell, "vec_a long, vec_b long, cos_sim double"
     )
 
 

@@ -756,63 +756,39 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: scores are rounded to the 1e-4 grid half-away (DuckDB
     ROUND semantics) BEFORE local selection AND the local selection
     uses the same (cos desc, nbr_id asc) order as the final window, so
-    a tied global top-k member can never be dropped by a cell.
+    a tied global top-k member can never be dropped by a cell. The
+    grid scaffold is shared with the dedup matmul via blocked.py.
     """
     import numpy as np
     import pandas as pd
 
-    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
-    B = KNN_BLOCKS
-    grid = [(a * B + b, a, b) for a in range(B) for b in range(a, B)]
-    a_side = spark.createDataFrame([(p, a) for p, a, _ in grid], "pid int, blk int")
-    b_side = spark.createDataFrame([(p, b) for p, _, b in grid], "pid int, blk int")
-    e = emb.select(
-        "vec_id", "embedding", F.pmod(F.col("vec_id"), F.lit(B)).cast("int").alias("blk")
-    )
-    rep_a = e.join(broadcast(a_side), "blk").select("pid", "vec_id", "embedding")
-    rep_b = (
-        e.withColumnsRenamed({"vec_id": "vec_id_b", "embedding": "embedding_b"})
-        .join(broadcast(b_side), "blk")
-        .select("pid", "vec_id_b", "embedding_b")
+    from distributed_mapreduce_server_spark.operators.blocked import (
+        blocked_cosine_grid,
     )
 
-    empty = pd.DataFrame({"vec_id": [], "nbr_id": [], "cos_sim": []})
+    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
 
     def _local_topk(ids_from: np.ndarray, ids_to: np.ndarray, cos: np.ndarray):
-        """Per row of ``cos``: the <=k best (cos desc, id asc) columns."""
-        out_v, out_n, out_c = [], [], []
-        k = KNN_K
-        for i in range(cos.shape[0]):
-            row = cos[i]
-            order = np.lexsort((ids_to, -row))[:k]
-            keep = order[row[order] > -np.inf]
-            out_v.append(np.full(len(keep), ids_from[i]))
-            out_n.append(ids_to[keep])
-            out_c.append(row[keep])
-        if not out_v:
-            return empty
+        """Per row of ``cos``: the <=k best (cos desc, id asc) columns.
+        One C-level lexsort over the whole cell — no per-row Python
+        loop; ties at the k boundary resolve by id, matching the
+        final merge window, so a global top-k member always
+        survives its cell."""
+        k = min(KNN_K, cos.shape[1])
+        order = np.lexsort((np.broadcast_to(ids_to, cos.shape), -cos), axis=-1)[:, :k]
+        top_cos = np.take_along_axis(cos, order, axis=1)
+        keep = (top_cos > -np.inf).reshape(-1)  # drop masked self-pairs
         return pd.DataFrame(
             {
-                "vec_id": np.concatenate(out_v),
-                "nbr_id": np.concatenate(out_n),
-                "cos_sim": np.concatenate(out_c),
+                "vec_id": np.repeat(ids_from, k)[keep],
+                "nbr_id": ids_to[order].reshape(-1)[keep],
+                "cos_sim": top_cos.reshape(-1)[keep],
             }
         )
 
-    def block_pair(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if left.empty or right.empty:
-            return empty
-        (pid,) = key
-        diagonal = (pid // B) == (pid % B)
-        a_ids = left["vec_id"].to_numpy(dtype=np.int64)
-        a_mat = np.stack(left["embedding"].to_numpy()).astype(np.float64)
-        b_ids = right["vec_id_b"].to_numpy(dtype=np.int64)
-        b_mat = np.stack(right["embedding_b"].to_numpy()).astype(np.float64)
-        a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
-        b_norms = np.sqrt((b_mat * b_mat).sum(axis=1))
-        raw = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
-        cos = np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
+    def cell(diagonal, a_ids, b_ids, cos):
         if diagonal:
+            cos = cos.copy()
             cos[a_ids[:, None] == b_ids[None, :]] = -np.inf
             return _local_topk(a_ids, b_ids, cos)
         return pd.concat(
@@ -820,10 +796,8 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ignore_index=True,
         )
 
-    cand = (
-        rep_a.groupby("pid")
-        .cogroup(rep_b.groupby("pid"))
-        .applyInPandas(block_pair, "vec_id long, nbr_id long, cos_sim double")
+    cand = blocked_cosine_grid(
+        spark, emb, KNN_BLOCKS, cell, "vec_id long, nbr_id long, cos_sim double"
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("nbr_id"))
     return (
@@ -861,8 +835,6 @@ def emb_encode_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces md5 bit-for-bit), like the multimodal decode fake
     (multimodal.py).
     """
-    import hashlib
-
     import pandas as pd
 
     tables = load_tables(spark, sf_dir, register_views=False)

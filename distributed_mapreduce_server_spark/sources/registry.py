@@ -220,22 +220,34 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 12):
     The normalization stats are one tiny aggregate collect (2 scalars
     per column — a bounded driver artifact at any scale); the key
     itself is pure codegen arithmetic (shifts/masks), no UDF.
+    ``bits`` is clamped so the interleaved key fits in the 63
+    value bits of a signed long (shift amounts >= 64 would wrap mod
+    64 in the JVM and bit 63 would flip the sort's sign — both
+    silently corrupt the clustering). NULL cells and all-NULL
+    columns normalize to bucket 0, so NULL rows cluster together at
+    the low end instead of collapsing into a NULL key.
     Returns (key_column, stats_row).
     """
+    n = len(cols)
+    bits = min(bits, 63 // n)
     aggs = []
     for c in cols:
         aggs += [F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
                  F.max(F.col(c).cast("double")).alias(f"mx_{c}")]
     stats = df.agg(*aggs).collect()[0]
-    n = len(cols)
     top = (1 << bits) - 1
     z = F.lit(0).cast("long")
     for ci, c in enumerate(cols):
         mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mn is None or mx is None:  # all-NULL column: constant bucket
+            mn, mx = 0.0, 0.0
         span = (mx - mn) or 1.0
         scaled = F.least(
             F.lit(top).cast("long"),
-            F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * F.lit(top + 1)).cast("long"),
+            F.floor(
+                (F.coalesce(F.col(c).cast("double"), F.lit(mn)) - F.lit(mn))
+                / F.lit(span) * F.lit(top + 1)
+            ).cast("long"),
         )
         for j in range(bits):
             z = z.bitwiseOR(
