@@ -864,3 +864,166 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("kept", F.lit(True))
         .orderBy("doc_id")
     )
+
+
+# persistent dedup-index layout (the lake tables a production pipeline
+# maintains between ingest days)
+INDEX_FILES = 8
+
+
+def dedup_index_build(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+    """Materialize the PERSISTENT near-dup index for the historical
+    corpus (doc_id below the incremental cutoff) — the artifact
+    dedup_incremental_neardup's docstring promises a production
+    pipeline stores instead of recomputing:
+
+    - ``bands/``    (doc_id, band_idx, band_sig), sorted on band_sig
+      so the daily candidate join range-prunes straight off the files;
+    - ``shingles/`` (doc_id, h), sorted on doc_id — the verification
+      sets, fetched only for candidate index docs;
+    - ``sizes/``    (doc_id, n_sh) — set sizes for the jaccard
+      denominator without re-aggregating shingles.
+
+    Index cost is paid ONCE per corpus (then extended per batch);
+    the write shapes are write_sorted_parquet's range-partitioned
+    clustering, so candidate/verify reads skip files by key.
+    """
+    from distributed_mapreduce_server_spark.sources import write_sorted_parquet
+
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    num, den = INCR_INDEX_FRACTION
+    cutoff = docs.agg(
+        F.floor(((F.max("doc_id") + 1) * num) / den).cast("long").alias("c")
+    ).collect()[0]["c"]
+    hist = docs.filter(F.col("doc_id") < cutoff)
+    e = _shingle_rows_from(spark, hist, 32).persist()
+    e.count()
+    sig, bands = _minhash_bands(e)
+    write_sorted_parquet(
+        bands, f"{index_dir}/bands", sort_by=["band_sig"], n_files=INDEX_FILES,
+        mode="overwrite",
+    )
+    write_sorted_parquet(
+        e, f"{index_dir}/shingles", sort_by=["doc_id"], n_files=INDEX_FILES,
+        mode="overwrite",
+    )
+    write_sorted_parquet(
+        sig.select("doc_id", "n_sh"), f"{index_dir}/sizes", sort_by=["doc_id"],
+        n_files=1, mode="overwrite",
+    )
+    e.unpersist()
+
+
+def _default_index_dir(sf_dir: str) -> str:
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"dmrs_dedup_index_{tag}")
+
+
+def dedup_incremental_neardup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_incremental_neardup consuming the STORED index — the
+    honest day-2 cost profile: shingles, signatures and bands are
+    computed for the NEW BATCH ONLY; the historical side arrives as
+    parquet reads of the dedup_index_build tables (band-sig-clustered
+    candidates, doc-id-clustered verification sets). Identical result
+    and oracle as the recompute variant; what changes is that per-day
+    compute now scales with the batch, full stop.
+
+    The index materializes once per sf_dir into a temp dir (mtime
+    stale-guard against a regenerated source, like the exec-pipe text
+    fixture) — standing in for the lake table a production pipeline
+    maintains and extends after each ingest.
+
+    Honest crossover note: at sf0.1 (a 4k-doc "historical corpus")
+    the recompute variant is FASTER (2.3 s vs ~6 s) — a dozen
+    fixed-overhead jobs outweigh recomputing a few thousand shingle
+    sets. The indexed shape pays off when index >> batch: recompute
+    cost grows with the corpus, this plan's with the batch and its
+    collision set only.
+    """
+    import os
+
+    index_dir = _default_index_dir(sf_dir)
+    marker = os.path.join(index_dir, "bands", "_SUCCESS")
+    src = os.path.join(sf_dir, "documents.parquet")
+    stale = os.path.exists(marker) and os.path.getmtime(src) > os.path.getmtime(marker)
+    if stale or not os.path.exists(marker):
+        dedup_index_build(spark, sf_dir, index_dir)
+
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    num, den = INCR_INDEX_FRACTION
+    cut = docs.agg(
+        F.floor(((F.max("doc_id") + 1) * num) / den).cast("long").alias("cutoff")
+    )
+    batch_docs = (
+        docs.crossJoin(F.broadcast(cut))
+        .filter(F.col("doc_id") >= F.col("cutoff"))
+        .select("doc_id", "text")
+    )
+    eb = _shingle_rows_from(spark, batch_docs, 32).persist()
+    eb.count()
+    sigb, bandsb = _minhash_bands(eb)
+    sigb = sigb.persist()
+    sigb.count()
+
+    idx_bands = spark.read.parquet(f"{index_dir}/bands")
+    idx_shingles = spark.read.parquet(f"{index_dir}/shingles")
+    idx_sizes = spark.read.parquet(f"{index_dir}/sizes")
+
+    ib, bb = idx_bands.alias("ib"), bandsb.alias("bb")
+    cand_index = ib.join(
+        bb,
+        (F.col("ib.band_idx") == F.col("bb.band_idx"))
+        & (F.col("ib.band_sig") == F.col("bb.band_sig")),
+    ).select(F.col("ib.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+    b1, b2 = bandsb.alias("b1"), bandsb.alias("b2")
+    cand_batch = b1.join(
+        b2,
+        (F.col("b1.band_idx") == F.col("b2.band_idx"))
+        & (F.col("b1.band_sig") == F.col("b2.band_sig"))
+        & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+    ).select(F.col("b1.doc_id").alias("doc_a"), F.col("b2.doc_id").alias("doc_b"))
+    cand = cand_index.unionByName(cand_batch).distinct().persist()
+    cand.count()  # referenced 3x below (id roster + both verify joins)
+
+    # verification reads ONLY candidate docs' rows off the index —
+    # semi-join pruning keeps the full index table out of the verify
+    # shuffle (shuffling the whole stored index would be the exact
+    # O(corpus) cost this operator exists to avoid; the semi join
+    # scans it but ships only candidate rows, and AQE broadcasts the
+    # candidate roster when it is small, which at a sane dup rate it
+    # always is).
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    e_all = eb.unionByName(idx_shingles.join(cand_ids, "doc_id", "left_semi"))
+    sizes = sigb.select("doc_id", "n_sh").unionByName(
+        idx_sizes.join(cand_ids, "doc_id", "left_semi")
+    )
+    verified = _pair_jaccard(e_all, cand, sizes=sizes)
+    pairs = verified.filter(F.col("jaccard") >= JACCARD_T)
+    flags = (
+        pairs.crossJoin(F.broadcast(cut))
+        .groupBy(F.col("doc_b").alias("doc_id"))
+        .agg(F.max(F.col("doc_a") < F.col("cutoff")).alias("from_index"))
+    )
+    out = _cache_result(
+        batch_docs.select("doc_id")
+        .join(flags, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("from_index"), F.lit("neardup_of_index"))
+            .when(F.col("from_index") == F.lit(False), F.lit("neardup_in_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )
+    eb.unpersist()
+    sigb.unpersist()
+    cand.unpersist()
+    return out.orderBy("doc_id")

@@ -321,3 +321,9 @@ DEDUP_ORACLES["dedup_incremental_neardup"] = f"""
     WHERE d.doc_id >= cutoff
     ORDER BY d.doc_id
 """
+
+# the indexed variant is result-identical to the recompute variant —
+# one oracle object serves both.
+DEDUP_ORACLES["dedup_incremental_neardup_indexed"] = DEDUP_ORACLES[
+    "dedup_incremental_neardup"
+]

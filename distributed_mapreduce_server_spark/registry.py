@@ -130,6 +130,7 @@ _register(
         "dedup_prefix_filter_jaccard",
         "dedup_clusters_bigstar",
         "dedup_incremental_neardup",
+        "dedup_incremental_neardup_indexed",
     ],
 )
 _register(

@@ -113,6 +113,7 @@ EAGER_OPS = {
     "stream_session_window_native",
     "dedup_clusters",
     "dedup_clusters_bigstar",
+    "dedup_incremental_neardup_indexed",  # index build runs eagerly
     "dedup_keep_canonical",
     "emb_kmeans",
     "text_corpus_pipeline_neardup",
