@@ -1027,3 +1027,29 @@ def dedup_incremental_neardup_indexed(spark: SparkSession, sf_dir: str) -> DataF
     sigb.unpersist()
     cand.unpersist()
     return out.orderBy("doc_id")
+
+
+def dedup_index_extend(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+    """Close the ingest loop: append the KEPT batch documents'
+    band/shingle/size rows to the stored index, so tomorrow's batch
+    dedups against today's accepted docs without any rebuild.
+
+    Appended rows are computed from the batch only (same kernels as
+    the build) and restricted to docs whose status came back 'kept' —
+    near-dups never enter the index, keeping it one row set per
+    retained document. Parquet append preserves the directory tables;
+    periodic compact_small_files / write_sorted_parquet runs restore
+    the clustered layout as appended files accumulate (the standard
+    lake-maintenance cycle).
+    """
+    statuses = dedup_incremental_neardup_indexed(spark, sf_dir)
+    kept = statuses.filter(F.col("status") == "kept").select("doc_id")
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    batch_kept = docs.join(kept, "doc_id", "left_semi").select("doc_id", "text")
+    e = _shingle_rows_from(spark, batch_kept, 32).persist()
+    e.count()
+    sig, bands = _minhash_bands(e)
+    bands.write.mode("append").parquet(f"{index_dir}/bands")
+    e.write.mode("append").parquet(f"{index_dir}/shingles")
+    sig.select("doc_id", "n_sh").write.mode("append").parquet(f"{index_dir}/sizes")
+    e.unpersist()

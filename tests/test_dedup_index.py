@@ -30,3 +30,33 @@ def test_index_tables_on_disk_and_read(spark):
     # the only documents-table scan feeding shingle computation is the
     # batch side; the index side must come from the stored parquet
     assert plan.count("dmrs_dedup_index") >= 2  # bands + shingles (+sizes)
+
+
+def test_index_extend_covers_kept_batch(spark, tmp_path_factory):
+    """After extend, the index holds one row set per retained doc:
+    historical docs plus exactly the batch docs whose status was
+    'kept' — near-dups never enter."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    idx_src = dedup._default_index_dir(SF)
+    dedup.dedup_incremental_neardup_indexed(spark, SF).collect()  # ensure built
+    idx = str(tmp_path_factory.mktemp("idx_ext")) + "/index"
+    shutil.copytree(idx_src, idx)
+
+    dedup.dedup_index_extend(spark, SF, idx)
+
+    statuses = dedup.dedup_incremental_neardup_indexed(spark, SF)
+    kept = {r["doc_id"] for r in statuses.filter(F.col("status") == "kept").collect()}
+    sizes = spark.read.parquet(f"{idx}/sizes")
+    indexed_ids = {r["doc_id"] for r in sizes.select("doc_id").distinct().collect()}
+    hist_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{idx_src}/sizes").select("doc_id").collect()
+    }
+    # every kept batch doc (that has shingles) is now indexed; no
+    # near-dup snuck in
+    batch_indexed = indexed_ids - hist_ids
+    assert batch_indexed <= kept
+    assert sizes.count() == sizes.select("doc_id").distinct().count()
