@@ -221,3 +221,58 @@ def test_write_zorder_parquet_skips_on_both_dims(spark, tmp_path_factory):
     # fewer candidate files for the 2-D box.
     assert z_overlap < s_overlap, (z_overlap, s_overlap)
     assert z_overlap <= 32 * 0.5
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    """Property check: the codegen Z-key equals a Python reference
+    Morton interleave over the same min-max bucketing, including NULL
+    cells (bucket 0) and the 63-bit clamp."""
+    import random
+
+    from distributed_mapreduce_server_spark.sources import zorder_key
+
+    rnd = random.Random(7)
+    rows = [(rnd.randint(0, 10_000), rnd.randint(-500, 500)) for _ in range(200)]
+    rows += [(None, 123), (42, None), (None, None)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    bits = 12
+    z, stats = zorder_key(df, ["x", "y"], bits=bits)
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn("z", z).collect()
+    }
+
+    top = (1 << bits) - 1
+
+    def bucket(v, mn, mx):
+        if v is None:
+            v = mn
+        span = (mx - mn) or 1.0
+        return min(top, int(((v - mn) / span) * (top + 1)))
+
+    def interleave(bx, by):
+        out = 0
+        for j in range(bits):
+            out |= ((bx >> j) & 1) << (2 * j)
+            out |= ((by >> j) & 1) << (2 * j + 1)
+        return out
+
+    mnx, mxx = stats["mn_x"], stats["mx_x"]
+    mny, mxy = stats["mn_y"], stats["mx_y"]
+    for (x, y), zv in got.items():
+        assert zv == interleave(bucket(x, mnx, mxx), bucket(y, mny, mxy)), (x, y)
+
+
+def test_zorder_key_clamps_bits_to_long_range(spark):
+    """bits * n_cols > 63 must clamp, not wrap: keys stay non-negative
+    and distinct dims still interleave."""
+    from distributed_mapreduce_server_spark.sources import zorder_key
+
+    df = spark.createDataFrame(
+        [(i, j, k) for i in range(4) for j in range(4) for k in range(4)],
+        "a int, b int, c int",
+    )
+    z, _ = zorder_key(df, ["a", "b", "c"], bits=32)  # would need 96 bits unclamped
+    vals = [r["z"] for r in df.withColumn("z", z).collect()]
+    assert all(v >= 0 for v in vals)
+    assert len(set(vals)) == 64  # 4x4x4 distinct corner buckets stay distinct
