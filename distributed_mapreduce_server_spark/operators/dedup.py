@@ -1053,3 +1053,38 @@ def dedup_index_extend(spark: SparkSession, sf_dir: str, index_dir: str) -> None
     e.write.mode("append").parquet(f"{index_dir}/shingles")
     sig.select("doc_id", "n_sh").write.mode("append").parquet(f"{index_dir}/sizes")
     e.unpersist()
+
+
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonicalization — what a training pipeline
+    actually wants from near-dup removal: within each near-dup
+    cluster keep the member with the HIGHEST quality score (the text
+    pipeline's heuristic quality signal; ties break to the lowest
+    doc_id), not blindly the lowest id. Singletons pass through.
+
+    Composition shape: clusters come from dedup_clusters (one
+    near-dup graph pass), the score from text's quality expressions
+    (one corpus scan, no extra shuffle beyond its projection), and
+    the pick is a per-cluster window over the tiny clustered subset —
+    the corpus-sized work is the same as dedup_keep_canonical, only
+    the ranking key changes.
+    """
+    from distributed_mapreduce_server_spark.operators.text import _quality_exprs
+
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    q = _quality_exprs()
+    quality = docs.select("doc_id", fround(q["quality"], 4).alias("quality"))
+    clusters = dedup_clusters(spark, sf_dir)
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    dropped = (
+        clusters.join(quality, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    return (
+        docs.select("doc_id")
+        .join(dropped, "doc_id", "left_anti")
+        .withColumn("kept", F.lit(True))
+        .orderBy("doc_id")
+    )

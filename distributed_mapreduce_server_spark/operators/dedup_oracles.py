@@ -327,3 +327,24 @@ DEDUP_ORACLES["dedup_incremental_neardup"] = f"""
 DEDUP_ORACLES["dedup_incremental_neardup_indexed"] = DEDUP_ORACLES[
     "dedup_incremental_neardup"
 ]
+
+from distributed_mapreduce_server_spark.operators.text_oracles import (  # noqa: E402
+    TEXT_ORACLES,
+)
+
+DEDUP_ORACLES["dedup_keep_best_quality"] = f"""
+    WITH clusters AS ({_CLUSTERS_SQL}),
+    quality AS (
+        SELECT doc_id, quality FROM ({TEXT_ORACLES["text_quality_score"]})
+    ),
+    ranked AS (
+        SELECT c.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY q.quality DESC, c.doc_id) AS rn
+        FROM clusters c JOIN quality q USING (doc_id)
+    )
+    SELECT d.doc_id, TRUE AS kept
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
+    ORDER BY d.doc_id
+"""

@@ -131,6 +131,7 @@ _register(
         "dedup_clusters_bigstar",
         "dedup_incremental_neardup",
         "dedup_incremental_neardup_indexed",
+        "dedup_keep_best_quality",
     ],
 )
 _register(

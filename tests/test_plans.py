@@ -115,6 +115,7 @@ EAGER_OPS = {
     "dedup_clusters_bigstar",
     "dedup_incremental_neardup_indexed",  # index build runs eagerly
     "dedup_keep_canonical",
+    "dedup_keep_best_quality",
     "emb_kmeans",
     "text_corpus_pipeline_neardup",
     "text_corpus_pipeline_semantic",
