@@ -923,7 +923,9 @@ def _default_index_dir(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"dmrs_dedup_index_{tag}")
 
 
-def dedup_incremental_neardup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_incremental_neardup_indexed(
+    spark: SparkSession, sf_dir: str, index_dir: str | None = None
+) -> DataFrame:
     """dedup_incremental_neardup consuming the STORED index — the
     honest day-2 cost profile: shingles, signatures and bands are
     computed for the NEW BATCH ONLY; the historical side arrives as
@@ -946,7 +948,7 @@ def dedup_incremental_neardup_indexed(spark: SparkSession, sf_dir: str) -> DataF
     """
     import os
 
-    index_dir = _default_index_dir(sf_dir)
+    index_dir = index_dir or _default_index_dir(sf_dir)
     marker = os.path.join(index_dir, "bands", "_SUCCESS")
     src = os.path.join(sf_dir, "documents.parquet")
     stale = os.path.exists(marker) and os.path.getmtime(src) > os.path.getmtime(marker)
@@ -1042,7 +1044,7 @@ def dedup_index_extend(spark: SparkSession, sf_dir: str, index_dir: str) -> None
     the clustered layout as appended files accumulate (the standard
     lake-maintenance cycle).
     """
-    statuses = dedup_incremental_neardup_indexed(spark, sf_dir)
+    statuses = dedup_incremental_neardup_indexed(spark, sf_dir, index_dir=index_dir)
     kept = statuses.filter(F.col("status") == "kept").select("doc_id")
     docs = load_tables(spark, sf_dir, register_views=False)["documents"]
     batch_kept = docs.join(kept, "doc_id", "left_semi").select("doc_id", "text")
