@@ -129,3 +129,16 @@ def fround(c: Column, nd: int = 0) -> Column:
     scale = F.lit(float(10**nd))
     scaled = F.abs(c) * scale
     return F.signum(c) * F.floor(scaled + F.lit(0.5)) / scale
+
+
+def fround_np(a, nd: int = 4):
+    """Numpy twin of :func:`fround` for Pandas-UDF kernels: scaled
+    half-away-from-zero rounding (DuckDB ROUND semantics; np.round is
+    banker's at representable .5 ties). One definition so every
+    vectorized kernel (blocked cosine grid, PQ encoder/ADC, centroid
+    assignment) rounds identically to the Column form and the
+    oracles."""
+    import numpy as np
+
+    scale = float(10**nd)
+    return np.sign(a) * np.floor(np.abs(a) * scale + 0.5) / scale

@@ -47,15 +47,24 @@ def _pipe_record(cmd: str):
 
     def run(record):
         fname, content = record
+        # UTF-8 explicitly (matching the RDD.pipe path), never the
+        # executor's locale — text=True alone means LANG=C containers
+        # crash on non-ASCII input; and split records on '\n' only,
+        # like pipe does (splitlines() also breaks on \x0b, \x0c,
+        # U+2028 etc., which a mapper may legitimately emit inside
+        # a value).
         proc = subprocess.run(
-            argv, input=content, capture_output=True, text=True
+            argv, input=content, capture_output=True, encoding="utf-8"
         )
         if proc.returncode != 0:
             raise RuntimeError(
                 f"mapper {cmd!r} exited {proc.returncode} on {fname}: "
                 f"{proc.stderr[-500:]}"
             )
-        return proc.stdout.splitlines()
+        out = proc.stdout
+        if out.endswith("\n"):
+            out = out[:-1]
+        return out.split("\n") if out else []
 
     return run
 

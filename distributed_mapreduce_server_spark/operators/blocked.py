@@ -25,6 +25,8 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from distributed_mapreduce_server_spark.functions import fround_np
+
 
 def blocked_cosine_grid(
     spark: SparkSession,
@@ -80,8 +82,7 @@ def blocked_cosine_grid(
         a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
         b_norms = np.sqrt((b_mat * b_mat).sum(axis=1))
         raw = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
-        # DuckDB ROUND semantics (scaled half-away-from-zero)
-        cos = np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
+        cos = fround_np(raw)
         return cell_fn(diagonal, a_ids, b_ids, cos)
 
     return (

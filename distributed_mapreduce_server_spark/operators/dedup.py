@@ -90,6 +90,14 @@ class _UnpersistGroup:
 
 SHINGLE_K = 3
 JACCARD_T = 0.8
+# JACCARD_T as an exact fraction: the prefix-filter candidate bound
+# (dedup_prefix_filter_jaccard) sizes prefixes with integer
+# arithmetic derived from THESE, so editing JACCARD_T can never
+# silently desynchronize verify threshold and candidate completeness.
+from fractions import Fraction as _Fraction
+
+_JT = _Fraction(JACCARD_T).limit_denominator(1000)
+JACCARD_T_NUM, JACCARD_T_DEN = _JT.numerator, _JT.denominator
 N_PERMS = 16
 N_BANDS = 4
 ROWS_PER_BAND = 4
@@ -302,8 +310,10 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard over the full shingle sets, so the result equals
     dedup_ngram_jaccard row-for-row and shares its oracle.
 
-    Prefix lengths use integer arithmetic (n - (4n+4)//5 + 1), not
-    0.8*n doubles, so completeness can't hinge on float rounding.
+    Prefix lengths use integer arithmetic (n - ceil(num*n/den) + 1
+    with num/den = JACCARD_T's exact fraction), not t*n doubles, so
+    completeness can't hinge on float rounding and cannot
+    desynchronize from the shared verify threshold.
     Scale shape: one df-aggregation, one per-doc window (docs are
     bounded-size shingle sets), candidate join keyed on rare hashes
     whose buckets are small BY CONSTRUCTION (rarest-first order).
@@ -329,8 +339,15 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pref = (
         ranked.filter(
+            # n - ceil(t*n) + 1 with ceil(a/b) = floor((a+b-1)/b):
+            # integer arithmetic from JACCARD_T's exact fraction
             F.col("rk")
-            <= F.col("n") - F.floor((F.lit(4) * F.col("n") + 4) / 5) + 1
+            <= F.col("n")
+            - F.floor(
+                (F.lit(JACCARD_T_NUM) * F.col("n") + F.lit(JACCARD_T_DEN - 1))
+                / F.lit(JACCARD_T_DEN)
+            )
+            + 1
         )
         .select("doc_id", "h", "rk", "n")
         .persist()

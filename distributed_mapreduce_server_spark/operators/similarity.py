@@ -20,13 +20,26 @@ from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
 from distributed_mapreduce_server_spark.catalog import load_tables
-from distributed_mapreduce_server_spark.functions import cosine_sim, fround
+from distributed_mapreduce_server_spark.functions import cosine_sim, fround, fround_np
 
 N_QUERIES = 5
 TOP_K = 10
 N_PLANES = 6
 N_TABLES = 4
 EMB_DIM = 64
+
+
+def _collect_matrix(df, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Bounded driver fetch of (ids, matrix) sorted by id - for
+    codebooks and query sets ONLY (fixed size at any corpus scale;
+    never call on a corpus-sized frame)."""
+    import numpy as np
+
+    rows = df.select(id_col, vec_col).collect()
+    rows.sort(key=lambda r: r[id_col])
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    return ids, mat
 
 
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -151,9 +164,7 @@ def _centroid_assign(emb: DataFrame, centroids: DataFrame, n_best: int) -> DataF
     import numpy as np
     import pandas as pd
 
-    cen_rows = centroids.select("vec_id", "embedding").collect()
-    cen_ids = np.array([r["vec_id"] for r in cen_rows], dtype=np.int64)
-    cen_mat = np.array([r["embedding"] for r in cen_rows], dtype=np.float64)
+    cen_ids, cen_mat = _collect_matrix(centroids)
     cen_norms = np.sqrt((cen_mat * cen_mat).sum(axis=1))
     # broadcast lifetime = the returned plan's; ContextCleaner reclaims it.
     bc = emb.sparkSession.sparkContext.broadcast((cen_ids, cen_mat, cen_norms))
@@ -169,7 +180,7 @@ def _centroid_assign(emb: DataFrame, centroids: DataFrame, n_best: int) -> DataF
             raw = (a_mat @ mat_b.T) / np.outer(a_norms, norms_b)
             # DuckDB ROUND semantics (scaled half-away-from-zero);
             # np.round is banker's at scaled .5 ties
-            cos = np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
+            cos = fround_np(raw)
             out_vec, out_cen = [], []
             for i in range(len(a_ids)):
                 # row_number() over (cos desc, centroid_id asc)
@@ -566,6 +577,18 @@ def emb_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PQ_M = 8  # subspaces (64 dims -> 8 x 8)
 PQ_SUB_DIM = EMB_DIM // PQ_M
+
+
+def _pq_codebook(emb: DataFrame):
+    """The deterministic PQ codebook rows — ONE definition shared by
+    the encoder (emb_pq_quantize) and the ADC serving scan
+    (sim_pq_adc_ann), so the two can never disagree on which vectors
+    form the codebook or their order."""
+    return _collect_matrix(
+        emb.filter(
+            (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_K)
+        )
+    )
 PQ_K = 16  # centroids per sub-codebook -> 4-bit codes
 
 
@@ -592,16 +615,7 @@ def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
-    cen_rows = (
-        emb.filter(
-            (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_K)
-        )
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    cen_rows.sort(key=lambda r: r["vec_id"])
-    cen_ids = np.array([r["vec_id"] for r in cen_rows], dtype=np.int64)
-    cen_mat = np.array([r["embedding"] for r in cen_rows], dtype=np.float64)
+    cen_ids, cen_mat = _pq_codebook(emb)
     bc = spark.sparkContext.broadcast((cen_ids, cen_mat))
 
     def blocks(batches):
@@ -619,11 +633,11 @@ def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = (diff * diff).sum(axis=2)
                 # DuckDB ROUND semantics before argmin: selection must
                 # not depend on sub-1e-4 float noise
-                d = np.sign(d) * np.floor(np.abs(d) * 1e4 + 0.5) / 1e4
+                d = fround_np(d)
                 best = np.argmin(d, axis=1)  # first min = lowest cid
                 out[f"code{m}"] = ids_c[best].astype(np.int32)
                 err += d[np.arange(len(vids)), best]
-            out["recon_err"] = np.sign(err) * np.floor(np.abs(err) * 1e4 + 0.5) / 1e4
+            out["recon_err"] = fround_np(err)
             yield pd.DataFrame(out)
 
     schema = (
@@ -666,25 +680,8 @@ def sim_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
-    cen_rows = (
-        emb.filter(
-            (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_K)
-        )
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    cen_rows.sort(key=lambda r: r["vec_id"])
-    cen_ids = np.array([r["vec_id"] for r in cen_rows], dtype=np.int64)
-    cen_mat = np.array([r["embedding"] for r in cen_rows], dtype=np.float64)
-    q_rows = (
-        emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
-    )
-    q_rows.sort(key=lambda r: r["vec_id"])
-    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
-
-    def _grid(a):
-        return np.sign(a) * np.floor(np.abs(a) * 1e4 + 0.5) / 1e4
+    _, cen_mat = _pq_codebook(emb)
+    q_ids, q_mat = _collect_matrix(emb.filter(F.col("vec_id") < N_QUERIES))
 
     # LUT[q, m, j] = rounded squared distance from query q's subspace
     # m to sub-centroid j — fixed size (|Q| x 8 x 16) at any corpus
@@ -692,7 +689,7 @@ def sim_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in range(PQ_M):
         lo, hi = m * PQ_SUB_DIM, (m + 1) * PQ_SUB_DIM
         diff = q_mat[:, None, lo:hi] - cen_mat[None, :, lo:hi]
-        lut[:, m, :] = _grid((diff * diff).sum(axis=2))
+        lut[:, m, :] = fround_np((diff * diff).sum(axis=2))
     bc = spark.sparkContext.broadcast((cen_mat, q_ids, lut))
 
     def blocks(batches):
@@ -708,13 +705,16 @@ def sim_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in range(PQ_M):
                 lo, hi = m * PQ_SUB_DIM, (m + 1) * PQ_SUB_DIM
                 diff = x[:, None, lo:hi] - cen[None, :, lo:hi]
-                d = _grid((diff * diff).sum(axis=2))
+                d = fround_np((diff * diff).sum(axis=2))
                 codes = np.argmin(d, axis=1)
                 adc += tab[:, m, :][:, codes]
-            adc = _grid(adc)
-            qi, vi = np.nonzero(np.ones_like(adc, dtype=bool))
+            adc = fround_np(adc)
             yield pd.DataFrame(
-                {"query_id": qids[qi], "neighbor_id": vids[vi], "adc_dist": adc[qi, vi]}
+                {
+                    "query_id": np.repeat(qids, len(vids)),
+                    "neighbor_id": np.tile(vids, len(qids)),
+                    "adc_dist": adc.reshape(-1),
+                }
             )
 
     cand = emb.filter(F.col("vec_id") >= N_QUERIES).select("vec_id", "embedding")

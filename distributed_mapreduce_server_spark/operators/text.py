@@ -896,7 +896,6 @@ def text_corpus_pipeline_semantic(spark: SparkSession, sf_dir: str) -> DataFrame
     operators verify against."""
     from distributed_mapreduce_server_spark.functions import md5_u60
     from distributed_mapreduce_server_spark.operators.dedup import (
-        COSINE_DEDUP_T,
         _blocked_cosine_pairs,
         _minhash_pairs_from,
     )
@@ -931,9 +930,8 @@ def text_corpus_pipeline_semantic(spark: SparkSession, sf_dir: str) -> DataFrame
     emb_s = tables["embeddings"].join(
         survivors.select(F.col("doc_id").alias("vec_id")), "vec_id"
     ).select("vec_id", "embedding")
-    sem_pairs = _blocked_cosine_pairs(spark, emb_s).filter(
-        F.col("cos_sim") >= COSINE_DEDUP_T
-    )
+    # the blocked kernel already thresholds at COSINE_DEDUP_T
+    sem_pairs = _blocked_cosine_pairs(spark, emb_s)
     sem_dropped = sem_pairs.select(F.col("vec_b").alias("doc_id")).distinct()
     final = survivors.join(sem_dropped, "doc_id", "left_anti")
 

@@ -427,6 +427,22 @@ def upsert_apply_batch(state_dir: str):
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
+        # Crash recovery BEFORE touching anything: a previous attempt
+        # may have moved a live bucket into the trash sibling without
+        # installing its replacement. Restore any bucket missing from
+        # the live table, then clear the trash — the checkpointed
+        # replay re-merges the same batch idempotently (latest-wins).
+        # The trash lives BESIDE the dataset, never inside it: a
+        # stray dir under state_dir would poison Spark's partition
+        # inference ('bucket=5._old' -> bucket becomes a string
+        # column and .isin([5]) silently drops the history).
+        trash = state_dir + "._trash"
+        if os.path.isdir(trash):
+            for d in os.listdir(trash):
+                dst = os.path.join(state_dir, d)
+                if not os.path.exists(dst):
+                    os.replace(os.path.join(trash, d), dst)
+            shutil.rmtree(trash, ignore_errors=True)
         w = Window.partitionBy("user_id", "event_type").orderBy(
             F.desc("ts"), F.desc("event_id")
         )
@@ -465,18 +481,21 @@ def upsert_apply_batch(state_dir: str):
         latest.unpersist()
         if os.path.isdir(state_dir):
             # install ONLY the touched bucket dirs; everything else in
-            # the live table is left untouched on disk
+            # the live table is left untouched on disk. Displaced
+            # buckets go to the trash sibling and are deleted only
+            # after every replacement landed — a crash mid-loop
+            # leaves them recoverable by the next attempt's restore.
+            os.makedirs(trash, exist_ok=True)
             for b in touched:
                 src = os.path.join(tmp, f"bucket={b}")
                 dst = os.path.join(state_dir, f"bucket={b}")
-                old = dst + "._old"
+                old = os.path.join(trash, f"bucket={b}")
                 if os.path.exists(old):
                     shutil.rmtree(old)
                 if os.path.isdir(dst):
                     os.replace(dst, old)
                 os.replace(src, dst)
-                if os.path.isdir(old):
-                    shutil.rmtree(old)
+            shutil.rmtree(trash, ignore_errors=True)
             shutil.rmtree(tmp, ignore_errors=True)
         else:
             os.replace(tmp, state_dir)

@@ -234,3 +234,52 @@ def test_upsert_rewrites_only_touched_buckets(spark, sf_smoke, tmp_path_factory)
         for r in spark.read.parquet(state).collect()
     }
     assert got == expect
+
+
+def test_upsert_recovers_from_mid_swap_crash(spark, sf_smoke, tmp_path_factory):
+    """Crash safety of the per-bucket swap: if a previous attempt died
+    after moving a live bucket to the trash sibling but before
+    installing its replacement, the next batch must restore it first —
+    no bucket history lost, no stray dirs poisoning partition
+    inference — and converge to latest-per-key."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_server_spark.catalog import load_tables
+    from distributed_mapreduce_server_spark.streaming.jobs import (
+        UPSERT_BUCKETS,
+        upsert_apply_batch,
+    )
+
+    state = str(tmp_path_factory.mktemp("crash_state") / "state")
+    apply_batch = upsert_apply_batch(state)
+    ev = load_tables(spark, sf_smoke, register_views=False)["events"].select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    apply_batch(ev, 0)  # seed
+    expected = sorted(map(tuple, spark.read.parquet(state).drop("bucket").collect()))
+
+    # simulate the crash window: one bucket moved out, replacement lost
+    victim = next(
+        b for b in range(UPSERT_BUCKETS)
+        if os.path.isdir(os.path.join(state, f"bucket={b}"))
+    )
+    trash = state + "._trash"
+    os.makedirs(trash, exist_ok=True)
+    os.replace(
+        os.path.join(state, f"bucket={victim}"),
+        os.path.join(trash, f"bucket={victim}"),
+    )
+    assert not os.path.isdir(os.path.join(state, f"bucket={victim}"))
+
+    # replay an (empty-delta) batch for an unrelated user: recovery
+    # must restore the victim bucket before any merge
+    one_user = ev.select("user_id").first()["user_id"]
+    apply_batch(ev.filter(F.col("user_id") == one_user), 1)
+
+    assert os.path.isdir(os.path.join(state, f"bucket={victim}"))
+    assert not os.path.isdir(trash)
+    got = sorted(map(tuple, spark.read.parquet(state).drop("bucket").collect()))
+    assert got == expected
