@@ -761,6 +761,47 @@ def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _two_phase_rank(
+    spark: SparkSession, df: DataFrame, order_cols: list, out_col: str
+) -> DataFrame:
+    """Distributed global 1-based rank of ``df`` under ``order_cols``
+    — the two-phase shape a single-partition ``row_number`` window
+    cannot survive at scale: range-partition on the order key
+    (sampled boundaries), count rows per partition (a
+    partition-count-sized collect, bounded by cluster width), then
+    rank WITHIN each partition in parallel and add the broadcast
+    cumulative offset. Rank values are independent of where the
+    sampled boundaries land. Shared by text_global_shuffle and
+    text_perplexity_filter."""
+    from pyspark.sql.window import Window
+
+    n_parts = spark.sparkContext.defaultParallelism
+    tagged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in tagged.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off = spark.createDataFrame(offsets or [(0, 0)], "pid int, offset long")
+    w = Window.partitionBy("pid").orderBy(*order_cols)
+    out = (
+        tagged.join(F.broadcast(off), "pid")
+        .withColumn(out_col, F.row_number().over(w) + F.col("offset"))
+        .drop("pid", "offset")
+    )
+    out = out.persist()
+    out.count()
+    tagged.unpersist()
+    return out
+
+
 def text_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global corpus shuffle — the training-order
     permutation step before sharding a dataset for a run. Each doc's
@@ -779,40 +820,15 @@ def text_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     of where the sampled range boundaries land, so the result is
     deterministic even though the partitioning isn't.
     """
-    from pyspark.sql.window import Window
-
     docs = load_tables(spark, sf_dir, register_views=False)["documents"]
-    n_parts = spark.sparkContext.defaultParallelism
     keyed = docs.select(
         "doc_id", F.md5(F.col("doc_id").cast("string")).alias("shuffle_key")
     )
-    tagged = (
-        keyed.repartitionByRange(n_parts, "shuffle_key", "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .persist()
-    )
-    counts = {
-        r["pid"]: r["cnt"]
-        for r in tagged.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets, acc = [], 0
-    for pid in sorted(counts):
-        offsets.append((pid, acc))
-        acc += counts[pid]
-    off = spark.createDataFrame(offsets or [(0, 0)], "pid int, offset long")
-    w = Window.partitionBy("pid").orderBy("shuffle_key", "doc_id")
-    out = (
-        tagged.join(F.broadcast(off), "pid")
-        .select(
-            (F.row_number().over(w) + F.col("offset")).alias("position"),
-            "doc_id",
-            "shuffle_key",
-        )
-        .orderBy("position")
-    )
+    out = _two_phase_rank(
+        spark, keyed, ["shuffle_key", "doc_id"], "position"
+    ).select("position", "doc_id", "shuffle_key").orderBy("position")
     out = out.persist()
     out.count()
-    tagged.unpersist()
     return out
 
 
@@ -950,3 +966,39 @@ def text_corpus_pipeline_semantic(spark: SparkSession, sf_dir: str) -> DataFrame
     survivors.unpersist()
     canon.unpersist()
     return out.orderBy("split", "lang")
+
+
+PPL_BUCKETS = 3
+PPL_BUCKET_NAMES = ("head", "middle", "tail")
+
+
+def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing — the quality partition a
+    pretraining pipeline draws from: score every document with the
+    corpus bigram LM (text_bigram_logprob's mean -ln P(w|prev), lower
+    = more fluent), rank all docs by (score, doc_id), and split the
+    ranking into integer TERCILES: 'head' (most fluent third),
+    'middle', 'tail'.
+
+    Buckets come from integer rank arithmetic — bucket =
+    ((rank-1) * 3) div n — NOT from float quantile boundaries:
+    percentile interpolation differs across engines in the last ulp,
+    and a doc sitting exactly on a boundary would flip buckets;
+    ranks are exact integers in both engines, so parity is
+    unconditional. Ranking is the same two-phase distributed shape
+    as text_global_shuffle (no single-partition global window).
+    """
+    lp = text_bigram_logprob(spark, sf_dir).select("doc_id", "avg_neg_logprob")
+    ranked = _two_phase_rank(spark, lp, ["avg_neg_logprob", "doc_id"], "rk")
+    n = ranked.agg(F.count("*").alias("n"))
+    bucket = F.expr(f"((rk - 1) * {PPL_BUCKETS}) div n")
+    label = (
+        F.when(bucket == 0, F.lit(PPL_BUCKET_NAMES[0]))
+        .when(bucket == 1, F.lit(PPL_BUCKET_NAMES[1]))
+        .otherwise(F.lit(PPL_BUCKET_NAMES[2]))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select("doc_id", "avg_neg_logprob", label.alias("ppl_bucket"))
+        .orderBy("doc_id")
+    )

@@ -506,3 +506,28 @@ TEXT_ORACLES["text_corpus_pipeline_semantic"] = f"""
     GROUP BY 1, 2
     ORDER BY 1, 2
 """
+
+
+from distributed_mapreduce_server_spark.operators.text import (  # noqa: E402
+    PPL_BUCKETS as _PPL_B,
+)
+
+TEXT_ORACLES["text_perplexity_filter"] = f"""
+    WITH lp AS (
+        SELECT doc_id, avg_neg_logprob
+        FROM ({TEXT_ORACLES["text_bigram_logprob"]})
+    ),
+    r AS (
+        SELECT doc_id, avg_neg_logprob,
+               ROW_NUMBER() OVER (ORDER BY avg_neg_logprob, doc_id) AS rk,
+               COUNT(*) OVER () AS n
+        FROM lp
+    )
+    SELECT doc_id, avg_neg_logprob,
+           CASE ((rk - 1) * {_PPL_B}) // n
+                WHEN 0 THEN 'head'
+                WHEN 1 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM r
+    ORDER BY doc_id
+"""

@@ -183,6 +183,7 @@ _register(
         "text_global_shuffle",
         "text_mixture_sample",
         "text_corpus_pipeline_semantic",
+        "text_perplexity_filter",
     ],
 )
 _register(

@@ -233,3 +233,30 @@ def test_per_file_mapper_strict_reference_granularity(spark, tmp_path_factory):
     # exactly one header per input FILE, and token counts intact
     assert counts["__header__"] == 3
     assert counts == {"__header__": 3, "alpha": 2, "beta": 2, "gamma": 2}
+
+
+def test_per_file_mapper_non_ascii_utf8(spark, tmp_path_factory):
+    """The per-file subprocess must speak UTF-8 regardless of the
+    executor's locale (text=True under LANG=C crashed on non-ASCII;
+    the RDD.pipe path is hardwired UTF-8, so per_file must match)."""
+    d = tmp_path_factory.mktemp("per_file_utf8")
+    (d / "f0.txt").write_text("café café déjà\n", encoding="utf-8")
+    mapper = d / "id_map.py"
+    mapper.write_text(
+        "import sys\n"
+        "for line in sys.stdin:\n"
+        "    for tok in line.split():\n"
+        "        print(f'{tok}\\t1')\n"
+    )
+    out = run_executable_job(
+        spark,
+        str(d / "*.txt"),
+        f"{PY} {mapper}",
+        _cmd("sum_reduce.py"),
+        per_file=True,
+    ).collect()
+    counts = {}
+    for r in out:
+        w, _, n = r["line"].partition("\t")
+        counts[w] = int(n)
+    assert counts == {"café": 2, "déjà": 1}
