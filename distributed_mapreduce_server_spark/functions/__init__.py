@@ -4,6 +4,10 @@ Everything here returns Column expressions built from
 ``pyspark.sql.functions`` so the hot path stays inside WholeStageCodegen
 (no Python UDFs). Each helper has a DuckDB-equivalent SQL form used by
 the oracle strings, so Spark results hash-match the oracle.
+
+One deliberate exception: :func:`fround_np`, the numpy twin of
+:func:`fround` for Arrow-batched kernels — it lives here so the
+rounding semantics have exactly one home per execution tier.
 """
 
 from __future__ import annotations
