@@ -17,8 +17,17 @@ Five dedup strategies, all avoiding O(n²) at scale:
 - simhash: 48-bit SimHash over shingles, 16-bit band buckets,
   Hamming <= 6 verify.
 - embedding_cosine: near-dup by vector similarity — exact blocked
-  pair-matmul (block-pair cogroup grid, nothing corpus-sized on the
-  driver); the approximate LSH-bucketed regime lives in similarity.py.
+  pair-matmul (block-pair cogroup grid via blocked.py, nothing
+  corpus-sized on the driver); the approximate LSH-bucketed regime
+  lives in similarity.py.
+
+Built on top of the pair generators: connected components two ways
+(min-label propagation + large-star/small-star contraction),
+canonicalization by lowest id or by highest quality score,
+incremental-ingest variants (exact fingerprints and MinHash bands)
+against a historical index, and the persistent index lifecycle
+(dedup_index_build / *_indexed / dedup_index_extend) that makes the
+day-2 cost scale with the batch instead of the corpus.
 
 Hot-path design note: shingling is ROW-FORM — explode tokens, window
 ``lead`` to assemble k-grams, hash, distinct — because Spark's

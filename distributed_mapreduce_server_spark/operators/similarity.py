@@ -8,6 +8,14 @@
 - sim_lsh_ann: random-hyperplane LSH buckets -> candidates only
   compare within their bucket. Deterministic md5-seeded hyperplanes
   so results are reproducible across runs and engines.
+- sim_ivf_ann / emb_pq_quantize / sim_pq_adc_ann: the IVF + product-
+  quantization serving stack (broadcast codebooks, Arrow-batch numpy
+  kernels, grid-rounded selection for full value parity).
+- sim_knn_join: all-pairs top-k join on the shared blocked cogroup
+  grid (blocked.py) — local top-k per cell bounds the shuffle.
+- emb_* analytics: centroids, dim stats, covariance, PCA, k-means,
+  int8 quantization, backfill coverage and the mapInPandas
+  batch-inference backfill stage (emb_encode_backfill).
 """
 
 from __future__ import annotations
