@@ -107,7 +107,21 @@ def run_executable_job(
         .zipWithIndex()
         .mapValues(lambda i: int(i) % num_reducers)
     )
-    by_rid = keyed.join(ranks).map(lambda kv: ((kv[1][1], kv[1][0]), None))
+    # Assign reducer ids map-side when the key set is small: a full
+    # RDD join re-shuffles EVERY mapped line against a table that is
+    # usually tiny (wordcount: a vocabulary), and measured 2x slower
+    # than the single-process baseline at 48 MB; with the broadcast
+    # the only line shuffle left is the reducer partitioning itself.
+    # Large key sets (grep emitting near-unique keys) fall back to
+    # the join — a driver-side dict of hundreds of millions of keys
+    # is the thing that does NOT scale.
+    BROADCAST_KEY_LIMIT = 1_000_000
+    n_keys = ranks.count()
+    if n_keys <= BROADCAST_KEY_LIMIT:
+        rank_map = sc.broadcast(dict(ranks.collect()))
+        by_rid = keyed.map(lambda kv: ((rank_map.value[kv[0]], kv[1]), None))
+    else:
+        by_rid = keyed.join(ranks).map(lambda kv: ((kv[1][1], kv[1][0]), None))
     part_sorted = by_rid.repartitionAndSortWithinPartitions(
         numPartitions=num_reducers, partitionFunc=lambda key: key[0]
     )
