@@ -35,6 +35,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+# reducer-id assignment strategy switch: key sets up to this size
+# broadcast as a driver dict (vocabulary-sized); larger ones use the
+# RDD join (module-level so tests can force the fallback).
+BROADCAST_KEY_LIMIT = 1_000_000
+
 
 def _pipe_record(cmd: str):
     """One subprocess invocation per (filename, content) record — the
@@ -115,7 +120,6 @@ def run_executable_job(
     # Large key sets (grep emitting near-unique keys) fall back to
     # the join — a driver-side dict of hundreds of millions of keys
     # is the thing that does NOT scale.
-    BROADCAST_KEY_LIMIT = 1_000_000
     n_keys = ranks.count()
     if n_keys <= BROADCAST_KEY_LIMIT:
         rank_map = sc.broadcast(dict(ranks.collect()))

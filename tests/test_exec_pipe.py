@@ -260,3 +260,22 @@ def test_per_file_mapper_non_ascii_utf8(spark, tmp_path_factory):
         w, _, n = r["line"].partition("\t")
         counts[w] = int(n)
     assert counts == {"café": 2, "déjà": 1}
+
+
+def test_rank_join_fallback_matches_broadcast(spark, tmp_path_factory, monkeypatch):
+    """The large-key-set fallback (RDD rank join) must produce exactly
+    the broadcast path's output — forced by dropping the threshold."""
+    from distributed_mapreduce_server_spark.mapreduce import exec_job
+
+    d = tmp_path_factory.mktemp("fallback_in")
+    (d / "f0.txt").write_text("alpha beta beta\ngamma alpha\n")
+    args = (
+        spark,
+        str(d / "*.txt"),
+        _cmd("tok_map.py"),
+        _cmd("sum_reduce.py"),
+    )
+    want = sorted(map(tuple, exec_job.run_executable_job(*args, num_reducers=2).collect()))
+    monkeypatch.setattr(exec_job, "BROADCAST_KEY_LIMIT", 0)
+    got = sorted(map(tuple, exec_job.run_executable_job(*args, num_reducers=2).collect()))
+    assert got == want
