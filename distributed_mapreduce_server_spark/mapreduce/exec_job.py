@@ -25,7 +25,9 @@ per-invocation headers/footers match byte-for-byte.
 
 Scale shape: the map pipe is embarrassingly parallel; the rank table
 is distinct-key-sized and built with a shuffle of keys only, then
-joined back (hash join keyed on the same key as the line shuffle).
+applied map-side from a broadcast dict (key sets up to
+BROADCAST_KEY_LIMIT — the usual case) or joined back for huge key
+sets where a driver dict would not fit.
 ``repartitionAndSortWithinPartitions`` gives each reducer its sorted
 stream via Spark's external sort — no driver merge like the
 reference's single-process heapq.merge bottleneck.
@@ -119,11 +121,22 @@ def run_executable_job(
     # the only line shuffle left is the reducer partitioning itself.
     # Large key sets (grep emitting near-unique keys) fall back to
     # the join — a driver-side dict of hundreds of millions of keys
-    # is the thing that does NOT scale.
-    n_keys = ranks.count()
-    if n_keys <= BROADCAST_KEY_LIMIT:
-        rank_map = sc.broadcast(dict(ranks.collect()))
-        by_rid = keyed.map(lambda kv: ((rank_map.value[kv[0]], kv[1]), None))
+    # is the thing that does NOT scale. take(limit+1) is both the
+    # size check and the data: it early-exits on huge key sets and
+    # equals collect() on small ones — one job, not count+collect.
+    head = ranks.take(BROADCAST_KEY_LIMIT + 1)
+    if len(head) <= BROADCAST_KEY_LIMIT:
+        rank_map = sc.broadcast(dict(head))
+        # .get + drop matches the join's inner semantics for a key
+        # that appears in the line stream but not the rank table
+        # (possible only with a non-deterministic mapper or an input
+        # mutated between the two passes) — the join path dropped
+        # such lines; a raw dict lookup would kill the job instead.
+        by_rid = (
+            keyed.map(lambda kv: (rank_map.value.get(kv[0]), kv[1]))
+            .filter(lambda kv: kv[0] is not None)
+            .map(lambda kv: ((kv[0], kv[1]), None))
+        )
     else:
         by_rid = keyed.join(ranks).map(lambda kv: ((kv[1][1], kv[1][0]), None))
     part_sorted = by_rid.repartitionAndSortWithinPartitions(

@@ -799,7 +799,7 @@ def _two_phase_rank(
     out = out.persist()
     out.count()
     tagged.unpersist()
-    return out
+    return out, acc
 
 
 def text_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -824,12 +824,8 @@ def text_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = docs.select(
         "doc_id", F.md5(F.col("doc_id").cast("string")).alias("shuffle_key")
     )
-    out = _two_phase_rank(
-        spark, keyed, ["shuffle_key", "doc_id"], "position"
-    ).select("position", "doc_id", "shuffle_key").orderBy("position")
-    out = out.persist()
-    out.count()
-    return out
+    ranked, _ = _two_phase_rank(spark, keyed, ["shuffle_key", "doc_id"], "position")
+    return ranked.select("position", "doc_id", "shuffle_key").orderBy("position")
 
 
 # equalizing mixture: each source's token budget is the mean source
@@ -989,16 +985,13 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     as text_global_shuffle (no single-partition global window).
     """
     lp = text_bigram_logprob(spark, sf_dir).select("doc_id", "avg_neg_logprob")
-    ranked = _two_phase_rank(spark, lp, ["avg_neg_logprob", "doc_id"], "rk")
-    n = ranked.agg(F.count("*").alias("n"))
-    bucket = F.expr(f"((rk - 1) * {PPL_BUCKETS}) div n")
+    ranked, total = _two_phase_rank(spark, lp, ["avg_neg_logprob", "doc_id"], "rk")
+    bucket = F.expr(f"((rk - 1) * {PPL_BUCKETS}) div {max(total, 1)}")
     label = (
         F.when(bucket == 0, F.lit(PPL_BUCKET_NAMES[0]))
         .when(bucket == 1, F.lit(PPL_BUCKET_NAMES[1]))
         .otherwise(F.lit(PPL_BUCKET_NAMES[2]))
     )
-    return (
-        ranked.crossJoin(F.broadcast(n))
-        .select("doc_id", "avg_neg_logprob", label.alias("ppl_bucket"))
-        .orderBy("doc_id")
-    )
+    return ranked.select(
+        "doc_id", "avg_neg_logprob", label.alias("ppl_bucket")
+    ).orderBy("doc_id")
