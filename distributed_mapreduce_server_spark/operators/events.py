@@ -368,6 +368,108 @@ def q_events_daily_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_bucket_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate with GAP FILLING: per
+    event_type, 1-hour buckets over the table's full [min, max] time
+    range — empty buckets materialized with zero counts and the last
+    observed bucket average carried forward (LOCF), the downsampled
+    series a monitoring dashboard reads.
+
+    Spark realization: the observed rollup is one partial-agg groupBy;
+    the dense bucket grid is built from a 1-ROW bounds aggregate
+    (broadcast) exploded through ``sequence()`` per event type — grid
+    size is types x hours, bounded by the TIME RANGE, not the event
+    count, so at 100 TB the grid stays tiny while the rollup stays one
+    shuffle. The left join keys on (event_type, bucket) and the LOCF
+    window partitions by event_type over the already-dense grid — AQE
+    broadcasts the small side.
+
+    Gap semantics: n_events/total_value are 0 in gap buckets (additive
+    measures), while locf_avg_value carries the last OBSERVED bucket's
+    average (state-like measure), NULL until the first observation.
+    """
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    agg = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        fround(F.sum("value"), 2).alias("sum_v"),
+        fround(F.avg("value"), 4).alias("avg_v"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(agg, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("sum_v"), F.lit(0.0)).alias("total_value"),
+            "avg_v",
+        )
+        .withColumn("locf_avg_value", F.last("avg_v", ignorenulls=True).over(w))
+        .drop("avg_v")
+        .orderBy("event_type", "bucket")
+    )
+
+
+def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 build from the event changelog:
+    per user, collapse consecutive same-type events into state runs
+    and emit versioned validity intervals — ``valid_from`` = first ts
+    of the run, ``valid_to`` = start of the next run (NULL while
+    current), plus a per-user version number. q_events_latest_per_key
+    is the SCD1 compaction of the same log; this keeps history.
+
+    Change detection is ``lag(event_type)`` over (user_id; ts,
+    event_id), the run windows are ``lead(ts)`` + ``row_number`` over
+    the SAME partitioning on the filtered change rows — Catalyst plans
+    ONE shuffle for all three windows. State per key stays a single
+    sorted run at any skew; no self-join against the history.
+    """
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type", 1).over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    return (
+        changes.withColumn("valid_to", F.lead("ts", 1).over(w))
+        .withColumn("version", F.row_number().over(w))
+        .select(
+            "user_id",
+            "version",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
 SKEW_TOP_K = 10
 
 

@@ -995,3 +995,52 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "doc_id", "avg_neg_logprob", label.alias("ppl_bucket")
     ).orderBy("doc_id")
+
+
+BPE_TOP_PAIRS = 20
+
+
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, merge step 1: corpus-weighted adjacent
+    CHARACTER-pair frequencies — the statistic byte-pair encoding
+    greedily merges on (Sennrich et al. 2016). Emits the top-20 pairs
+    by weighted count: each distinct word contributes its (len-1)
+    adjacent pairs, weighted by the word's corpus frequency.
+
+    Scale shape — the classic BPE trick: aggregate the corpus to the
+    WORD-FREQUENCY table first (one wordcount shuffle, map-side
+    partial agg), then explode character positions on that vocab-sized
+    frame only. Pair-counting cost is bounded by vocabulary size *
+    word length, independent of corpus size; a full training loop
+    would re-run this per merge over the (tiny) evolving symbol
+    table. Position explode + substring stays in codegen — no arrays
+    of 1-char strings materialized per corpus row.
+    """
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    pairs = (
+        vocab.filter(F.length("tok") >= 2)
+        .select(
+            "n",
+            "tok",
+            F.explode(F.sequence(F.lit(1), F.length("tok") - 1)).alias("i"),
+        )
+        .select(
+            F.concat_ws(
+                " ",
+                F.expr("substring(tok, i, 1)"),
+                F.expr("substring(tok, i + 1, 1)"),
+            ).alias("pair"),
+            "n",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )

@@ -531,3 +531,22 @@ TEXT_ORACLES["text_perplexity_filter"] = f"""
     FROM r
     ORDER BY doc_id
 """
+
+TEXT_ORACLES["text_bpe_pair_counts"] = f"""
+    WITH vocab AS (
+        SELECT tok, COUNT(*) AS n
+        FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+        GROUP BY tok
+    )
+    SELECT substring(tok, CAST(i AS INTEGER), 1) || ' ' ||
+               substring(tok, CAST(i + 1 AS INTEGER), 1) AS pair,
+           CAST(SUM(n) AS BIGINT) AS cnt
+    FROM (
+        SELECT tok, n, unnest(generate_series(1, length(tok) - 1)) AS i
+        FROM vocab
+        WHERE length(tok) >= 2
+    )
+    GROUP BY 1
+    ORDER BY cnt DESC, pair
+    LIMIT 20
+"""

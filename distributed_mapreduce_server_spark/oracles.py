@@ -752,6 +752,64 @@ EVENTS_ORACLES["q_events_latest_per_key"] = """
     ORDER BY user_id, event_type
 """
 
+EVENTS_ORACLES["q_time_bucket_gapfill"] = """
+    WITH agg AS (
+        SELECT date_trunc('hour', ts) AS bucket, event_type,
+               COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS sum_v,
+               ROUND(AVG(value), 4) AS avg_v
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    grid AS (
+        SELECT t.event_type,
+               unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+        FROM (SELECT DISTINCT event_type FROM events) t, bounds b
+    ),
+    filled AS (
+        SELECT grid.event_type, grid.bucket,
+               COALESCE(agg.n, 0) AS n_events,
+               COALESCE(agg.sum_v, 0.0) AS total_value,
+               agg.avg_v
+        FROM grid LEFT JOIN agg
+          ON grid.bucket = agg.bucket AND grid.event_type = agg.event_type
+    )
+    SELECT event_type, bucket, n_events, total_value,
+           LAST_VALUE(avg_v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS locf_avg_value
+    FROM filled
+    ORDER BY event_type, bucket
+"""
+
+EVENTS_ORACLES["q_events_scd2"] = """
+    WITH changes AS (
+        SELECT user_id, ts, event_id, event_type
+        FROM (
+            SELECT user_id, ts, event_id, event_type,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        )
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+           event_type AS state,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           LEAD(ts) OVER w IS NULL AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, version
+"""
+
 EVENTS_ORACLES["q_shuffle_key_skew"] = """
     WITH per_key AS (
         SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id

@@ -184,6 +184,7 @@ _register(
         "text_mixture_sample",
         "text_corpus_pipeline_semantic",
         "text_perplexity_filter",
+        "text_bpe_pair_counts",
     ],
 )
 _register(
@@ -205,6 +206,8 @@ _register(
         "q_events_latest_per_key",
         "q_events_daily_sketch_rollup",
         "q_shuffle_key_skew",
+        "q_time_bucket_gapfill",
+        "q_events_scd2",
     ],
 )
 
