@@ -373,6 +373,22 @@ _QUERIES["stream_upsert_foreachbatch"] = streaming_jobs.stream_upsert_foreachbat
 _ORACLES["stream_upsert_foreachbatch"] = EVENTS_ORACLES[
     "q_events_latest_per_key"
 ].strip()
+# dropDuplicatesWithinWatermark over byte-identical duplicate
+# deliveries is deterministic (whichever copy wins, the row is the
+# same) -> the oracle is simply the plain events table.
+_QUERIES["stream_dedup_within_watermark"] = (
+    streaming_jobs.stream_dedup_within_watermark
+)
+_ORACLES["stream_dedup_within_watermark"] = """
+    SELECT event_id, ts, user_id, event_type,
+           ROUND(value, 2) AS value, props
+    FROM events
+    ORDER BY event_id
+""".strip()
+# stateless stream-static filter, append-mode deterministic -> the
+# batch anomaly operator's oracle verifies the streaming job too.
+_QUERIES["stream_anomaly_filter"] = streaming_jobs.stream_anomaly_filter
+_ORACLES["stream_anomaly_filter"] = EVENTS_ORACLES["q_events_anomaly"].strip()
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -606,3 +606,76 @@ def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "session_value",
     ).orderBy("user_id", "session_start")
+
+
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once delivery dedup with the dedicated built-in:
+    ``dropDuplicatesWithinWatermark`` over an AT-LEAST-ONCE stream —
+    the event stream unioned with itself stands in for a source that
+    redelivers every record (Kafka producer retries, replayed
+    shards). One state row per key inside the watermark horizon;
+    state self-expires as the watermark advances — unlike plain
+    streaming ``dropDuplicates``, whose key state grows forever on an
+    unbounded stream. THE first streaming operator a 100 TB ingest
+    pipeline runs.
+
+    Deterministic despite "first seen wins": the duplicate copies are
+    byte-identical, so whichever arrives first yields the same row —
+    full value parity against the plain batch table. (For sources
+    whose retries can differ per attempt, key-payload determinism
+    comes from the stream_dedup_exact min-aggregation instead.)
+    """
+    a = _events_stream(spark, sf_dir)
+    b = _events_stream(spark, sf_dir)
+    deduped = (
+        a.unionByName(b)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            fround(F.col("value"), 2).alias("value"),
+            "props",
+        )
+    )
+    out = _run_to_memory(deduped, "append")
+    return out.orderBy("event_id")
+
+
+def stream_anomaly_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 3-sigma anomaly alerting: the event stream filtered
+    against PER-TYPE reference statistics computed batch-side from
+    history (the operators/events.py q_events_anomaly stats) and
+    broadcast onto every micro-batch — the standard "train offline,
+    score online" monitoring split. The stream side is a stateless
+    filter: no streaming aggregation state at all, so it scales to
+    any event rate; refreshing the stats table between micro-batches
+    picks up new baselines automatically (Spark re-reads the static
+    side per batch).
+
+    Append-mode stateless + deterministic predicate -> carries the
+    batch anomaly operator's full SQL oracle.
+    """
+    from pyspark.sql.functions import broadcast
+
+    stats_src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stats = stats_src.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    ev = _events_stream(spark, sf_dir)
+    flagged = (
+        ev.join(broadcast(stats), "event_type")
+        .filter(F.col("value") > F.col("mu") + 3 * F.col("sigma"))
+        .select(
+            "event_id",
+            "event_type",
+            fround(F.col("value"), 2).alias("value_r"),
+            fround((F.col("value") - F.col("mu")) / F.col("sigma"), 2).alias(
+                "z_score"
+            ),
+        )
+    )
+    out = _run_to_memory(flagged, "append")
+    return out.orderBy("event_id")
