@@ -374,3 +374,60 @@ def mm_modality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+# WebDataset-style shard byte budget: small against real 100 MB-1 GB
+# tar shards, sized so the synthetic corpus yields multi-item shards
+# with realistic remainder behavior.
+SHARD_BYTE_BUDGET = 2048
+
+
+def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style training-shard manifest: assign media items
+    (in doc_id order) to byte-budgeted shards, one shard sequence per
+    media type — the layout step that turns a media lake into the
+    sequentially-readable tar/parquet shards a dataloader streams.
+    Greedy next-fit, the same recurrence as text_sequence_packing but
+    over payload BYTES per modality (shards are modality-pure so a
+    loader requests one decode pipeline per shard).
+
+    Scale shape: only the narrow (media_type, doc_id, n_bytes) frame
+    crosses the Arrow boundary — payload bytes stay in the JVM scan;
+    packing parallelizes per media type here and per (type, date/
+    path-prefix) shard key in production, so no global order is
+    needed. An oversized item gets its own shard (next-fit never
+    splits payloads). Oracle: DuckDB recursive CTE on the identical
+    recurrence.
+    """
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    media = attach_media(docs)
+    narrow = media.select(
+        F.col("media_meta.media_type").alias("media_type"),
+        "doc_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        shard_ids, used_after = [], []
+        shard_id, used = 0, 0
+        for n in pdf["n_bytes"]:
+            if used > 0 and used + n > SHARD_BYTE_BUDGET:
+                shard_id += 1
+                used = 0
+            used += int(n)
+            shard_ids.append(shard_id)
+            used_after.append(used)
+        pdf["shard_id"] = shard_ids
+        pdf["shard_used"] = used_after
+        return pdf
+
+    return (
+        narrow.groupBy("media_type")
+        .applyInPandas(
+            pack,
+            "media_type string, doc_id long, n_bytes long, "
+            "shard_id long, shard_used long",
+        )
+        .orderBy("media_type", "doc_id")
+    )

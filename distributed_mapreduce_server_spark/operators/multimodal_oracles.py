@@ -144,3 +144,41 @@ MULTIMODAL_ORACLES["mm_modality_mix"] = f"""
     FROM per_type, tot
     ORDER BY media_type
 """
+
+
+def _shard_oracle() -> str:
+    from distributed_mapreduce_server_spark.operators.multimodal import (
+        SHARD_BYTE_BUDGET,
+    )
+
+    b = str(SHARD_BYTE_BUDGET)
+    return f"""
+        WITH RECURSIVE items AS (
+            SELECT {_MEDIA_TYPE} AS media_type, doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   ROW_NUMBER() OVER (PARTITION BY {_MEDIA_TYPE}
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ),
+        pk AS (
+            SELECT media_type, doc_id, n_bytes, rn,
+                   CAST(0 AS BIGINT) AS shard_id, n_bytes AS shard_used
+            FROM items WHERE rn = 1
+            UNION ALL
+            SELECT t.media_type, t.doc_id, t.n_bytes, t.rn,
+                   CASE WHEN p.shard_used > 0
+                             AND p.shard_used + t.n_bytes > {b}
+                        THEN p.shard_id + 1 ELSE p.shard_id END,
+                   CASE WHEN p.shard_used > 0
+                             AND p.shard_used + t.n_bytes > {b}
+                        THEN t.n_bytes ELSE p.shard_used + t.n_bytes END
+            FROM pk p JOIN items t
+              ON t.media_type = p.media_type AND t.rn = p.rn + 1
+        )
+        SELECT media_type, doc_id, n_bytes, shard_id, shard_used
+        FROM pk
+        ORDER BY media_type, doc_id
+    """
+
+
+MULTIMODAL_ORACLES["mm_shard_manifest"] = _shard_oracle()

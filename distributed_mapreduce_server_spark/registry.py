@@ -226,6 +226,7 @@ _register(
         "mm_audio_features",
         "mm_payload_dedup",
         "mm_modality_mix",
+        "mm_shard_manifest",
     ],
 )
 _register(streaming_jobs, {}, ["stream_sessionize"])
