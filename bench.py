@@ -58,6 +58,11 @@ HEADLINE = [
     "sim_knn_join",
     "emb_encode_backfill",
     "dedup_incremental_neardup",
+    # round-3 second wave
+    "q_time_bucket_gapfill",
+    "q_events_scd2",
+    "text_bpe_pair_counts",
+    "mm_shard_manifest",
 ]
 
 

@@ -97,6 +97,7 @@ DELIBERATE_NESTED_LOOP = {
     "text_mixture_sample",  # 1-row broadcast token-budget cross-join
     "dedup_incremental_neardup",  # 1-row broadcast id-cutoff cross-join
     "emb_encode_backfill",  # 1-row broadcast tail-cutoff cross-join
+    "q_time_bucket_gapfill",  # 1-row broadcast time-bounds cross-join
 }
 
 # Streaming / iterative ops execute eagerly inside the callable; the
@@ -109,8 +110,11 @@ EAGER_OPS = {
     "stream_click_purchase_join",
     "stream_wordcount",
     "stream_trending_topk",
+    "stream_trending_topk_append",
     "stream_upsert_foreachbatch",
     "stream_session_window_native",
+    "stream_dedup_within_watermark",
+    "stream_anomaly_filter",
     "dedup_clusters",
     "dedup_clusters_bigstar",
     "dedup_incremental_neardup_indexed",  # index build runs eagerly
@@ -257,6 +261,53 @@ def test_daily_sketch_rollup_error_bound(spark, queries):
     assert set(approx) == set(exact)
     for et, est in approx.items():
         assert abs(est - exact[et]) / exact[et] < 0.02, (et, est, exact[et])
+
+
+def test_gapfill_grid_is_broadcast_bounded(spark, queries):
+    """The dense bucket grid must come from a BROADCAST 1-row bounds
+    aggregate (time-range-bounded, never event-count-bounded), and the
+    observed rollup must partial-aggregate map-side."""
+    df = queries["q_time_bucket_gapfill"](spark, SF)
+    assert has_partial_agg(df)
+    assert broadcast_join_count(df, execute=True) >= 1
+
+
+def test_scd2_single_keyed_shuffle(spark, queries):
+    """All three SCD2 windows (lag change-detect, lead validity,
+    row_number version) share the (user_id; ts, event_id) spec, so the
+    plan gets ONE keyed shuffle plus the output sort."""
+    df = queries["q_events_scd2"](spark, SF)
+    assert shuffle_count(df) <= 2
+
+
+def test_bpe_pairs_explode_after_vocab_agg(spark, queries):
+    """The char-position explode must sit ABOVE the word-frequency
+    aggregation (vocab-sized input), not on the corpus token stream:
+    two partial-agg shuffles (wordcount + pair count) and a TakeOrdered
+    — no third exchange for the top-K."""
+    df = queries["text_bpe_pair_counts"](spark, SF)
+    assert has_partial_agg(df)
+    assert shuffle_count(df) <= 3
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    gen_pos = plan.find("Generate explode(sequence")
+    agg_pos = plan.find("HashAggregate")
+    assert gen_pos != -1
+    # executedPlan prints top-down: the position explode (char pairs)
+    # must appear above at least one aggregate (the vocab build below it)
+    assert "HashAggregate" in plan[gen_pos:], "vocab agg missing below explode"
+
+
+def test_shard_manifest_narrow_arrow_frame(spark, queries):
+    """Only (media_type, doc_id, n_bytes) may cross the Python
+    boundary — payload bytes must stay JVM-side (projected to their
+    length before the pack groupBy)."""
+    df = queries["mm_shard_manifest"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"FlatMapGroupsInPandas.*", plan)
+    assert m is not None
+    assert "payload" not in m.group(0)
 
 
 def test_embedding_dedup_no_driver_collect(spark, queries):
