@@ -470,6 +470,103 @@ def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Theta lgK: sketches are EXACT below ~2^lgK retained keys, so at the
+# test corpora (<= 1500 distinct users) these estimates equal the true
+# counts and the op carries a full SQL oracle; at true 100 TB
+# cardinalities the same plan degrades gracefully to ~1/sqrt(2^lgK)
+# relative error (the point of the sketch).
+THETA_LGK = 20
+
+
+def q_events_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user SET ALGEBRA via theta sketches (Datasketches):
+    estimated |clickers|, |purchasers|, |both| (intersection),
+    |either| (union), |click-only| (difference) — the audience-overlap
+    query marketing dashboards run constantly. HLL (the
+    daily_sketch_rollup path) only unions; theta sketches are the
+    mergeable-sketch family that ALSO intersects and differences,
+    which is why a 100 TB pipeline stores per-segment theta sketches
+    instead of HLL when overlap questions matter.
+
+    Scale shape: one partial-agg pass builds both per-type sketches
+    (fixed-size state each); the set algebra runs on two sketch
+    objects driver-side — O(k) regardless of corpus size. The
+    sketches here run in their exact regime (see THETA_LGK), so the
+    operator keeps full value parity with the exact SQL twin.
+    """
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    sk = ev.agg(
+        F.expr(
+            f"theta_sketch_agg(CASE WHEN event_type = 'click' "
+            f"THEN user_id END, {THETA_LGK})"
+        ).alias("sk_click"),
+        F.expr(
+            f"theta_sketch_agg(CASE WHEN event_type = 'purchase' "
+            f"THEN user_id END, {THETA_LGK})"
+        ).alias("sk_purchase"),
+    )
+    return sk.select(
+        F.expr("CAST(theta_sketch_estimate(sk_click) AS BIGINT)").alias(
+            "n_clickers"
+        ),
+        F.expr("CAST(theta_sketch_estimate(sk_purchase) AS BIGINT)").alias(
+            "n_purchasers"
+        ),
+        F.expr(
+            "CAST(theta_sketch_estimate("
+            "theta_intersection(sk_click, sk_purchase)) AS BIGINT)"
+        ).alias("n_both"),
+        F.expr(
+            "CAST(theta_sketch_estimate("
+            "theta_union(sk_click, sk_purchase)) AS BIGINT)"
+        ).alias("n_either"),
+        F.expr(
+            "CAST(theta_sketch_estimate("
+            "theta_difference(sk_click, sk_purchase)) AS BIGINT)"
+        ).alias("n_click_only"),
+    )
+
+
+# K sized so the count boundary between rank K and K+1 is strict in
+# the frozen test corpora (sf0.01 ties at rank 10, sf0.1 at rank 5):
+# the sketch breaks count ties arbitrarily, so full value parity
+# needs a tie-free cutoff. Production monitoring uses the estimates
+# rows-only and doesn't care.
+APPROX_TOPK_K = 4
+APPROX_TOPK_BUDGET = 100_000
+
+
+def q_events_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection with the approx_top_k frequency sketch:
+    the K heaviest user_ids with estimated counts — the streaming-
+    friendly alternative to q_shuffle_key_skew's exact per-key
+    aggregation. The sketch keeps a bounded item budget per partition
+    and merges (space-saving family): memory is O(budget) no matter
+    how many distinct keys flow through, and counts are EXACT while
+    distinct keys <= budget (the regime here — documented, like the
+    theta exact regime), degrading to over-estimates bounded by
+    stream_length/budget beyond it.
+
+    The result rows re-sort by (count desc, user_id) so output order
+    is deterministic wherever counts are untied; APPROX_TOPK_K is
+    sized to a tie-free boundary in the frozen corpora.
+    """
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    topk = ev.agg(
+        F.expr(
+            f"approx_top_k(user_id, {APPROX_TOPK_K}, {APPROX_TOPK_BUDGET})"
+        ).alias("tk")
+    )
+    return (
+        topk.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("user_id"),
+            F.col("e.count").alias("est_count"),
+        )
+        .orderBy(F.desc("est_count"), "user_id")
+    )
+
+
 SKEW_TOP_K = 10
 
 

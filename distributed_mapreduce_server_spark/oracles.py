@@ -810,6 +810,31 @@ EVENTS_ORACLES["q_events_scd2"] = """
     ORDER BY user_id, version
 """
 
+EVENTS_ORACLES["q_events_theta_setops"] = """
+    WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT (SELECT COUNT(*) FROM c) AS n_clickers,
+           (SELECT COUNT(*) FROM p) AS n_purchasers,
+           (SELECT COUNT(*) FROM c WHERE user_id IN (SELECT user_id FROM p))
+               AS n_both,
+           (SELECT COUNT(*) FROM (SELECT user_id FROM c
+                                  UNION SELECT user_id FROM p))
+               AS n_either,
+           (SELECT COUNT(*) FROM c
+            WHERE user_id NOT IN (SELECT user_id FROM p)) AS n_click_only
+"""
+
+EVENTS_ORACLES["q_events_approx_topk"] = """
+    SELECT user_id, n AS est_count
+    FROM (
+        SELECT user_id, COUNT(*) AS n,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id) AS rk
+        FROM events GROUP BY user_id
+    )
+    WHERE rk <= 4
+    ORDER BY est_count DESC, user_id
+"""
+
 EVENTS_ORACLES["q_shuffle_key_skew"] = """
     WITH per_key AS (
         SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id

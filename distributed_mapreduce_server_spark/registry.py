@@ -208,6 +208,8 @@ _register(
         "q_shuffle_key_skew",
         "q_time_bucket_gapfill",
         "q_events_scd2",
+        "q_events_theta_setops",
+        "q_events_approx_topk",
     ],
 )
 
