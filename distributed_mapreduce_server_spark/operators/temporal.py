@@ -170,3 +170,34 @@ def q_range_join_views_before_purchase(spark: SparkSession, sf_dir: str) -> Data
         .agg(F.count("view_id").alias("n_views_prior_hour"))
         .orderBy("purchase_id")
     )
+
+
+# max staleness for the tolerance-bounded as-of join (pandas
+# merge_asof(tolerance=...) / kdb wj semantics)
+ASOF_TOLERANCE_HOURS = 24
+
+
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE bound: each click matched to the
+    user's most recent prior purchase ONLY if it happened within the
+    last ASOF_TOLERANCE_HOURS — older state is stale and nulls out
+    (pandas merge_asof(tolerance=...) / kdb window-join semantics;
+    the attribution-window rule ad pipelines actually apply).
+
+    Same single-shuffle union + carry-forward realization as
+    q_asof_last_purchase — the tolerance is a pure column predicate on
+    the carried values, so the bound adds ZERO plan cost (same
+    shuffle, same window); a join-based formulation would instead
+    re-scan per tolerance change.
+    """
+    base = q_asof_last_purchase(spark, sf_dir)
+    fresh = F.col("ts").cast("long") - F.col("last_purchase_ts").cast(
+        "long"
+    ) <= ASOF_TOLERANCE_HOURS * 3600
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(fresh, F.col("last_purchase_id")).alias("last_purchase_id"),
+        F.when(fresh, F.col("last_purchase_ts")).alias("last_purchase_ts"),
+    ).orderBy("event_id")

@@ -54,3 +54,32 @@ TEMPORAL_ORACLES: dict[str, str] = {
         ORDER BY purchase_id
     """,
 }
+
+
+def _asof_tolerance_oracle() -> str:
+    from distributed_mapreduce_server_spark.operators.temporal import (
+        ASOF_TOLERANCE_HOURS,
+    )
+
+    t = str(ASOF_TOLERANCE_HOURS)
+    return f"""
+        WITH p AS ({_PURCHASES}),
+        c AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'),
+        j AS (
+            SELECT c.event_id, c.user_id, c.ts,
+                   p.event_id AS pid, p.ts AS pts
+            FROM c ASOF LEFT JOIN p
+              ON c.user_id = p.user_id AND p.ts <= c.ts
+        )
+        SELECT event_id, user_id, ts,
+               CASE WHEN ts - pts <= INTERVAL {t} HOUR THEN pid END
+                   AS last_purchase_id,
+               CASE WHEN ts - pts <= INTERVAL {t} HOUR THEN pts END
+                   AS last_purchase_ts
+        FROM j
+        ORDER BY event_id
+    """
+
+
+TEMPORAL_ORACLES["q_asof_tolerance"] = _asof_tolerance_oracle()

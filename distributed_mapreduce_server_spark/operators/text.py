@@ -1044,3 +1044,70 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "pair")
         .limit(BPE_TOP_PAIRS)
     )
+
+
+VOCAB_SIZE = 100
+TOKENIZE_PREFIX = 8
+
+
+def text_tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization to integer ids — the step that turns curated
+    text into model input: build a VOCAB_SIZE vocabulary (top tokens
+    by corpus frequency, rank = id, deterministic (count, token)
+    tie-break), then encode every document against it. Per doc:
+    token count, OOV count (id 0), and the first TOKENIZE_PREFIX ids
+    in order, comma-joined (the full id sequence in production; a
+    bounded prefix here so the oracle compares a scalar, not a blob).
+
+    Scale shape: the vocab build is a wordcount shuffle + distributed
+    TakeOrdered (never a global sort); the rank window runs over the
+    VOCAB_SIZE-row result only. Encoding is a BROADCAST join of the
+    token stream against the bounded vocab — one groupBy(doc_id)
+    shuffle; the per-doc prefix assembly sorts <= TOKENIZE_PREFIX
+    structs per doc. Real tokenizers (BPE/SentencePiece) broadcast
+    their merge table the same way; text_bpe_pair_counts is the
+    train-side statistic this consumes.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    tok_counts = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = tok_counts.orderBy(F.desc("cnt"), "tok").limit(VOCAB_SIZE)
+    vocab = top.withColumn(
+        "id", F.row_number().over(Window.orderBy(F.desc("cnt"), "tok"))
+    ).select("tok", "id")
+    tok_rows = docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n"),
+        F.posexplode(tokens("text")).alias("pos", "tok"),
+    )
+    mapped = tok_rows.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id", "n", "pos", F.coalesce(F.col("id"), F.lit(0)).alias("id")
+    )
+    prefix_ids = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("pos") < TOKENIZE_PREFIX,
+                        F.struct("pos", "id"),
+                    )
+                )
+            ),
+            lambda s: s["id"].cast("string"),
+        ),
+        ",",
+    )
+    return (
+        mapped.groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_tokens"),
+            F.sum((F.col("id") == 0).cast("long")).alias("n_oov"),
+            prefix_ids.alias("first_ids"),
+        )
+        .orderBy("doc_id")
+    )

@@ -550,3 +550,48 @@ TEXT_ORACLES["text_bpe_pair_counts"] = f"""
     ORDER BY cnt DESC, pair
     LIMIT 20
 """
+
+
+def _tokenize_ids_oracle() -> str:
+    from distributed_mapreduce_server_spark.operators.text import (
+        TOKENIZE_PREFIX,
+        VOCAB_SIZE,
+    )
+
+    return f"""
+        WITH vocab AS (
+            SELECT tok,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok)
+                        AS INTEGER) AS id
+            FROM (
+                SELECT tok, COUNT(*) AS cnt
+                FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+                GROUP BY tok
+                ORDER BY cnt DESC, tok
+                LIMIT {VOCAB_SIZE}
+            )
+        ),
+        docs_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        tok_rows AS (
+            SELECT doc_id, len(toks) AS n,
+                   unnest(generate_series(1, len(toks))) AS pos,
+                   unnest(toks) AS tok
+            FROM docs_t
+        ),
+        mapped AS (
+            SELECT t.doc_id, t.n, t.pos, COALESCE(v.id, 0) AS id
+            FROM tok_rows t LEFT JOIN vocab v ON t.tok = v.tok
+        )
+        SELECT doc_id,
+               CAST(MAX(n) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov,
+               string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos)
+                   FILTER (WHERE pos <= {TOKENIZE_PREFIX}) AS first_ids
+        FROM mapped
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """
+
+
+TEXT_ORACLES["text_tokenize_to_ids"] = _tokenize_ids_oracle()

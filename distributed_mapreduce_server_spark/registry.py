@@ -112,6 +112,7 @@ _register(
         "q_asof_last_purchase",
         "q_range_join_views_before_purchase",
         "q_range_join_keyless",
+        "q_asof_tolerance",
     ],
 )
 _register(
@@ -185,6 +186,7 @@ _register(
         "text_corpus_pipeline_semantic",
         "text_perplexity_filter",
         "text_bpe_pair_counts",
+        "text_tokenize_to_ids",
     ],
 )
 _register(
