@@ -1080,13 +1080,13 @@ def text_tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = top.withColumn(
         "id", F.row_number().over(Window.orderBy(F.desc("cnt"), "tok"))
     ).select("tok", "id")
+    # n_tokens falls out of the final per-doc row count — no second
+    # tokenization of the corpus on the encode side.
     tok_rows = docs.select(
-        "doc_id",
-        F.size(tokens("text")).cast("long").alias("n"),
-        F.posexplode(tokens("text")).alias("pos", "tok"),
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
     )
     mapped = tok_rows.join(F.broadcast(vocab), "tok", "left").select(
-        "doc_id", "n", "pos", F.coalesce(F.col("id"), F.lit(0)).alias("id")
+        "doc_id", "pos", F.coalesce(F.col("id"), F.lit(0)).alias("id")
     )
     prefix_ids = F.array_join(
         F.transform(
@@ -1105,7 +1105,7 @@ def text_tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         mapped.groupBy("doc_id")
         .agg(
-            F.max("n").alias("n_tokens"),
+            F.count("*").alias("n_tokens"),
             F.sum((F.col("id") == 0).cast("long")).alias("n_oov"),
             prefix_ids.alias("first_ids"),
         )

@@ -573,17 +573,17 @@ def _tokenize_ids_oracle() -> str:
         ),
         docs_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
         tok_rows AS (
-            SELECT doc_id, len(toks) AS n,
+            SELECT doc_id,
                    unnest(generate_series(1, len(toks))) AS pos,
                    unnest(toks) AS tok
             FROM docs_t
         ),
         mapped AS (
-            SELECT t.doc_id, t.n, t.pos, COALESCE(v.id, 0) AS id
+            SELECT t.doc_id, t.pos, COALESCE(v.id, 0) AS id
             FROM tok_rows t LEFT JOIN vocab v ON t.tok = v.tok
         )
         SELECT doc_id,
-               CAST(MAX(n) AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_tokens,
                CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_oov,
                string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos)
