@@ -1155,3 +1155,106 @@ def q_rolling_revenue_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", "o_orderdate", "rolling_30d_revenue")
         .orderBy("o_orderkey")
     )
+
+
+def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality audit over the star schema — the
+    validation gate a pipeline runs before publishing a snapshot,
+    emitted as a long-form (check, value) table so the check set
+    extends without schema changes:
+
+    - completeness: row counts; null fractions of the join keys;
+    - uniqueness: duplicate primary keys (orders, customer);
+    - referential integrity: orphan lineitems (orderkey not in
+      orders), orphan orders (custkey not in customer);
+    - validity: l_discount outside [0, 1], non-positive l_quantity,
+      negative o_totalprice.
+
+    Scale shape: ONE partial-agg scan per table computes all its
+    checks (conditional sums fused into a single aggregate), and the
+    1-row result explodes into its check rows — so adding a check
+    adds a column to the fused aggregate, never a scan. The orphan
+    checks are key-partitioned LEFT ANTI joins (never a broadcast of
+    the fact side). Output is one row per check at any corpus size.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    li, orders, cust = t["lineitem"], t["orders"], t["customer"]
+
+    def check_rows(scan_df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+        """Explode a 1-row fused aggregate into long-form check rows —
+        the scan is referenced exactly once, no re-computation per
+        check."""
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("check"),
+                    F.col(col).cast("double").alias("value"),
+                )
+                for name, col in pairs
+            ]
+        )
+        return scan_df.select(F.explode(arr).alias("e")).select(
+            "e.check", "e.value"
+        )
+
+    li_checks = check_rows(
+        li.agg(
+            F.count("*").alias("n"),
+            F.avg(F.col("l_orderkey").isNull().cast("int")).alias("null_ok"),
+            F.sum(
+                ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("long")
+            ).alias("bad_disc"),
+            F.sum((F.col("l_quantity") <= 0).cast("long")).alias("bad_qty"),
+        ),
+        [
+            ("lineitem.row_count", "n"),
+            ("lineitem.null_frac.l_orderkey", "null_ok"),
+            ("lineitem.range_violations.l_discount", "bad_disc"),
+            ("lineitem.range_violations.l_quantity", "bad_qty"),
+        ],
+    )
+    o_checks = check_rows(
+        orders.agg(
+            F.count("*").alias("n"),
+            F.avg(F.col("o_custkey").isNull().cast("int")).alias("null_ck"),
+            F.sum((F.col("o_totalprice") < 0).cast("long")).alias("bad_price"),
+            (F.count("*") - F.count_distinct("o_orderkey")).alias("dup_pk"),
+        ),
+        [
+            ("orders.row_count", "n"),
+            ("orders.null_frac.o_custkey", "null_ck"),
+            ("orders.range_violations.o_totalprice", "bad_price"),
+            ("orders.duplicate_pk", "dup_pk"),
+        ],
+    )
+    c_checks = check_rows(
+        cust.agg(
+            F.count("*").alias("n"),
+            (F.count("*") - F.count_distinct("c_custkey")).alias("dup_pk"),
+        ),
+        [("customer.row_count", "n"), ("customer.duplicate_pk", "dup_pk")],
+    )
+    orphan_li = (
+        li.select("l_orderkey")
+        .join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        )
+        .agg(F.count("*").cast("double").alias("value"))
+        .select(F.lit("lineitem.orphans_vs_orders").alias("check"), "value")
+    )
+    orphan_o = (
+        orders.select("o_custkey")
+        .join(
+            cust.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count("*").cast("double").alias("value"))
+        .select(F.lit("orders.orphans_vs_customer").alias("check"), "value")
+    )
+    out = li_checks
+    for part in (o_checks, c_checks, orphan_li, orphan_o):
+        out = out.unionByName(part)
+    return out.orderBy("check")

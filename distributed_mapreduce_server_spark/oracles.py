@@ -810,6 +810,48 @@ EVENTS_ORACLES["q_events_scd2"] = """
     ORDER BY user_id, version
 """
 
+RELATIONAL_ORACLES["q_data_quality_audit"] = """
+    WITH li AS (
+        SELECT COUNT(*) AS n,
+               AVG(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS null_ok,
+               SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+                        THEN 1 ELSE 0 END) AS bad_disc,
+               SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS bad_qty
+        FROM lineitem
+    ),
+    o AS (
+        SELECT COUNT(*) AS n,
+               AVG(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_ck,
+               SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS bad_price,
+               COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_pk
+        FROM orders
+    ),
+    c AS (
+        SELECT COUNT(*) AS n,
+               COUNT(*) - COUNT(DISTINCT c_custkey) AS dup_pk
+        FROM customer
+    ),
+    orphli AS (SELECT COUNT(*) AS v FROM lineitem
+               WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+    orpho AS (SELECT COUNT(*) AS v FROM orders
+              WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+    SELECT "check", CAST(value AS DOUBLE) AS value FROM (
+        SELECT 'lineitem.row_count' AS "check", n AS value FROM li
+        UNION ALL SELECT 'lineitem.null_frac.l_orderkey', null_ok FROM li
+        UNION ALL SELECT 'lineitem.range_violations.l_discount', bad_disc FROM li
+        UNION ALL SELECT 'lineitem.range_violations.l_quantity', bad_qty FROM li
+        UNION ALL SELECT 'orders.row_count', n FROM o
+        UNION ALL SELECT 'orders.null_frac.o_custkey', null_ck FROM o
+        UNION ALL SELECT 'orders.range_violations.o_totalprice', bad_price FROM o
+        UNION ALL SELECT 'orders.duplicate_pk', dup_pk FROM o
+        UNION ALL SELECT 'customer.row_count', n FROM c
+        UNION ALL SELECT 'customer.duplicate_pk', dup_pk FROM c
+        UNION ALL SELECT 'lineitem.orphans_vs_orders', v FROM orphli
+        UNION ALL SELECT 'orders.orphans_vs_customer', v FROM orpho
+    )
+    ORDER BY "check"
+"""
+
 EVENTS_ORACLES["q_events_theta_setops"] = """
     WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
     p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')

@@ -88,6 +88,7 @@ _register(
         "q11_important_parts",
         "q20_promo_suppliers",
         "q_rolling_revenue_30d",
+        "q_data_quality_audit",
     ],
 )
 _register(
