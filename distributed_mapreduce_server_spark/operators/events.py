@@ -470,6 +470,65 @@ def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# snapshot boundary for the diff op: state as of (max_ts - 10 days)
+# vs the final state — the "previous publish" a daily pipeline diffs
+# against.
+SNAPSHOT_LAG_DAYS = 10
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot DIFF between two compaction points of the changelog —
+    the table-services operation behind incremental publishing and
+    CDC re-emission: compare the latest-per-key state as of the
+    previous snapshot (events up to max_ts - SNAPSHOT_LAG_DAYS) with
+    the current state, and emit each key's change type: 'added' (key
+    born since), 'updated' (newer event superseded the old state),
+    'unchanged'. Deleted can't occur in an append-only changelog, so
+    the three types partition the key space.
+
+    Scale shape: ONE scan, ONE partial-agg keyed shuffle — both
+    snapshots fall out of a single aggregation via ``max_by`` over
+    struct orderings (overall newest; and newest PRE-cutoff row by
+    ranking is_pre first, with a NULL payload on post-cutoff rows so
+    born-since keys yield NULL -> 'added'); the diff is then a column
+    comparison, never a self-join of two snapshot tables. The 1-row
+    cutoff aggregate broadcasts.
+    """
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    cut = ev.agg(
+        (F.max("ts") - F.expr(f"INTERVAL {SNAPSHOT_LAG_DAYS} DAYS")).alias(
+            "cutoff"
+        )
+    )
+    tagged = (
+        ev.select("user_id", "event_type", "event_id", "ts")
+        .crossJoin(F.broadcast(cut))
+        .withColumn("is_pre", (F.col("ts") < F.col("cutoff")).cast("int"))
+    )
+    snap = tagged.groupBy("user_id", "event_type").agg(
+        F.expr("max_by(event_id, struct(ts, event_id))").alias(
+            "current_event_id"
+        ),
+        F.expr(
+            "max_by(if(is_pre = 1, event_id, CAST(NULL AS BIGINT)), "
+            "struct(is_pre, ts, event_id))"
+        ).alias("prev_event_id"),
+    )
+    return snap.select(
+        "user_id",
+        "event_type",
+        "current_event_id",
+        "prev_event_id",
+        F.when(F.col("prev_event_id").isNull(), F.lit("added"))
+        .when(
+            F.col("prev_event_id") != F.col("current_event_id"),
+            F.lit("updated"),
+        )
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+    ).orderBy("user_id", "event_type")
+
+
 # Theta lgK: sketches are EXACT below ~2^lgK retained keys, so at the
 # test corpora (<= 1500 distinct users) these estimates equal the true
 # counts and the op carries a full SQL oracle; at true 100 TB

@@ -810,6 +810,32 @@ EVENTS_ORACLES["q_events_scd2"] = """
     ORDER BY user_id, version
 """
 
+EVENTS_ORACLES["q_snapshot_diff"] = """
+    WITH cut AS (SELECT MAX(ts) - INTERVAL 10 DAY AS cutoff FROM events),
+    ranked AS (
+        SELECT user_id, event_type, event_id, ts,
+               CASE WHEN ts < cutoff THEN 1 ELSE 0 END AS is_pre,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY (CASE WHEN ts < cutoff THEN 1
+                                            ELSE 0 END) DESC,
+                                           ts DESC, event_id DESC) AS rn_pre
+        FROM events, cut
+    ),
+    cur AS (SELECT user_id, event_type, event_id AS current_event_id
+            FROM ranked WHERE rn = 1),
+    prev AS (SELECT user_id, event_type, event_id AS prev_event_id
+             FROM ranked WHERE rn_pre = 1 AND is_pre = 1)
+    SELECT cur.user_id, cur.event_type, current_event_id, prev_event_id,
+           CASE WHEN prev_event_id IS NULL THEN 'added'
+                WHEN prev_event_id <> current_event_id THEN 'updated'
+                ELSE 'unchanged' END AS change_type
+    FROM cur LEFT JOIN prev
+      ON cur.user_id = prev.user_id AND cur.event_type = prev.event_type
+    ORDER BY cur.user_id, cur.event_type
+"""
+
 RELATIONAL_ORACLES["q_data_quality_audit"] = """
     WITH li AS (
         SELECT COUNT(*) AS n,

@@ -213,6 +213,7 @@ _register(
         "q_events_scd2",
         "q_events_theta_setops",
         "q_events_approx_topk",
+        "q_snapshot_diff",
     ],
 )
 
