@@ -470,10 +470,12 @@ def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# snapshot boundary for the diff op: state as of (max_ts - 10 days)
+# snapshot boundary for the diff op: state as of (max_ts - 14 days)
 # vs the final state — the "previous publish" a daily pipeline diffs
-# against.
-SNAPSHOT_LAG_DAYS = 10
+# against. 14 days is the smallest lag where the frozen sf0.1 corpus
+# exercises all three change classes (born-since keys need a key
+# whose FIRST event falls after the cutoff).
+SNAPSHOT_LAG_DAYS = 14
 
 
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:

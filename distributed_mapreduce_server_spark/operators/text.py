@@ -1046,7 +1046,10 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-VOCAB_SIZE = 100
+# smaller than the corpus token set (31 distinct tokens) so the
+# OOV path is genuinely exercised; the tie-break on (count, token)
+# keeps the vocab boundary deterministic at any size.
+VOCAB_SIZE = 16
 TOKENIZE_PREFIX = 8
 
 

@@ -810,8 +810,13 @@ EVENTS_ORACLES["q_events_scd2"] = """
     ORDER BY user_id, version
 """
 
-EVENTS_ORACLES["q_snapshot_diff"] = """
-    WITH cut AS (SELECT MAX(ts) - INTERVAL 10 DAY AS cutoff FROM events),
+from distributed_mapreduce_server_spark.operators.events import (  # noqa: E402
+    SNAPSHOT_LAG_DAYS as _SNAP_LAG,
+)
+
+EVENTS_ORACLES["q_snapshot_diff"] = f"""
+    WITH cut AS (SELECT MAX(ts) - INTERVAL {_SNAP_LAG} DAY AS cutoff
+                 FROM events),
     ranked AS (
         SELECT user_id, event_type, event_id, ts,
                CASE WHEN ts < cutoff THEN 1 ELSE 0 END AS is_pre,
