@@ -1114,3 +1114,88 @@ def text_tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+BPE_TRAIN_MERGES = 10
+
+
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer TRAINING (Sennrich et al. 2016): run
+    BPE_TRAIN_MERGES greedy merge rounds over the corpus and emit the
+    merge table — (rank, left, right, merged symbol, weighted count),
+    the artifact a tokenizer ships. text_bpe_pair_counts is round 1's
+    statistic; text_tokenize_to_ids consumes the resulting vocab.
+
+    Scale shape: the corpus is touched ONCE (the word-frequency
+    aggregation); every merge round then operates on the VOCAB-sized
+    symbol table — per round, one pair-count aggregation (explode over
+    per-word symbol arrays, weighted by word frequency), one 1-ROW
+    argmax fetch to the driver (the chosen merge — bounded), and a
+    column-expression rewrite of the symbol arrays (greedy
+    left-to-right, the standard BPE application order). Rounds are
+    driver-coordinated like emb_kmeans; per-round persist keeps
+    lineage flat. Array lambdas here run interpreted, which is fine
+    BECAUSE the frame is vocabulary-sized — the corpus-sized path
+    (word counting) stays codegen.
+
+    Deterministic (ties break on pair string), but the training loop
+    is not single-statement SQL — rows-only at the gate; invariant
+    tests pin round-1 parity with text_bpe_pair_counts, symbol-mass
+    conservation per round, and merge-table well-formedness.
+    """
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .withColumn("syms", F.split("tok", ""))
+        .persist()
+    )
+    vocab.count()
+    merges = []
+    for rank in range(1, BPE_TRAIN_MERGES + 1):
+        pairs = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(syms[i - 1] AS a, syms[i] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").alias("cnt"))
+        )
+        top = pairs.orderBy(
+            F.desc("cnt"), F.concat_ws(" ", "a", "b")
+        ).limit(1).collect()
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
+        merges.append((rank, a, b, a + b, int(cnt)))
+        # greedy left-to-right merge application over the (tiny) vocab
+        merged = vocab.withColumn(
+            "syms",
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a))
+                    & (x == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(a + b)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ),
+        ).persist()
+        merged.count()
+        vocab.unpersist()
+        vocab = merged
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, merged string, weighted_count long"
+    ).orderBy("merge_rank")

@@ -188,6 +188,7 @@ _register(
         "text_perplexity_filter",
         "text_bpe_pair_counts",
         "text_tokenize_to_ids",
+        "text_bpe_train",
     ],
 )
 _register(

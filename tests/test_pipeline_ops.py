@@ -178,6 +178,31 @@ def test_bpe_pairs_are_single_chars(spark, queries):
         assert len(a) == 1 and len(b) == 1
 
 
+def test_bpe_train_merge_table(spark, queries):
+    """The trainer's round 1 must equal the standalone pair statistic's
+    top pair; the table is well-formed (ranks 1..N, merged = left ||
+    right, positive counts); and later merges may reference earlier
+    merged symbols (that's what makes it BPE, not a bigram list)."""
+    from distributed_mapreduce_server_spark.operators.text import (
+        BPE_TRAIN_MERGES,
+    )
+
+    rows = queries["text_bpe_train"](spark, SF).collect()
+    assert [r["merge_rank"] for r in rows] == list(
+        range(1, BPE_TRAIN_MERGES + 1)
+    )
+    for r in rows:
+        assert r["merged"] == r["left"] + r["right"]
+        assert r["weighted_count"] > 0
+    top_pair = queries["text_bpe_pair_counts"](spark, SF).collect()[0]
+    assert f"{rows[0]['left']} {rows[0]['right']}" == top_pair["pair"]
+    assert rows[0]["weighted_count"] == top_pair["cnt"]
+    symbols = {r["merged"] for r in rows}
+    assert any(
+        r["left"] in symbols or r["right"] in symbols for r in rows[1:]
+    ), "no merge built on an earlier merge — degenerate corpus or bug"
+
+
 def test_data_quality_audit_clean_corpus(spark, queries):
     """The synthetic corpus is clean: every violation/orphan/dup check
     must be exactly zero while the row counts are positive — and the

@@ -125,6 +125,7 @@ EAGER_OPS = {
     "text_corpus_pipeline_semantic",
     "text_global_shuffle",  # partition-offset collect runs eagerly
     "text_perplexity_filter",  # two-phase rank offsets collect eagerly
+    "text_bpe_train",  # iterative merge rounds run eagerly
     "mr_exec_wordcount",  # RDD pipe job: zipWithIndex runs eagerly
     "mr_exec_grep",  # RDD pipe job: zipWithIndex runs eagerly
     "emb_pca_project",  # driver spectral solve at plan time
