@@ -156,6 +156,32 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def anomaly_stats(ev: DataFrame) -> DataFrame:
+    """Per-type (mu, sigma) reference statistics — ONE definition
+    shared by the batch operator and streaming.stream_anomaly_filter,
+    which carries the batch oracle: editing either side of the
+    mean/stddev choice here keeps both in lockstep."""
+    return ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+
+
+def anomaly_select(joined: DataFrame) -> DataFrame:
+    """The 3-sigma filter + z-score projection over an events frame
+    joined with anomaly_stats — shared batch/stream for the same
+    reason."""
+    return joined.filter(
+        F.col("value") > F.col("mu") + 3 * F.col("sigma")
+    ).select(
+        "event_id",
+        "event_type",
+        fround("value", 2).alias("value_r"),
+        fround((F.col("value") - F.col("mu")) / F.col("sigma"), 2).alias(
+            "z_score"
+        ),
+    )
+
+
 def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlier events: value beyond mean + 3 sigma for its event type.
 
@@ -164,22 +190,11 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a global-window form would single-thread each type's partition).
     """
     ev = load_tables(spark, sf_dir, register_views=False)["events"]
-    stats = ev.groupBy("event_type").agg(
-        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
-    )
     from pyspark.sql.functions import broadcast as _bc
 
-    return (
-        ev.join(_bc(stats), "event_type")
-        .filter(F.col("value") > F.col("mu") + 3 * F.col("sigma"))
-        .select(
-            "event_id",
-            "event_type",
-            fround("value", 2).alias("value_r"),
-            fround((F.col("value") - F.col("mu")) / F.col("sigma"), 2).alias("z_score"),
-        )
-        .orderBy("event_id")
-    )
+    return anomaly_select(
+        ev.join(_bc(anomaly_stats(ev)), "event_type")
+    ).orderBy("event_id")
 
 
 ERROR_HEAVY_T = 12

@@ -191,9 +191,11 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-scan per tolerance change.
     """
     base = q_asof_last_purchase(spark, sf_dir)
-    fresh = F.col("ts").cast("long") - F.col("last_purchase_ts").cast(
-        "long"
-    ) <= ASOF_TOLERANCE_HOURS * 3600
+    # exact microsecond comparison — a long cast would truncate to
+    # seconds and keep matches up to 1s past the tolerance
+    fresh = F.col("ts") <= F.col("last_purchase_ts") + F.expr(
+        f"INTERVAL {ASOF_TOLERANCE_HOURS} HOURS"
+    )
     return base.select(
         "event_id",
         "user_id",

@@ -660,22 +660,19 @@ def stream_anomaly_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.functions import broadcast
 
-    stats_src = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stats = stats_src.groupBy("event_type").agg(
-        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    from distributed_mapreduce_server_spark.catalog import load_tables
+    from distributed_mapreduce_server_spark.operators.events import (
+        anomaly_select,
+        anomaly_stats,
+    )
+
+    # stats come through the catalog (ts normalization + plan cache)
+    # and the SAME expression helpers as the batch operator — the
+    # shared-oracle contract is structural, not copy-pasted.
+    stats = anomaly_stats(
+        load_tables(spark, sf_dir, register_views=False)["events"]
     )
     ev = _events_stream(spark, sf_dir)
-    flagged = (
-        ev.join(broadcast(stats), "event_type")
-        .filter(F.col("value") > F.col("mu") + 3 * F.col("sigma"))
-        .select(
-            "event_id",
-            "event_type",
-            fround(F.col("value"), 2).alias("value_r"),
-            fround((F.col("value") - F.col("mu")) / F.col("sigma"), 2).alias(
-                "z_score"
-            ),
-        )
-    )
+    flagged = anomaly_select(ev.join(broadcast(stats), "event_type"))
     out = _run_to_memory(flagged, "append")
     return out.orderBy("event_id")

@@ -98,6 +98,7 @@ DELIBERATE_NESTED_LOOP = {
     "dedup_incremental_neardup",  # 1-row broadcast id-cutoff cross-join
     "emb_encode_backfill",  # 1-row broadcast tail-cutoff cross-join
     "q_time_bucket_gapfill",  # 1-row broadcast time-bounds cross-join
+    "q_snapshot_diff",  # 1-row broadcast snapshot-cutoff cross-join
 }
 
 # Streaming / iterative ops execute eagerly inside the callable; the
@@ -291,11 +292,12 @@ def test_bpe_pairs_explode_after_vocab_agg(spark, queries):
     assert shuffle_count(df) <= 3
     plan = df._jdf.queryExecution().executedPlan().toString()
     gen_pos = plan.find("Generate explode(sequence")
-    agg_pos = plan.find("HashAggregate")
     assert gen_pos != -1
     # executedPlan prints top-down: the position explode (char pairs)
     # must appear above at least one aggregate (the vocab build below it)
-    assert "HashAggregate" in plan[gen_pos:], "vocab agg missing below explode"
+    assert plan.find("HashAggregate", gen_pos) != -1, (
+        "vocab agg missing below explode"
+    )
 
 
 def test_shard_manifest_narrow_arrow_frame(spark, queries):
