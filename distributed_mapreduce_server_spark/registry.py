@@ -236,6 +236,17 @@ _register(
         "mm_shard_manifest",
     ],
 )
+# custom connector (Spark 4 Python Data Source API): partitioned
+# reads + planner-time filter pushdown + partition pruning, full
+# value-parity oracle via the same integer recurrence in DuckDB.
+from distributed_mapreduce_server_spark.sources.python_source import (  # noqa: E402
+    pysource_oracle,
+    pysource_range_events,
+)
+
+_QUERIES["pysource_range_events"] = pysource_range_events
+_ORACLES["pysource_range_events"] = pysource_oracle().strip()
+
 _register(streaming_jobs, {}, ["stream_sessionize"])
 # complete-mode windowed agg under availableNow is deterministic ->
 # full oracle (the stream omits distinct_users: distinct aggregations

@@ -1,0 +1,177 @@
+"""Custom connector via Spark 4's Python Data Source API (§2.8):
+a deterministic synthetic event-log source with PARTITIONED reads,
+FILTER PUSHDOWN, and pushdown-driven PARTITION PRUNING — the three
+things a production connector (JDBC shard reader, KV-store scanner,
+feed API) must do to survive 100 TB.
+
+The source generates `n_rows` rows split into `n_partitions` equal
+id ranges. Planning-time `pushFilters` absorbs range/equality
+predicates on `event_id` (returning the rest for Spark to apply) and
+`partitions()` then emits ONLY the id ranges intersecting the pushed
+bounds — executors never even start generating a pruned partition,
+exactly how a sharded remote source skips shards server-side.
+
+Row content is integer-arithmetic deterministic
+(value = ((id * KNUTH) % 1000) / 100), so a DuckDB `generate_series`
+twin reproduces it bit-for-bit and the registry entry
+`pysource_range_events` carries a FULL value-parity oracle — rare for
+a connector demo.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+SOURCE_NAME = "dmrs_synth_events"
+KNUTH = 2654435761  # Knuth multiplicative-hash constant
+N_BUCKETS = 16
+
+DEFAULT_ROWS = 20000
+DEFAULT_PARTITIONS = 8
+
+
+class _IdRange(InputPartition):
+    def __init__(self, lo: int, hi: int) -> None:
+        self.lo = lo
+        self.hi = hi  # exclusive
+
+
+class RangeEventsReader(DataSourceReader):
+    """Reader holding the pushed [lo, hi) bound on event_id."""
+
+    def __init__(self, options) -> None:
+        self.n_rows = int(options.get("n_rows", DEFAULT_ROWS))
+        self.n_partitions = int(options.get("n_partitions", DEFAULT_PARTITIONS))
+        self.lo = 0
+        self.hi = self.n_rows
+        self.pushed: list = []
+
+    def pushFilters(self, filters):
+        """Absorb event_id range/equality predicates; everything else
+        (and any OTHER column) goes back to Spark. Called once at
+        planning time, BEFORE partitions()."""
+        for f in filters:
+            handled = False
+            if isinstance(
+                f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+            ) and tuple(f.attribute) == ("event_id",):
+                v = f.value
+                if isinstance(v, int):
+                    handled = True
+                    if isinstance(f, EqualTo):
+                        self.lo = max(self.lo, v)
+                        self.hi = min(self.hi, v + 1)
+                    elif isinstance(f, GreaterThan):
+                        self.lo = max(self.lo, v + 1)
+                    elif isinstance(f, GreaterThanOrEqual):
+                        self.lo = max(self.lo, v)
+                    elif isinstance(f, LessThan):
+                        self.hi = min(self.hi, v)
+                    else:  # LessThanOrEqual
+                        self.hi = min(self.hi, v + 1)
+            if handled:
+                self.pushed.append(f)
+            else:
+                yield f
+
+    def partitions(self):
+        """Equal id ranges, PRUNED against the pushed bounds — a
+        fully-excluded range never reaches an executor."""
+        step = -(-self.n_rows // self.n_partitions)
+        parts = []
+        for i in range(self.n_partitions):
+            lo, hi = i * step, min((i + 1) * step, self.n_rows)
+            lo, hi = max(lo, self.lo), min(hi, self.hi)
+            if lo < hi:
+                parts.append(_IdRange(lo, hi))
+        # Spark requires >= 1 partition; an empty one is the
+        # all-pruned case
+        return parts or [_IdRange(0, 0)]
+
+    def read(self, partition: _IdRange):
+        for i in range(partition.lo, partition.hi):
+            yield (i, i % N_BUCKETS, ((i * KNUTH) % 1000) / 100.0)
+
+
+class RangeEventsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return SOURCE_NAME
+
+    def schema(self) -> str:
+        return "event_id bigint, bucket int, value double"
+
+    def reader(self, schema) -> RangeEventsReader:
+        return RangeEventsReader(self.options)
+
+
+def register_synth_source(spark) -> None:
+    """Idempotent registration of the custom source on a session.
+    Python-source filter pushdown is opt-in (off by default in Spark
+    4.1), so enable it here — a reader that implements pushFilters()
+    under the disabled conf is a hard error, not a silent fallback."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    key = "_dmrs_synth_source_registered"
+    if not spark.conf.get(f"spark.{key}", None):
+        spark.dataSource.register(RangeEventsDataSource)
+        spark.conf.set(f"spark.{key}", "true")
+
+
+# registry-entry parameters, interpolated into the DuckDB oracle so
+# they cannot desynchronize
+QUERY_ROWS = 20000
+QUERY_PARTITIONS = 8
+QUERY_ID_LO = 15000
+
+
+def pysource_range_events(spark, sf_dir: str):
+    """Registry entry: read the custom Python data source with an
+    event_id range predicate (pushed into the connector at planning
+    time — 6 of 8 generated partitions are pruned before launch) and
+    roll up per bucket. ``sf_dir`` is unused: the source IS the data,
+    sized by QUERY_ROWS. Full value-parity oracle via DuckDB
+    generate_series over the same integer recurrence."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_server_spark.functions import fround
+
+    register_synth_source(spark)
+    df = (
+        spark.read.format(SOURCE_NAME)
+        .option("n_rows", QUERY_ROWS)
+        .option("n_partitions", QUERY_PARTITIONS)
+        .load()
+        .filter(F.col("event_id") >= QUERY_ID_LO)
+    )
+    return (
+        df.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            fround(F.sum("value"), 2).alias("total_value"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def pysource_oracle() -> str:
+    return f"""
+        SELECT CAST(i % {N_BUCKETS} AS INTEGER) AS bucket,
+               COUNT(*) AS n,
+               ROUND(SUM(((i * {KNUTH}) % 1000) / 100.0), 2) AS total_value,
+               MIN(i) AS min_id,
+               MAX(i) AS max_id
+        FROM generate_series({QUERY_ID_LO}, {QUERY_ROWS - 1}) AS g(i)
+        GROUP BY 1
+        ORDER BY 1
+    """

@@ -1,0 +1,87 @@
+"""Custom Python Data Source connector (§2.8): planner-time filter
+pushdown, partition pruning, and read correctness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_server_spark.sources.python_source import (
+    GreaterThanOrEqual,
+    LessThan,
+    QUERY_ID_LO,
+    QUERY_PARTITIONS,
+    QUERY_ROWS,
+    RangeEventsReader,
+    pysource_range_events,
+    register_synth_source,
+    SOURCE_NAME,
+)
+
+
+def test_push_filters_absorbs_ranges_and_prunes_partitions():
+    r = RangeEventsReader({"n_rows": "20000", "n_partitions": "8"})
+    unhandled = list(
+        r.pushFilters(
+            [GreaterThanOrEqual(("event_id",), 5000), LessThan(("event_id",), 7500)]
+        )
+    )
+    assert unhandled == []
+    assert (r.lo, r.hi) == (5000, 7500)
+    parts = r.partitions()
+    assert len(parts) == 1  # ids 5000..7499 live in partition [5000, 7500)
+    assert (parts[0].lo, parts[0].hi) == (5000, 7500)
+
+
+def test_push_filters_returns_unsupported_to_spark():
+    from pyspark.sql.datasource import EqualTo, IsNotNull
+
+    r = RangeEventsReader({"n_rows": "1000", "n_partitions": "4"})
+    unhandled = list(
+        r.pushFilters(
+            [IsNotNull(("bucket",)), EqualTo(("bucket",), 3), EqualTo(("event_id",), 10)]
+        )
+    )
+    # bucket predicates go back to Spark; the id equality is absorbed
+    assert len(unhandled) == 2
+    assert (r.lo, r.hi) == (10, 11)
+
+
+def test_all_pruned_is_empty_not_error():
+    r = RangeEventsReader({"n_rows": "100", "n_partitions": "4"})
+    list(r.pushFilters([GreaterThanOrEqual(("event_id",), 500)]))
+    parts = r.partitions()
+    assert len(parts) == 1 and parts[0].lo == parts[0].hi
+    assert list(r.read(parts[0])) == []
+
+
+def test_source_end_to_end_counts(spark):
+    register_synth_source(spark)
+    df = (
+        spark.read.format(SOURCE_NAME)
+        .option("n_rows", 1000)
+        .option("n_partitions", 4)
+        .load()
+    )
+    assert df.count() == 1000
+    # spark-side residual filter on a non-pushable column still applies
+    assert df.filter(F.col("bucket") == 3).count() == len(range(3, 1000, 16))
+    # pushed range: exactly the generated remainder
+    got = df.filter(F.col("event_id") >= 900).agg(
+        F.count("*").alias("n"), F.min("event_id").alias("lo")
+    ).collect()[0]
+    assert (got["n"], got["lo"]) == (100, 900)
+
+
+def test_registry_query_prunes_partitions(spark):
+    """The registered query's pushed bound must cut the scan to the
+    surviving id range: task count for the scan stage equals surviving
+    partitions (2 of 8)."""
+    df = pysource_range_events(spark, "unused")
+    rows = df.collect()
+    assert len(rows) == 16
+    assert sum(r["n"] for r in rows) == QUERY_ROWS - QUERY_ID_LO
+    r = RangeEventsReader(
+        {"n_rows": str(QUERY_ROWS), "n_partitions": str(QUERY_PARTITIONS)}
+    )
+    list(r.pushFilters([GreaterThanOrEqual(("event_id",), QUERY_ID_LO)]))
+    assert len(r.partitions()) == 2
