@@ -247,6 +247,14 @@ from distributed_mapreduce_server_spark.sources.python_source import (  # noqa: 
 _QUERIES["pysource_range_events"] = pysource_range_events
 _ORACLES["pysource_range_events"] = pysource_oracle().strip()
 
+from distributed_mapreduce_server_spark.sources.python_source import (  # noqa: E402
+    pysource_stream_events,
+    pysource_stream_oracle,
+)
+
+_QUERIES["pysource_stream_events"] = pysource_stream_events
+_ORACLES["pysource_stream_events"] = pysource_stream_oracle().strip()
+
 _register(streaming_jobs, {}, ["stream_sessionize"])
 # complete-mode windowed agg under availableNow is deterministic ->
 # full oracle (the stream omits distinct_users: distinct aggregations

@@ -29,9 +29,11 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 
 SOURCE_NAME = "dmrs_synth_events"
+STREAM_SOURCE_NAME = "dmrs_synth_events_stream"
 KNUTH = 2654435761  # Knuth multiplicative-hash constant
 N_BUCKETS = 16
 
@@ -172,6 +174,135 @@ def pysource_oracle() -> str:
                MIN(i) AS min_id,
                MAX(i) AS max_id
         FROM generate_series({QUERY_ID_LO}, {QUERY_ROWS - 1}) AS g(i)
+        GROUP BY 1
+        ORDER BY 1
+    """
+
+
+# --- streaming side of the connector -------------------------------
+# rows arrive in fixed-size offset chunks; the reader is a
+# SimpleDataSourceStreamReader: initialOffset/read(start)->(rows,
+# next)/readBetweenOffsets(replay) — Spark handles prefetch, offset
+# log, and exactly-once replay from the checkpoint.
+STREAM_CHUNK = 2500
+
+
+class RangeEventsStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options) -> None:
+        self.n_rows = int(options.get("n_rows", DEFAULT_ROWS))
+        self.chunk = int(options.get("chunk", STREAM_CHUNK))
+
+    def initialOffset(self) -> dict:
+        return {"next_id": 0}
+
+    def _rows(self, lo: int, hi: int):
+        # a LIST, not a generator: the prefetching wrapper pickles the
+        # batch to ship it with the offset, and generators don't pickle
+        return [
+            (i, i % N_BUCKETS, ((i * KNUTH) % 1000) / 100.0)
+            for i in range(lo, hi)
+        ]
+
+    def read(self, start: dict):
+        lo = start["next_id"]
+        hi = min(lo + self.chunk, self.n_rows)
+        # iter() over the list: the wrapper calls next() directly AND
+        # pickles the materialized rows with the offset
+        return iter(self._rows(lo, hi)), {"next_id": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # deterministic replay for recovery — same recurrence
+        return iter(self._rows(start["next_id"], end["next_id"]))
+
+
+class RangeEventsStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return STREAM_SOURCE_NAME
+
+    def schema(self) -> str:
+        return "event_id bigint, bucket int, value double"
+
+    def simpleStreamReader(self, schema) -> RangeEventsStreamReader:
+        return RangeEventsStreamReader(self.options)
+
+
+def register_synth_stream_source(spark) -> None:
+    key = "_dmrs_synth_stream_source_registered"
+    if not spark.conf.get(f"spark.{key}", None):
+        spark.dataSource.register(RangeEventsStreamDataSource)
+        spark.conf.set(f"spark.{key}", "true")
+
+
+def pysource_stream_events(spark, sf_dir: str):
+    """Registry entry: the custom STREAMING source consumed to
+    exhaustion (8 offset chunks -> 8 micro-batches), aggregated per
+    bucket in complete mode. The offset log + readBetweenOffsets
+    replay give the exactly-once contract a real feed connector
+    needs. availableNow captures only the first prefetched chunk of a
+    Simple stream reader, so the query runs on the default ASAP
+    trigger and is stopped once the aggregate accounts for every
+    generated row — the bounded-drain pattern for a finite feed.
+    Counts are order-insensitive, so the converged state is
+    deterministic and carries the generate_series full oracle over
+    ALL ids (no pushdown in the stream path — bounds come from the
+    source options)."""
+    import tempfile as _tf
+    import time as _time
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_server_spark.functions import fround
+
+    register_synth_stream_source(spark)
+    stream = (
+        spark.readStream.format(STREAM_SOURCE_NAME)
+        .option("n_rows", QUERY_ROWS)
+        .option("chunk", STREAM_CHUNK)
+        .load()
+    )
+    agg = stream.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        fround(F.sum("value"), 2).alias("total_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+    name = f"mem_{_uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", _tf.mkdtemp(prefix="dmrs_pysrc_ckpt_"))
+        .start()
+    )
+    deadline = _time.monotonic() + 180
+    try:
+        while _time.monotonic() < deadline:
+            row = (
+                spark.table(name).agg(F.sum("n").alias("total")).collect()[0]
+            )
+            if (row["total"] or 0) >= QUERY_ROWS:
+                break
+            _time.sleep(0.25)
+        else:
+            raise TimeoutError(
+                f"custom stream did not drain {QUERY_ROWS} rows in 180s"
+            )
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(name).orderBy("bucket")
+
+
+def pysource_stream_oracle() -> str:
+    return f"""
+        SELECT CAST(i % {N_BUCKETS} AS INTEGER) AS bucket,
+               COUNT(*) AS n,
+               ROUND(SUM(((i * {KNUTH}) % 1000) / 100.0), 2) AS total_value,
+               MIN(i) AS min_id,
+               MAX(i) AS max_id
+        FROM generate_series(0, {QUERY_ROWS - 1}) AS g(i)
         GROUP BY 1
         ORDER BY 1
     """

@@ -116,6 +116,7 @@ EAGER_OPS = {
     "stream_session_window_native",
     "stream_dedup_within_watermark",
     "stream_anomaly_filter",
+    "pysource_stream_events",  # custom stream source drains eagerly
     "dedup_clusters",
     "dedup_clusters_bigstar",
     "dedup_incremental_neardup_indexed",  # index build runs eagerly
