@@ -20,9 +20,12 @@ a connector demo.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -30,10 +33,12 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 SOURCE_NAME = "dmrs_synth_events"
 STREAM_SOURCE_NAME = "dmrs_synth_events_stream"
+SINK_NAME = "dmrs_outputfiles"
 KNUTH = 2654435761  # Knuth multiplicative-hash constant
 N_BUCKETS = 16
 
@@ -306,3 +311,89 @@ def pysource_stream_oracle() -> str:
         GROUP BY 1
         ORDER BY 1
     """
+
+
+# --- write path: a custom SINK with two-phase commit ----------------
+# Executors write staged part files and return commit messages; the
+# driver's commit() atomically promotes the staged files into the
+# reference manager's outputfileNN layout plus a _MANIFEST — the
+# task-retry-safe pattern every real sink (object store, DB loader)
+# uses: an aborted/retried task's stage file is simply never
+# promoted.
+
+
+@dataclass
+class _PartFileCommit(WriterCommitMessage):
+    part_id: int
+    staged_path: str
+    n_rows: int
+
+
+class OutputFileWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("dmrs_outputfiles sink requires option 'path'")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        """Executor-side: stream this partition's rows to a staged
+        tab-separated file (key\\tvalue lines — the reference's
+        reducer output format)."""
+        import os
+        import uuid as _uuid
+
+        from pyspark import TaskContext
+
+        part_id = TaskContext.get().partitionId()
+        stage_dir = os.path.join(self.path, "_staging")
+        os.makedirs(stage_dir, exist_ok=True)
+        staged = os.path.join(stage_dir, f"part-{part_id}-{_uuid.uuid4().hex}")
+        n = 0
+        with open(staged, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write("\t".join(str(v) for v in row) + "\n")
+                n += 1
+        return _PartFileCommit(part_id=part_id, staged_path=staged, n_rows=n)
+
+    def commit(self, messages):
+        """Driver-side, once per successful job: promote exactly the
+        committed attempts to outputfileNN (reference layout), write
+        the _MANIFEST, drop the staging dir (losing any orphaned
+        retry attempts)."""
+        import json as _json
+        import os
+        import shutil
+
+        manifest = []
+        for m in messages:
+            final = os.path.join(self.path, f"outputfile{m.part_id:02d}")
+            os.replace(m.staged_path, final)
+            manifest.append(
+                {"file": os.path.basename(final), "n_rows": m.n_rows}
+            )
+        with open(os.path.join(self.path, "_MANIFEST"), "w") as fh:
+            _json.dump(sorted(manifest, key=lambda r: r["file"]), fh)
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+    def abort(self, messages):
+        import shutil
+        import os
+
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+
+class OutputFilesDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return SINK_NAME
+
+    def writer(self, schema, overwrite: bool) -> OutputFileWriter:
+        return OutputFileWriter(self.options, overwrite)
+
+
+def register_outputfiles_sink(spark) -> None:
+    key = "_dmrs_outputfiles_sink_registered"
+    if not spark.conf.get(f"spark.{key}", None):
+        spark.dataSource.register(OutputFilesDataSource)
+        spark.conf.set(f"spark.{key}", "true")

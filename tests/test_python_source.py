@@ -85,3 +85,38 @@ def test_registry_query_prunes_partitions(spark):
     )
     list(r.pushFilters([GreaterThanOrEqual(("event_id",), QUERY_ID_LO)]))
     assert len(r.partitions()) == 2
+
+
+def test_custom_sink_writes_reference_layout(spark, tmp_path):
+    """The write path: df.write.format(sink) produces the reference
+    manager's outputfileNN files plus a _MANIFEST, with staged files
+    promoted only on commit (no _staging left behind)."""
+    import json
+    import os
+
+    from distributed_mapreduce_server_spark.sources.python_source import (
+        register_outputfiles_sink,
+        SINK_NAME,
+    )
+
+    register_outputfiles_sink(spark)
+    out = str(tmp_path / "job0")
+    os.makedirs(out)
+    df = (
+        spark.range(100)
+        .selectExpr("concat('key', id % 7) AS k", "CAST(id AS STRING) AS v")
+        .repartition(3)
+    )
+    df.write.format(SINK_NAME).option("path", out).mode("append").save()
+    files = sorted(os.listdir(out))
+    assert files == ["_MANIFEST", "outputfile00", "outputfile01", "outputfile02"]
+    manifest = json.load(open(os.path.join(out, "_MANIFEST")))
+    assert sum(m["n_rows"] for m in manifest) == 100
+    lines = []
+    for f in files[1:]:
+        with open(os.path.join(out, f), encoding="utf-8") as fh:
+            lines += [l.rstrip("\n") for l in fh]
+    assert len(lines) == 100
+    assert sorted(lines) == sorted(
+        f"key{i % 7}\t{i}" for i in range(100)
+    )
