@@ -63,6 +63,9 @@ HEADLINE = [
     "q_events_scd2",
     "text_bpe_pair_counts",
     "mm_shard_manifest",
+    "pysource_range_events",
+    "q_snapshot_diff",
+    "q_data_quality_audit",
 ]
 
 
