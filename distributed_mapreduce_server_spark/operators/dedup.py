@@ -1116,3 +1116,84 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("kept", F.lit(True))
         .orderBy("doc_id")
     )
+
+
+# ExactSubstr span length (tokens): real pipelines use ~50-token
+# byte-level spans (Lee et al. 2022); 10 fits the synthetic docs while
+# keeping the same machinery.
+SUBSTR_L = 10
+
+
+def dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicate-SPAN detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): find
+    every token covered by some >= SUBSTR_L-token run that appears
+    more than once in the corpus, and emit each document's duplicated
+    -token coverage — the signal behind span REMOVAL dedup, which
+    catches boilerplate shared across otherwise-distinct documents
+    that whole-document near-dup (MinHash) never pairs.
+
+    Spark realization (the suffix-array algorithm is replaced by an
+    equivalent fixed-L formulation: a token is in a duplicated run of
+    length >= L iff some L-gram containing it is duplicated):
+    row-form L-gram assembly (posexplode + 9 window leads — codegen,
+    like the 3-gram shingler), md5 the gram, ONE df-aggregation over
+    the gram hash, then each duplicated gram at position p explodes
+    into its L covered positions and a distinct count per doc folds
+    the overlapping intervals. Shuffles: gram df (key-partitioned on
+    hash) + per-doc cover distinct — both partial-agg; fan-out is
+    L x duplicated grams only, never the corpus x L.
+    """
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    tok = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    g = tok
+    parts = [F.col("tok")]
+    for k in range(1, SUBSTR_L):
+        g = g.withColumn(f"t{k}", F.lead("tok", k).over(w))
+        parts.append(F.col(f"t{k}"))
+    grams = (
+        g.filter(F.col(f"t{SUBSTR_L - 1}").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            md5_u60(F.concat_ws(" ", *parts)).alias("h"),
+        )
+    )
+    grams = grams.persist()
+    grams.count()  # referenced twice (df agg + cover join)
+    dup_h = (
+        grams.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("h")
+    )
+    covered = (
+        grams.join(dup_h, "h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(SUBSTR_L - 1))
+            ).alias("cov"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("cov").alias("n_dup_covered"))
+    )
+    sizes = docs.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
+    out = (
+        sizes.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_dup_covered"), F.lit(0)).alias("n_dup_covered"),
+            fround(
+                F.coalesce(F.col("n_dup_covered"), F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                4,
+            ).alias("dup_frac"),
+        )
+    )
+    out = _cache_result(out)
+    grams.unpersist()
+    return out.orderBy("doc_id")

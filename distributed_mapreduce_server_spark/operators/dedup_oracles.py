@@ -348,3 +348,45 @@ DEDUP_ORACLES["dedup_keep_best_quality"] = f"""
     WHERE d.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
     ORDER BY d.doc_id
 """
+
+
+def _exact_substr_oracle() -> str:
+    from distributed_mapreduce_server_spark.operators.dedup import SUBSTR_L
+
+    L = SUBSTR_L
+    gram = _u60(f"array_to_string(t[i:i + {L - 1}], ' ')")
+    return f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        grams AS (
+            SELECT doc_id, i AS pos, {gram} AS h
+            FROM (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, len(t) - {L - 1})) AS i
+                FROM toks
+            )
+        ),
+        dup AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) >= 2),
+        cover AS (
+            SELECT DISTINCT doc_id, pos + j AS cov
+            FROM (
+                SELECT g.doc_id, g.pos,
+                       unnest(generate_series(0, {L - 1})) AS j
+                FROM grams g JOIN dup ON g.h = dup.h
+            )
+        ),
+        agg AS (
+            SELECT doc_id, COUNT(*) AS n_dup_covered
+            FROM cover GROUP BY doc_id
+        )
+        SELECT toks.doc_id,
+               CAST(len(toks.t) AS INTEGER) AS n_tokens,
+               COALESCE(agg.n_dup_covered, 0) AS n_dup_covered,
+               ROUND(COALESCE(agg.n_dup_covered, 0)
+                     / CAST(greatest(len(toks.t), 1) AS DOUBLE), 4)
+                   AS dup_frac
+        FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id
+        ORDER BY toks.doc_id
+    """
+
+
+DEDUP_ORACLES["dedup_exact_substr"] = _exact_substr_oracle()

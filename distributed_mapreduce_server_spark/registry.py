@@ -134,6 +134,7 @@ _register(
         "dedup_incremental_neardup",
         "dedup_incremental_neardup_indexed",
         "dedup_keep_best_quality",
+        "dedup_exact_substr",
     ],
 )
 _register(

