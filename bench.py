@@ -66,6 +66,7 @@ HEADLINE = [
     "pysource_range_events",
     "q_snapshot_diff",
     "q_data_quality_audit",
+    "dedup_exact_substr",
 ]
 
 
