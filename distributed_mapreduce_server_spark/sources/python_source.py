@@ -46,6 +46,35 @@ DEFAULT_ROWS = 20000
 DEFAULT_PARTITIONS = 8
 
 
+def _row(i: int) -> tuple:
+    """THE row recurrence — one definition shared by the batch
+    reader, the stream reader, and (via _series_oracle) both DuckDB
+    twins, so the 'cannot desynchronize' claim is structural."""
+    return (i, i % N_BUCKETS, ((i * KNUTH) % 1000) / 100.0)
+
+
+def _series_oracle(lo: int) -> str:
+    """DuckDB twin of the per-bucket rollup over ids [lo, QUERY_ROWS)."""
+    return f"""
+        SELECT CAST(i % {N_BUCKETS} AS INTEGER) AS bucket,
+               COUNT(*) AS n,
+               ROUND(SUM(((i * {KNUTH}) % 1000) / 100.0), 2) AS total_value,
+               MIN(i) AS min_id,
+               MAX(i) AS max_id
+        FROM generate_series({lo}, {QUERY_ROWS - 1}) AS g(i)
+        GROUP BY 1
+        ORDER BY 1
+    """
+
+
+def _register_once(spark, key: str, cls) -> None:
+    """Idempotent per-session registration guard shared by all three
+    connector surfaces."""
+    if not spark.conf.get(f"spark.{key}", None):
+        spark.dataSource.register(cls)
+        spark.conf.set(f"spark.{key}", "true")
+
+
 class _IdRange(InputPartition):
     def __init__(self, lo: int, hi: int) -> None:
         self.lo = lo
@@ -106,7 +135,7 @@ class RangeEventsReader(DataSourceReader):
 
     def read(self, partition: _IdRange):
         for i in range(partition.lo, partition.hi):
-            yield (i, i % N_BUCKETS, ((i * KNUTH) % 1000) / 100.0)
+            yield _row(i)
 
 
 class RangeEventsDataSource(DataSource):
@@ -127,10 +156,7 @@ def register_synth_source(spark) -> None:
     4.1), so enable it here — a reader that implements pushFilters()
     under the disabled conf is a hard error, not a silent fallback."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    key = "_dmrs_synth_source_registered"
-    if not spark.conf.get(f"spark.{key}", None):
-        spark.dataSource.register(RangeEventsDataSource)
-        spark.conf.set(f"spark.{key}", "true")
+    _register_once(spark, "_dmrs_synth_source_registered", RangeEventsDataSource)
 
 
 # registry-entry parameters, interpolated into the DuckDB oracle so
@@ -172,16 +198,7 @@ def pysource_range_events(spark, sf_dir: str):
 
 
 def pysource_oracle() -> str:
-    return f"""
-        SELECT CAST(i % {N_BUCKETS} AS INTEGER) AS bucket,
-               COUNT(*) AS n,
-               ROUND(SUM(((i * {KNUTH}) % 1000) / 100.0), 2) AS total_value,
-               MIN(i) AS min_id,
-               MAX(i) AS max_id
-        FROM generate_series({QUERY_ID_LO}, {QUERY_ROWS - 1}) AS g(i)
-        GROUP BY 1
-        ORDER BY 1
-    """
+    return _series_oracle(QUERY_ID_LO)
 
 
 # --- streaming side of the connector -------------------------------
@@ -203,10 +220,7 @@ class RangeEventsStreamReader(SimpleDataSourceStreamReader):
     def _rows(self, lo: int, hi: int):
         # a LIST, not a generator: the prefetching wrapper pickles the
         # batch to ship it with the offset, and generators don't pickle
-        return [
-            (i, i % N_BUCKETS, ((i * KNUTH) % 1000) / 100.0)
-            for i in range(lo, hi)
-        ]
+        return [_row(i) for i in range(lo, hi)]
 
     def read(self, start: dict):
         lo = start["next_id"]
@@ -233,10 +247,11 @@ class RangeEventsStreamDataSource(DataSource):
 
 
 def register_synth_stream_source(spark) -> None:
-    key = "_dmrs_synth_stream_source_registered"
-    if not spark.conf.get(f"spark.{key}", None):
-        spark.dataSource.register(RangeEventsStreamDataSource)
-        spark.conf.set(f"spark.{key}", "true")
+    _register_once(
+        spark,
+        "_dmrs_synth_stream_source_registered",
+        RangeEventsStreamDataSource,
+    )
 
 
 def pysource_stream_events(spark, sf_dir: str):
@@ -274,16 +289,19 @@ def pysource_stream_events(spark, sf_dir: str):
         F.max("event_id").alias("max_id"),
     )
     name = f"mem_{_uuid.uuid4().hex[:12]}"
+    ckpt = _tf.mkdtemp(prefix="dmrs_pysrc_ckpt_")
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
-        .option("checkpointLocation", _tf.mkdtemp(prefix="dmrs_pysrc_ckpt_"))
+        .option("checkpointLocation", ckpt)
         .start()
     )
     deadline = _time.monotonic() + 180
     try:
         while _time.monotonic() < deadline:
+            if q.exception() is not None:
+                raise q.exception()  # fail NOW, not after the timeout
             row = (
                 spark.table(name).agg(F.sum("n").alias("total")).collect()[0]
             )
@@ -294,23 +312,24 @@ def pysource_stream_events(spark, sf_dir: str):
             raise TimeoutError(
                 f"custom stream did not drain {QUERY_ROWS} rows in 180s"
             )
+        # materialize the (16-row) converged state locally so the
+        # memory-sink view and checkpoint dir can be released — a
+        # long-lived session otherwise accretes one of each per call
+        result = spark.createDataFrame(
+            spark.table(name).collect(), spark.table(name).schema
+        )
     finally:
         q.stop()
         q.awaitTermination()
-    return spark.table(name).orderBy("bucket")
+        spark.catalog.dropTempView(name)
+        import shutil as _sh
+
+        _sh.rmtree(ckpt, ignore_errors=True)
+    return result.orderBy("bucket")
 
 
 def pysource_stream_oracle() -> str:
-    return f"""
-        SELECT CAST(i % {N_BUCKETS} AS INTEGER) AS bucket,
-               COUNT(*) AS n,
-               ROUND(SUM(((i * {KNUTH}) % 1000) / 100.0), 2) AS total_value,
-               MIN(i) AS min_id,
-               MAX(i) AS max_id
-        FROM generate_series(0, {QUERY_ROWS - 1}) AS g(i)
-        GROUP BY 1
-        ORDER BY 1
-    """
+    return _series_oracle(0)
 
 
 # --- write path: a custom SINK with two-phase commit ----------------
@@ -360,18 +379,25 @@ class OutputFileWriter(DataSourceWriter):
         """Driver-side, once per successful job: promote exactly the
         committed attempts to outputfileNN (reference layout), write
         the _MANIFEST, drop the staging dir (losing any orphaned
-        retry attempts)."""
+        retry attempts). mode('overwrite') additionally removes any
+        outputfileNN left by a previous job that this one did not
+        replace — otherwise the directory would mix two jobs' output
+        while the manifest lists only the new one."""
         import json as _json
         import os
         import shutil
 
         manifest = []
+        written = set()
         for m in messages:
-            final = os.path.join(self.path, f"outputfile{m.part_id:02d}")
-            os.replace(m.staged_path, final)
-            manifest.append(
-                {"file": os.path.basename(final), "n_rows": m.n_rows}
-            )
+            fname = f"outputfile{m.part_id:02d}"
+            os.replace(m.staged_path, os.path.join(self.path, fname))
+            written.add(fname)
+            manifest.append({"file": fname, "n_rows": m.n_rows})
+        if self.overwrite:
+            for fname in os.listdir(self.path):
+                if fname.startswith("outputfile") and fname not in written:
+                    os.remove(os.path.join(self.path, fname))
         with open(os.path.join(self.path, "_MANIFEST"), "w") as fh:
             _json.dump(sorted(manifest, key=lambda r: r["file"]), fh)
         shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
@@ -393,7 +419,6 @@ class OutputFilesDataSource(DataSource):
 
 
 def register_outputfiles_sink(spark) -> None:
-    key = "_dmrs_outputfiles_sink_registered"
-    if not spark.conf.get(f"spark.{key}", None):
-        spark.dataSource.register(OutputFilesDataSource)
-        spark.conf.set(f"spark.{key}", "true")
+    _register_once(
+        spark, "_dmrs_outputfiles_sink_registered", OutputFilesDataSource
+    )

@@ -81,8 +81,17 @@ def measure_reference_shape(input_dir: str) -> float:
         stdin=sort.stdout,
         stdout=subprocess.DEVNULL,
     )
-    for p in (cat, mapper, sort, reducer):
+    # close the parent-side read ends: a dying downstream stage must
+    # SIGPIPE its upstream writer, or the pipeline deadlocks instead
+    # of failing once the pipe buffer fills
+    for fh in (cat.stdout, mapper.stdout, sort.stdout):
+        fh.close()
+    stages = {"cat": cat, "mapper": mapper, "sort": sort, "reducer": reducer}
+    for name, p in stages.items():
         p.wait()
+    bad = {n: p.returncode for n, p in stages.items() if p.returncode != 0}
+    if bad:
+        raise RuntimeError(f"reference-shape pipeline stage(s) failed: {bad}")
     return time.perf_counter() - t0
 
 

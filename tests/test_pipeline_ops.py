@@ -180,10 +180,11 @@ def test_bpe_pairs_are_single_chars(spark, queries):
 
 def test_exact_substr_coverage_bounds(spark, queries):
     """Duplicate-span detection is non-vacuous (the corpus carries
-    real duplicated >= L-token runs, including full-doc dups at
-    dup_frac 1.0) and structurally sound: coverage never exceeds the
-    doc's token count, and every exact-dup document (same normalized
-    token stream, from dedup_exact's groups) must be fully covered."""
+    real duplicated >= L-token runs, including fully-covered docs)
+    and structurally sound: coverage never exceeds the doc's token
+    count, and sub-L docs are never covered. (sf0.01 has no exact
+    whole-doc duplicate pairs, so the fully-covered docs here come
+    from internal repetition — asserted below.)"""
     df = queries["dedup_exact_substr"](spark, SF).persist()
     try:
         assert df.filter(F.col("n_dup_covered") > F.col("n_tokens")).count() == 0

@@ -120,3 +120,34 @@ def test_custom_sink_writes_reference_layout(spark, tmp_path):
     assert sorted(lines) == sorted(
         f"key{i % 7}\t{i}" for i in range(100)
     )
+
+
+def test_custom_sink_overwrite_removes_stale_parts(spark, tmp_path):
+    """mode('overwrite') must not leave a previous job's surplus
+    outputfileNN behind: directory contents and _MANIFEST stay in
+    agreement."""
+    import json
+    import os
+
+    from distributed_mapreduce_server_spark.sources.python_source import (
+        register_outputfiles_sink,
+        SINK_NAME,
+    )
+
+    register_outputfiles_sink(spark)
+    out = str(tmp_path / "job1")
+    os.makedirs(out)
+    wide = spark.range(60).selectExpr("'k' AS k", "CAST(id AS STRING) AS v")
+    wide.repartition(6).write.format(SINK_NAME).option("path", out).mode(
+        "append"
+    ).save()
+    assert len([f for f in os.listdir(out) if f.startswith("outputfile")]) == 6
+    narrow = spark.range(30).selectExpr("'k' AS k", "CAST(id AS STRING) AS v")
+    narrow.repartition(3).write.format(SINK_NAME).option("path", out).mode(
+        "overwrite"
+    ).save()
+    files = sorted(f for f in os.listdir(out) if f.startswith("outputfile"))
+    assert files == ["outputfile00", "outputfile01", "outputfile02"]
+    manifest = json.load(open(os.path.join(out, "_MANIFEST")))
+    assert sorted(m["file"] for m in manifest) == files
+    assert sum(m["n_rows"] for m in manifest) == 30
