@@ -55,18 +55,34 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Execute with availableNow into a memory sink; return the result
-    as a batch DataFrame."""
+    as a batch DataFrame.
+
+    The result is re-materialized locally (these jobs' outputs are
+    aggregate/session-sized, not corpus-sized) so the memory-sink
+    temp view and checkpoint directory can be released immediately —
+    a long-lived session running the full registry repeatedly would
+    otherwise accrete one of each per call."""
+    import shutil
+
+    spark = stream_df.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="dmrs_ckpt_")
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="dmrs_ckpt_"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    try:
+        q.awaitTermination()
+        sink = spark.table(name)
+        result = spark.createDataFrame(sink.collect(), sink.schema)
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return result
 
 
 def stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
