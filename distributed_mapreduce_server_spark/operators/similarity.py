@@ -875,3 +875,34 @@ def emb_encode_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         backfill.mapInPandas(encode, "doc_id long, dim int, val double")
         .orderBy("doc_id", "dim")
     )
+
+
+RANGE_SEARCH_T = 0.3
+
+
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine RANGE search: every corpus neighbor within similarity >=
+    RANGE_SEARCH_T of each query vector — the radius-query twin of
+    sim_cosine_topk (retrieval wants top-k; dedup/matching wants
+    "everything this close", where the result size is data-dependent).
+    Same scale shape as top-k: broadcast the bounded query set, scan
+    the corpus once, emit only threshold survivors — no ranking
+    window at all, so the plan is scan + broadcast join + filter. The
+    threshold compares the ROUNDED score (fround 4) in both engines,
+    so the boundary cannot flip on a sub-rounding ulp.
+    """
+    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    return (
+        broadcast(q)
+        .crossJoin(c)
+        .withColumn("cos_sim", fround(cosine_sim(F.col("qe"), F.col("ce")), 4))
+        .filter(F.col("cos_sim") >= RANGE_SEARCH_T)
+        .select("query_id", "neighbor_id", "cos_sim")
+        .orderBy("query_id", "neighbor_id")
+    )

@@ -321,3 +321,24 @@ SIMILARITY_ORACLES["emb_encode_backfill"] = f"""
     FROM bf CROSS JOIN (SELECT unnest(range(1, {ENC_DIM + 1})) AS d) dims
     ORDER BY doc_id, dim
 """
+
+
+def _range_search_oracle() -> str:
+    from distributed_mapreduce_server_spark.operators.similarity import (
+        RANGE_SEARCH_T,
+    )
+
+    return f"""
+        SELECT query_id, neighbor_id, cos_sim FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROUND({_DOT} / ({_NORM_Q} * {_NORM_C}), 4) AS cos_sim
+            FROM embeddings q
+            JOIN embeddings c
+              ON q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+        )
+        WHERE cos_sim >= {RANGE_SEARCH_T}
+        ORDER BY query_id, neighbor_id
+    """
+
+
+SIMILARITY_ORACLES["sim_range_search"] = _range_search_oracle()

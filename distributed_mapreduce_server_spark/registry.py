@@ -156,6 +156,7 @@ _register(
         "sim_pq_adc_ann",
         "sim_knn_join",
         "emb_encode_backfill",
+        "sim_range_search",
     ],
 )
 _register(

@@ -83,6 +83,7 @@ def test_wordcount_shuffle_budget(spark, queries):
 # centroid codebooks, 1-row scalar aggregates).
 DELIBERATE_NESTED_LOOP = {
     "sim_cosine_topk",
+    "sim_range_search",  # broadcast query-set cross-join, like topk
     "sim_lsh_ann",
     "q22_idle_customers",
     "text_tfidf",
