@@ -688,3 +688,51 @@ def q_shuffle_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+ATTRIBUTION_WINDOW_H = 24
+ATTRIBUTION_TOUCHES = ("click", "view")
+
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent click/view within the preceding 24 h, else
+    to 'direct'. The carried last-touch type/timestamp are
+    ignore-nulls window lasts over rows-preceding frames — one keyed
+    shuffle on user_id, no self-join (the q_events_sessionize plan
+    shape), then a tiny channel aggregate."""
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin(*ATTRIBUTION_TOUCHES)
+    touched = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True).over(w).alias("lt_type"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w).alias("lt_ts"),
+    )
+    purchases = touched.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("lt_ts") >= F.col("ts") - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_H} HOURS"),
+            F.col("lt_type"),
+        )
+        .otherwise(F.lit("direct"))
+        .alias("channel"),
+        "value",
+    )
+    return (
+        purchases.groupBy("channel")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            fround(F.sum("value"), 2).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )

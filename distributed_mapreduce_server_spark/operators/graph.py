@@ -1,0 +1,110 @@
+"""Graph analytics over the order graph (SURVEY.md §2.2, round 4).
+
+The customer↔supplier bipartite graph — an edge wherever a customer
+bought from a supplier (lineitem ⋈ orders, distinct pairs) — is the
+natural graph hiding in the star schema. dedup.py already runs
+connected components (min-label + large-star/small-star); this module
+adds the importance/shape queries a user would run next:
+
+- q_pagerank: damped PageRank, fixed ITERATIONS rounds. The classic
+  join-agg loop: contribution = pr/out_deg flows along each edge,
+  one shuffle join (edges ⋈ ranks on src) + one keyed aggregation
+  per round. Edges are persisted once and reused every round; rank
+  frames are cut to leaves with eager localCheckpoint so the plan
+  stays flat (the dedup_clusters_bigstar lesson — persist alone
+  leaves geometric lineage for Catalyst to re-analyze). At 1000
+  executors this is the standard Pregel-equivalent formulation:
+  both sides hash-partition on the join key, no driver state.
+- q_graph_degree_distribution: degree histogram — the 30-second
+  sanity check before trusting any iterative graph result.
+
+Cross-engine determinism: ranks are fround'ed to 10 dp after EVERY
+iteration in both engines, so distributed float-sum reordering
+cannot compound across rounds (abs error per round ~1e-15 against a
+1e-10 grid — boundary flips are ~1e-7 probability, not a practical
+concern; without the per-round rounding drift compounds ×0.85/round
+against the oracle's sequential sums).
+
+Node encoding: customers at c_custkey·2, suppliers at l_suppkey·2+1
+(integer namespacing beats string prefixes — joins stay on BIGINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_server_spark.catalog import load_tables
+from distributed_mapreduce_server_spark.functions import fround
+
+PR_ITERATIONS = 5
+PR_DAMPING = 0.85
+PR_BASE = 0.15
+
+
+def _bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric directed edge list (src, dst) of the purchase graph."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    pairs = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("cust_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+    ).unionAll(pairs.select(F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")))
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (unnormalized per-node base form):
+    pr_{i+1}(v) = 0.15 + 0.85 · Σ_{(u,v)∈E} pr_i(u)/out_deg(u),
+    pr_0 ≡ 1.0, PR_ITERATIONS rounds.
+
+    The symmetric edge set means every node has in-edges, so the
+    aggregation re-covers all nodes each round (no dangling-mass
+    term needed)."""
+    edges = _bipartite_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # edges annotated with the source's out-degree: built once,
+    # persisted, reused all rounds.
+    edeg = edges.join(deg, "src").persist()
+    edeg.count()
+
+    pr = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("pr"))
+    for _ in range(PR_ITERATIONS):
+        pr = (
+            edeg.join(pr, edeg["src"] == pr["node"])
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(
+                fround(
+                    F.lit(PR_BASE) + F.lit(PR_DAMPING) * F.sum(F.col("pr") / F.col("out_deg")),
+                    10,
+                ).alias("pr")
+            )
+            .select(F.col("node2").alias("node"), "pr")
+            .localCheckpoint(eager=True)
+        )
+    edeg.unpersist()
+    return pr.select(
+        F.col("node").alias("node_id"),
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        "pr",
+    ).orderBy("node_id")
+
+
+def q_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the purchase graph (symmetric edges, so
+    out-degree == total degree)."""
+    edges = _bipartite_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy("degree")
+    )

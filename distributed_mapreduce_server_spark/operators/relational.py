@@ -1258,3 +1258,54 @@ def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for part in (o_checks, c_checks, orphan_li, orphan_o):
         out = out.unionByName(part)
     return out.orderBy("check")
+
+
+EWMA_ALPHA = 0.3
+EWMA_BETA = 0.7  # exactly 1.0 - 0.3 in doubles; literal in both engines
+
+
+def q_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of monthly revenue per
+    nation: ewma_t = 0.3·x_t + 0.7·ewma_{t-1}, seeded at x_0.
+
+    The aggregation to (nation, month) is ordinary distributed
+    groupBy; only the recursion runs in Python — one applyInPandas
+    per nation over its ~80-row monthly series, which is
+    BOUNDED-per-key at any corpus scale (months grow with time, not
+    data volume). Monthly revenue is rounded to 2 dp BEFORE the
+    recursion in both engines, so the recursion inputs are identical
+    and the float64 loop reproduces DuckDB's recursive CTE
+    bit-for-bit (same multiply-add order, same literals)."""
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    rev = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(fround(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("month").reset_index(drop=True)
+        out = []
+        e = None
+        for x in pdf["revenue"]:
+            e = x if e is None else EWMA_ALPHA * x + EWMA_BETA * e
+            out.append(e)
+        pdf["ewma"] = [round_half_away(v) for v in out]
+        return pdf
+
+    def round_half_away(v: float, nd: int = 6) -> float:
+        # scalar twin of fround/fround_np (DuckDB ROUND semantics)
+        import math
+
+        s = 10.0**nd
+        return math.copysign(math.floor(abs(v) * s + 0.5) / s, v)
+
+    return (
+        rev.groupBy("n_name")
+        .applyInPandas(ewma, "n_name string, month timestamp, revenue double, ewma double")
+        .orderBy("n_name", "month")
+    )

@@ -1199,3 +1199,161 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, merged string, weighted_count long"
     ).orderBy("merge_rank")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling & splits (round 4)
+# ---------------------------------------------------------------------------
+
+RESERVOIR_K = 50
+RESERVOIR_SEED = 7
+WEIGHTED_K = 50
+WEIGHTED_SEED = 11
+KFOLD_K = 5
+KFOLD_SEED = 13
+_U60_SCALE = float(1 << 60)  # exact power-of-two double
+
+
+def text_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k-sample without replacement, reservoir-equivalent:
+    rank every document by an independent content-free hash and keep
+    the k smallest. Identical in distribution to reservoir sampling
+    but embarrassingly parallel — Spark's sort-limit computes a
+    per-partition top-k and merges k·P candidates, so no partition
+    ever materializes more than k rows for the tail stage. Unlike
+    ``df.sample``, re-runs, repartitioning, and engine changes all
+    yield the SAME sample (hash-determinism, as train_val_split)."""
+    from pyspark.sql.window import Window
+
+    from distributed_mapreduce_server_spark.functions import seeded_u60
+
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    h = seeded_u60(F.col("doc_id").cast("string"), RESERVOIR_SEED)
+    w = Window.orderBy(F.asc("sample_key"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "lang", "source", h.alias("sample_key"))
+        .orderBy(F.asc("sample_key"), F.asc("doc_id"))
+        .limit(RESERVOIR_K)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.row_number().over(w).cast("integer").alias("sample_rank"),
+        )
+        .orderBy("sample_rank")
+    )
+
+
+def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES): priority = ln(u)/w with u = (hash+1)/2^60 ∈ (0,1] and
+    w = n_chars; the k LARGEST priorities form an exact weighted
+    sample. u comes from the portable seeded hash, so the sample is
+    reproducible across engines; priorities are rounded before
+    ranking with a doc_id tie-break (the cross-engine guard all
+    ranked ops here use). Same sort-limit top-k shape as the
+    reservoir sample — one scan, k·P-bounded merge."""
+    from pyspark.sql.window import Window
+
+    from distributed_mapreduce_server_spark.functions import seeded_u60
+
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    h = seeded_u60(F.col("doc_id").cast("string"), WEIGHTED_SEED)
+    priority = fround(F.log((h + F.lit(1)) / F.lit(_U60_SCALE)) / F.col("n_chars"), 8)
+    w = Window.orderBy(F.desc("priority"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "n_chars", priority.alias("priority"))
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(WEIGHTED_K)
+        .select(
+            "doc_id",
+            "n_chars",
+            "priority",
+            F.row_number().over(w).cast("integer").alias("sample_rank"),
+        )
+        .orderBy("sample_rank")
+    )
+
+
+def text_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation assignment by content-free hash:
+    fold = h(doc_id) mod K. Returns per-fold balance diagnostics
+    (doc count, token total, distinct languages) — the check a
+    pipeline runs before trusting its folds. One scan + one K-row
+    aggregate."""
+    from distributed_mapreduce_server_spark.functions import seeded_u60, tokens
+
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    fold = (seeded_u60(F.col("doc_id").cast("string"), KFOLD_SEED) % KFOLD_K).cast("integer")
+    return (
+        docs.select(
+            fold.alias("fold"),
+            F.size(tokens("text")).alias("n_tokens"),
+            "lang",
+        )
+        .groupBy("fold")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("fold")
+    )
+
+
+# Gopher quality rules (Rae et al. 2021, table A1), thresholds
+# adapted so the synthetic corpus exercises both outcomes of
+# word-count, word-length, stopword, and repetition rules.
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 90
+GOPHER_MIN_WORD_LEN = 3.0
+GOPHER_MAX_WORD_LEN = 5.0
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MAX_TOP_TOKEN_FRAC = 0.125
+
+
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules as one codegen'd scan:
+    word-count bounds, mean-word-length bounds, minimum stopword
+    hits, and a top-token repetition cap (the most frequent token may
+    not exceed 12.5% of the document). Emits each rule's verdict plus
+    the conjunctive keep flag so downstream can audit WHY a document
+    dropped — the c4_filters companion from the Gopher lineage."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    mean_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(n_tok, F.lit(1))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda w: F.size(F.filter(toks, lambda t: t == w)),
+        )
+    )
+    top_frac = top_cnt / F.greatest(n_tok, F.lit(1))
+    base = docs.select(
+        "doc_id",
+        n_tok.alias("n_words"),
+        ((n_tok >= GOPHER_MIN_WORDS) & (n_tok <= GOPHER_MAX_WORDS)).alias("r_word_count"),
+        ((mean_len >= GOPHER_MIN_WORD_LEN) & (mean_len <= GOPHER_MAX_WORD_LEN)).alias(
+            "r_word_len"
+        ),
+        (n_stop >= GOPHER_MIN_STOPWORDS).alias("r_stopwords"),
+        (top_frac <= GOPHER_MAX_TOP_TOKEN_FRAC).alias("r_repetition"),
+    )
+    return base.select(
+        "doc_id",
+        "n_words",
+        "r_word_count",
+        "r_word_len",
+        "r_stopwords",
+        "r_repetition",
+        (
+            F.col("r_word_count")
+            & F.col("r_word_len")
+            & F.col("r_stopwords")
+            & F.col("r_repetition")
+        ).alias("keep"),
+    ).orderBy("doc_id")

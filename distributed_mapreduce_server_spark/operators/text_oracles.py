@@ -595,3 +595,95 @@ def _tokenize_ids_oracle() -> str:
 
 
 TEXT_ORACLES["text_tokenize_to_ids"] = _tokenize_ids_oracle()
+
+
+# --- Deterministic sampling & splits + Gopher rules (round 4) -------------
+
+from distributed_mapreduce_server_spark.operators.text import (  # noqa: E402
+    GOPHER_MAX_TOP_TOKEN_FRAC,
+    GOPHER_MAX_WORD_LEN,
+    GOPHER_MAX_WORDS,
+    GOPHER_MIN_STOPWORDS,
+    GOPHER_MIN_WORD_LEN,
+    GOPHER_MIN_WORDS,
+    KFOLD_K,
+    KFOLD_SEED,
+    RESERVOIR_K,
+    RESERVOIR_SEED,
+    WEIGHTED_K,
+    WEIGHTED_SEED,
+)
+
+
+def _u60(expr: str, seed: int) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat('{seed}|', {expr})), 1, 15)) AS BIGINT)"
+    )
+
+
+TEXT_ORACLES["text_reservoir_sample"] = f"""
+    WITH keyed AS (
+        SELECT doc_id, lang, source,
+               {_u60("CAST(doc_id AS VARCHAR)", RESERVOIR_SEED)} AS sample_key
+        FROM documents
+        ORDER BY sample_key, doc_id
+        LIMIT {RESERVOIR_K}
+    )
+    SELECT doc_id, lang, source,
+           CAST(ROW_NUMBER() OVER (ORDER BY sample_key, doc_id) AS INTEGER) AS sample_rank
+    FROM keyed
+    ORDER BY sample_rank
+"""
+
+TEXT_ORACLES["text_weighted_sample"] = f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               ROUND(ln(({_u60("CAST(doc_id AS VARCHAR)", WEIGHTED_SEED)} + 1)
+                        / 1152921504606846976.0) / n_chars, 8) AS priority
+        FROM documents
+        ORDER BY priority DESC, doc_id
+        LIMIT {WEIGHTED_K}
+    )
+    SELECT doc_id, n_chars, priority,
+           CAST(ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS INTEGER) AS sample_rank
+    FROM keyed
+    ORDER BY sample_rank
+"""
+
+TEXT_ORACLES["text_kfold_split"] = f"""
+    SELECT CAST({_u60("CAST(doc_id AS VARCHAR)", KFOLD_SEED)} % {KFOLD_K} AS INTEGER) AS fold,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+TEXT_ORACLES["text_gopher_filters"] = f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_words,
+               len(toks) >= {GOPHER_MIN_WORDS} AND len(toks) <= {GOPHER_MAX_WORDS}
+                   AS r_word_count,
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                   / greatest(len(toks), 1) >= {GOPHER_MIN_WORD_LEN}
+               AND CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                   / greatest(len(toks), 1) <= {GOPHER_MAX_WORD_LEN}
+                   AS r_word_len,
+               len(list_filter(toks, t -> list_contains(
+                   ['the','a','of','and','to','in','is','it'], t)))
+                   >= {GOPHER_MIN_STOPWORDS} AS r_stopwords,
+               CAST(list_max(list_transform(list_distinct(toks),
+                    w -> len(list_filter(toks, t -> t = w)))) AS DOUBLE)
+                   / greatest(len(toks), 1) <= {GOPHER_MAX_TOP_TOKEN_FRAC}
+                   AS r_repetition
+        FROM base
+    )
+    SELECT doc_id, n_words, r_word_count, r_word_len, r_stopwords, r_repetition,
+           r_word_count AND r_word_len AND r_stopwords AND r_repetition AS keep
+    FROM m
+    ORDER BY doc_id
+"""

@@ -930,3 +930,62 @@ EVENTS_ORACLES["q_shuffle_key_skew"] = """
     WHERE rank <= 10
     ORDER BY rank
 """
+
+
+# --- round 4: EWMA smoothing + last-touch attribution ---------------------
+
+RELATIONAL_ORACLES["q_ewma_revenue"] = """
+    WITH RECURSIVE rev AS (
+        SELECT n_name, date_trunc('month', o_orderdate) AS month,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY month) AS rn
+        FROM rev
+    ),
+    ew AS (
+        SELECT n_name, month, revenue, rn, revenue AS ewma
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.n_name, s.month, s.revenue, s.rn,
+               0.3 * s.revenue + 0.7 * e.ewma
+        FROM seq s JOIN ew e ON s.n_name = e.n_name AND s.rn = e.rn + 1
+    )
+    SELECT n_name, month, revenue, ROUND(ewma, 6) AS ewma
+    FROM ew
+    ORDER BY n_name, month
+"""
+
+from distributed_mapreduce_server_spark.operators.events import (  # noqa: E402
+    ATTRIBUTION_TOUCHES,
+    ATTRIBUTION_WINDOW_H,
+)
+
+_TOUCH_LIST = ", ".join(f"'{t}'" for t in ATTRIBUTION_TOUCHES)
+
+EVENTS_ORACLES["q_events_attribution"] = f"""
+    WITH touched AS (
+        SELECT user_id, ts, event_type, value,
+               LAST_VALUE(CASE WHEN event_type IN ({_TOUCH_LIST})
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_type,
+               LAST_VALUE(CASE WHEN event_type IN ({_TOUCH_LIST})
+                               THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_ts
+        FROM events
+    )
+    SELECT CASE WHEN lt_ts >= ts - INTERVAL {ATTRIBUTION_WINDOW_H} HOURS
+                THEN lt_type ELSE 'direct' END AS channel,
+           COUNT(*) AS n_purchases,
+           ROUND(SUM(value), 2) AS attributed_value
+    FROM touched
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    ORDER BY 1
+"""

@@ -16,12 +16,16 @@ from distributed_mapreduce_server_spark.mapreduce.oracles import MAPREDUCE_ORACL
 from distributed_mapreduce_server_spark.operators import (
     dedup,
     events,
+    graph,
     multimodal,
     relational,
+    search,
     similarity,
     temporal,
     text,
 )
+from distributed_mapreduce_server_spark.operators.graph_oracles import GRAPH_ORACLES
+from distributed_mapreduce_server_spark.operators.search_oracles import SEARCH_ORACLES
 from distributed_mapreduce_server_spark.streaming import jobs as streaming_jobs
 from distributed_mapreduce_server_spark.operators.dedup_oracles import DEDUP_ORACLES
 from distributed_mapreduce_server_spark.operators.similarity_oracles import SIMILARITY_ORACLES
@@ -89,6 +93,7 @@ _register(
         "q20_promo_suppliers",
         "q_rolling_revenue_30d",
         "q_data_quality_audit",
+        "q_ewma_revenue",
     ],
 )
 _register(
@@ -191,6 +196,26 @@ _register(
         "text_bpe_pair_counts",
         "text_tokenize_to_ids",
         "text_bpe_train",
+        "text_reservoir_sample",
+        "text_weighted_sample",
+        "text_kfold_split",
+        "text_gopher_filters",
+    ],
+)
+_register(
+    graph,
+    GRAPH_ORACLES,
+    [
+        "q_pagerank",
+        "q_graph_degree_distribution",
+    ],
+)
+_register(
+    search,
+    SEARCH_ORACLES,
+    [
+        "text_bm25_search",
+        "sim_hybrid_search",
     ],
 )
 _register(
@@ -217,6 +242,7 @@ _register(
         "q_events_theta_setops",
         "q_events_approx_topk",
         "q_snapshot_diff",
+        "q_events_attribution",
     ],
 )
 

@@ -1,0 +1,151 @@
+"""Non-vacuousness and plan-shape invariants for the round-4 wave
+(search, sampling, Gopher, graph, EWMA, attribution).
+
+Oracle parity for all of these is covered by test_oracle_parity;
+these tests assert the properties parity can't see — both outcome
+classes occur, weights actually bias the sample, ranks actually
+diverge between arms, the iterative loop actually converges toward
+the fixed point.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from distributed_mapreduce_server_spark.operators import graph, search, text
+from distributed_mapreduce_server_spark.operators.events import q_events_attribution
+from distributed_mapreduce_server_spark.operators.relational import q_ewma_revenue
+
+
+def test_bm25_rare_term_outranks_common(spark, sf_smoke):
+    """Docs containing the rare query term must dominate the top of
+    the ranking — BM25's idf spread is the whole point."""
+    rows = search.text_bm25_search(spark, sf_smoke).collect()
+    assert len(rows) == search.SEARCH_TOP_K
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # top score must clearly exceed what the two common terms alone
+    # can contribute (both have df ~80%, idf ~ln(1+0.25/0.8) ≈ 0.27,
+    # saturated tf term < 2.2 each -> common-only ceiling < 1.5).
+    assert scores[0] > 1.5
+
+
+def test_hybrid_search_fuses_both_arms(spark, sf_smoke):
+    rows = search.sim_hybrid_search(spark, sf_smoke).collect()
+    assert len(rows) == search.HYBRID_TOP_K
+    # both arms must contribute members to the fused set, and the
+    # arms must genuinely disagree (some doc present in only one arm)
+    assert any(r["bm25_rank"] is not None for r in rows)
+    assert any(r["cos_rank"] is not None for r in rows)
+    assert any(r["bm25_rank"] is None or r["cos_rank"] is None for r in rows)
+    rrfs = [r["rrf"] for r in rows]
+    assert rrfs == sorted(rrfs, reverse=True)
+
+
+def test_weighted_sample_biases_toward_long_docs(spark, sf_smoke):
+    """The A-ES sample must overrepresent high-weight (long) docs:
+    the sample's mean n_chars exceeds the corpus mean."""
+    from distributed_mapreduce_server_spark.catalog import load_tables
+
+    sample = text.text_weighted_sample(spark, sf_smoke)
+    docs = load_tables(spark, sf_smoke, register_views=False)["documents"]
+    mean_sample = sample.agg({"n_chars": "avg"}).collect()[0][0]
+    mean_corpus = docs.agg({"n_chars": "avg"}).collect()[0][0]
+    assert mean_sample > mean_corpus * 1.1
+
+
+def test_reservoir_sample_is_uniform_sized_and_stable(spark, sf_smoke):
+    a = text.text_reservoir_sample(spark, sf_smoke).collect()
+    b = text.text_reservoir_sample(spark, sf_smoke).collect()
+    assert len(a) == text.RESERVOIR_K
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]  # determinism
+
+
+def test_kfold_covers_all_folds(spark, sf_smoke):
+    rows = text.text_kfold_split(spark, sf_smoke).collect()
+    assert sorted(r["fold"] for r in rows) == list(range(text.KFOLD_K))
+    counts = [r["n_docs"] for r in rows]
+    # hash balance: no fold more than 2x another at 500 docs
+    assert max(counts) <= 2 * min(counts)
+
+
+def test_gopher_rules_each_fire(spark, sf_smoke):
+    import pandas as pd
+
+    pdf = text.text_gopher_filters(spark, sf_smoke).toPandas()
+    assert set(pdf["keep"].unique()) == {True, False}
+    for rule in ["r_word_count", "r_stopwords", "r_repetition"]:
+        assert pdf[rule].nunique() == 2, f"{rule} never fires on this corpus"
+    # r_word_len fails on only ~1% of docs; at sf0.001 it may be
+    # all-true, which is fine — the sf0.01 oracle run covers it.
+    assert isinstance(pdf, pd.DataFrame)
+
+
+def test_pagerank_mass_and_monotonicity(spark, sf_smoke):
+    import math
+
+    rows = graph.q_pagerank(spark, sf_smoke).collect()
+    n = len(rows)
+    # unnormalized form fixed point: total mass ~= n (0.15n base +
+    # 0.85 * total outflow, symmetric graph conserves flow)
+    total = sum(r["pr"] for r in rows)
+    assert math.isclose(total, n, rel_tol=0.02)
+    assert all(r["pr"] > 0.15 for r in rows)
+    assert {r["node_type"] for r in rows} == {"customer", "supplier"}
+
+
+def test_pagerank_high_degree_outranks_low(spark, sf_smoke):
+    deg = {
+        r["degree"]: r["n_nodes"]
+        for r in graph.q_graph_degree_distribution(spark, sf_smoke).collect()
+    }
+    assert len(deg) > 1  # degree spread exists -> the test is non-vacuous
+    pr = graph.q_pagerank(spark, sf_smoke)
+    edges = graph._bipartite_edges(spark, sf_smoke)
+    from pyspark.sql import functions as F
+
+    joined = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("degree"))
+        .join(pr, F.col("src") == F.col("node_id"))
+        .select("degree", "pr")
+        .collect()
+    )
+    top = max(joined, key=lambda r: r["degree"])
+    bot = min(joined, key=lambda r: r["degree"])
+    assert top["pr"] > bot["pr"]
+
+
+def test_ewma_smooths_toward_series(spark, sf_oracle_dir="/root/testdata/sf0.001"):
+    import pandas as pd
+
+    pdf = q_ewma_revenue(spark, sf_oracle_dir).toPandas()
+    # recursion seeded at first value
+    first = pdf.sort_values(["n_name", "month"]).groupby("n_name").first()
+    assert (first["ewma"] == first["revenue"]).all()
+    # smoothing: ewma variance strictly below raw variance per nation
+    v = pdf.groupby("n_name").agg(raw=("revenue", "var"), sm=("ewma", "var"))
+    assert (v["sm"] < v["raw"]).all()
+    assert isinstance(pdf, pd.DataFrame)
+
+
+def test_attribution_channels_complete(spark, sf_smoke):
+    rows = q_events_attribution(spark, sf_smoke).collect()
+    channels = {r["channel"] for r in rows}
+    assert "direct" in channels  # the fallback really occurs
+    assert channels & set(("click", "view"))  # real touches attributed
+    total = sum(r["n_purchases"] for r in rows)
+    from distributed_mapreduce_server_spark.catalog import load_tables
+    from pyspark.sql import functions as F
+
+    ev = load_tables(spark, sf_smoke, register_views=False)["events"]
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    assert total == n_purch  # every purchase attributed exactly once
+
+
+@pytest.mark.parametrize("k", ["text_bm25_search", "q_pagerank"])
+def test_round4_keys_registered_with_oracles(k):
+    from distributed_mapreduce_server_spark import registry
+
+    assert k in registry.all_queries()
+    assert k in registry.all_oracles()
