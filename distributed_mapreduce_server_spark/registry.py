@@ -327,6 +327,44 @@ _ORACLES["stream_click_purchase_join"] = """
      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
     ORDER BY 1, 2, 3
 """.strip()
+# left-outer adds watermark-gated null-padded rows to the inner join.
+# Eviction predicate measured empirically (tests/test_round4_ops.py
+# boundary probe): a click's null row is emitted iff the global
+# watermark — min over sides of (max side ts - 1 day), FLOORED TO
+# WHOLE MILLISECONDS (Spark tracks watermarks in ms) — STRICTLY
+# exceeds click_ts + 1h. 999 us past the boundary does not emit;
+# 1000 us does.
+_QUERIES["stream_click_purchase_left_join"] = streaming_jobs.stream_click_purchase_left_join
+_ORACLES["stream_click_purchase_left_join"] = """
+    WITH wm AS (
+        SELECT make_timestamp(
+                   (epoch_us(least(
+                        (SELECT max(ts) FROM events WHERE event_type = 'click'),
+                        (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+                    - INTERVAL 1 DAY) // 1000) * 1000) AS w
+    ),
+    matched AS (
+        SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+               CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS delay_sec
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    ),
+    unmatched AS (
+        SELECT c.user_id, c.event_id AS click_id,
+               NULL::BIGINT AS purchase_id, NULL::BIGINT AS delay_sec
+        FROM events c, wm
+        WHERE c.event_type = 'click'
+          AND c.ts + INTERVAL 1 HOUR < wm.w
+          AND NOT EXISTS (
+              SELECT 1 FROM events p
+              WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+                AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+    )
+    SELECT * FROM (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
+    ORDER BY 1, 2, 3
+""".strip()
 # sliding-window counts are complete-mode deterministic; the top-K
 # rank is a plain window function over them -> full oracle. Each
 # event lands in exactly 2 overlapping 60-min windows (slide 30 min).

@@ -692,3 +692,59 @@ def stream_anomaly_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = anomaly_select(ev.join(broadcast(stats), "event_type"))
     out = _run_to_memory(flagged, "append")
     return out.orderBy("event_id")
+
+
+def stream_click_purchase_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with an event-time range
+    condition: every click, attributed to same-user purchases within
+    the following hour, or emitted null-padded once the watermark
+    proves no match can arrive. The outer side is the part the inner
+    join (stream_click_purchase_join) cannot express — "which ad
+    clicks converted, and which did not" in one pass.
+
+    State bounding is identical to the inner join (watermarks + the
+    range predicate); the extra semantics is eviction: a click's
+    null-padded row is emitted when the global watermark passes the
+    end of its match window (click_ts + 1h). Under availableNow the
+    final watermark is max(side ts) - 1 day per side, min across
+    sides, which the oracle reproduces — clicks whose window end sits
+    at or before that cutoff appear exactly once (matched or
+    null-padded); later clicks appear only if matched. The emission
+    predicate (strict <) was verified empirically at both sf0.001
+    and sf0.01 (see tests)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        s = (
+            spark.readStream.schema(raw_schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
+        s = _normalize_ts(s)
+        s = s.filter(F.col("event_type") == event_type)
+        return s.select(
+            F.col("event_id").alias(f"{prefix}_id"),
+            F.col("user_id").alias(f"{prefix}_user"),
+            F.col("ts").alias(f"{prefix}_ts"),
+        ).withWatermark(f"{prefix}_ts", "1 day")
+
+    clicks = side("click", "click")
+    purchases = side("purchase", "purchase")
+    joined = clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")),
+        "left_outer",
+    ).select(
+        F.col("click_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")).alias(
+            "delay_sec"
+        ),
+    )
+    out = _run_to_memory(joined, "append")
+    return out.orderBy("user_id", "click_id", "purchase_id")

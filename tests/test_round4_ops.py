@@ -149,3 +149,38 @@ def test_round4_keys_registered_with_oracles(k):
 
     assert k in registry.all_queries()
     assert k in registry.all_oracles()
+
+
+def test_stream_left_outer_eviction_boundary(spark, tmp_path):
+    """Pins the measured eviction predicate: a click's null-padded row
+    is emitted iff the ms-floored watermark STRICTLY exceeds
+    click_ts + 1h. 999 us past the boundary must not emit; 1000 us
+    must. The registry oracle encodes exactly this, so if a Spark
+    upgrade changes the predicate this test fails before the oracle
+    silently diverges."""
+    import pandas as pd
+
+    from distributed_mapreduce_server_spark.streaming import jobs
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def run(margin_us: int) -> int:
+        d = tmp_path / f"m{margin_us}"
+        d.mkdir()
+        m = t0 + pd.Timedelta("1 hour") + pd.Timedelta("1 day") + pd.Timedelta(
+            microseconds=margin_us
+        )
+        pd.DataFrame(
+            {
+                "event_id": [1, 2, 3],
+                "ts": [t0, m, m],
+                "user_id": [10, 11, 12],
+                "event_type": ["click", "click", "purchase"],
+                "value": [1.0] * 3,
+                "props": ["{}"] * 3,
+            }
+        ).to_parquet(str(d / "events.parquet"))
+        return len(jobs.stream_click_purchase_left_join(spark, str(d)).collect())
+
+    assert run(999) == 0
+    assert run(1000) == 1
