@@ -67,6 +67,14 @@ HEADLINE = [
     "q_snapshot_diff",
     "q_data_quality_audit",
     "dedup_exact_substr",
+    # round-4 additions
+    "text_bm25_search",
+    "sim_hybrid_search",
+    "text_weighted_sample",
+    "text_gopher_filters",
+    "q_pagerank",
+    "q_ewma_revenue",
+    "q_events_attribution",
 ]
 
 

@@ -1309,3 +1309,32 @@ def q_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(ewma, "n_name string, month timestamp, revenue double, ewma double")
         .orderBy("n_name", "month")
     )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — ((nation, priority), (nation),
+    (priority), ()) — with grouping_id() disambiguating which level a
+    row belongs to. Completes the grouping-sets family next to
+    q_nation_rollup (ROLLUP) and q_region_cube (CUBE); unlike those,
+    the set list here is NOT a lattice prefix, which is what GROUPING
+    SETS exists for. Spark expands the sets over one partial-agg
+    shuffle (Expand node), same plan family as rollup/cube."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    joined = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupingSets(
+            [["n_name", "o_orderpriority"], ["n_name"], ["o_orderpriority"], []],
+            "n_name",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("integer").alias("gid"),
+            F.count("*").alias("n_orders"),
+            fround(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        )
+        .orderBy("gid", "n_name", "o_orderpriority")
+    )

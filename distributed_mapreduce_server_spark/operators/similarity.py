@@ -906,3 +906,75 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cos_sim")
         .orderBy("query_id", "neighbor_id")
     )
+
+
+MMR_QUERY_ID = 0
+MMR_CANDIDATES = 30
+MMR_K = 10
+MMR_LAMBDA = 0.7
+MMR_ONE_MINUS_LAMBDA = 0.3  # explicit literal: 1 - 0.7 != 0.3 in doubles
+
+
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein):
+    from the top-MMR_CANDIDATES cosine hits for the query vector,
+    greedily select MMR_K results maximizing
+    0.7·rel(d) − 0.3·max_{s∈selected} sim(d, s) — relevance with a
+    diversity penalty, the standard serving-side re-rank after ANN.
+
+    Scale shape: candidate generation is the distributed part (one
+    broadcast-query corpus scan + sort-limit top-30, exactly
+    sim_cosine_topk's plan). The greedy loop then runs driver-side
+    over the CANDIDATE SET ONLY — 30 vectors, constant at any corpus
+    scale (the bounded-collect contract of _collect_matrix). Both
+    rel and pairwise sims are rounded to 4 dp before selection with
+    vec_id tie-breaks, so the greedy path is engine-reproducible;
+    the oracle unrolls the same 10 steps as sequential CTEs."""
+    import numpy as np
+
+    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
+    q = emb.filter(F.col("vec_id") == MMR_QUERY_ID).select(F.col("embedding").alias("qe"))
+    c = emb.filter(F.col("vec_id") != MMR_QUERY_ID).select("vec_id", "embedding")
+    cand = (
+        broadcast(q)
+        .crossJoin(c)
+        .select(
+            "vec_id",
+            "embedding",
+            fround(cosine_sim(F.col("qe"), F.col("embedding")), 4).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(MMR_CANDIDATES)
+    )
+    rows = cand.collect()  # bounded: MMR_CANDIDATES rows
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = [r["vec_id"] for r in rows]
+    rel = {r["vec_id"]: r["rel"] for r in rows}
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sim = fround_np(mat @ mat.T, 4)
+
+    idx = {v: i for i, v in enumerate(ids)}
+    selected: list[int] = []
+    remaining = set(ids)
+    picks = []
+    while len(selected) < MMR_K and remaining:
+        if not selected:
+            # first pick: pure relevance
+            best = max(remaining, key=lambda v: (rel[v], -v))
+        else:
+            sel_idx = [idx[s] for s in selected]
+
+            def score(v: int) -> float:
+                return (
+                    MMR_LAMBDA * rel[v]
+                    - MMR_ONE_MINUS_LAMBDA * float(np.max(sim[idx[v], sel_idx]))
+                )
+
+            best = max(remaining, key=lambda v: (score(v), -v))
+        selected.append(best)
+        remaining.discard(best)
+        picks.append((len(selected), best, rel[best]))
+    return spark.createDataFrame(picks, "mmr_rank int, vec_id bigint, rel double").orderBy(
+        "mmr_rank"
+    )

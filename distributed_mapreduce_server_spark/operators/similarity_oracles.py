@@ -342,3 +342,73 @@ def _range_search_oracle() -> str:
 
 
 SIMILARITY_ORACLES["sim_range_search"] = _range_search_oracle()
+
+
+# --- MMR re-ranking (round 4): greedy selection unrolled, one CTE pair
+# per step (argmax via ORDER BY ... LIMIT 1 with the same id tie-break
+# as the Python loop; identical 0.7/0.3 literals and operation order).
+
+from distributed_mapreduce_server_spark.operators.similarity import (  # noqa: E402
+    MMR_CANDIDATES,
+    MMR_K,
+    MMR_LAMBDA,
+    MMR_ONE_MINUS_LAMBDA,
+    MMR_QUERY_ID,
+)
+
+_DOT_XY = (
+    "list_sum(list_transform(range(1, len(x.embedding) + 1), "
+    "i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))"
+)
+_NORM_X = "sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+_NORM_Y = "sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+
+
+def _mmr_sql() -> str:
+    parts = [
+        f"""cand AS MATERIALIZED (
+        SELECT c.vec_id AS id, ROUND({_DOT} / ({_NORM_Q} * {_NORM_C}), 4) AS rel
+        FROM embeddings q JOIN embeddings c
+          ON q.vec_id = {MMR_QUERY_ID} AND c.vec_id <> {MMR_QUERY_ID}
+        ORDER BY rel DESC, id
+        LIMIT {MMR_CANDIDATES}
+    )""",
+        """pv AS MATERIALIZED (
+        SELECT c.id, e.embedding FROM cand c JOIN embeddings e ON e.vec_id = c.id
+    )""",
+        f"""pairsim AS MATERIALIZED (
+        SELECT x.id AS a, y.id AS b,
+               ROUND({_DOT_XY} / ({_NORM_X} * {_NORM_Y}), 4) AS sim
+        FROM pv x JOIN pv y ON x.id <> y.id
+    )""",
+        "p1 AS MATERIALIZED (SELECT id, rel FROM cand ORDER BY rel DESC, id LIMIT 1)",
+        "s1 AS MATERIALIZED (SELECT id FROM p1)",
+    ]
+    for t in range(2, MMR_K + 1):
+        parts.append(
+            f"""p{t} AS MATERIALIZED (
+        SELECT c.id, c.rel
+        FROM cand c
+        WHERE c.id NOT IN (SELECT id FROM s{t - 1})
+        ORDER BY {MMR_LAMBDA} * c.rel - {MMR_ONE_MINUS_LAMBDA} * (
+                     SELECT max(ps.sim) FROM pairsim ps
+                     WHERE ps.a = c.id AND ps.b IN (SELECT id FROM s{t - 1})
+                 ) DESC, c.id
+        LIMIT 1
+    )"""
+        )
+        parts.append(
+            f"s{t} AS MATERIALIZED (SELECT id FROM s{t - 1} UNION ALL SELECT id FROM p{t})"
+        )
+    finals = "\n    UNION ALL ".join(
+        f"SELECT {t} AS mmr_rank, id AS vec_id, rel FROM p{t}" for t in range(1, MMR_K + 1)
+    )
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined}
+    SELECT * FROM ({finals})
+    ORDER BY mmr_rank
+"""
+
+
+SIMILARITY_ORACLES["sim_mmr_rerank"] = _mmr_sql()

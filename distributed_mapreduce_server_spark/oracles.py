@@ -989,3 +989,15 @@ EVENTS_ORACLES["q_events_attribution"] = f"""
     GROUP BY 1
     ORDER BY 1
 """
+
+RELATIONAL_ORACLES["q_grouping_sets"] = """
+    SELECT n_name, o_orderpriority,
+           CAST(GROUPING(n_name, o_orderpriority) AS INTEGER) AS gid,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), (o_orderpriority), ())
+    ORDER BY gid, n_name, o_orderpriority
+"""

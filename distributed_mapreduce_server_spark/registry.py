@@ -94,6 +94,7 @@ _register(
         "q_rolling_revenue_30d",
         "q_data_quality_audit",
         "q_ewma_revenue",
+        "q_grouping_sets",
     ],
 )
 _register(
@@ -162,6 +163,7 @@ _register(
         "sim_knn_join",
         "emb_encode_backfill",
         "sim_range_search",
+        "sim_mmr_rerank",
     ],
 )
 _register(

@@ -184,3 +184,55 @@ def test_stream_left_outer_eviction_boundary(spark, tmp_path):
 
     assert run(999) == 0
     assert run(1000) == 1
+
+
+def test_mmr_diversifies_vs_pure_relevance(spark, sf_smoke):
+    """The diversity penalty must actually change the selection:
+    MMR's picks differ from the pure-relevance top-k (otherwise the
+    0.3·max-sim term is vacuous on this corpus), while rank 1 is
+    always the most relevant candidate."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_server_spark.catalog import load_tables
+    from distributed_mapreduce_server_spark.functions import cosine_sim, fround
+    from distributed_mapreduce_server_spark.operators import similarity as sim
+
+    picks = sim.sim_mmr_rerank(spark, sf_smoke).collect()
+    assert [r["mmr_rank"] for r in picks] == list(range(1, sim.MMR_K + 1))
+
+    emb = load_tables(spark, sf_smoke, register_views=False)["embeddings"]
+    q = emb.filter(F.col("vec_id") == sim.MMR_QUERY_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    c = emb.filter(F.col("vec_id") != sim.MMR_QUERY_ID).select("vec_id", "embedding")
+    rel_top = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select("vec_id", fround(cosine_sim(F.col("qe"), F.col("embedding")), 4).alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(sim.MMR_K)
+        .collect()
+    )
+    assert picks[0]["vec_id"] == rel_top[0]["vec_id"]
+    assert [r["vec_id"] for r in picks] != [r["vec_id"] for r in rel_top]
+
+
+def test_grouping_sets_levels_consistent(spark, sf_smoke):
+    """Every grouping level present; the () level's total equals the
+    sum of the (nation) level — GROUPING SETS is internally additive."""
+    import math
+
+    from distributed_mapreduce_server_spark.operators.relational import q_grouping_sets
+
+    rows = q_grouping_sets(spark, sf_smoke).collect()
+    gids = {r["gid"] for r in rows}
+    assert gids == {0, 1, 2, 3}
+    grand = [r for r in rows if r["gid"] == 3]
+    assert len(grand) == 1
+    nation_level = [r for r in rows if r["gid"] == 1]
+    assert math.isclose(
+        sum(r["total_revenue"] for r in nation_level),
+        grand[0]["total_revenue"],
+        rel_tol=1e-9,
+    )
+    assert sum(r["n_orders"] for r in nation_level) == grand[0]["n_orders"]
