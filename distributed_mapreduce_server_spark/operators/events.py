@@ -736,3 +736,51 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: users grouped by first-activity
+    week, purchase revenue laid out by cohort age in weeks, plus the
+    running cumulative LTV per cohort. The companion to
+    q_events_retention (which counts users; this follows the money).
+
+    Plan: first-event week per user = one keyed agg; age = date
+    arithmetic; matrix = one (cohort, age) agg; cumulative LTV = a
+    window over the MATRIX (cohort-count sized, not event sized)."""
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    first_week = (
+        ev.groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.date_trunc("week", "ts").alias("ev_week"), "value"
+    )
+    matrix = (
+        purchases.join(first_week, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                (F.col("ev_week").cast("long") - F.col("cohort_week").cast("long"))
+                / F.lit(7 * 86400)
+            )
+            .cast("integer")
+            .alias("age_weeks"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_buyers"),
+            fround(F.sum("value"), 2).alias("week_revenue"),
+        )
+    )
+    w = Window.partitionBy("cohort_week").orderBy("age_weeks")
+    return (
+        matrix.select(
+            "cohort_week",
+            "age_weeks",
+            "n_buyers",
+            "week_revenue",
+            fround(F.sum("week_revenue").over(w), 2).alias("cum_ltv"),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )

@@ -1338,3 +1338,75 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "n_name", "o_orderpriority")
     )
+
+
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking/navigation window-function surface in one
+    query — row_number, lag, lead, first, last, nth_value,
+    percent_rank, cume_dist, ntile — over each customer's order
+    history. One keyed shuffle serves every function (identical
+    partition + order spec); the unique (date, orderkey) ordering
+    makes RANGE-framed functions (percent_rank/cume_dist and the
+    DuckDB default frames) engine-identical."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        t["orders"]
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).cast("integer").alias("rn"),
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+            F.lead("o_totalprice").over(w).alias("next_price"),
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.last("o_totalprice").over(wfull).alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(wfull).alias("second_price"),
+            fround(F.percent_rank().over(w), 6).alias("pct_rank"),
+            fround(F.cume_dist().over(w), 6).alias("cume"),
+            F.ntile(4).over(w).cast("integer").alias("quartile"),
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
+def q_unpivot_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MELT/UNPIVOT: a wide per-nation metrics table (customer
+    balance, supplier balance, customer count, supplier count) turned
+    into long (nation, metric, value) form — the inverse of
+    q_events_pivot, via Spark's native unpivot operator (an Expand
+    node: rows multiply, nothing shuffles beyond the input aggs)."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    cust = (
+        t["customer"]
+        .groupBy("c_nationkey")
+        .agg(
+            fround(F.sum("c_acctbal"), 2).alias("cust_balance"),
+            F.count("*").cast("double").alias("n_customers"),
+        )
+    )
+    supp = (
+        t["supplier"]
+        .groupBy("s_nationkey")
+        .agg(
+            fround(F.sum("s_acctbal"), 2).alias("supp_balance"),
+            F.count("*").cast("double").alias("n_suppliers"),
+        )
+    )
+    wide = (
+        broadcast(t["nation"])
+        .join(cust, F.col("n_nationkey") == F.col("c_nationkey"), "left")
+        .join(supp, F.col("n_nationkey") == F.col("s_nationkey"), "left")
+        .select("n_name", "cust_balance", "n_customers", "supp_balance", "n_suppliers")
+    )
+    return (
+        wide.unpivot(
+            ["n_name"],
+            ["cust_balance", "n_customers", "supp_balance", "n_suppliers"],
+            "metric",
+            "value",
+        )
+        .orderBy("n_name", "metric")
+    )

@@ -978,3 +978,63 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(picks, "mmr_rank int, vec_id bigint, rel double").orderBy(
         "mmr_rank"
     )
+
+
+MATRYOSHKA_DIM = 16
+
+
+def sim_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation evaluation: for each query, how
+    much of the full-dimension cosine top-k survives when vectors are
+    truncated to the first MATRYOSHKA_DIM dims (the MRL serving
+    trade-off: 4x less memory/bandwidth per vector vs recall). Emits
+    per-query overlap and recall@k between the two rankings — the
+    measurement that decides whether the cheap index is good enough.
+
+    Plan shape: both rankings are the sim_cosine_topk plan (broadcast
+    queries x one corpus scan; the truncated arm scans SLICED arrays,
+    so at scale the column reader feeds 4x fewer bytes into the
+    kernel); the final overlap join is k-vs-k per query."""
+    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
+
+    def topk(vec_expr_q, vec_expr_c, label: str) -> DataFrame:
+        q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), vec_expr_q.alias("qe")
+        )
+        c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+            F.col("vec_id").alias("neighbor_id"), vec_expr_c.alias("ce")
+        )
+        scored = broadcast(q).crossJoin(c).select(
+            "query_id",
+            "neighbor_id",
+            fround(cosine_sim(F.col("qe"), F.col("ce")), 4).alias("s"),
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("neighbor_id"))
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K)
+            .select("query_id", F.col("neighbor_id").alias(f"nb_{label}"))
+        )
+
+    full = topk(F.col("embedding"), F.col("embedding"), "full")
+    trunc_expr = F.slice(F.col("embedding"), 1, MATRYOSHKA_DIM)
+    trunc = topk(trunc_expr, trunc_expr, "trunc")
+    overlap = full.join(
+        trunc.withColumnRenamed("query_id", "qid2"),
+        (F.col("query_id") == F.col("qid2")) & (F.col("nb_full") == F.col("nb_trunc")),
+    )
+    counts = overlap.groupBy("query_id").agg(F.count("*").cast("integer").alias("n_overlap"))
+    # left join from the query list so a fully-divergent ranking still
+    # reports its query with recall 0 instead of silently vanishing
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(F.col("vec_id").alias("query_id"))
+    return (
+        queries.join(counts, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("integer").alias("n_overlap"),
+            fround(
+                F.coalesce(F.col("n_overlap"), F.lit(0)) / F.lit(float(TOP_K)), 2
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )

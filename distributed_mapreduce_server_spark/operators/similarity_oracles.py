@@ -412,3 +412,58 @@ def _mmr_sql() -> str:
 
 
 SIMILARITY_ORACLES["sim_mmr_rerank"] = _mmr_sql()
+
+
+# --- Matryoshka truncation evaluation (round 4) ---------------------------
+
+from distributed_mapreduce_server_spark.operators.similarity import (  # noqa: E402
+    MATRYOSHKA_DIM,
+)
+
+_DOT_T = (
+    f"list_sum(list_transform(range(1, {MATRYOSHKA_DIM} + 1), "
+    "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+)
+_NORM_QT = (
+    f"sqrt(list_sum(list_transform(q.embedding[1:{MATRYOSHKA_DIM}], "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+_NORM_CT = (
+    f"sqrt(list_sum(list_transform(c.embedding[1:{MATRYOSHKA_DIM}], "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+SIMILARITY_ORACLES["sim_matryoshka_eval"] = f"""
+    WITH full_rk AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY ROUND({_DOT} / ({_NORM_Q} * {_NORM_C}), 4) DESC,
+                                c.vec_id) AS rk
+            FROM embeddings q JOIN embeddings c
+              ON q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+        ) WHERE rk <= {TOP_K}
+    ),
+    trunc_rk AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY ROUND({_DOT_T} / ({_NORM_QT} * {_NORM_CT}), 4) DESC,
+                                c.vec_id) AS rk
+            FROM embeddings q JOIN embeddings c
+              ON q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+        ) WHERE rk <= {TOP_K}
+    ),
+    counts AS (
+        SELECT f.query_id, CAST(COUNT(*) AS INTEGER) AS n_overlap
+        FROM full_rk f JOIN trunc_rk t
+          ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+        GROUP BY 1
+    )
+    SELECT q.vec_id AS query_id,
+           CAST(COALESCE(n_overlap, 0) AS INTEGER) AS n_overlap,
+           ROUND(COALESCE(n_overlap, 0) / {float(TOP_K)}, 2) AS recall_at_k
+    FROM embeddings q LEFT JOIN counts ON q.vec_id = counts.query_id
+    WHERE q.vec_id < {N_QUERIES}
+    ORDER BY query_id
+"""

@@ -1001,3 +1001,72 @@ RELATIONAL_ORACLES["q_grouping_sets"] = """
     GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), (o_orderpriority), ())
     ORDER BY gid, n_name, o_orderpriority
 """
+
+RELATIONAL_ORACLES["q_window_suite"] = """
+    SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice) OVER wf AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER wf AS second_price,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey, rn
+"""
+
+RELATIONAL_ORACLES["q_unpivot_balance"] = """
+    WITH cust AS (
+        SELECT c_nationkey, ROUND(SUM(c_acctbal), 2) AS cust_balance,
+               CAST(COUNT(*) AS DOUBLE) AS n_customers
+        FROM customer GROUP BY 1
+    ),
+    supp AS (
+        SELECT s_nationkey, ROUND(SUM(s_acctbal), 2) AS supp_balance,
+               CAST(COUNT(*) AS DOUBLE) AS n_suppliers
+        FROM supplier GROUP BY 1
+    ),
+    wide AS (
+        SELECT n_name, cust_balance, n_customers, supp_balance, n_suppliers
+        FROM nation
+        LEFT JOIN cust ON n_nationkey = c_nationkey
+        LEFT JOIN supp ON n_nationkey = s_nationkey
+    )
+    SELECT n_name, metric, value FROM (
+        SELECT n_name, 'cust_balance' AS metric, cust_balance AS value FROM wide
+        UNION ALL SELECT n_name, 'n_customers', n_customers FROM wide
+        UNION ALL SELECT n_name, 'supp_balance', supp_balance FROM wide
+        UNION ALL SELECT n_name, 'n_suppliers', n_suppliers FROM wide
+    )
+    ORDER BY n_name, metric
+"""
+
+EVENTS_ORACLES["q_events_cohort_ltv"] = """
+    WITH first_week AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY 1
+    ),
+    purchases AS (
+        SELECT user_id, date_trunc('week', ts) AS ev_week, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    matrix AS (
+        SELECT cohort_week,
+               CAST(FLOOR((epoch(ev_week) - epoch(cohort_week)) / 604800) AS INTEGER)
+                   AS age_weeks,
+               COUNT(DISTINCT p.user_id) AS n_buyers,
+               ROUND(SUM(value), 2) AS week_revenue
+        FROM purchases p JOIN first_week f ON p.user_id = f.user_id
+        GROUP BY 1, 2
+    )
+    SELECT cohort_week, age_weeks, n_buyers, week_revenue,
+           ROUND(SUM(week_revenue) OVER (PARTITION BY cohort_week
+                 ORDER BY age_weeks), 2) AS cum_ltv
+    FROM matrix
+    ORDER BY cohort_week, age_weeks
+"""

@@ -95,6 +95,8 @@ _register(
         "q_data_quality_audit",
         "q_ewma_revenue",
         "q_grouping_sets",
+        "q_window_suite",
+        "q_unpivot_balance",
     ],
 )
 _register(
@@ -164,6 +166,7 @@ _register(
         "emb_encode_backfill",
         "sim_range_search",
         "sim_mmr_rerank",
+        "sim_matryoshka_eval",
     ],
 )
 _register(
@@ -245,6 +248,7 @@ _register(
         "q_events_approx_topk",
         "q_snapshot_diff",
         "q_events_attribution",
+        "q_events_cohort_ltv",
     ],
 )
 

@@ -236,3 +236,51 @@ def test_grouping_sets_levels_consistent(spark, sf_smoke):
         rel_tol=1e-9,
     )
     assert sum(r["n_orders"] for r in nation_level) == grand[0]["n_orders"]
+
+
+def test_window_suite_internal_consistency(spark, sf_smoke):
+    from distributed_mapreduce_server_spark.operators.relational import q_window_suite
+
+    pdf = q_window_suite(spark, sf_smoke).toPandas()
+    g = pdf.groupby("o_custkey")
+    # rn contiguous from 1; quartiles within 1..4; last_price constant per key
+    assert (g["rn"].min() == 1).all()
+    assert (g["rn"].max() == g["rn"].count()).all()
+    assert pdf["quartile"].between(1, 4).all()
+    assert (g["last_price"].nunique() == 1).all()
+    # cume_dist terminal value is exactly 1.0
+    assert (g["cume"].max() == 1.0).all()
+
+
+def test_unpivot_shape(spark, sf_smoke):
+    from distributed_mapreduce_server_spark.operators.relational import q_unpivot_balance
+
+    pdf = q_unpivot_balance(spark, sf_smoke).toPandas()
+    assert set(pdf["metric"].unique()) == {
+        "cust_balance",
+        "n_customers",
+        "supp_balance",
+        "n_suppliers",
+    }
+    assert len(pdf) == 25 * 4  # every nation x every metric
+
+
+def test_cohort_ltv_cumulative(spark, sf_smoke):
+    from distributed_mapreduce_server_spark.operators.events import q_events_cohort_ltv
+
+    pdf = q_events_cohort_ltv(spark, sf_smoke).toPandas()
+    assert len(pdf) > 1
+    for _, grp in pdf.groupby("cohort_week"):
+        ltv = grp.sort_values("age_weeks")["cum_ltv"].tolist()
+        assert ltv == sorted(ltv)  # cumulative over positive revenue
+        assert abs(grp["week_revenue"].sum() - ltv[-1]) < 0.02 * len(grp)
+
+
+def test_matryoshka_recall_bounded_and_consistent(spark, sf_smoke):
+    from distributed_mapreduce_server_spark.operators import similarity as sim
+
+    rows = sim.sim_matryoshka_eval(spark, sf_smoke).collect()
+    assert len(rows) == sim.N_QUERIES
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= sim.TOP_K
+        assert abs(r["recall_at_k"] - r["n_overlap"] / sim.TOP_K) < 1e-9
