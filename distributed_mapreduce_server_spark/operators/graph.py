@@ -75,7 +75,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # requirement, so only the (node-sized) rank frame shuffles each
     # round — without this, the (much larger) edge frame re-shuffles
     # every iteration. This is the bucketed-join trick applied to an
-    # iterative loop; measured 7.99 s -> see bench for the win.
+    # iterative loop.
     edeg = edges.join(deg, "src").repartition(F.col("src")).persist()
     edeg.count()
 
@@ -89,7 +89,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast (7.9 s: each round's broadcast re-materializes the
     # unsaved rank chain — quadratic recompute). A variable-round
     # PageRank-to-convergence would reintroduce periodic cuts.
-    pr = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("pr"))
+    # initial ranks derive FROM THE CACHE (edeg), not from the raw
+    # edge lineage — otherwise round 1 silently re-runs the whole
+    # edge build for the rank side.
+    pr = edeg.select(F.col("src").alias("node")).distinct().withColumn("pr", F.lit(1.0))
     for _ in range(PR_ITERATIONS):
         pr = (
             edeg.join(pr, edeg["src"] == pr["node"])
@@ -102,6 +105,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.col("node2").alias("node"), "pr")
         )
+    # materialize the (node-sized) result THROUGH the cache before
+    # releasing it: the returned frame is lazy, and unpersisting
+    # first would make the caller's execution re-derive the edge
+    # build twice per round (the bug the first bench run measured —
+    # plan inspection showed 61 Exchanges and 20 file scans).
+    pr = pr.localCheckpoint(eager=True)
     edeg.unpersist()
     return pr.select(
         F.col("node").alias("node_id"),

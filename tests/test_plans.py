@@ -332,3 +332,63 @@ def test_embedding_dedup_no_driver_collect(spark, queries):
         keep = queries["dedup_semantic_keep"](spark, SF)
     for df in (cos, keep):
         assert "FlatMapCoGroupsInPandas" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bm25_stats_broadcast_no_big_shuffle(spark, queries):
+    """BM25: the only join is per_doc x the 1-row stats frame — it must
+    be a broadcast (cross) join, never a shuffle of the corpus side;
+    the corpus never shuffles except for the final top-k merge."""
+    from distributed_mapreduce_server_spark.plans import physical_plan
+
+    df = queries["text_bm25_search"](spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    # TakeOrderedAndProject = distributed per-partition top-k merge,
+    # not a global sort of the scored corpus
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hybrid_search_arms_are_topk_bounded(spark, queries):
+    """Both retrieval arms end in TakeOrdered top-k BEFORE the fuse:
+    the full-outer fusion join must not see corpus-sized inputs."""
+    from distributed_mapreduce_server_spark.plans import physical_plan
+
+    df = queries["sim_hybrid_search"](spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("TakeOrderedAndProject") >= 2
+
+
+def test_pagerank_result_is_materialized_before_cache_release(spark, queries):
+    """q_pagerank materializes its node-sized result through the edge
+    cache (eager localCheckpoint) BEFORE unpersisting — the returned
+    frame must be a checkpoint scan plus the output sort, never a
+    re-derivation of the iterative loop (the first bench run measured
+    exactly that bug: 61 Exchanges, 20 file scans, every round
+    rebuilding the edge frame after unpersist)."""
+    from distributed_mapreduce_server_spark.plans import physical_plan
+
+    df = queries["q_pagerank"](spark, SF)
+    plan = physical_plan(df)
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+    assert "FileScan" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_matryoshka_truncated_arm_slices_arrays(spark, queries):
+    """The truncated arm must slice vectors IN THE SCAN PROJECTION
+    (slice(embedding, 1, 16)) — the 4x byte saving is the point."""
+    from distributed_mapreduce_server_spark.plans import physical_plan
+
+    df = queries["sim_matryoshka_eval"](spark, SF)
+    assert "slice(" in physical_plan(df)
+
+
+def test_sampling_ops_are_sort_limit(spark, queries):
+    """Reservoir + weighted samples must compile to TakeOrdered
+    (per-partition top-k then k·P merge), not a global sort."""
+    from distributed_mapreduce_server_spark.plans import physical_plan
+
+    for k in ["text_reservoir_sample", "text_weighted_sample"]:
+        plan = physical_plan(queries[k](spark, SF))
+        assert "TakeOrderedAndProject" in plan, k
