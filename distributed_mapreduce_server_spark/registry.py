@@ -290,6 +290,11 @@ _QUERIES["pysource_stream_events"] = pysource_stream_events
 _ORACLES["pysource_stream_events"] = pysource_stream_oracle().strip()
 
 _register(streaming_jobs, {}, ["stream_sessionize"])
+# stateful last-touch attribution (applyInPandasWithState) is
+# deterministic under availableNow (in-batch rows sorted into the
+# batch window order) -> carries the batch attribution oracle.
+_QUERIES["stream_attribution"] = streaming_jobs.stream_attribution
+_ORACLES["stream_attribution"] = EVENTS_ORACLES["q_events_attribution"].strip()
 # complete-mode windowed agg under availableNow is deterministic ->
 # full oracle (the stream omits distinct_users: distinct aggregations
 # are unsupported in streaming, so its oracle is the batch one minus

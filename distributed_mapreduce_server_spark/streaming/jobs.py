@@ -748,3 +748,78 @@ def stream_click_purchase_left_join(spark: SparkSession, sf_dir: str) -> DataFra
     )
     out = _run_to_memory(joined, "append")
     return out.orderBy("user_id", "click_id", "purchase_id")
+
+
+ATTR_OUT_SCHEMA = (
+    "user_id bigint, purchase_id bigint, channel string, value double"
+)
+ATTR_STATE_SCHEMA = "lt_type string, lt_ts_us bigint"
+
+
+def _attribute_group(key, pdfs, state: GroupState):
+    """Per-user last-touch attribution with carried state: the most
+    recent click/view (type + microsecond timestamp) survives across
+    micro-batches; each purchase is emitted with its channel the
+    moment it is processed. Rows are sorted by (ts, event_id) inside
+    the batch — the same total order the batch operator's window
+    uses, so output is deterministic."""
+    from distributed_mapreduce_server_spark.operators.events import (
+        ATTRIBUTION_TOUCHES,
+        ATTRIBUTION_WINDOW_H,
+    )
+
+    (user_id,) = key
+    if state.exists:
+        lt_type, lt_ts_us = state.get
+    else:
+        lt_type, lt_ts_us = None, None
+    window_us = ATTRIBUTION_WINDOW_H * 3600 * 1_000_000
+    out_rows = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts, event_id, etype, value in zip(
+            pdf["ts"], pdf["event_id"], pdf["event_type"], pdf["value"]
+        ):
+            ts_us = ts.value // 1000  # pandas ns -> us
+            if etype == "purchase":
+                if lt_ts_us is not None and lt_ts_us >= ts_us - window_us:
+                    channel = lt_type
+                else:
+                    channel = "direct"
+                out_rows.append((user_id, int(event_id), channel, float(value)))
+            elif etype in ATTRIBUTION_TOUCHES:
+                lt_type, lt_ts_us = etype, ts_us
+    state.update((lt_type, lt_ts_us))
+    if out_rows:
+        yield pd.DataFrame(
+            out_rows, columns=["user_id", "purchase_id", "channel", "value"]
+        )
+
+
+def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    last-touch attribution as events arrive. Per-user state is the
+    (touch type, touch ts) pair — constant-size per key, the property
+    that makes the operator viable on an unbounded stream (unlike
+    buffering events). Attributed purchases append as they are
+    processed; the analyst-side channel rollup happens on the emitted
+    rows. Deterministic under availableNow (in-batch rows are sorted
+    into the batch operator's exact (ts, event_id) order), so this
+    carries q_events_attribution's FULL batch oracle."""
+    ev = _events_stream(spark, sf_dir)
+    attributed = ev.groupBy("user_id").applyInPandasWithState(
+        _attribute_group,
+        outputStructType=ATTR_OUT_SCHEMA,
+        stateStructType=ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(attributed, "append")
+    return (
+        out.groupBy("channel")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            fround(F.sum("value"), 2).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )
