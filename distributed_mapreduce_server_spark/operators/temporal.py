@@ -203,3 +203,45 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("last_purchase_id")).alias("last_purchase_id"),
         F.when(fresh, F.col("last_purchase_ts")).alias("last_purchase_ts"),
     ).orderBy("event_id")
+
+
+def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click annotated with the same user's
+    NEXT purchase at or after the click (time-to-convert shape) — the
+    mirror of q_asof_last_purchase, same single-shuffle union +
+    carry-BACKWARD window realization: purchases (src=1) sort after
+    clicks (src=0) at equal ts so the inclusive >= semantics match
+    DuckDB's forward ASOF JOIN; first(ignorenulls) over the
+    CURRENT-ROW..FOLLOWING frame carries the next purchase back."""
+    events = load_tables(spark, sf_dir, register_views=False)["events"]
+    clicks = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = _purchases(events)
+    u = clicks.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("src"),
+        "event_id",
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(None).cast("timestamp_ntz").alias("purchase_ts"),
+    ).unionByName(
+        purchases.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("src"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "src")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        u.withColumn("next_purchase_id", F.first("purchase_id", ignorenulls=True).over(w))
+        .withColumn("next_purchase_ts", F.first("purchase_ts", ignorenulls=True).over(w))
+        .filter(F.col("src") == 0)
+        .select("event_id", "user_id", "ts", "next_purchase_id", "next_purchase_ts")
+        .orderBy("event_id")
+    )

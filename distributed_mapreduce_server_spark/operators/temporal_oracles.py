@@ -25,6 +25,17 @@ TEMPORAL_ORACLES: dict[str, str] = {
           ON c.user_id = p.user_id AND p.ts <= c.ts
         ORDER BY c.event_id
     """,
+    "q_asof_next_purchase": f"""
+        WITH p AS ({_PURCHASES}),
+        c AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click')
+        SELECT c.event_id, c.user_id, c.ts,
+               p.event_id AS next_purchase_id,
+               p.ts AS next_purchase_ts
+        FROM c ASOF LEFT JOIN p
+          ON c.user_id = p.user_id AND p.ts >= c.ts
+        ORDER BY c.event_id
+    """,
     "q_range_join_views_before_purchase": f"""
         WITH p AS ({_PURCHASES}),
         v AS (SELECT event_id AS view_id, user_id, ts FROM events

@@ -122,6 +122,7 @@ _register(
         "q_range_join_views_before_purchase",
         "q_range_join_keyless",
         "q_asof_tolerance",
+        "q_asof_next_purchase",
     ],
 )
 _register(
