@@ -1197,3 +1197,84 @@ def dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _cache_result(out)
     grams.unpersist()
     return out.orderBy("doc_id")
+
+
+CONTAINMENT_T = 0.9
+# exact fraction for the integer prefix-length arithmetic (same
+# discipline as JACCARD_T_NUM/DEN)
+CONTAINMENT_T_NUM, CONTAINMENT_T_DEN = 9, 10
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (asymmetric Jaccard) dedup: emit (contained_doc,
+    container_doc) where |A∩B|/|A| >= 0.9 — the near-SUBSET duplicates
+    that symmetric Jaccard misses (a paragraph quoted inside a longer
+    document scores low Jaccard but containment ~1). Directional:
+    mutual near-dups appear in both orders.
+
+    Candidates via one-sided prefix filtering: |A∩B| >= ceil(t·|A|)
+    forces A's (|A| − ceil(t·|A|) + 1)-prefix under the global
+    rarest-first shingle order to intersect B — so only the contained
+    side is prefix-pruned, joined against the FULL index on the
+    container side (no constraint exists on where the shared shingles
+    rank in B). Rarest-first prefixes keep the join keyed on
+    low-df hashes, which is what bounds the fan-out at scale; the
+    verify is the exact intersection count over candidate pairs, same
+    machinery as dedup_prefix_filter_jaccard."""
+    e = _shingle_rows(spark, sf_dir, 32).persist()
+    e.count()
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "h")
+    ranked = (
+        e.withColumn("df", F.count("*").over(Window.partitionBy("h")))
+        .withColumn("rk", F.row_number().over(wdoc))
+        .withColumn(
+            "n",
+            F.count("*").over(
+                wdoc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ),
+        )
+    )
+    pref = (
+        ranked.filter(
+            F.col("rk")
+            <= F.col("n")
+            - F.floor(
+                (F.lit(CONTAINMENT_T_NUM) * F.col("n") + F.lit(CONTAINMENT_T_DEN - 1))
+                / F.lit(CONTAINMENT_T_DEN)
+            )
+            + 1
+        )
+        .select(F.col("doc_id").alias("doc_a"), "h", F.col("n").alias("na"))
+        .persist()
+    )
+    pref.count()
+    cand = (
+        pref.select("doc_a", "h")
+        .join(e.withColumnsRenamed({"doc_id": "doc_b"}), "h")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ea = e.withColumnsRenamed({"doc_id": "doc_a", "h": "ha"})
+    eb = e.withColumnsRenamed({"doc_id": "rhs_doc", "h": "hb"})
+    inter = (
+        cand.join(ea, "doc_a")
+        .join(eb, (F.col("doc_b") == F.col("rhs_doc")) & (F.col("ha") == F.col("hb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = pref.groupBy("doc_a").agg(F.min("na").alias("na"))
+    out = (
+        inter.join(sizes, "doc_a")
+        .withColumn("containment", fround(F.col("inter") / F.col("na"), 4))
+        .filter(F.col("containment") >= CONTAINMENT_T)
+        .select(
+            F.col("doc_a").alias("contained_doc"),
+            F.col("doc_b").alias("container_doc"),
+            "containment",
+        )
+    )
+    res = _cache_result(out)
+    e.unpersist()
+    pref.unpersist()
+    return res.orderBy("contained_doc", "container_doc")

@@ -390,3 +390,22 @@ def _exact_substr_oracle() -> str:
 
 
 DEDUP_ORACLES["dedup_exact_substr"] = _exact_substr_oracle()
+
+
+from distributed_mapreduce_server_spark.operators.dedup import CONTAINMENT_T  # noqa: E402
+
+DEDUP_ORACLES["dedup_containment"] = f"""
+    WITH s AS ({_DOC_SHINGLES}),
+    hashed AS (SELECT doc_id, {_HS} AS hs FROM s),
+    e AS (SELECT doc_id, unnest(hs) AS g FROM hashed),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM e a JOIN e b ON a.g = b.g AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a AS contained_doc, doc_b AS container_doc,
+           ROUND(i / len(sa.hs), 4) AS containment
+    FROM inter JOIN hashed sa ON doc_a = sa.doc_id
+    WHERE ROUND(i / len(sa.hs), 4) >= {CONTAINMENT_T}
+    ORDER BY 1, 2
+"""

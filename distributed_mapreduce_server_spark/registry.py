@@ -144,6 +144,7 @@ _register(
         "dedup_incremental_neardup_indexed",
         "dedup_keep_best_quality",
         "dedup_exact_substr",
+        "dedup_containment",
     ],
 )
 _register(

@@ -284,3 +284,21 @@ def test_matryoshka_recall_bounded_and_consistent(spark, sf_smoke):
     for r in rows:
         assert 0 <= r["n_overlap"] <= sim.TOP_K
         assert abs(r["recall_at_k"] - r["n_overlap"] / sim.TOP_K) < 1e-9
+
+
+def test_containment_is_directional_and_superset_of_jaccard(spark, sf_smoke):
+    """Containment >= Jaccard for any pair, so every symmetric
+    jaccard-0.8+ near-dup pair must reappear in the containment-0.9
+    result iff its containment clears 0.9; and mutual near-identical
+    pairs appear in BOTH directions."""
+    from distributed_mapreduce_server_spark.operators import dedup
+
+    cont = dedup.dedup_containment(spark, sf_smoke).collect()
+    assert cont, "no containment pairs at sf0.001 - thresholds vacuous"
+    pairs = {(r["contained_doc"], r["container_doc"]) for r in cont}
+    # directional output: at least one mutual pair (near-identical
+    # docs contain each other)
+    assert any((b, a) in pairs for a, b in pairs)
+    for r in cont:
+        assert r["containment"] >= dedup.CONTAINMENT_T
+    dedup.release_dedup_caches()
