@@ -146,3 +146,14 @@ def fround_np(a, nd: int = 4):
 
     scale = float(10**nd)
     return np.sign(a) * np.floor(np.abs(a) * scale + 0.5) / scale
+
+
+def fround_scalar(v: float, nd: int = 2) -> float:
+    """Scalar-Python twin of :func:`fround` / :func:`fround_np`
+    (DuckDB ROUND semantics: scaled half-away-from-zero). The ONE
+    home for the scalar tier — Pandas-UDF loops and driver-side
+    kernels import this instead of re-rolling the tie handling."""
+    import math
+
+    s = 10.0**nd
+    return math.copysign(math.floor(abs(v) * s + 0.5) / s, v)

@@ -157,6 +157,21 @@ def _shingle_rows(spark: SparkSession, sf_dir: str, mask_bits: int) -> DataFrame
     return _shingle_rows_from(spark, docs, mask_bits)
 
 
+def _pair_intersections(e: DataFrame, cand: DataFrame) -> DataFrame:
+    """|A∩B| per candidate pair from distinct-hash rows ``e`` —
+    the shared verify kernel of every candidate-generating dedup
+    (prefix filter, LSH, containment): join each side's hash rows,
+    count matches."""
+    ea = e.withColumnsRenamed({"doc_id": "doc_a", "h": "ha"})
+    eb = e.withColumnsRenamed({"doc_id": "rhs_doc", "h": "hb"})
+    return (
+        cand.join(ea, "doc_a")
+        .join(eb, (F.col("doc_b") == F.col("rhs_doc")) & (F.col("ha") == F.col("hb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+
+
 def _pair_jaccard(
     e: DataFrame, cand: DataFrame | None, sizes: DataFrame | None = None
 ) -> DataFrame:
@@ -176,14 +191,7 @@ def _pair_jaccard(
             .agg(F.count("*").alias("inter"))
         )
     else:
-        ea = e.withColumnsRenamed({"doc_id": "doc_a", "h": "ha"})
-        eb = e.withColumnsRenamed({"doc_id": "rhs_doc", "h": "hb"})
-        inter = (
-            cand.join(ea, "doc_a")
-            .join(eb, (F.col("doc_b") == F.col("rhs_doc")) & (F.col("ha") == F.col("hb")))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("inter"))
-        )
+        inter = _pair_intersections(e, cand)
     if sizes is None:
         sizes = e.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     return (
@@ -1255,19 +1263,22 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    ea = e.withColumnsRenamed({"doc_id": "doc_a", "h": "ha"})
-    eb = e.withColumnsRenamed({"doc_id": "rhs_doc", "h": "hb"})
-    inter = (
-        cand.join(ea, "doc_a")
-        .join(eb, (F.col("doc_b") == F.col("rhs_doc")) & (F.col("ha") == F.col("hb")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
+    inter = _pair_intersections(e, cand)
     sizes = pref.groupBy("doc_a").agg(F.min("na").alias("na"))
+    # EXACT integer threshold inter >= ceil(t*na): the same condition
+    # the prefix-length bound guarantees recall for. Filtering on the
+    # ROUNDED ratio instead would admit pairs at ~0.89995 that the
+    # candidate generation never saw (threshold desynchronization).
     out = (
         inter.join(sizes, "doc_a")
+        .filter(
+            F.col("inter")
+            >= F.floor(
+                (F.lit(CONTAINMENT_T_NUM) * F.col("na") + F.lit(CONTAINMENT_T_DEN - 1))
+                / F.lit(CONTAINMENT_T_DEN)
+            )
+        )
         .withColumn("containment", fround(F.col("inter") / F.col("na"), 4))
-        .filter(F.col("containment") >= CONTAINMENT_T)
         .select(
             F.col("doc_a").alias("contained_doc"),
             F.col("doc_b").alias("container_doc"),

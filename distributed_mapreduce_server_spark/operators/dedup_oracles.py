@@ -392,8 +392,14 @@ def _exact_substr_oracle() -> str:
 DEDUP_ORACLES["dedup_exact_substr"] = _exact_substr_oracle()
 
 
-from distributed_mapreduce_server_spark.operators.dedup import CONTAINMENT_T  # noqa: E402
+from distributed_mapreduce_server_spark.operators.dedup import (  # noqa: E402
+    CONTAINMENT_T_DEN,
+    CONTAINMENT_T_NUM,
+)
 
+# exact integer threshold i >= ceil(t * |A|), matching the Spark
+# verify AND the prefix-filter recall bound (a rounded-ratio filter
+# would admit ~0.89995 pairs the candidate generation never saw)
 DEDUP_ORACLES["dedup_containment"] = f"""
     WITH s AS ({_DOC_SHINGLES}),
     hashed AS (SELECT doc_id, {_HS} AS hs FROM s),
@@ -406,6 +412,6 @@ DEDUP_ORACLES["dedup_containment"] = f"""
     SELECT doc_a AS contained_doc, doc_b AS container_doc,
            ROUND(i / len(sa.hs), 4) AS containment
     FROM inter JOIN hashed sa ON doc_a = sa.doc_id
-    WHERE ROUND(i / len(sa.hs), 4) >= {CONTAINMENT_T}
+    WHERE i >= ({CONTAINMENT_T_NUM} * len(sa.hs) + {CONTAINMENT_T_DEN - 1}) // {CONTAINMENT_T_DEN}
     ORDER BY 1, 2
 """

@@ -9,12 +9,12 @@ adds the importance/shape queries a user would run next:
 - q_pagerank: damped PageRank, fixed ITERATIONS rounds. The classic
   join-agg loop: contribution = pr/out_deg flows along each edge,
   one shuffle join (edges ⋈ ranks on src) + one keyed aggregation
-  per round. Edges are persisted once and reused every round; rank
-  frames are cut to leaves with eager localCheckpoint so the plan
-  stays flat (the dedup_clusters_bigstar lesson — persist alone
-  leaves geometric lineage for Catalyst to re-analyze). At 1000
-  executors this is the standard Pregel-equivalent formulation:
-  both sides hash-partition on the join key, no driver state.
+  per round. Edges are persisted once (pre-partitioned on the join
+  key) and reused every round; the linear-lineage loop runs as one
+  job and only the final node-sized result is checkpointed (see the
+  in-function notes for the measured variants). At 1000 executors
+  this is the standard Pregel-equivalent formulation: both sides
+  hash-partition on the join key, no driver state.
 - q_graph_degree_distribution: degree histogram — the 30-second
   sanity check before trusting any iterative graph result.
 
@@ -67,7 +67,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     The symmetric edge set means every node has in-edges, so the
     aggregation re-covers all nodes each round (no dangling-mass
     term needed)."""
-    edges = _bipartite_edges(spark, sf_dir)
+    # build the raw edge set ONCE: deg and the deg-annotated join
+    # both read it, and without this persist the edeg materialization
+    # would run the lineitem⋈orders+distinct build twice.
+    edges = _bipartite_edges(spark, sf_dir).persist()
     deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     # edges annotated with the source's out-degree: built once,
     # persisted PRE-PARTITIONED ON src. The persisted frame's hash
@@ -78,6 +81,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iterative loop.
     edeg = edges.join(deg, "src").repartition(F.col("src")).persist()
     edeg.count()
+    edges.unpersist()
 
     # Unlike dedup_clusters_bigstar (geometric lineage -> needs
     # localCheckpoint cuts), this chain is LINEAR in the round count:

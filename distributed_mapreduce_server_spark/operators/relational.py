@@ -1287,6 +1287,8 @@ def q_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(fround(F.sum("o_totalprice"), 2).alias("revenue"))
     )
 
+    from distributed_mapreduce_server_spark.functions import fround_scalar
+
     def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("month").reset_index(drop=True)
         out = []
@@ -1294,15 +1296,8 @@ def q_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in pdf["revenue"]:
             e = x if e is None else EWMA_ALPHA * x + EWMA_BETA * e
             out.append(e)
-        pdf["ewma"] = [round_half_away(v) for v in out]
+        pdf["ewma"] = [fround_scalar(v, 6) for v in out]
         return pdf
-
-    def round_half_away(v: float, nd: int = 6) -> float:
-        # scalar twin of fround/fround_np (DuckDB ROUND semantics)
-        import math
-
-        s = 10.0**nd
-        return math.copysign(math.floor(abs(v) * s + 0.5) / s, v)
 
     return (
         rev.groupBy("n_name")

@@ -15,7 +15,9 @@ from distributed_mapreduce_server_spark.operators.search import (
     SEARCH_TOP_K,
 )
 
-_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+# the tokenizer fragment has ONE home (text_oracles) so a tokenizer
+# change cannot silently desynchronize the BM25 oracle
+from distributed_mapreduce_server_spark.operators.text_oracles import _TOKS
 
 _TF_COLS = ", ".join(
     f"len(list_filter(toks, t -> t = '{term}')) AS tf{i}" for i, term in enumerate(BM25_QUERY)

@@ -660,6 +660,10 @@ TEXT_ORACLES["text_kfold_split"] = f"""
     ORDER BY 1
 """
 
+from distributed_mapreduce_server_spark.operators.text import STOPWORDS  # noqa: E402
+
+_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
 TEXT_ORACLES["text_gopher_filters"] = f"""
     WITH base AS (
         SELECT doc_id, {_TOKS} AS toks FROM documents
@@ -674,7 +678,7 @@ TEXT_ORACLES["text_gopher_filters"] = f"""
                    / greatest(len(toks), 1) <= {GOPHER_MAX_WORD_LEN}
                    AS r_word_len,
                len(list_filter(toks, t -> list_contains(
-                   ['the','a','of','and','to','in','is','it'], t)))
+                   [{_STOPWORDS_SQL}], t)))
                    >= {GOPHER_MIN_STOPWORDS} AS r_stopwords,
                CAST(list_max(list_transform(list_distinct(toks),
                     w -> len(list_filter(toks, t -> t = w)))) AS DOUBLE)

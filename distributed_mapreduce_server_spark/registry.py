@@ -349,12 +349,19 @@ _ORACLES["stream_click_purchase_join"] = """
 # 1000 us does.
 _QUERIES["stream_click_purchase_left_join"] = streaming_jobs.stream_click_purchase_left_join
 _ORACLES["stream_click_purchase_left_join"] = """
-    WITH wm AS (
-        SELECT make_timestamp(
-                   (epoch_us(least(
-                        (SELECT max(ts) FROM events WHERE event_type = 'click'),
-                        (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
-                    - INTERVAL 1 DAY) // 1000) * 1000) AS w
+    WITH side_max AS (
+        SELECT (SELECT max(ts) FROM events WHERE event_type = 'click') AS mc,
+               (SELECT max(ts) FROM events WHERE event_type = 'purchase') AS mp
+    ),
+    -- least() would IGNORE a NULL side; Spark's global watermark is
+    -- the min over sides and an empty side pins it at epoch 0 (no
+    -- eviction), so an empty side must yield a NULL watermark here.
+    wm AS (
+        SELECT CASE WHEN mc IS NULL OR mp IS NULL THEN NULL
+                    ELSE make_timestamp(
+                        (epoch_us(least(mc, mp) - INTERVAL 1 DAY) // 1000) * 1000)
+               END AS w
+        FROM side_max
     ),
     matched AS (
         SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,

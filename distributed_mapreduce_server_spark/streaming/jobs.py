@@ -118,16 +118,20 @@ def _sessionize_group(key, pdfs, state: GroupState):
         session_seq, last_ts, start_ts, n, value = 0, None, None, 0, 0.0
 
     # Scaled half-away-from-zero like the batch operator's fround (the
-    # DuckDB ROUND semantics) — Python's round() is banker's and
-    # repr-HALF_UP misses scaled .5 ties; see functions.fround.
-    def _round2(v: float) -> float:
-        a = abs(v) * 100.0
-        return math.copysign(math.floor(a + 0.5) / 100.0, v)
+    # DuckDB ROUND semantics) — see functions.fround_scalar, the one
+    # scalar-tier home for the tie handling.
+    from distributed_mapreduce_server_spark.functions import fround_scalar as _round2
 
     gap_us = SESSION_GAP_SECONDS * 1_000_000
     closed = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # Arrow delivers the group as MULTIPLE chunks (capped by
+    # maxRecordsPerBatch) in shuffle-arbitrary order — sorting each
+    # chunk independently would interleave event time across chunks
+    # for large groups, so concatenate the whole group FIRST, then
+    # impose the batch operator's total order once.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
         for ts, val in zip(pdf["ts"], pdf["value"]):
             ts_us = int(ts.value // 1000)
             if last_ts is None or ts_us - last_ts > gap_us:
@@ -237,14 +241,11 @@ def stream_static_join_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 ATTRIBUTION_WINDOW = "1 hour"
 
 
-def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream inner join with an event-time range condition:
-    each purchase attributed to the same user's clicks in the prior
-    hour (ad-attribution shape). Both sides are the event stream,
-    filtered; watermarks + the time-range predicate bound the join
-    state Spark keeps (without them state grows forever on an
-    unbounded stream). Inner-join output is append-mode and
-    deterministic, so this carries the full SQL oracle."""
+def _click_purchase_join(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
+    """Shared body of the stream-stream click->purchase range joins:
+    both watermarked sides, the range predicate, and the output
+    projection live HERE so the inner and left-outer variants cannot
+    drift (only the join type differs)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
@@ -270,6 +271,7 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("click_user") == F.col("purchase_user"))
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")),
+        how,
     ).select(
         F.col("click_user").alias("user_id"),
         "click_id",
@@ -280,6 +282,17 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(joined, "append")
     return out.orderBy("user_id", "click_id", "purchase_id")
+
+
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition:
+    each purchase attributed to the same user's clicks in the prior
+    hour (ad-attribution shape). Both sides are the event stream,
+    filtered; watermarks + the time-range predicate bound the join
+    state Spark keeps (without them state grows forever on an
+    unbounded stream). Inner-join output is append-mode and
+    deterministic, so this carries the full SQL oracle."""
+    return _click_purchase_join(spark, sf_dir, "inner")
 
 
 def stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -712,42 +725,7 @@ def stream_click_purchase_left_join(spark: SparkSession, sf_dir: str) -> DataFra
     null-padded); later clicks appear only if matched. The emission
     predicate (strict <) was verified empirically at both sf0.001
     and sf0.01 (see tests)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-
-    def side(event_type: str, prefix: str) -> DataFrame:
-        s = (
-            spark.readStream.schema(raw_schema)
-            .format("parquet")
-            .option("pathGlobFilter", "events.parquet")
-            .load(sf_dir)
-        )
-        s = _normalize_ts(s)
-        s = s.filter(F.col("event_type") == event_type)
-        return s.select(
-            F.col("event_id").alias(f"{prefix}_id"),
-            F.col("user_id").alias(f"{prefix}_user"),
-            F.col("ts").alias(f"{prefix}_ts"),
-        ).withWatermark(f"{prefix}_ts", "1 day")
-
-    clicks = side("click", "click")
-    purchases = side("purchase", "purchase")
-    joined = clicks.join(
-        purchases,
-        (F.col("click_user") == F.col("purchase_user"))
-        & (F.col("purchase_ts") >= F.col("click_ts"))
-        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")),
-        "left_outer",
-    ).select(
-        F.col("click_user").alias("user_id"),
-        "click_id",
-        "purchase_id",
-        (F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")).alias(
-            "delay_sec"
-        ),
-    )
-    out = _run_to_memory(joined, "append")
-    return out.orderBy("user_id", "click_id", "purchase_id")
+    return _click_purchase_join(spark, sf_dir, "left_outer")
 
 
 ATTR_OUT_SCHEMA = (
@@ -775,8 +753,12 @@ def _attribute_group(key, pdfs, state: GroupState):
         lt_type, lt_ts_us = None, None
     window_us = ATTRIBUTION_WINDOW_H * 3600 * 1_000_000
     out_rows = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # concat-then-sort: same chunk-ordering rule as _sessionize_group
+    # (per-chunk sorting would misorder groups larger than Arrow's
+    # maxRecordsPerBatch)
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
         for ts, event_id, etype, value in zip(
             pdf["ts"], pdf["event_id"], pdf["event_type"], pdf["value"]
         ):

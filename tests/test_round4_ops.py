@@ -116,10 +116,10 @@ def test_pagerank_high_degree_outranks_low(spark, sf_smoke):
     assert top["pr"] > bot["pr"]
 
 
-def test_ewma_smooths_toward_series(spark, sf_oracle_dir="/root/testdata/sf0.001"):
+def test_ewma_smooths_toward_series(spark, sf_smoke):
     import pandas as pd
 
-    pdf = q_ewma_revenue(spark, sf_oracle_dir).toPandas()
+    pdf = q_ewma_revenue(spark, sf_smoke).toPandas()
     # recursion seeded at first value
     first = pdf.sort_values(["n_name", "month"]).groupby("n_name").first()
     assert (first["ewma"] == first["revenue"]).all()
