@@ -1405,3 +1405,42 @@ def q_unpivot_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name", "metric")
     )
+
+
+def _sql_round(expr: str, nd: int) -> str:
+    """Engine-neutral half-away-from-zero rounding as plain SQL —
+    the textual twin of functions.fround, used where the SAME query
+    string must run on both Spark SQL and DuckDB."""
+    s = 10**nd
+    return f"SIGN({expr}) * FLOOR(ABS({expr}) * {s} + 0.5) / {s}"
+
+
+_REV = "revenue / SUM(revenue) OVER (PARTITION BY yr)"
+SQL_INTERFACE_QUERY = f"""
+    WITH rev AS (
+        SELECT r_name, date_trunc('year', o_orderdate) AS yr,
+               SUM(o_totalprice) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT r_name, yr,
+           {_sql_round("revenue", 2)} AS revenue,
+           {_sql_round(_REV, 4)} AS rev_share
+    FROM rev
+    ORDER BY yr, r_name
+"""
+
+
+def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL front door: ONE dialect-neutral SQL string
+    (CTE + 4-way join + window share-of-total) executed verbatim by
+    ``spark.sql`` over the catalog's registered views — and verbatim
+    by DuckDB as its own oracle. Rounding is spelled as the
+    SIGN/FLOOR half-away form (the textual fround) so the identical
+    text is deterministic on both engines. Proves a SQL-only user
+    needs no DataFrame code to run against this engine."""
+    load_tables(spark, sf_dir, register_views=True)
+    return spark.sql(SQL_INTERFACE_QUERY)

@@ -1070,3 +1070,12 @@ EVENTS_ORACLES["q_events_cohort_ltv"] = """
     FROM matrix
     ORDER BY cohort_week, age_weeks
 """
+
+
+# the SQL-interface oracle IS the Spark query text — one string, two
+# engines (the operator's whole point).
+from distributed_mapreduce_server_spark.operators.relational import (  # noqa: E402
+    SQL_INTERFACE_QUERY,
+)
+
+RELATIONAL_ORACLES["q_sql_interface"] = SQL_INTERFACE_QUERY

@@ -97,6 +97,7 @@ _register(
         "q_grouping_sets",
         "q_window_suite",
         "q_unpivot_balance",
+        "q_sql_interface",
     ],
 )
 _register(

@@ -302,3 +302,33 @@ def test_containment_is_directional_and_superset_of_jaccard(spark, sf_smoke):
     for r in cont:
         assert r["containment"] >= dedup.CONTAINMENT_T
     dedup.release_dedup_caches()
+
+
+def test_stateful_reducers_survive_multi_chunk_groups(spark, sf_smoke):
+    """Regression for the chunk-ordering fix: with Arrow batches
+    capped at 4 rows (sf0.001 has ~13 events/user), every user's
+    group arrives as MANY chunks in
+    shuffle-arbitrary order. The reducers must still match their
+    batch oracles exactly (they concat-then-sort; per-chunk sorting
+    would corrupt the carried state)."""
+    from distributed_mapreduce_server_spark.operators.events import q_events_attribution
+    from distributed_mapreduce_server_spark.streaming import jobs
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "4")
+    try:
+        stream = {
+            (r["channel"]): (r["n_purchases"], r["attributed_value"])
+            for r in jobs.stream_attribution(spark, sf_smoke).collect()
+        }
+        batch = {
+            (r["channel"]): (r["n_purchases"], r["attributed_value"])
+            for r in q_events_attribution(spark, sf_smoke).collect()
+        }
+        assert stream == batch
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
