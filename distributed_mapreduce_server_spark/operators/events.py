@@ -784,3 +784,60 @@ def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "age_weeks")
     )
+
+
+def q_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) join against the SCD2 dimension: each
+    purchase fact joined to the browsing-state version (the SCD2 run
+    built from the user's NON-purchase events) valid at the purchase
+    timestamp — the canonical warehouse query an SCD2 table exists
+    for ("what was the dimension when the fact happened").
+
+    Realization: one keyed shuffle join on user_id with the interval
+    containment (valid_from <= ts < valid_to) as the join filter;
+    SCD2 runs are disjoint per user so each fact matches at most one
+    version — no fan-out. Per-key cost is runs-per-user, bounded by
+    activity, not corpus size. LEFT join keeps purchases that precede
+    the user's first tracked state (NULL version)."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dim_src = ev.filter(F.col("event_type") != "purchase")
+    changes = (
+        dim_src.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type", 1).over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    dim = (
+        changes.withColumn("valid_to", F.lead("ts", 1).over(w))
+        .withColumn("version", F.row_number().over(w))
+        .select(
+            F.col("user_id").alias("d_user"),
+            "version",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+        )
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts", "value"
+    )
+    return (
+        facts.join(
+            dim,
+            (F.col("user_id") == F.col("d_user"))
+            & (F.col("valid_from") <= F.col("ts"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+            "left",
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            "ts",
+            fround(F.col("value"), 2).alias("value"),
+            F.col("state").alias("state_at_purchase"),
+            F.col("version").alias("state_version"),
+        )
+        .orderBy("purchase_id")
+    )

@@ -1079,3 +1079,34 @@ from distributed_mapreduce_server_spark.operators.relational import (  # noqa: E
 )
 
 RELATIONAL_ORACLES["q_sql_interface"] = SQL_INTERFACE_QUERY
+
+
+EVENTS_ORACLES["q_scd2_pit_join"] = """
+    WITH changes AS (
+        SELECT user_id, ts, event_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events WHERE event_type <> 'purchase'
+    ),
+    dim AS (
+        SELECT user_id AS d_user,
+               CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+               event_type AS state,
+               ts AS valid_from,
+               LEAD(ts) OVER w AS valid_to
+        FROM changes
+        WHERE prev_type IS NULL OR prev_type <> event_type
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT f.event_id AS purchase_id, f.user_id, f.ts,
+           ROUND(f.value, 2) AS value,
+           d.state AS state_at_purchase,
+           d.version AS state_version
+    FROM events f
+    LEFT JOIN dim d
+      ON f.user_id = d.d_user
+     AND d.valid_from <= f.ts
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    WHERE f.event_type = 'purchase'
+    ORDER BY purchase_id
+"""

@@ -252,6 +252,7 @@ _register(
         "q_snapshot_diff",
         "q_events_attribution",
         "q_events_cohort_ltv",
+        "q_scd2_pit_join",
     ],
 )
 
