@@ -75,6 +75,13 @@ HEADLINE = [
     "q_pagerank",
     "q_ewma_revenue",
     "q_events_attribution",
+    "sim_mmr_rerank",
+    "sim_matryoshka_eval",
+    "q_window_suite",
+    "q_events_cohort_ltv",
+    "dedup_containment",
+    "q_scd2_pit_join",
+    "q_sql_interface",
 ]
 
 

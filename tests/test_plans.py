@@ -85,6 +85,10 @@ DELIBERATE_NESTED_LOOP = {
     "sim_cosine_topk",
     "sim_range_search",  # broadcast query-set cross-join, like topk
     "sim_lsh_ann",
+    "sim_matryoshka_eval",  # two topk arms, same broadcast pattern
+    "sim_mmr_rerank",  # broadcast single-query candidate scan
+    "text_bm25_search",  # 1-row broadcast corpus-stats cross-join
+    "sim_hybrid_search",  # BM25 stats + broadcast query vector arms
     "q22_idle_customers",
     "text_tfidf",
     "text_source_mix",  # 1-row broadcast totals cross-join

@@ -276,3 +276,29 @@ def test_zorder_key_clamps_bits_to_long_range(spark):
     vals = [r["z"] for r in df.withColumn("z", z).collect()]
     assert all(v >= 0 for v in vals)
     assert len(set(vals)) == 64  # 4x4x4 distinct corner buckets stay distinct
+
+
+def test_schema_evolution_merge(spark, nation, tmp_path_factory):
+    """Lake-layout schema evolution: a dataset written in two waves —
+    the second adding a column — must read back as the UNION schema
+    under mergeSchema, with the old files' missing column as NULL,
+    and as the cheap first-file schema without it (Spark's default:
+    schema from a sample file, no per-file merge cost at scale)."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path_factory.mktemp("evolve"))
+    nation.select("n_nationkey", "n_name").write.parquet(d, mode="append")
+    nation.select(
+        "n_nationkey", "n_name", F.lit("eu").alias("zone")
+    ).write.parquet(d, mode="append")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(merged.columns) == {"n_nationkey", "n_name", "zone"}
+    n = nation.count()
+    assert merged.count() == 2 * n
+    # old wave surfaces as NULL zone; new wave keeps its value
+    assert merged.filter(F.col("zone").isNull()).count() == n
+    assert merged.filter(F.col("zone") == "eu").count() == n
+
+    plain = spark.read.parquet(d)
+    assert set(plain.columns) <= {"n_nationkey", "n_name", "zone"}
