@@ -1038,3 +1038,72 @@ def sim_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+def _sign_words(col: "F.Column") -> tuple["F.Column", "F.Column"]:
+    """Pack a 64-dim vector's sign bits into two 32-bit words
+    (MSB-first fold acc*2 + bit — variable-shift-free, identical
+    integer arithmetic in DuckDB's weighted list_sum twin)."""
+
+    def word(start: int):
+        bits = F.transform(
+            F.slice(col, start, 32), lambda x: (x > 0).cast("bigint")
+        )
+        return F.aggregate(bits, F.lit(0).cast("bigint"), lambda acc, b: acc * 2 + b)
+
+    return word(1), word(33)
+
+
+def emb_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit binary quantization (sign bits): each 64-dim float vector
+    compressed to two 32-bit words — 256 bytes -> 8, the cheapest
+    serving representation below int8 (emb_quantize) and PQ
+    (emb_pq_quantize). Pure codegen column expressions; exact integer
+    output so the oracle is bit-perfect, no rounding discipline
+    needed."""
+    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
+    hi, lo = _sign_words(F.col("embedding"))
+    return (
+        emb.select(
+            "vec_id",
+            hi.alias("sig_hi"),
+            lo.alias("sig_lo"),
+            (F.bit_count(hi) + F.bit_count(lo)).cast("integer").alias("n_pos_dims"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+HAMMING_TOP_K = 10
+
+
+def sim_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over the binary-quantized vectors: top-k by Hamming
+    distance between sign signatures (popcount of XOR) — the serving
+    scan that pairs with emb_binary_quantize. The whole query is
+    integer-only (no float ties anywhere): broadcast 5-query
+    signature set x one signature scan, per-query top-k via window
+    rank with id tie-break. At scale the candidate side reads 8-byte
+    signatures instead of 256-byte vectors — a 32x scan-bandwidth
+    cut, which is the entire point of binary quantization."""
+    sigs = emb_binary_quantize(spark, sf_dir).select("vec_id", "sig_hi", "sig_lo")
+    q = sigs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sig_hi").alias("q_hi"),
+        F.col("sig_lo").alias("q_lo"),
+    )
+    c = sigs.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), "sig_hi", "sig_lo"
+    )
+    dist = (
+        F.bit_count(F.col("q_hi").bitwiseXOR(F.col("sig_hi")))
+        + F.bit_count(F.col("q_lo").bitwiseXOR(F.col("sig_lo")))
+    ).cast("integer")
+    scored = broadcast(q).crossJoin(c).select("query_id", "neighbor_id", dist.alias("hamming"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("integer"))
+        .filter(F.col("rank") <= HAMMING_TOP_K)
+        .select("query_id", "neighbor_id", "hamming", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -467,3 +467,49 @@ SIMILARITY_ORACLES["sim_matryoshka_eval"] = f"""
     WHERE q.vec_id < {N_QUERIES}
     ORDER BY query_id
 """
+
+
+# --- binary quantization + Hamming ANN (round 4): integer-exact ------------
+
+from distributed_mapreduce_server_spark.operators.similarity import (  # noqa: E402
+    HAMMING_TOP_K,
+)
+
+# MSB-first weighted sum == Spark's acc*2+bit fold over the same slice
+_SIG_HI = (
+    "list_sum(list_transform(range(1, 33), "
+    "i -> CAST(embedding[i] > 0 AS BIGINT) * (1::BIGINT << (32 - i))))"
+)
+_SIG_LO = (
+    "list_sum(list_transform(range(33, 65), "
+    "i -> CAST(embedding[i] > 0 AS BIGINT) * (1::BIGINT << (64 - i))))"
+)
+
+SIMILARITY_ORACLES["emb_binary_quantize"] = f"""
+    SELECT vec_id,
+           {_SIG_HI} AS sig_hi,
+           {_SIG_LO} AS sig_lo,
+           CAST(bit_count({_SIG_HI}) + bit_count({_SIG_LO}) AS INTEGER) AS n_pos_dims
+    FROM embeddings
+    ORDER BY vec_id
+"""
+
+SIMILARITY_ORACLES["sim_hamming_ann"] = f"""
+    WITH sigs AS MATERIALIZED (
+        SELECT vec_id, {_SIG_HI} AS sig_hi, {_SIG_LO} AS sig_lo FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(bit_count(xor(q.sig_hi, c.sig_hi))
+                    + bit_count(xor(q.sig_lo, c.sig_lo)) AS INTEGER) AS hamming
+        FROM sigs q JOIN sigs c
+          ON q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, hamming, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY hamming, neighbor_id) AS INTEGER) AS rank
+        FROM scored
+    )
+    WHERE rank <= {HAMMING_TOP_K}
+    ORDER BY query_id, rank
+"""

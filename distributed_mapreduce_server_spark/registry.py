@@ -170,6 +170,8 @@ _register(
         "sim_range_search",
         "sim_mmr_rerank",
         "sim_matryoshka_eval",
+        "emb_binary_quantize",
+        "sim_hamming_ann",
     ],
 )
 _register(
