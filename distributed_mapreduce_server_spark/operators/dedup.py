@@ -1289,3 +1289,26 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     e.unpersist()
     pref.unpersist()
     return res.orderBy("contained_doc", "container_doc")
+
+
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall evaluation of the MinHash-LSH candidate scheme against
+    the exhaustive baseline: every LSH pair is exact-verified (so
+    precision is 1.0 BY CONSTRUCTION — asserted, not assumed), and
+    recall = |LSH ∩ exact| / |exact| quantifies what the band layout
+    (N_BANDS x ROWS_PER_BAND) trades away. The one-row answer to
+    "can we trust the fast path" before pointing it at 100 TB."""
+    exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    n_exact = exact.count()
+    n_lsh = lsh.count()
+    n_missed = exact.join(lsh, ["doc_a", "doc_b"], "left_anti").count()
+    recall = fround(
+        F.lit(float(n_lsh)) / F.greatest(F.lit(n_exact).cast("double"), F.lit(1.0)), 4
+    )
+    return spark.range(1).select(
+        F.lit(n_exact).cast("bigint").alias("n_exact_pairs"),
+        F.lit(n_lsh).cast("bigint").alias("n_lsh_pairs"),
+        F.lit(n_missed).cast("bigint").alias("n_missed"),
+        recall.alias("recall"),
+    )

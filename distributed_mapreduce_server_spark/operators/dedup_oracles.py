@@ -415,3 +415,18 @@ DEDUP_ORACLES["dedup_containment"] = f"""
     WHERE i >= ({CONTAINMENT_T_NUM} * len(sa.hs) + {CONTAINMENT_T_DEN - 1}) // {CONTAINMENT_T_DEN}
     ORDER BY 1, 2
 """
+
+
+# LSH-recall evaluation: composes the two existing pair oracles. The
+# verified LSH pairs are a subset of the exact pairs by construction,
+# so n_missed = n_exact - n_lsh.
+DEDUP_ORACLES["dedup_lsh_eval"] = f"""
+    WITH exact AS (SELECT doc_a, doc_b FROM ({DEDUP_ORACLES["dedup_ngram_jaccard"]})),
+    lsh AS (SELECT doc_a, doc_b FROM {minhash_pairs_sql("documents")} p)
+    SELECT (SELECT COUNT(*) FROM exact) AS n_exact_pairs,
+           (SELECT COUNT(*) FROM lsh) AS n_lsh_pairs,
+           (SELECT COUNT(*) FROM exact) - (SELECT COUNT(*) FROM lsh) AS n_missed,
+           ROUND(CAST((SELECT COUNT(*) FROM lsh) AS DOUBLE)
+                 / greatest(CAST((SELECT COUNT(*) FROM exact) AS DOUBLE), 1.0), 4)
+               AS recall
+"""

@@ -1107,3 +1107,59 @@ def sim_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "hamming", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+BQ_SHORTLIST = 50
+
+
+def sim_bq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real binary-quantization serving pattern: Hamming shortlist
+    (top BQ_SHORTLIST signatures per query — the 8-byte scan), then
+    EXACT cosine rerank of only those candidates against the full
+    float vectors (the 256-byte reads drop from corpus-sized to
+    shortlist-sized). Both stages are deterministic (integer distance
+    + id tie-break; rounded cosine + id tie-break), so unlike most
+    two-stage ANN this carries a full value-parity oracle."""
+    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
+    sigs = emb_binary_quantize(spark, sf_dir).select("vec_id", "sig_hi", "sig_lo")
+    q = sigs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sig_hi").alias("q_hi"),
+        F.col("sig_lo").alias("q_lo"),
+    )
+    c = sigs.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), "sig_hi", "sig_lo"
+    )
+    dist = (
+        F.bit_count(F.col("q_hi").bitwiseXOR(F.col("sig_hi")))
+        + F.bit_count(F.col("q_lo").bitwiseXOR(F.col("sig_lo")))
+    ).cast("integer")
+    wham = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
+    shortlist = (
+        broadcast(q)
+        .crossJoin(c)
+        .select("query_id", "neighbor_id", dist.alias("hamming"))
+        .withColumn("hrank", F.row_number().over(wham))
+        .filter(F.col("hrank") <= BQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qv_id"), F.col("embedding").alias("qe")
+    )
+    cv = emb.select(F.col("vec_id").alias("cv_id"), F.col("embedding").alias("ce"))
+    scored = (
+        shortlist.join(broadcast(qv), F.col("query_id") == F.col("qv_id"))
+        .join(cv, F.col("neighbor_id") == F.col("cv_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            fround(cosine_sim(F.col("qe"), F.col("ce")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("integer"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -513,3 +513,39 @@ SIMILARITY_ORACLES["sim_hamming_ann"] = f"""
     WHERE rank <= {HAMMING_TOP_K}
     ORDER BY query_id, rank
 """
+
+
+from distributed_mapreduce_server_spark.operators.similarity import (  # noqa: E402
+    BQ_SHORTLIST,
+)
+
+SIMILARITY_ORACLES["sim_bq_rerank"] = f"""
+    WITH sigs AS MATERIALIZED (
+        SELECT vec_id, {_SIG_HI} AS sig_hi, {_SIG_LO} AS sig_lo FROM embeddings
+    ),
+    shortlist AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY bit_count(xor(q.sig_hi, c.sig_hi))
+                                + bit_count(xor(q.sig_lo, c.sig_lo)),
+                                c.vec_id) AS hrank
+            FROM sigs q JOIN sigs c
+              ON q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+        ) WHERE hrank <= {BQ_SHORTLIST}
+    ),
+    scored AS (
+        SELECT s.query_id, s.neighbor_id,
+               ROUND({_DOT} / ({_NORM_Q} * {_NORM_C}), 4) AS cos_sim
+        FROM shortlist s
+        JOIN embeddings q ON q.vec_id = s.query_id
+        JOIN embeddings c ON c.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+        FROM scored
+    )
+    WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+"""

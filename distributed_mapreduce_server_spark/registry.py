@@ -146,6 +146,7 @@ _register(
         "dedup_keep_best_quality",
         "dedup_exact_substr",
         "dedup_containment",
+        "dedup_lsh_eval",
     ],
 )
 _register(
@@ -172,6 +173,7 @@ _register(
         "sim_matryoshka_eval",
         "emb_binary_quantize",
         "sim_hamming_ann",
+        "sim_bq_rerank",
     ],
 )
 _register(
