@@ -89,6 +89,8 @@ DELIBERATE_NESTED_LOOP = {
     "sim_mmr_rerank",  # broadcast single-query candidate scan
     "text_bm25_search",  # 1-row broadcast corpus-stats cross-join
     "sim_hybrid_search",  # BM25 stats + broadcast query vector arms
+    "sim_hamming_ann",  # broadcast query-signature cross-join
+    "sim_bq_rerank",  # broadcast signature shortlist + query vectors
     "q22_idle_customers",
     "text_tfidf",
     "text_source_mix",  # 1-row broadcast totals cross-join
@@ -136,6 +138,8 @@ EAGER_OPS = {
     "mr_exec_wordcount",  # RDD pipe job: zipWithIndex runs eagerly
     "mr_exec_grep",  # RDD pipe job: zipWithIndex runs eagerly
     "emb_pca_project",  # driver spectral solve at plan time
+    "dedup_lsh_eval",  # runs both pair operators eagerly; final plan
+    # is a literal one-row projection with nothing to sweep
 }
 
 
