@@ -841,3 +841,21 @@ def q_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+def q_events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap: event count + value by (day-of-week,
+    hour-of-day) — the first dashboard any event stream gets. One
+    partial-agg shuffle over a 7x24-bounded result."""
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").cast("integer").alias("dow"),
+            F.hour("ts").cast("integer").alias("hod"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            fround(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("dow", "hod")
+    )

@@ -1444,3 +1444,60 @@ def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs no DataFrame code to run against this engine."""
     load_tables(spark, sf_dir, register_views=True)
     return spark.sql(SQL_INTERFACE_QUERY)
+
+
+MIN_PAIR_SUPPORT = 3
+RULES_TOP_K = 20
+
+
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets (the step after
+    q_part_pairs' co-occurrence counts): directed rules A -> B with
+    support, confidence = supp(AB)/supp(A) and lift =
+    supp(AB)·N/(supp(A)·supp(B)), min pair support 3, top-20 by lift.
+
+    Plan: distinct (order, part) -> ONE basket shuffle; pair fan-out
+    in codegen (bounded by basket size); item supports ride the same
+    distinct frame; N is a 1-row broadcast. Rules are pair-count
+    sized — everything after the basket agg is tiny."""
+    li = (
+        load_tables(spark, sf_dir, register_views=False)["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.agg(F.countDistinct("l_orderkey").alias("n_total"))
+    item = li.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("parts"))
+    pairs = (
+        baskets.select(F.explode("parts").alias("part_a"), "parts")
+        .select("part_a", F.explode("parts").alias("part_b"))
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= MIN_PAIR_SUPPORT)
+    )
+    directed = pairs.select(
+        F.col("part_a").alias("antecedent"), F.col("part_b").alias("consequent"), "n_ab"
+    ).unionAll(
+        pairs.select(
+            F.col("part_b").alias("antecedent"), F.col("part_a").alias("consequent"), "n_ab"
+        )
+    )
+    ia = item.select(F.col("l_partkey").alias("antecedent"), F.col("n_item").alias("n_a"))
+    ic = item.select(F.col("l_partkey").alias("consequent"), F.col("n_item").alias("n_c"))
+    return (
+        directed.join(ia, "antecedent")
+        .join(ic, "consequent")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            fround(F.col("n_ab") / F.col("n_a"), 4).alias("confidence"),
+            fround((F.col("n_ab") * F.col("n_total")) / (F.col("n_a") * F.col("n_c")), 4).alias(
+                "lift"
+            ),
+        )
+        .orderBy(F.desc("lift"), "antecedent", "consequent")
+        .limit(RULES_TOP_K)
+    )

@@ -1357,3 +1357,51 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("r_repetition")
         ).alias("keep"),
     ).orderBy("doc_id")
+
+
+COLLOC_MIN_COUNT = 5
+COLLOC_TOP_K = 20
+
+
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-ranked collocations: bigrams whose co-occurrence beats the
+    unigram-independence expectation — pmi = ln(p(ab)/(p(a)·p(b)))
+    (Church & Hanks). The standard phrase-mining signal a tokenizer
+    or stopword-list builder runs first.
+
+    One exploded token stream feeds BOTH counts (bigram via lead
+    window over the same partitioning as chunking's, unigram via a
+    second partial agg); totals are 1-row broadcasts; PMI arithmetic
+    on the bigram-vocabulary-sized frame only."""
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    tok = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "w"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.withColumn("w2", F.lead("w", 1).over(w))
+        .filter(F.col("w2").isNotNull())
+        .groupBy("w", "w2")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= COLLOC_MIN_COUNT)
+    )
+    uni = tok.groupBy("w").agg(F.count("*").alias("n_w"))
+    n_tok = tok.agg(F.count("*").alias("n_total"))
+    ua = uni.select(F.col("w").alias("w"), F.col("n_w").alias("n_a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b"))
+    # pmi = ln( (n_ab/N) / ((n_a/N)*(n_b/N)) ) = ln(n_ab*N/(n_a*n_b))
+    return (
+        big.join(ua, "w")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            F.col("w").alias("left_tok"),
+            F.col("w2").alias("right_tok"),
+            "n_ab",
+            fround(
+                F.log((F.col("n_ab") * F.col("n_total")) / (F.col("n_a") * F.col("n_b"))), 4
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "left_tok", "right_tok")
+        .limit(COLLOC_TOP_K)
+    )

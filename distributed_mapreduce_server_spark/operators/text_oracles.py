@@ -691,3 +691,33 @@ TEXT_ORACLES["text_gopher_filters"] = f"""
     FROM m
     ORDER BY doc_id
 """
+
+
+from distributed_mapreduce_server_spark.operators.text import (  # noqa: E402
+    COLLOC_MIN_COUNT,
+    COLLOC_TOP_K,
+)
+
+TEXT_ORACLES["text_collocations"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    big AS (
+        SELECT w, w2, COUNT(*) AS n_ab FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                          i -> {{'w': t[i], 'w2': t[i + 1]}}), recursive := true)
+            FROM toks
+        )
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {COLLOC_MIN_COUNT}
+    ),
+    uni AS (SELECT w, COUNT(*) AS n_w FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+    n AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS n_total FROM toks)
+    SELECT big.w AS left_tok, big.w2 AS right_tok, n_ab,
+           ROUND(ln((n_ab * n.n_total) / (ua.n_w * ub.n_w)), 4) AS pmi
+    FROM big
+    JOIN uni ua ON big.w = ua.w
+    JOIN uni ub ON big.w2 = ub.w
+    CROSS JOIN n
+    ORDER BY pmi DESC, left_tok, right_tok
+    LIMIT {COLLOC_TOP_K}
+"""

@@ -1110,3 +1110,47 @@ EVENTS_ORACLES["q_scd2_pit_join"] = """
     WHERE f.event_type = 'purchase'
     ORDER BY purchase_id
 """
+
+# Spark dayofweek is 1=Sunday..7; DuckDB dayofweek is 0=Sunday..6.
+EVENTS_ORACLES["q_events_heatmap"] = """
+    SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+           CAST(hour(ts) AS INTEGER) AS hod,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+from distributed_mapreduce_server_spark.operators.relational import (  # noqa: E402
+    MIN_PAIR_SUPPORT,
+    RULES_TOP_K,
+)
+
+RELATIONAL_ORACLES["q_association_rules"] = f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_total FROM li),
+    item AS (SELECT l_partkey, COUNT(*) AS n_item FROM li GROUP BY 1),
+    b AS (SELECT l_orderkey, list(l_partkey) AS parts FROM li GROUP BY 1),
+    p AS (
+        SELECT a AS part_a, b2 AS part_b, COUNT(*) AS n_ab
+        FROM (SELECT unnest(parts) AS a, parts FROM b), unnest(parts) AS t(b2)
+        WHERE a < b2
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {MIN_PAIR_SUPPORT}
+    ),
+    d AS (
+        SELECT part_a AS antecedent, part_b AS consequent, n_ab FROM p
+        UNION ALL
+        SELECT part_b, part_a, n_ab FROM p
+    )
+    SELECT antecedent, consequent, n_ab,
+           ROUND(n_ab / ia.n_item, 4) AS confidence,
+           ROUND((n_ab * n.n_total) / (ia.n_item * ic.n_item), 4) AS lift
+    FROM d
+    JOIN item ia ON antecedent = ia.l_partkey
+    JOIN item ic ON consequent = ic.l_partkey
+    CROSS JOIN n
+    ORDER BY lift DESC, antecedent, consequent
+    LIMIT {RULES_TOP_K}
+"""

@@ -98,6 +98,7 @@ _register(
         "q_window_suite",
         "q_unpivot_balance",
         "q_sql_interface",
+        "q_association_rules",
     ],
 )
 _register(
@@ -212,6 +213,7 @@ _register(
         "text_weighted_sample",
         "text_kfold_split",
         "text_gopher_filters",
+        "text_collocations",
     ],
 )
 _register(
@@ -257,6 +259,7 @@ _register(
         "q_events_attribution",
         "q_events_cohort_ltv",
         "q_scd2_pit_join",
+        "q_events_heatmap",
     ],
 )
 
