@@ -300,7 +300,39 @@ from distributed_mapreduce_server_spark.sources.python_source import (  # noqa: 
 _QUERIES["pysource_stream_events"] = pysource_stream_events
 _ORACLES["pysource_stream_events"] = pysource_stream_oracle().strip()
 
-_register(streaming_jobs, {}, ["stream_sessionize"])
+# stream_sessionize emits exactly the sessions CLOSED during the run:
+# under availableNow a session closes when a later event starts the
+# user's next session, so the output is the batch sessionization MINUS
+# each user's final (still-open, in-state) session — deterministic,
+# full value parity (verified at sf0.001 and sf0.01).
+_QUERIES["stream_sessionize"] = streaming_jobs.stream_sessionize
+_ORACLES["stream_sessionize"] = """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w) IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessioned AS (
+        SELECT user_id, event_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged
+    ), sess AS (
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               COUNT(*) AS n_events,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               ROUND(SUM(value), 2) AS session_value
+        FROM sessioned
+        GROUP BY user_id, session_seq
+    )
+    SELECT * FROM sess
+    WHERE session_seq < (SELECT max(s2.session_seq) FROM sess s2
+                         WHERE s2.user_id = sess.user_id)
+    ORDER BY user_id, session_seq
+""".strip()
 # stateful last-touch attribution (applyInPandasWithState) is
 # deterministic under availableNow (in-batch rows sorted into the
 # batch window order) -> carries the batch attribution oracle.

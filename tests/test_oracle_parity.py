@@ -45,7 +45,6 @@ EXPECTED_ROWS_ONLY = {
     "sim_lsh_ann",
     "emb_kmeans",  # iterative, float-accumulation-order dependent
     "emb_pca_project",  # eigenvector sign/order is LAPACK-specific
-    "stream_sessionize",
     "text_bpe_train",  # iterative training loop isn't one SQL statement
 }
 
