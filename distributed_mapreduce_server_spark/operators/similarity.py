@@ -108,7 +108,12 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
-            bits.append(F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+            # sign decided on the ROUNDED dot (6 dp, half-away): ±1e-16
+            # fold-order noise rounds to ±0.0 in BOTH engines, so the
+            # bucket bit — and therefore the candidate SET — is
+            # engine-reproducible, which is what lets this ANN path
+            # carry a full value oracle (round 4).
+            bits.append(F.when(fround(dot, 6) >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
         out = bits[0]
         for b in bits[1:]:
             out = out + b

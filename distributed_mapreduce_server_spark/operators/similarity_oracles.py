@@ -1,7 +1,9 @@
 """DuckDB oracle SQL for similarity search (§2.4).
 
-sim_lsh_ann intentionally has no oracle (approximate, engine-shaped);
-its recall is asserted in tests/test_similarity.py instead.
+sim_lsh_ann gained a FULL oracle in round 4: bucket bits decide on
+the ROUNDED dot sign (mirrored in the Spark expression), so the
+candidate set is engine-identical; its recall floor is additionally
+asserted in tests/test_similarity.py.
 """
 
 from distributed_mapreduce_server_spark.operators.similarity import (
@@ -549,3 +551,77 @@ SIMILARITY_ORACLES["sim_bq_rerank"] = f"""
     WHERE rank <= {TOP_K}
     ORDER BY query_id, rank
 """
+
+
+# --- sim_lsh_ann full oracle (round 4) -------------------------------------
+# The hyperplane constants are embedded as literals; bucket bits use
+# the same rounded-dot sign rule as the Spark expression, so the
+# candidate set (and hence the ranked output) is engine-identical.
+
+from distributed_mapreduce_server_spark.operators.similarity import (  # noqa: E402
+    N_PLANES,
+    N_TABLES,
+    _hyperplanes,
+)
+
+
+def _lsh_bucket_sql(tbl: int) -> str:
+    bits = []
+    for j, plane in enumerate(_hyperplanes(tbl)):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, len(embedding) + 1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i]))"
+        )
+        rdot = f"(SIGN({dot}) * FLOOR(ABS({dot}) * 1000000 + 0.5) / 1000000)"
+        bits.append(f"CASE WHEN {rdot} >= 0 THEN {1 << j} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _lsh_sql() -> str:
+    per_table = "\n        UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_lsh_bucket_sql(t)} AS bucket FROM embeddings"
+        for t in range(N_TABLES)
+    )
+    probes = ", ".join(str(x) for x in [0] + [1 << j for j in range(N_PLANES)])
+    dot = (
+        "list_sum(list_transform(range(1, len(q2.embedding) + 1), "
+        "i -> CAST(q2.embedding[i] AS DOUBLE) * CAST(c2.embedding[i] AS DOUBLE)))"
+    )
+    nq = "sqrt(list_sum(list_transform(q2.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    nc = "sqrt(list_sum(list_transform(c2.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    return f"""
+    WITH wb AS MATERIALIZED (
+        {per_table}
+    ),
+    q AS (
+        SELECT vec_id AS query_id, tbl, xor(bucket, p.x) AS qb
+        FROM wb, (SELECT unnest([{probes}]) AS x) p
+        WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, tbl AS ctbl, bucket AS cb
+        FROM wb WHERE vec_id >= {N_QUERIES}
+    ),
+    cand AS (
+        SELECT DISTINCT query_id, neighbor_id
+        FROM q JOIN c ON q.tbl = c.ctbl AND q.qb = c.cb
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               ROUND({dot} / ({nq} * {nc}), 4) AS cos_sim
+        FROM cand
+        JOIN embeddings q2 ON q2.vec_id = cand.query_id
+        JOIN embeddings c2 ON c2.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+        FROM scored
+    )
+    WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+"""
+
+
+SIMILARITY_ORACLES["sim_lsh_ann"] = _lsh_sql()
