@@ -223,3 +223,60 @@ def mr_exec_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_reducers=2,
     )
     return res.select("line").orderBy("line")
+
+
+def _exec_join_input_dirs(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Materialize the reduce-side-join inputs as TWO text directories
+    (tagged customer dimension + orders facts) — the multi-input
+    job shape the reference's submit payload takes as a list. Cached
+    per sf_dir like _exec_input_dir, same stale-mtime guard."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    t = load_tables(spark, sf_dir, register_views=False)
+    dirs = []
+    for name, df in (
+        ("cust", t["customer"].select(
+            F.concat_ws("|", F.lit("C"), "c_custkey", "c_mktsegment").alias("value"))),
+        ("ord", t["orders"].select(
+            F.concat_ws("|", F.lit("O"), "o_custkey", "o_orderkey").alias("value"))),
+    ):
+        out = os.path.join(tempfile.gettempdir(), f"dmrs_exec_join_{name}_{tag}")
+        marker = os.path.join(out, "_SUCCESS")
+        src = os.path.join(sf_dir, "customer.parquet" if name == "cust" else "orders.parquet")
+        stale = os.path.exists(marker) and os.path.getmtime(src) > os.path.getmtime(marker)
+        if stale or not os.path.exists(marker):
+            df.repartition(4).write.mode("overwrite").text(out)
+        dirs.append(out)
+    return dirs
+
+
+def mr_exec_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REDUCE-SIDE JOIN through real executables — the classic
+    multi-input MapReduce application (beyond the reference's shipped
+    wordcount/grep, but expressible in its exact submit contract:
+    input file list + mapper exe + reducer exe). The mapper tags and
+    keys every record; the sorted-stdin contract delivers each key's
+    dimension record ('C' sorts before 'O') ahead of its facts, so
+    the reducer stream-joins with O(1) state — the pattern every
+    pre-Spark warehouse join used. Verified against the plain SQL
+    join, proving the exec pipeline preserves grouping AND intra-key
+    value order."""
+    import os
+    import sys
+
+    from distributed_mapreduce_server_spark.mapreduce.exec_job import run_executable_job
+
+    exec_dir = os.path.join(os.path.dirname(__file__), "exec")
+    py = sys.executable
+    res = run_executable_job(
+        spark,
+        _exec_join_input_dirs(spark, sf_dir),
+        f"{py} {os.path.join(exec_dir, 'join_map.py')}",
+        f"{py} {os.path.join(exec_dir, 'join_reduce.py')}",
+        num_mappers=4,
+        num_reducers=3,
+    )
+    return res.select("line").orderBy("line")

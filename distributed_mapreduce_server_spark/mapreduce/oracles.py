@@ -76,3 +76,10 @@ MAPREDUCE_ORACLES["mr_exec_grep"] = f"""
     WHERE ls[i] <> '' AND contains(lower(ls[i]), '{_EXEC_GREP_PATTERN}')
     ORDER BY line
 """
+
+
+MAPREDUCE_ORACLES["mr_exec_join"] = """
+    SELECT concat_ws('|', o_custkey, o_orderkey, c_mktsegment) AS line
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    ORDER BY line
+"""

@@ -114,6 +114,7 @@ _register(
         "mr_secondary_sort",
         "mr_exec_wordcount",
         "mr_exec_grep",
+        "mr_exec_join",
     ],
 )
 _register(
