@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from distributed_mapreduce_server_spark.catalog import load_tables
+from distributed_mapreduce_server_spark.functions import fround
 
 
 def _purchases(events: DataFrame) -> DataFrame:
@@ -244,4 +245,28 @@ def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") == 0)
         .select("event_id", "user_id", "ts", "next_purchase_id", "next_purchase_ts")
         .orderBy("event_id")
+    )
+
+
+def q_conversion_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution on top of the forward as-of join:
+    of all clicks, how many convert to a purchase, and how long does
+    conversion take (exact p50/p90/p99 + mean of the delay). The
+    one-row funnel-health summary the as-of join exists to feed;
+    everything after the single as-of shuffle is a scalar aggregate."""
+    asof = q_asof_next_purchase(spark, sf_dir)
+    delay = (
+        F.col("next_purchase_ts").cast("long") - F.col("ts").cast("long")
+    ).alias("delay_sec")
+    d = asof.select(F.col("next_purchase_id").isNotNull().alias("converted"), delay)
+    return d.agg(
+        F.count("*").alias("n_clicks"),
+        F.sum(F.col("converted").cast("bigint")).alias("n_converted"),
+        fround(F.sum(F.col("converted").cast("bigint")) / F.count("*"), 4).alias(
+            "conversion_rate"
+        ),
+        fround(F.expr("percentile(delay_sec, 0.5)"), 2).alias("p50_delay_sec"),
+        fround(F.expr("percentile(delay_sec, 0.9)"), 2).alias("p90_delay_sec"),
+        fround(F.expr("percentile(delay_sec, 0.99)"), 2).alias("p99_delay_sec"),
+        fround(F.avg("delay_sec"), 2).alias("avg_delay_sec"),
     )

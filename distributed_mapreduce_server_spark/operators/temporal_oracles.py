@@ -36,6 +36,29 @@ TEMPORAL_ORACLES: dict[str, str] = {
           ON c.user_id = p.user_id AND p.ts >= c.ts
         ORDER BY c.event_id
     """,
+    "q_conversion_delay_stats": f"""
+        WITH p AS ({_PURCHASES}),
+        c AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'),
+        aj AS (
+            SELECT c.event_id, c.ts, p.event_id AS next_purchase_id, p.ts AS next_ts
+            FROM c ASOF LEFT JOIN p
+              ON c.user_id = p.user_id AND p.ts >= c.ts
+        ),
+        d AS (
+            SELECT next_purchase_id IS NOT NULL AS converted,
+                   epoch_us(next_ts) // 1000000 - epoch_us(ts) // 1000000 AS delay_sec
+            FROM aj
+        )
+        SELECT COUNT(*) AS n_clicks,
+               CAST(SUM(CAST(converted AS BIGINT)) AS BIGINT) AS n_converted,
+               ROUND(SUM(CAST(converted AS BIGINT)) / COUNT(*), 4) AS conversion_rate,
+               ROUND(quantile_cont(delay_sec, 0.5), 2) AS p50_delay_sec,
+               ROUND(quantile_cont(delay_sec, 0.9), 2) AS p90_delay_sec,
+               ROUND(quantile_cont(delay_sec, 0.99), 2) AS p99_delay_sec,
+               ROUND(AVG(delay_sec), 2) AS avg_delay_sec
+        FROM d
+    """,
     "q_range_join_views_before_purchase": f"""
         WITH p AS ({_PURCHASES}),
         v AS (SELECT event_id AS view_id, user_id, ts FROM events
