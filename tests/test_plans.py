@@ -91,6 +91,8 @@ DELIBERATE_NESTED_LOOP = {
     "sim_hybrid_search",  # BM25 stats + broadcast query vector arms
     "sim_hamming_ann",  # broadcast query-signature cross-join
     "sim_bq_rerank",  # broadcast signature shortlist + query vectors
+    "q_association_rules",  # 1-row broadcast basket-total cross-join
+    "text_collocations",  # 1-row broadcast token-total cross-join
     "q22_idle_customers",
     "text_tfidf",
     "text_source_mix",  # 1-row broadcast totals cross-join
@@ -137,6 +139,7 @@ EAGER_OPS = {
     "text_bpe_train",  # iterative merge rounds run eagerly
     "mr_exec_wordcount",  # RDD pipe job: zipWithIndex runs eagerly
     "mr_exec_grep",  # RDD pipe job: zipWithIndex runs eagerly
+    "mr_exec_join",  # RDD pipe job: zipWithIndex runs eagerly
     "emb_pca_project",  # driver spectral solve at plan time
     "dedup_lsh_eval",  # runs both pair operators eagerly; final plan
     # is a literal one-row projection with nothing to sweep
