@@ -859,3 +859,34 @@ def q_events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hod")
     )
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of `value` per user (TimescaleDB
+    time_weight, LOCF flavor): each observation holds until the next
+    one, so twa = Σ value·duration / Σ duration over the user's span.
+    The irregular-sampling statistic a plain AVG gets wrong whenever
+    observation density correlates with level. One keyed shuffle; the
+    lead() duration and the two sums share the partitioning."""
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    timed = ev.select(
+        "user_id",
+        "value",
+        (F.lead(F.col("ts").cast("long"), 1).over(w) - F.col("ts").cast("long")).alias(
+            "dur_sec"
+        ),
+    ).filter(F.col("dur_sec").isNotNull())
+    return (
+        timed.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("dur_sec").alias("span_sec"),
+            fround(
+                F.sum(F.col("value") * F.col("dur_sec")) / F.sum("dur_sec"), 4
+            ).alias("time_weighted_avg"),
+        )
+        .orderBy("user_id")
+    )

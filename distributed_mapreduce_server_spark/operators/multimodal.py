@@ -431,3 +431,44 @@ def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type", "doc_id")
     )
+
+
+MM_MIN_DIM = 128
+MM_MIN_BYTES = 200
+MM_MAX_BYTES = 2000
+MM_MIN_ASPECT = 0.5
+MM_MAX_ASPECT = 2.0
+
+
+def mm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media quality gate — the multimodal twin of text_gopher_filters:
+    per-item rule verdicts (minimum dimensions, payload-size band,
+    aspect-ratio band) plus the conjunctive keep flag, so a curation
+    run can audit WHY an item dropped. Rules are column expressions
+    over the decoded metadata; blob bytes never shuffle (the
+    mm_modality_mix discipline)."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    decoded = decode_media(attach_media(docs))
+    aspect = F.col("width") / F.col("height")
+    return (
+        decoded.select(
+            "doc_id",
+            "media_type",
+            ((F.col("width") >= MM_MIN_DIM) & (F.col("height") >= MM_MIN_DIM)).alias(
+                "r_min_dims"
+            ),
+            ((F.col("n_bytes") >= MM_MIN_BYTES) & (F.col("n_bytes") <= MM_MAX_BYTES)).alias(
+                "r_byte_band"
+            ),
+            ((aspect >= MM_MIN_ASPECT) & (aspect <= MM_MAX_ASPECT)).alias("r_aspect"),
+        )
+        .select(
+            "doc_id",
+            "media_type",
+            "r_min_dims",
+            "r_byte_band",
+            "r_aspect",
+            (F.col("r_min_dims") & F.col("r_byte_band") & F.col("r_aspect")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

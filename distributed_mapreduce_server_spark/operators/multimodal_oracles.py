@@ -182,3 +182,29 @@ def _shard_oracle() -> str:
 
 
 MULTIMODAL_ORACLES["mm_shard_manifest"] = _shard_oracle()
+
+
+from distributed_mapreduce_server_spark.operators.multimodal import (  # noqa: E402
+    MM_MAX_ASPECT,
+    MM_MAX_BYTES,
+    MM_MIN_ASPECT,
+    MM_MIN_BYTES,
+    MM_MIN_DIM,
+)
+
+MULTIMODAL_ORACLES["mm_quality_gate"] = f"""
+    {_MEDIA_STATS}
+    SELECT doc_id, media_type, r_min_dims, r_byte_band, r_aspect,
+           r_min_dims AND r_byte_band AND r_aspect AS keep
+    FROM (
+        SELECT doc_id, media_type,
+               w >= {MM_MIN_DIM} AND h >= {MM_MIN_DIM} AS r_min_dims,
+               n >= {MM_MIN_BYTES} AND n <= {MM_MAX_BYTES} AS r_byte_band,
+               w / h >= {MM_MIN_ASPECT} AND w / h <= {MM_MAX_ASPECT} AS r_aspect
+        FROM (SELECT doc_id, media_type, n,
+                     64 + (s256 % 448) AS w,
+                     64 + ((s256 >> 3) % 448) AS h
+              FROM stats)
+    )
+    ORDER BY doc_id
+"""

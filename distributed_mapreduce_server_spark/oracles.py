@@ -1154,3 +1154,21 @@ RELATIONAL_ORACLES["q_association_rules"] = f"""
     ORDER BY lift DESC, antecedent, consequent
     LIMIT {RULES_TOP_K}
 """
+
+
+EVENTS_ORACLES["q_time_weighted_avg"] = """
+    WITH timed AS (
+        SELECT user_id, value,
+               epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   // 1000000
+                   - epoch_us(ts) // 1000000 AS dur_sec
+        FROM events
+    )
+    SELECT user_id, COUNT(*) AS n_intervals,
+           CAST(SUM(dur_sec) AS BIGINT) AS span_sec,
+           ROUND(SUM(value * dur_sec) / SUM(dur_sec), 4) AS time_weighted_avg
+    FROM timed
+    WHERE dur_sec IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+"""

@@ -262,6 +262,7 @@ _register(
         "q_events_cohort_ltv",
         "q_scd2_pit_join",
         "q_events_heatmap",
+        "q_time_weighted_avg",
     ],
 )
 
@@ -281,6 +282,7 @@ _register(
         "mm_payload_dedup",
         "mm_modality_mix",
         "mm_shard_manifest",
+        "mm_quality_gate",
     ],
 )
 # custom connector (Spark 4 Python Data Source API): partitioned
