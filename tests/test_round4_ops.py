@@ -332,3 +332,65 @@ def test_stateful_reducers_survive_multi_chunk_groups(spark, sf_smoke):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_mm_quality_gate_rules_fire(spark, sf_smoke):
+    import pandas as pd
+
+    from distributed_mapreduce_server_spark.operators.multimodal import mm_quality_gate
+
+    pdf = mm_quality_gate(spark, sf_smoke).toPandas()
+    assert set(pdf["keep"].unique()) == {True, False}
+    for rule in ["r_min_dims", "r_byte_band", "r_aspect"]:
+        assert pdf[rule].nunique() == 2, f"{rule} never fires"
+    assert isinstance(pdf, pd.DataFrame)
+
+
+def test_time_weighted_avg_differs_from_plain_avg(spark, sf_smoke):
+    """On irregular samples the time-weight must actually reweight:
+    some user's twa differs from their plain average."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_server_spark.catalog import load_tables
+    from distributed_mapreduce_server_spark.operators.events import q_time_weighted_avg
+
+    twa = {r["user_id"]: r["time_weighted_avg"]
+           for r in q_time_weighted_avg(spark, sf_smoke).collect()}
+    ev = load_tables(spark, sf_smoke, register_views=False)["events"]
+    plain = {r["user_id"]: r["avg"]
+             for r in ev.groupBy("user_id").agg(F.avg("value").alias("avg")).collect()}
+    diffs = [abs(twa[u] - plain[u]) for u in twa if u in plain]
+    assert max(diffs) > 0.01
+
+
+def test_conversion_stats_internally_consistent(spark, sf_smoke):
+    from distributed_mapreduce_server_spark.operators.temporal import (
+        q_conversion_delay_stats,
+    )
+
+    row = q_conversion_delay_stats(spark, sf_smoke).collect()[0]
+    assert 0 < row["n_converted"] <= row["n_clicks"]
+    assert abs(row["conversion_rate"] - row["n_converted"] / row["n_clicks"]) < 1e-3
+    assert row["p50_delay_sec"] <= row["p90_delay_sec"] <= row["p99_delay_sec"]
+
+
+def test_exec_join_matches_dataframe_join(spark, sf_smoke):
+    """The executable reduce-side join must equal the DataFrame join
+    exactly — grouping AND intra-key ordering survive the pipe."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_server_spark.catalog import load_tables
+    from distributed_mapreduce_server_spark.mapreduce.jobs import mr_exec_join
+
+    got = [r["line"] for r in mr_exec_join(spark, sf_smoke).collect()]
+    t = load_tables(spark, sf_smoke, register_views=False)
+    want = sorted(
+        r["line"]
+        for r in t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.concat_ws("|", "o_custkey", "o_orderkey", "c_mktsegment").alias("line")
+        )
+        .collect()
+    )
+    assert got == want
