@@ -487,10 +487,13 @@ _SIG_LO = (
     "i -> CAST(embedding[i] > 0 AS BIGINT) * (1::BIGINT << (64 - i))))"
 )
 
+# list_sum returns HUGEINT; CAST the exposed signatures to BIGINT or
+# they surface as floats in the driver's pandas hash and mismatch the
+# Spark BIGINTs on string form (caught by the round-4 full drive).
 SIMILARITY_ORACLES["emb_binary_quantize"] = f"""
     SELECT vec_id,
-           {_SIG_HI} AS sig_hi,
-           {_SIG_LO} AS sig_lo,
+           CAST({_SIG_HI} AS BIGINT) AS sig_hi,
+           CAST({_SIG_LO} AS BIGINT) AS sig_lo,
            CAST(bit_count({_SIG_HI}) + bit_count({_SIG_LO}) AS INTEGER) AS n_pos_dims
     FROM embeddings
     ORDER BY vec_id
