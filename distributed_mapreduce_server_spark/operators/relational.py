@@ -1501,3 +1501,35 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "antecedent", "consequent")
         .limit(RULES_TOP_K)
     )
+
+
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto frontier) query: parts not dominated on
+    (minimize retail price, maximize size) — the multi-criteria
+    shortlist operator (Börzsönyi et al.'s SKYLINE OF clause).
+
+    Instead of the O(n²) dominance self-join, the 2-D skyline
+    reduces to one ordered pass: a part is on the frontier iff it
+    has the max size AT its price AND every strictly cheaper price's
+    running max size is smaller. Realized as a per-price partial agg
+    (corpus-sized shuffle) + a running-max window over the DISTINCT
+    PRICE frame (price-cardinality sized, not row sized) + a
+    broadcast-sized join back. The oracle is the brute-force NOT
+    EXISTS dominance predicate — an independent formulation, so
+    parity validates the algorithm, not just the arithmetic."""
+    from pyspark.sql.window import Window
+
+    parts = load_tables(spark, sf_dir, register_views=False)["part"]
+    per_price = parts.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
+    w = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+    frontier_prices = per_price.withColumn(
+        "strict_cummax", F.max("gmax").over(w)
+    ).filter(F.col("strict_cummax").isNull() | (F.col("strict_cummax") < F.col("gmax")))
+    return (
+        parts.join(
+            broadcast(frontier_prices.select("p_retailprice", "gmax")), "p_retailprice"
+        )
+        .filter(F.col("p_size") == F.col("gmax"))
+        .select("p_partkey", fround(F.col("p_retailprice"), 2).alias("price"), "p_size")
+        .orderBy("p_partkey")
+    )

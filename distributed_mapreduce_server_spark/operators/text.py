@@ -1405,3 +1405,27 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "left_tok", "right_tok")
         .limit(COLLOC_TOP_K)
     )
+
+
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token entropy H = -Σ p·ln p over the document's
+    token distribution — the information-density quality signal
+    (boilerplate and keyword-stuffed docs score low for their
+    length). Pure column expressions: the per-doc histogram is a
+    transform over the distinct-token array, no explode shuffle."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    toks = tokens("text")
+    n = F.greatest(F.size(toks), F.lit(1))
+    probs = F.transform(
+        F.array_distinct(toks),
+        lambda w: F.size(F.filter(toks, lambda t: t == w)) / n,
+    )
+    entropy = -F.aggregate(
+        probs, F.lit(0.0), lambda acc, p: acc + p * F.log(p)
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        fround(entropy, 4).alias("token_entropy"),
+    ).orderBy("doc_id")

@@ -721,3 +721,18 @@ TEXT_ORACLES["text_collocations"] = f"""
     ORDER BY pmi DESC, left_tok, right_tok
     LIMIT {COLLOC_TOP_K}
 """
+
+
+TEXT_ORACLES["text_token_entropy"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+           ROUND(-list_sum(list_transform(
+               list_transform(list_distinct(toks),
+                   w -> len(list_filter(toks, x -> x = w))
+                        / greatest(len(toks), 1)),
+               p -> p * ln(p))), 4) AS token_entropy
+    FROM t
+    ORDER BY doc_id
+"""

@@ -1172,3 +1172,19 @@ EVENTS_ORACLES["q_time_weighted_avg"] = """
     GROUP BY user_id
     ORDER BY user_id
 """
+
+
+# brute-force dominance — deliberately a DIFFERENT formulation than
+# the Spark window algorithm, so parity validates the algorithm.
+RELATIONAL_ORACLES["q_skyline_parts"] = """
+    SELECT a.p_partkey, ROUND(a.p_retailprice, 2) AS price, a.p_size
+    FROM part a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_partkey <> a.p_partkey
+          AND b.p_retailprice <= a.p_retailprice
+          AND b.p_size >= a.p_size
+          AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+    ORDER BY a.p_partkey
+"""

@@ -99,6 +99,7 @@ _register(
         "q_unpivot_balance",
         "q_sql_interface",
         "q_association_rules",
+        "q_skyline_parts",
     ],
 )
 _register(
@@ -216,6 +217,7 @@ _register(
         "text_kfold_split",
         "text_gopher_filters",
         "text_collocations",
+        "text_token_entropy",
     ],
 )
 _register(
