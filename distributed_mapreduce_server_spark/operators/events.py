@@ -890,3 +890,74 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+FUNNEL_WINDOW_H = 1
+
+
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-style windowFunnel: per user, the deepest
+    view -> click -> purchase chain where every stage falls within
+    FUNNEL_WINDOW_H hours of the ANCHOR view and timestamps are
+    non-decreasing — unlike q_events_funnel (first-occurrence global
+    order), this is the time-boxed variant real funnel products ship.
+
+    Greedy-earliest chaining is optimal for fixed anchors (the
+    earliest qualifying click maximizes the remaining window), so
+    two forward carry windows — next click after each view, next
+    purchase after that click — decide reachability with NO
+    self-joins: one user-keyed shuffle serves both window passes and
+    the final per-user max. Level 0 = users with no view at all."""
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    # next purchase at-or-after each row (purchases qualify themselves;
+    # the chain uses it FROM the click row, where ts >= click ts holds)
+    with_np = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.first(
+            F.when(F.col("event_type") == "purchase", F.col("ts")), ignorenulls=True
+        ).over(w).alias("np_ts"),
+    )
+    # next click at-or-after each row, carrying THAT click's np_ts
+    click_struct = F.when(
+        F.col("event_type") == "click", F.struct(F.col("ts").alias("cts"), F.col("np_ts"))
+    )
+    with_nc = with_np.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.first(click_struct, ignorenulls=True).over(w).alias("nc"),
+    )
+    horizon = F.col("ts") + F.expr(f"INTERVAL {FUNNEL_WINDOW_H} HOURS")
+    views = with_nc.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.when(
+            F.col("nc").isNotNull()
+            & (F.col("nc.cts") <= horizon)
+            & F.col("nc.np_ts").isNotNull()
+            & (F.col("nc.np_ts") <= horizon),
+            F.lit(3),
+        )
+        .when(F.col("nc").isNotNull() & (F.col("nc.cts") <= horizon), F.lit(2))
+        .otherwise(F.lit(1))
+        .alias("level"),
+    )
+    per_user = views.groupBy("user_id").agg(F.max("level").alias("max_level"))
+    all_users = ev.select("user_id").distinct()
+    leveled = all_users.join(per_user, "user_id", "left").select(
+        F.coalesce(F.col("max_level"), F.lit(0)).cast("integer").alias("max_level")
+    )
+    return (
+        leveled.groupBy("max_level")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("max_level")
+    )

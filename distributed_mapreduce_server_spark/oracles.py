@@ -1188,3 +1188,45 @@ RELATIONAL_ORACLES["q_skyline_parts"] = """
     )
     ORDER BY a.p_partkey
 """
+
+
+from distributed_mapreduce_server_spark.operators.events import (  # noqa: E402
+    FUNNEL_WINDOW_H,
+)
+
+EVENTS_ORACLES["q_window_funnel"] = f"""
+    WITH w1 AS (
+        SELECT user_id, ts, event_id, event_type,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np_ts
+        FROM events
+    ),
+    w2 AS (
+        SELECT user_id, ts, event_type,
+               FIRST_VALUE(CASE WHEN event_type = 'click'
+                                THEN {{'cts': ts, 'np': np_ts}} END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc
+        FROM w1
+    ),
+    views AS (
+        SELECT user_id,
+               CASE WHEN nc IS NOT NULL AND nc.cts <= ts + INTERVAL {FUNNEL_WINDOW_H} HOURS
+                         AND nc.np IS NOT NULL
+                         AND nc.np <= ts + INTERVAL {FUNNEL_WINDOW_H} HOURS THEN 3
+                    WHEN nc IS NOT NULL AND nc.cts <= ts + INTERVAL {FUNNEL_WINDOW_H} HOURS THEN 2
+                    ELSE 1 END AS level
+        FROM w2 WHERE event_type = 'view'
+    ),
+    per_user AS (SELECT user_id, MAX(level) AS max_level FROM views GROUP BY 1),
+    leveled AS (
+        SELECT CAST(COALESCE(p.max_level, 0) AS INTEGER) AS max_level
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN per_user p USING (user_id)
+    )
+    SELECT max_level, COUNT(*) AS n_users
+    FROM leveled
+    GROUP BY 1
+    ORDER BY 1
+"""

@@ -265,6 +265,7 @@ _register(
         "q_scd2_pit_join",
         "q_events_heatmap",
         "q_time_weighted_avg",
+        "q_window_funnel",
     ],
 )
 
