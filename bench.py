@@ -82,6 +82,13 @@ HEADLINE = [
     "dedup_containment",
     "q_scd2_pit_join",
     "q_sql_interface",
+    "q_window_funnel",
+    "q_skyline_parts",
+    "q_association_rules",
+    "text_collocations",
+    "q_time_weighted_avg",
+    "q_abc_analysis",
+    "mr_exec_join",
 ]
 
 

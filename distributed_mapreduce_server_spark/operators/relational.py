@@ -1533,3 +1533,97 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", fround(F.col("p_retailprice"), 2).alias("price"), "p_size")
         .orderBy("p_partkey")
     )
+
+
+def q_argmax_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARG_MAX/ARG_MIN surface (max_by/min_by): per nation, WHICH
+    customer holds the max balance, which the min, and the
+    highest-value order's key — the "give me the row that wins"
+    aggregation that otherwise costs a rank-window pass. One
+    partial-agg shuffle; ties broken inside the struct ordering
+    (value, then id) so the winner is deterministic in both engines."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    cust = (
+        t["customer"]
+        .join(broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            t["orders"].groupBy("o_custkey").agg(
+                F.max_by(
+                    F.col("o_orderkey"),
+                    F.struct(F.col("o_totalprice"), F.col("o_orderkey")),
+                ).alias("best_order"),
+                fround(F.max("o_totalprice"), 2).alias("best_order_price"),
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+    )
+    return (
+        cust.groupBy("n_name")
+        .agg(
+            F.max_by(
+                F.col("c_custkey"), F.struct(F.col("c_acctbal"), F.col("c_custkey"))
+            ).alias("richest_customer"),
+            fround(F.max("c_acctbal"), 2).alias("max_balance"),
+            F.min_by(
+                F.col("c_custkey"), F.struct(F.col("c_acctbal"), F.col("c_custkey"))
+            ).alias("poorest_customer"),
+            fround(F.min("c_acctbal"), 2).alias("min_balance"),
+            # orderless customers coalesce to (-1,-1) so they lose to
+            # any real order in BOTH engines (NULL-ordering semantics
+            # of max_by/arg_max would otherwise be the divergence)
+            F.max_by(
+                F.col("best_order"),
+                F.struct(
+                    F.coalesce(F.col("best_order_price"), F.lit(-1.0)),
+                    F.coalesce(F.col("best_order"), F.lit(-1)),
+                ),
+            ).alias("top_order_key"),
+        )
+        .orderBy("n_name")
+    )
+
+
+ABC_A_CUT = 0.5
+ABC_B_CUT = 0.8
+
+
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: parts ranked by revenue, bucketed
+    by cumulative revenue share (A: first 50%, B: to 80%, C: rest) —
+    the inventory-analysis classic. Revenue ranking aggregates once
+    (corpus shuffle); the cumulative window runs over the PART-sized
+    frame. Emits per-class counts + revenue share so the 80/20 shape
+    is the output, not 200k classified rows."""
+    from pyspark.sql.window import Window
+
+    li = load_tables(spark, sf_dir, register_views=False)["lineitem"]
+    rev = li.groupBy("l_partkey").agg(
+        fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("rev")
+    )
+    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = rev.agg(F.sum("rev").alias("total_rev"))
+    classed = (
+        rev.crossJoin(broadcast(total))
+        # rounded before the cut comparison: total_rev's distributed
+        # sum order can differ from DuckDB's by an ulp, and an exact
+        # boundary hit must not classify differently across engines
+        .withColumn("cum_share", fround(F.sum("rev").over(w) / F.col("total_rev"), 10))
+        .withColumn(
+            "abc_class",
+            F.when(F.col("cum_share") <= ABC_A_CUT, "A")
+            .when(F.col("cum_share") <= ABC_B_CUT, "B")
+            .otherwise("C"),
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            fround(F.sum("rev"), 2).alias("class_revenue"),
+            fround(F.sum("rev") / F.max("total_rev"), 4).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )

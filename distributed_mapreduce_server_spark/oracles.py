@@ -1230,3 +1230,63 @@ EVENTS_ORACLES["q_window_funnel"] = f"""
     GROUP BY 1
     ORDER BY 1
 """
+
+
+# arg_max with a composite (value, tiebreak) ordering via the
+# MAX(struct) idiom — DuckDB's arg_max lacks struct-typed orderings,
+# but struct MAX compares field-by-field, which is exactly Spark's
+# max_by(x, struct(v, x)) with a unique tiebreak.
+RELATIONAL_ORACLES["q_argmax_suite"] = """
+    WITH best AS (
+        SELECT o_custkey,
+               (MAX({'v': o_totalprice, 'id': o_orderkey})).id AS best_order,
+               ROUND(MAX(o_totalprice), 2) AS best_order_price
+        FROM orders GROUP BY 1
+    ),
+    cust AS (
+        SELECT n_name, c_custkey, c_acctbal, best_order, best_order_price
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        LEFT JOIN best ON c_custkey = o_custkey
+    )
+    SELECT n_name,
+           (MAX({'v': c_acctbal, 'id': c_custkey})).id AS richest_customer,
+           ROUND(MAX(c_acctbal), 2) AS max_balance,
+           (MIN({'v': c_acctbal, 'id': c_custkey})).id AS poorest_customer,
+           ROUND(MIN(c_acctbal), 2) AS min_balance,
+           (MAX({'v': COALESCE(best_order_price, -1.0),
+                 'id': COALESCE(best_order, -1)})).id AS top_order_key
+    FROM cust
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+from distributed_mapreduce_server_spark.operators.relational import (  # noqa: E402
+    ABC_A_CUT,
+    ABC_B_CUT,
+)
+
+RELATIONAL_ORACLES["q_abc_analysis"] = f"""
+    WITH rev AS (
+        SELECT l_partkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
+        FROM lineitem GROUP BY 1
+    ),
+    total AS (SELECT SUM(rev) AS total_rev FROM rev),
+    classed AS (
+        SELECT rev, total_rev,
+               ROUND(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     / total_rev, 10) AS cum_share
+        FROM rev CROSS JOIN total
+    )
+    SELECT CASE WHEN cum_share <= {ABC_A_CUT} THEN 'A'
+                WHEN cum_share <= {ABC_B_CUT} THEN 'B'
+                ELSE 'C' END AS abc_class,
+           COUNT(*) AS n_parts,
+           ROUND(SUM(rev), 2) AS class_revenue,
+           ROUND(SUM(rev) / MAX(total_rev), 4) AS revenue_share
+    FROM classed
+    GROUP BY 1
+    ORDER BY 1
+"""

@@ -100,6 +100,8 @@ _register(
         "q_sql_interface",
         "q_association_rules",
         "q_skyline_parts",
+        "q_argmax_suite",
+        "q_abc_analysis",
     ],
 )
 _register(
