@@ -961,3 +961,32 @@ def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("max_level")
     )
+
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning split + cumulative distinct users — the
+    growth-accounting view (cumulative COUNT(DISTINCT) is the classic
+    hard case for plain SQL; the first-seen-flag trick makes it a
+    running sum). Per (user, day) distinct -> first-seen flag via
+    row_number over the user partition -> per-day aggregation; the
+    cumulative window runs over the DAY-count frame, not events."""
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    user_days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    flagged = user_days.withColumn(
+        "is_new", (F.row_number().over(w) == 1).cast("bigint")
+    )
+    daily = flagged.groupBy("day").agg(
+        F.sum("is_new").alias("new_users"),
+        F.sum(F.lit(1) - F.col("is_new")).alias("returning_users"),
+    )
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        daily.withColumn("cum_distinct_users", F.sum("new_users").over(wd))
+        .select("day", "new_users", "returning_users", "cum_distinct_users")
+        .orderBy("day")
+    )

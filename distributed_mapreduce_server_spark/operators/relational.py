@@ -1627,3 +1627,32 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+def q_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonality index: each calendar month's average
+    order value vs the overall average (index > 1 = hot month) — the
+    demand-planning primitive. One partial-agg shuffle to the 12-row
+    month frame; the overall average is a window over that SAME tiny
+    frame (sum-of-sums / sum-of-counts — NOT avg-of-avgs, which would
+    weight months equally regardless of volume)."""
+    from pyspark.sql.window import Window
+
+    orders = load_tables(spark, sf_dir, register_views=False)["orders"]
+    monthly = orders.groupBy(F.month("o_orderdate").alias("mon")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_totalprice").alias("rev"),
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    overall_avg = F.sum("rev").over(wall) / F.sum("n_orders").over(wall)
+    return (
+        monthly.select(
+            F.col("mon").cast("integer").alias("mon"),
+            "n_orders",
+            fround(F.col("rev") / F.col("n_orders"), 2).alias("avg_order_value"),
+            fround((F.col("rev") / F.col("n_orders")) / overall_avg, 4).alias(
+                "seasonality_index"
+            ),
+        )
+        .orderBy("mon")
+    )

@@ -1290,3 +1290,43 @@ RELATIONAL_ORACLES["q_abc_analysis"] = f"""
     GROUP BY 1
     ORDER BY 1
 """
+
+
+EVENTS_ORACLES["q_new_vs_returning"] = """
+    WITH user_days AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ),
+    flagged AS (
+        SELECT day,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) = 1
+                    AS BIGINT) AS is_new
+        FROM user_days
+    ),
+    daily AS (
+        SELECT day, SUM(is_new) AS new_users,
+               SUM(1 - is_new) AS returning_users
+        FROM flagged GROUP BY 1
+    )
+    SELECT day, CAST(new_users AS BIGINT) AS new_users,
+           CAST(returning_users AS BIGINT) AS returning_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_distinct_users
+    FROM daily
+    ORDER BY day
+"""
+
+RELATIONAL_ORACLES["q_seasonality_index"] = """
+    WITH monthly AS (
+        SELECT CAST(month(o_orderdate) AS INTEGER) AS mon,
+               COUNT(*) AS n_orders, SUM(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT mon, n_orders,
+           ROUND(rev / n_orders, 2) AS avg_order_value,
+           ROUND((rev / n_orders)
+                 / (SUM(rev) OVER () / SUM(n_orders) OVER ()), 4)
+               AS seasonality_index
+    FROM monthly
+    ORDER BY mon
+"""

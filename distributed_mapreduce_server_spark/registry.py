@@ -102,6 +102,7 @@ _register(
         "q_skyline_parts",
         "q_argmax_suite",
         "q_abc_analysis",
+        "q_seasonality_index",
     ],
 )
 _register(
@@ -268,6 +269,7 @@ _register(
         "q_events_heatmap",
         "q_time_weighted_avg",
         "q_window_funnel",
+        "q_new_vs_returning",
     ],
 )
 
