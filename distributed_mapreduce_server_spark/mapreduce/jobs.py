@@ -144,28 +144,36 @@ def mr_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id")
 
 
+def _text_fixture(sf_dir: str, prefix: str, src_name: str, df, parts: int) -> str:
+    """Shared text-fixture cache: write ``df`` (one string column) as a
+    line-text dir under /tmp keyed by md5(sf_dir), guarded by the
+    _SUCCESS marker plus a stale-mtime check against the source
+    parquet — a regenerated source forces a rewrite, so the fixture
+    can never silently diverge from what the oracle reads."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
+    marker = os.path.join(out, "_SUCCESS")
+    src = os.path.join(sf_dir, src_name)
+    stale = os.path.exists(marker) and os.path.getmtime(src) > os.path.getmtime(marker)
+    if stale or not os.path.exists(marker):
+        df.repartition(parts).write.mode("overwrite").text(out)
+    return out
+
+
 def _exec_input_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize documents.text as a directory of line-oriented text
     files — the reference's input_directory shape. Test-scale fixture
     plumbing only: at real scale the corpus IS already text files on a
     DFS and this step disappears. Cached per sf_dir (the _SUCCESS
     marker Spark writes makes the check atomic-enough for one host)."""
-    import hashlib
-    import os
-    import tempfile
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    out = os.path.join(tempfile.gettempdir(), f"dmrs_exec_input_{tag}")
-    marker = os.path.join(out, "_SUCCESS")
-    src = os.path.join(sf_dir, "documents.parquet")
-    # stale-cache guard: a regenerated source parquet (newer mtime than
-    # the marker) forces a rewrite, so the text fixture can never
-    # silently diverge from what the oracle reads.
-    stale = os.path.exists(marker) and os.path.getmtime(src) > os.path.getmtime(marker)
-    if stale or not os.path.exists(marker):
-        docs = load_tables(spark, sf_dir, register_views=False)["documents"]
-        docs.select("text").repartition(8).write.mode("overwrite").text(out)
-    return out
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    return _text_fixture(
+        sf_dir, "dmrs_exec_input", "documents.parquet", docs.select("text"), 8
+    )
 
 
 def mr_exec_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -230,27 +238,27 @@ def _exec_join_input_dirs(spark: SparkSession, sf_dir: str) -> list[str]:
     (tagged customer dimension + orders facts) — the multi-input
     job shape the reference's submit payload takes as a list. Cached
     per sf_dir like _exec_input_dir, same stale-mtime guard."""
-    import hashlib
-    import os
-    import tempfile
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     t = load_tables(spark, sf_dir, register_views=False)
-    dirs = []
-    for name, df in (
-        ("cust", t["customer"].select(
-            F.concat_ws("|", F.lit("C"), "c_custkey", "c_mktsegment").alias("value"))),
-        ("ord", t["orders"].select(
-            F.concat_ws("|", F.lit("O"), "o_custkey", "o_orderkey").alias("value"))),
-    ):
-        out = os.path.join(tempfile.gettempdir(), f"dmrs_exec_join_{name}_{tag}")
-        marker = os.path.join(out, "_SUCCESS")
-        src = os.path.join(sf_dir, "customer.parquet" if name == "cust" else "orders.parquet")
-        stale = os.path.exists(marker) and os.path.getmtime(src) > os.path.getmtime(marker)
-        if stale or not os.path.exists(marker):
-            df.repartition(4).write.mode("overwrite").text(out)
-        dirs.append(out)
-    return dirs
+    return [
+        _text_fixture(
+            sf_dir,
+            "dmrs_exec_join_cust",
+            "customer.parquet",
+            t["customer"].select(
+                F.concat_ws("|", F.lit("C"), "c_custkey", "c_mktsegment").alias("value")
+            ),
+            4,
+        ),
+        _text_fixture(
+            sf_dir,
+            "dmrs_exec_join_ord",
+            "orders.parquet",
+            t["orders"].select(
+                F.concat_ws("|", F.lit("O"), "o_custkey", "o_orderkey").alias("value")
+            ),
+            4,
+        ),
+    ]
 
 
 def mr_exec_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1571,9 +1571,11 @@ def q_argmax_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.min("c_acctbal"), 2).alias("min_balance"),
             # orderless customers coalesce to (-1,-1) so they lose to
             # any real order in BOTH engines (NULL-ordering semantics
-            # of max_by/arg_max would otherwise be the divergence)
+            # of max_by/arg_max would otherwise be the divergence);
+            # the RETURNED value coalesces too — a fully orderless
+            # nation reports -1, matching the oracle, never NULL
             F.max_by(
-                F.col("best_order"),
+                F.coalesce(F.col("best_order"), F.lit(-1)),
                 F.struct(
                     F.coalesce(F.col("best_order_price"), F.lit(-1.0)),
                     F.coalesce(F.col("best_order"), F.lit(-1)),

@@ -1079,18 +1079,11 @@ def emb_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-HAMMING_TOP_K = 10
-
-
-def sim_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN over the binary-quantized vectors: top-k by Hamming
-    distance between sign signatures (popcount of XOR) — the serving
-    scan that pairs with emb_binary_quantize. The whole query is
-    integer-only (no float ties anywhere): broadcast 5-query
-    signature set x one signature scan, per-query top-k via window
-    rank with id tie-break. At scale the candidate side reads 8-byte
-    signatures instead of 256-byte vectors — a 32x scan-bandwidth
-    cut, which is the entire point of binary quantization."""
+def _hamming_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, hamming) over the binary signatures —
+    the shared scoring frame behind sim_hamming_ann (direct top-k)
+    and sim_bq_rerank (shortlist stage): broadcast query signatures x
+    one 8-byte-signature scan, popcount-of-XOR distance."""
     sigs = emb_binary_quantize(spark, sf_dir).select("vec_id", "sig_hi", "sig_lo")
     q = sigs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -1104,7 +1097,22 @@ def sim_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(F.col("q_hi").bitwiseXOR(F.col("sig_hi")))
         + F.bit_count(F.col("q_lo").bitwiseXOR(F.col("sig_lo")))
     ).cast("integer")
-    scored = broadcast(q).crossJoin(c).select("query_id", "neighbor_id", dist.alias("hamming"))
+    return broadcast(q).crossJoin(c).select("query_id", "neighbor_id", dist.alias("hamming"))
+
+
+HAMMING_TOP_K = 10
+
+
+def sim_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over the binary-quantized vectors: top-k by Hamming
+    distance between sign signatures (popcount of XOR) — the serving
+    scan that pairs with emb_binary_quantize. The whole query is
+    integer-only (no float ties anywhere): broadcast 5-query
+    signature set x one signature scan, per-query top-k via window
+    rank with id tie-break. At scale the candidate side reads 8-byte
+    signatures instead of 256-byte vectors — a 32x scan-bandwidth
+    cut, which is the entire point of binary quantization."""
+    scored = _hamming_scored(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("integer"))
@@ -1126,24 +1134,9 @@ def sim_bq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     + id tie-break; rounded cosine + id tie-break), so unlike most
     two-stage ANN this carries a full value-parity oracle."""
     emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
-    sigs = emb_binary_quantize(spark, sf_dir).select("vec_id", "sig_hi", "sig_lo")
-    q = sigs.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("sig_hi").alias("q_hi"),
-        F.col("sig_lo").alias("q_lo"),
-    )
-    c = sigs.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), "sig_hi", "sig_lo"
-    )
-    dist = (
-        F.bit_count(F.col("q_hi").bitwiseXOR(F.col("sig_hi")))
-        + F.bit_count(F.col("q_lo").bitwiseXOR(F.col("sig_lo")))
-    ).cast("integer")
     wham = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
     shortlist = (
-        broadcast(q)
-        .crossJoin(c)
-        .select("query_id", "neighbor_id", dist.alias("hamming"))
+        _hamming_scored(spark, sf_dir)
         .withColumn("hrank", F.row_number().over(wham))
         .filter(F.col("hrank") <= BQ_SHORTLIST)
         .select("query_id", "neighbor_id")

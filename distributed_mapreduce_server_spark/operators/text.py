@@ -1420,9 +1420,11 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(toks),
         lambda w: F.size(F.filter(toks, lambda t: t == w)) / n,
     )
+    # + 0.0 normalizes the empty-doc fold's negative zero (-0.0 would
+    # hash differently from the oracle's 0.0)
     entropy = -F.aggregate(
         probs, F.lit(0.0), lambda acc, p: acc + p * F.log(p)
-    )
+    ) + F.lit(0.0)
     return docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),

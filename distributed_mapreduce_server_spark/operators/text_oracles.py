@@ -728,11 +728,11 @@ TEXT_ORACLES["text_token_entropy"] = f"""
     SELECT doc_id,
            CAST(len(toks) AS INTEGER) AS n_tokens,
            CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
-           ROUND(-list_sum(list_transform(
+           ROUND(-COALESCE(list_sum(list_transform(
                list_transform(list_distinct(toks),
                    w -> len(list_filter(toks, x -> x = w))
                         / greatest(len(toks), 1)),
-               p -> p * ln(p))), 4) AS token_entropy
+               p -> p * ln(p))), 0.0) + 0.0, 4) AS token_entropy
     FROM t
     ORDER BY doc_id
 """

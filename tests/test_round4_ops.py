@@ -394,3 +394,51 @@ def test_exec_join_matches_dataframe_join(spark, sf_smoke):
         .collect()
     )
     assert got == want
+
+
+def test_token_entropy_empty_doc_parity(spark, tmp_path):
+    """A document that tokenizes to ZERO tokens (punctuation-only)
+    must score entropy 0.0 in BOTH engines: Spark's empty fold yields
+    -0.0 (normalized by +0.0) while DuckDB's empty list_sum yields
+    NULL (coalesced) — the latent divergence the round-4 review
+    caught. Run the real operator against its real oracle on a
+    crafted corpus containing the edge."""
+    import duckdb
+    import pandas as pd
+
+    from distributed_mapreduce_server_spark import registry
+    from distributed_mapreduce_server_spark.catalog import refresh_tables
+
+    d = tmp_path / "edge"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["!!! ... ???", "the fast data value the data"],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [11, 29],
+        }
+    ).to_parquet(str(d / "documents.parquet"))
+    refresh_tables()
+    try:
+        rows = {
+            r["doc_id"]: r["token_entropy"]
+            for r in registry.all_queries()["text_token_entropy"](spark, str(d)).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+        )
+        want = dict(
+            con.execute(
+                "SELECT doc_id, token_entropy FROM ("
+                + registry.all_oracles()["text_token_entropy"]
+                + ")"
+            ).fetchall()
+        )
+        assert rows[0] == want[0] == 0.0
+        assert abs(rows[1] - want[1]) < 1e-9 and rows[1] > 0
+        assert str(rows[0]) == "0.0"  # not -0.0
+    finally:
+        refresh_tables()
