@@ -89,6 +89,9 @@ HEADLINE = [
     "q_time_weighted_avg",
     "q_abc_analysis",
     "mr_exec_join",
+    "q_new_vs_returning",
+    "q_seasonality_index",
+    "q_argmax_suite",
 ]
 
 
