@@ -1658,3 +1658,70 @@ def q_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mon")
     )
+
+
+def q_open_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-lineitem backlog over time: for each month boundary, how
+    many lineitems were ordered at-or-before it but ship strictly
+    after — the interval-stabbing/time-in-state query behind every
+    "WIP over time" chart.
+
+    Sweep-line realization: open(m) = #(start<=m) − #(end<=m), so two
+    monthly delta aggregations (ONE corpus shuffle each) + running
+    sums over the MONTH GRID (built from a 1-row bounds agg +
+    sequence explode, the q_time_bucket_gapfill pattern) — never the
+    O(months × n) interval join. The oracle IS that brute
+    stabbing join, an independent formulation, so parity validates
+    the sweep algebra."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    # the synthetic shipdates are independent of their order's date, so
+    # ~half the rows "ship" before they were ordered — not an interval
+    # at all. Only genuinely in-flight rows (ship strictly after
+    # order) carry backlog; the oracle applies the same predicate.
+    li = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select(
+            F.date_trunc("month", "o_orderdate").alias("start_m"),
+            F.date_trunc("month", "l_shipdate").alias("end_m"),
+            "o_orderdate",
+            "l_shipdate",
+        )
+    )
+    bounds = li.agg(
+        F.min("start_m").alias("lo"), F.max("end_m").alias("hi")
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))).alias("month")
+    )
+    # open(m) counts start <= m at the BOUNDARY instant, so the start
+    # delta for month m is lineitems with o_orderdate in (m-1mo, m] —
+    # i.e. binned to the first boundary they count at:
+    starts = li.groupBy(
+        F.when(
+            F.col("o_orderdate") == F.col("start_m"), F.col("start_m")
+        ).otherwise(F.col("start_m") + F.expr("INTERVAL 1 MONTH")).alias("month")
+    ).agg(F.count("*").alias("n_start"))
+    ends = li.groupBy(
+        F.when(
+            F.col("l_shipdate") == F.col("end_m"), F.col("end_m")
+        ).otherwise(F.col("end_m") + F.expr("INTERVAL 1 MONTH")).alias("month")
+    ).agg(F.count("*").alias("n_end"))
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        grid.join(starts, "month", "left")
+        .join(ends, "month", "left")
+        .select(
+            "month",
+            F.coalesce("n_start", F.lit(0)).alias("n_start"),
+            F.coalesce("n_end", F.lit(0)).alias("n_end"),
+        )
+        .withColumn(
+            "open_lineitems",
+            (F.sum("n_start").over(w) - F.sum("n_end").over(w)).cast("bigint"),
+        )
+        .orderBy("month")
+    )

@@ -1330,3 +1330,33 @@ RELATIONAL_ORACLES["q_seasonality_index"] = """
     FROM monthly
     ORDER BY mon
 """
+
+
+# brute interval-stabbing — an independent formulation from the
+# operator's sweep-line algebra, so parity validates the algorithm.
+RELATIONAL_ORACLES["q_open_order_backlog"] = """
+    WITH li AS (
+        SELECT o_orderdate, l_shipdate
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate
+    ),
+    b AS (
+        SELECT date_trunc('month', min(o_orderdate)) AS lo,
+               date_trunc('month', max(l_shipdate)) AS hi
+        FROM li
+    ),
+    grid AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month FROM b
+    )
+    SELECT g.month,
+           (SELECT COUNT(*) FROM li
+            WHERE o_orderdate <= g.month
+              AND o_orderdate > g.month - INTERVAL 1 MONTH) AS n_start,
+           (SELECT COUNT(*) FROM li
+            WHERE l_shipdate <= g.month
+              AND l_shipdate > g.month - INTERVAL 1 MONTH) AS n_end,
+           (SELECT COUNT(*) FROM li
+            WHERE o_orderdate <= g.month AND l_shipdate > g.month) AS open_lineitems
+    FROM grid g
+    ORDER BY month
+"""

@@ -103,6 +103,7 @@ _register(
         "q_argmax_suite",
         "q_abc_analysis",
         "q_seasonality_index",
+        "q_open_order_backlog",
     ],
 )
 _register(
