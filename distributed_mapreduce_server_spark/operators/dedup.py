@@ -1312,3 +1312,18 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_missed).cast("bigint").alias("n_missed"),
         recall.alias("recall"),
     )
+
+
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over the near-dup components — the
+    shape report a dedup run publishes (many pairs? a few giant
+    boilerplate clusters? exactly-2 mirrors?). Rides dedup_clusters'
+    converged labels; the histogram is two tiny aggregations over the
+    cluster-count-sized frame."""
+    labels = dedup_clusters(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )

@@ -430,3 +430,16 @@ DEDUP_ORACLES["dedup_lsh_eval"] = f"""
                  / greatest(CAST((SELECT COUNT(*) FROM exact) AS DOUBLE), 1.0), 4)
                AS recall
 """
+
+
+DEDUP_ORACLES["dedup_cluster_stats"] = f"""
+    WITH clusters AS ({_CLUSTERS_SQL}),
+    sizes AS (
+        SELECT cluster_id, COUNT(*) AS cluster_size FROM clusters GROUP BY 1
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           COUNT(*) AS n_clusters
+    FROM sizes
+    GROUP BY 1
+    ORDER BY 1
+"""

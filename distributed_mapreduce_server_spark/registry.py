@@ -155,6 +155,7 @@ _register(
         "dedup_exact_substr",
         "dedup_containment",
         "dedup_lsh_eval",
+        "dedup_cluster_stats",
     ],
 )
 _register(
