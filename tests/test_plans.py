@@ -144,6 +144,7 @@ EAGER_OPS = {
     "emb_pca_project",  # driver spectral solve at plan time
     "dedup_lsh_eval",  # runs both pair operators eagerly; final plan
     # is a literal one-row projection with nothing to sweep
+    "dedup_cluster_stats",  # rides the eager dedup_clusters loop
 }
 
 
