@@ -1161,3 +1161,36 @@ def sim_bq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cos_sim", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality report: assign every vector to its nearest IVF
+    centroid (the deterministic codebook sim_ivf_ann uses) and score
+    each cluster's label PURITY — majority-label fraction + distinct
+    labels — against the embeddings' ground-truth label column. The
+    measurement that decides whether a codebook is good enough to
+    route by. Assignment is the vectorized broadcast-codebook kernel;
+    purity is max_by over per-(cluster, label) counts — two tiny aggs
+    above one corpus pass."""
+    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
+    centroids = emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+    )
+    assigned = _centroid_assign(emb, centroids, 1).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    per_label = assigned.groupBy("centroid_id", "label").agg(
+        F.count("*").alias("n")
+    )
+    return (
+        per_label.groupBy("centroid_id")
+        .agg(
+            F.sum("n").alias("n_vectors"),
+            F.countDistinct("label").alias("n_labels"),
+            F.max_by(F.col("label"), F.struct(F.col("n"), -F.col("label"))).alias(
+                "majority_label"
+            ),
+            fround(F.max("n") / F.sum("n"), 4).alias("purity"),
+        )
+        .orderBy("centroid_id")
+    )

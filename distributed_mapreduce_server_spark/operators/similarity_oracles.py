@@ -628,3 +628,34 @@ def _lsh_sql() -> str:
 
 
 SIMILARITY_ORACLES["sim_lsh_ann"] = _lsh_sql()
+
+
+# cluster purity: the ivf crank=1 assignment over ALL vectors, then
+# per-cluster majority stats (MAX-struct idiom for the tie-broken
+# majority label: more votes wins, then smaller label).
+SIMILARITY_ORACLES["emb_cluster_purity"] = f"""
+    WITH centroids AS (
+        SELECT vec_id AS centroid_id, embedding FROM embeddings
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}
+    ),
+    assign AS (
+        SELECT vec_id, centroid_id, label FROM (
+            SELECT v.vec_id, k.centroid_id, v.label,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY ROUND({_DOT_VK} / ({_NORM_V} * {_NORM_K}), 4) DESC,
+                                k.centroid_id) AS crank
+            FROM embeddings v CROSS JOIN centroids k
+        ) WHERE crank = 1
+    ),
+    per_label AS (
+        SELECT centroid_id, label, COUNT(*) AS n FROM assign GROUP BY 1, 2
+    )
+    SELECT centroid_id,
+           CAST(SUM(n) AS BIGINT) AS n_vectors,
+           COUNT(DISTINCT label) AS n_labels,
+           CAST(-((MAX({{'n': n, 'nl': -label}})).nl) AS INTEGER) AS majority_label,
+           ROUND(MAX(n) / SUM(n), 4) AS purity
+    FROM per_label
+    GROUP BY 1
+    ORDER BY 1
+"""

@@ -183,6 +183,7 @@ _register(
         "emb_binary_quantize",
         "sim_hamming_ann",
         "sim_bq_rerank",
+        "emb_cluster_purity",
     ],
 )
 _register(
