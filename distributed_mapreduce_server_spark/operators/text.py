@@ -1431,3 +1431,49 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).alias("n_distinct"),
         fround(entropy, 4).alias("token_entropy"),
     ).orderBy("doc_id")
+
+
+def text_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus DATASHEET — one row summarizing what a training run
+    is about to consume: document/token volume, language spread,
+    exact-duplicate rate, quality-keep rate, mean token entropy. Each
+    metric reuses its owning operator's exact definitions (same
+    tokenizer, same thresholds), composed as 1-row aggregates
+    broadcast-joined together — a handful of corpus scans, nothing
+    driver-sized."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    toks = tokens("text")
+    base = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(toks)).alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    from distributed_mapreduce_server_spark.operators.dedup import dedup_exact
+
+    groups = dedup_exact(spark, sf_dir)
+    dup_stats = groups.agg(
+        (F.sum("n_docs") - F.count("*")).cast("bigint").alias("n_exact_dupes")
+    )
+    kept = text_quality_keep(spark, sf_dir).agg(
+        F.count("*").cast("bigint").alias("n_quality_keep")
+    )
+    ent = text_token_entropy(spark, sf_dir).agg(
+        fround(F.avg("token_entropy"), 4).alias("avg_token_entropy")
+    )
+    return (
+        base.crossJoin(F.broadcast(dup_stats))
+        .crossJoin(F.broadcast(kept))
+        .crossJoin(F.broadcast(ent))
+        .select(
+            "n_docs",
+            "total_tokens",
+            "n_langs",
+            "n_sources",
+            "n_exact_dupes",
+            fround(F.col("n_exact_dupes") / F.col("n_docs"), 4).alias("dup_rate"),
+            "n_quality_keep",
+            fround(F.col("n_quality_keep") / F.col("n_docs"), 4).alias("quality_keep_rate"),
+            "avg_token_entropy",
+        )
+    )

@@ -736,3 +736,54 @@ TEXT_ORACLES["text_token_entropy"] = f"""
     FROM t
     ORDER BY doc_id
 """
+
+
+# the corpus datasheet composes each metric's OWNING oracle definition
+TEXT_ORACLES["text_corpus_report"] = f"""
+    WITH base AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
+               COUNT(DISTINCT lang) AS n_langs,
+               COUNT(DISTINCT source) AS n_sources
+        FROM documents
+    ),
+    groups AS (
+        SELECT md5(array_to_string({_TOKS}, ' ')) AS fp, COUNT(*) AS n
+        FROM documents GROUP BY 1
+    ),
+    dup AS (SELECT CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_exact_dupes FROM groups),
+    kept AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_quality_keep FROM (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       ROUND(0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                                    / greatest(len(toks), 1))
+                           + 0.3 * least((CAST(len(list_filter(toks, t -> list_contains(
+                                 ['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
+                                 / greatest(len(toks), 1)) * 4, 1.0)
+                           + 0.2 * (CASE WHEN length(text) BETWEEN 100 AND 20000
+                                         THEN 1.0 ELSE 0.5 END)
+                           + 0.1 * (1 - least((CAST(length(regexp_replace(text,
+                                 '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                                 / greatest(length(text), 1)) * 10, 1.0)), 4) AS quality
+                FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+            ) WHERE quality >= {QUALITY_KEEP_T}
+        )
+    ),
+    ent AS (
+        SELECT ROUND(AVG(token_entropy), 4) AS avg_token_entropy FROM (
+            SELECT ROUND(-COALESCE(list_sum(list_transform(
+                       list_transform(list_distinct(toks),
+                           w -> len(list_filter(toks, x -> x = w))
+                                / greatest(len(toks), 1)),
+                       p -> p * ln(p))), 0.0) + 0.0, 4) AS token_entropy
+            FROM (SELECT {_TOKS} AS toks FROM documents)
+        )
+    )
+    SELECT n_docs, total_tokens, n_langs, n_sources, n_exact_dupes,
+           ROUND(n_exact_dupes / n_docs, 4) AS dup_rate,
+           n_quality_keep,
+           ROUND(n_quality_keep / n_docs, 4) AS quality_keep_rate,
+           avg_token_entropy
+    FROM base CROSS JOIN dup CROSS JOIN kept CROSS JOIN ent
+"""

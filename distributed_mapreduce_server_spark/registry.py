@@ -224,6 +224,7 @@ _register(
         "text_gopher_filters",
         "text_collocations",
         "text_token_entropy",
+        "text_corpus_report",
     ],
 )
 _register(

@@ -94,6 +94,7 @@ DELIBERATE_NESTED_LOOP = {
     "q_association_rules",  # 1-row broadcast basket-total cross-join
     "text_collocations",  # 1-row broadcast token-total cross-join
     "q_abc_analysis",  # 1-row broadcast revenue-total cross-join
+    "text_corpus_report",  # datasheet: 1-row metric frames cross-joined
     "q22_idle_customers",
     "text_tfidf",
     "text_source_mix",  # 1-row broadcast totals cross-join
