@@ -218,12 +218,33 @@ def q_events_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile(10) decile stats of event value per type — the window
-    partitions by type so each decile assignment is one shuffle."""
+    """ntile(10) decile stats of event value per type.
+
+    Scale shape: NOT ``ntile(10) over (partition by event_type)`` —
+    ~5 event types would sort the entire fact stream in ~5 tasks. The
+    per-type rank comes from the grouped two-phase ranking kernel
+    (operators/scale.py: range-partition, per-partition counts,
+    broadcast offsets), and the decile is computed arithmetically
+    from (rank, group size) with Spark's exact ntile fill rule —
+    every sort runs at full cluster parallelism."""
+    from distributed_mapreduce_server_spark.operators.scale import (
+        ntile_from_rank,
+        two_phase_rank,
+    )
+
     ev = load_tables(spark, sf_dir, register_views=False)["events"]
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    return (
-        ev.withColumn("decile", F.ntile(10).over(w))
+    ranked, _ = two_phase_rank(
+        spark,
+        ev.select("event_type", "value", "event_id"),
+        ["value", "event_id"],
+        group_cols=["event_type"],
+        rn_col="rn",
+        n_col="n_type",
+    )
+    out = (
+        ranked.withColumn(
+            "decile", ntile_from_rank(F.col("rn"), F.col("n_type"), 10)
+        )
         .groupBy("event_type", "decile")
         .agg(
             F.count("*").alias("n"),
@@ -232,6 +253,9 @@ def q_events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "decile")
     )
+    out = out.localCheckpoint(eager=True)
+    ranked.unpersist()
+    return out
 
 
 def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -194,13 +194,16 @@ def q_market_segment_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window rank: highest-spend customer per nation.
+    """Argmax: highest-spend customer per nation.
 
-    Spend aggregates first (shuffle on custkey), then a per-nation
-    window; the rank window reuses the nation partitioning.
-    """
+    Spend aggregates first (shuffle on custkey). The per-nation
+    winner is a struct-max aggregation — (spend, -custkey) orders
+    lexicographically so ties break to the smallest custkey — NOT a
+    ``row_number over (partition by nation)`` window: 25 nations
+    would sort the whole customer frame in 25 tasks, while the
+    struct-max partial-aggregates map-side and shuffles one row per
+    nation per task."""
     t = load_tables(spark, sf_dir, register_views=False)
-    from pyspark.sql.window import Window
 
     spend = (
         t["orders"]
@@ -209,11 +212,22 @@ def q_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust = t["customer"].join(broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
     joined = spend.join(cust, spend.o_custkey == cust.c_custkey)
-    w = Window.partitionBy("n_name").orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+    best = F.max(
+        F.struct(
+            F.col("total_spend").alias("total_spend"),
+            (-F.col("c_custkey")).alias("neg_ck"),
+            F.col("c_name").alias("c_name"),
+        )
+    ).alias("b")
     return (
-        joined.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("n_name", "c_custkey", "c_name", "total_spend")
+        joined.groupBy("n_name")
+        .agg(best)
+        .select(
+            "n_name",
+            (-F.col("b.neg_ck")).alias("c_custkey"),
+            F.col("b.c_name").alias("c_name"),
+            F.col("b.total_spend").alias("total_spend"),
+        )
         .orderBy("n_name")
     )
 
@@ -240,24 +254,43 @@ def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-frame moving average + lag/lead per event type."""
-    t = load_tables(spark, sf_dir, register_views=False)
-    from pyspark.sql.window import Window
+    """Sliding-frame moving average + lag/lead per event type.
 
-    ev = t["events"]
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    wf = w.rowsBetween(-3, 0)
-    return (
-        ev.select(
-            "event_id",
-            "event_type",
-            "ts",
-            _r2(F.col("value")).alias("value_r"),
+    Scale shape: ``Window.partitionBy(event_type)`` would sort the
+    whole fact stream in ~5 tasks. The two-phase sliding kernel
+    (operators/scale.py halo exchange) range-partitions on
+    (type, ts, id) and replicates 3 boundary rows per partition, so
+    every sort runs at cluster parallelism while frames stay exact
+    across partition boundaries."""
+    from distributed_mapreduce_server_spark.operators.scale import (
+        two_phase_sliding,
+    )
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    ev = t["events"].select("event_id", "event_type", "ts", "value")
+
+    def exprs(w):
+        wf = w.rowsBetween(-3, 0)
+        return [
             # 4dp, not 2: a 4-row avg of 2-decimal values terminates at
             # 4 decimals, so no engine-dependent .xx5 rounding boundary.
             fround(F.avg("value").over(wf), 4).alias("moving_avg"),
             _r2(F.lag("value", 1).over(w)).alias("prev_value"),
             _r2(F.lead("value", 1).over(w)).alias("next_value"),
+        ]
+
+    slid = two_phase_sliding(
+        spark, ev, ["ts", "event_id"], ["event_type"], 3, 1, exprs
+    )
+    return (
+        slid.select(
+            "event_id",
+            "event_type",
+            "ts",
+            _r2(F.col("value")).alias("value_r"),
+            "moving_avg",
+            "prev_value",
+            "next_value",
         )
         .orderBy("event_type", "ts", "event_id")
     )
@@ -473,12 +506,13 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) with the maximum quarterly revenue.
 
-    The max is computed with an unpartitioned window over the ALREADY
-    AGGREGATED per-supplier rows (100 rows at any SF ratio) — not a
-    second scan of lineitem as the SQL view formulation implies.
-    """
+    The max folds to ONE broadcast row (map-side partial max) that
+    equi-joins back onto the per-supplier revenue frame — not an
+    unpartitioned window: suppliers scale with SF, so a global
+    ``max() over ()`` would eventually funnel the supplier frame
+    through a single task; not a second scan of lineitem as the SQL
+    view formulation implies either."""
     t = load_tables(spark, sf_dir, register_views=False)
-    from pyspark.sql.window import Window
 
     li = t["lineitem"].filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -487,8 +521,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy("l_suppkey").agg(
         _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("total_revenue")
     )
-    top = rev.withColumn("max_rev", F.max("total_revenue").over(Window.partitionBy())).filter(
-        F.col("total_revenue") == F.col("max_rev")
+    max_rev = rev.agg(F.max("total_revenue").alias("max_rev"))
+    top = rev.join(
+        broadcast(max_rev), F.col("total_revenue") == F.col("max_rev")
     )
     return (
         top.join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
@@ -835,20 +870,39 @@ def q_orders_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_balance_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation customer balance percentile (percent_rank) and
     cumulative distribution (cume_dist), tie-broken by custkey so the
-    rank is total and engine-reproducible. The window partitions by
-    nation — bounded cardinality per partition (customers/nation), so
-    unlike a global ntile this sorts in parallel across nations."""
-    from pyspark.sql.window import Window
+    rank is total and engine-reproducible.
+
+    Scale shape: a ``percent_rank() over (partition by nation)``
+    window gives 25 partitions — the whole customer table sorts in 25
+    tasks, a per-task volume that grows linearly with SF. Instead the
+    grouped two-phase ranking kernel (operators/scale.py) range-
+    partitions on (nation, acctbal, custkey) so every sort runs at
+    cluster parallelism, and percent_rank / cume_dist are arithmetic
+    on (rank, group size)."""
+    from distributed_mapreduce_server_spark.operators.scale import two_phase_rank
 
     cust = load_tables(spark, sf_dir, register_views=False)["customer"]
-    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    ranked, _ = two_phase_rank(
+        spark,
+        cust.select("c_custkey", "c_nationkey", "c_acctbal"),
+        ["c_acctbal", "c_custkey"],
+        group_cols=["c_nationkey"],
+        rn_col="rn",
+        n_col="n_nat",
+    )
+    # the (acctbal, custkey) ordering is total, so rank == row_number:
+    # percent_rank = (rn-1)/(n-1), cume_dist = rn/n, computed
+    # arithmetically from the two-phase rank (ANSI-safe n==1 guard)
+    rn, n = F.col("rn"), F.col("n_nat")
     return (
-        cust.select(
+        ranked.select(
             "c_custkey",
             "c_nationkey",
             _r2(F.col("c_acctbal")).alias("acctbal"),
-            fround(F.percent_rank().over(w), 4).alias("pct_rank"),
-            fround(F.cume_dist().over(w), 4).alias("cume"),
+            fround(
+                F.when(n > 1, (rn - 1) / (n - 1)).otherwise(F.lit(0.0)), 4
+            ).alias("pct_rank"),
+            fround(rn / n, 4).alias("cume"),
         )
         .orderBy("c_nationkey", "c_custkey")
     )
@@ -1594,25 +1648,35 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC / Pareto classification: parts ranked by revenue, bucketed
     by cumulative revenue share (A: first 50%, B: to 80%, C: rest) —
     the inventory-analysis classic. Revenue ranking aggregates once
-    (corpus shuffle); the cumulative window runs over the PART-sized
-    frame. Emits per-class counts + revenue share so the 80/20 shape
-    is the output, not 200k classified rows."""
-    from pyspark.sql.window import Window
+    (corpus shuffle); the cumulative share comes from the two-phase
+    running-sum kernel (parts scale with SF, so a single-partition
+    window over the part frame would eventually sort ~2e10 rows in
+    one task at sf100k). Emits per-class counts + revenue share so
+    the 80/20 shape is the output, not 200k classified rows."""
+    from distributed_mapreduce_server_spark.operators.scale import two_phase_rank
 
     li = load_tables(spark, sf_dir, register_views=False)["lineitem"]
     rev = li.groupBy("l_partkey").agg(
         fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("rev")
     )
-    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # cumulative revenue via the two-phase kernel (operators/scale.py):
+    # an unpartitioned running-sum window sorts the whole part frame
+    # in ONE task, and TPC-H parts scale with SF — range-partition on
+    # (-rev, partkey) instead and add broadcast per-partition offsets
+    ranked, _ = two_phase_rank(
+        spark,
+        rev,
+        [F.desc("rev"), F.asc("l_partkey")],
+        sum_cols=["rev"],
+        rn_col="rev_rank",
     )
     total = rev.agg(F.sum("rev").alias("total_rev"))
     classed = (
-        rev.crossJoin(broadcast(total))
+        ranked.crossJoin(broadcast(total))
         # rounded before the cut comparison: total_rev's distributed
         # sum order can differ from DuckDB's by an ulp, and an exact
         # boundary hit must not classify differently across engines
-        .withColumn("cum_share", fround(F.sum("rev").over(w) / F.col("total_rev"), 10))
+        .withColumn("cum_share", fround(F.col("cum_rev") / F.col("total_rev"), 10))
         .withColumn(
             "abc_class",
             F.when(F.col("cum_share") <= ABC_A_CUT, "A")
@@ -1620,7 +1684,7 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("C"),
         )
     )
-    return (
+    out = (
         classed.groupBy("abc_class")
         .agg(
             F.count("*").alias("n_parts"),
@@ -1629,6 +1693,9 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+    out = out.localCheckpoint(eager=True)
+    ranked.unpersist()
+    return out
 
 
 def q_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:

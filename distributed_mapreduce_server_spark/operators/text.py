@@ -771,35 +771,12 @@ def _two_phase_rank(
     partition-count-sized collect, bounded by cluster width), then
     rank WITHIN each partition in parallel and add the broadcast
     cumulative offset. Rank values are independent of where the
-    sampled boundaries land. Shared by text_global_shuffle and
-    text_perplexity_filter."""
-    from pyspark.sql.window import Window
+    sampled boundaries land. Since round 5 this delegates to the
+    shared grouped kernel (operators/scale.py) also used by
+    q_events_value_deciles / q_balance_percentiles / q_abc_analysis."""
+    from distributed_mapreduce_server_spark.operators.scale import two_phase_rank
 
-    n_parts = spark.sparkContext.defaultParallelism
-    tagged = (
-        df.repartitionByRange(n_parts, *order_cols)
-        .withColumn("pid", F.spark_partition_id())
-        .persist()
-    )
-    counts = {
-        r["pid"]: r["cnt"]
-        for r in tagged.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets, acc = [], 0
-    for pid in sorted(counts):
-        offsets.append((pid, acc))
-        acc += counts[pid]
-    off = spark.createDataFrame(offsets or [(0, 0)], "pid int, offset long")
-    w = Window.partitionBy("pid").orderBy(*order_cols)
-    out = (
-        tagged.join(F.broadcast(off), "pid")
-        .withColumn(out_col, F.row_number().over(w) + F.col("offset"))
-        .drop("pid", "offset")
-    )
-    out = out.persist()
-    out.count()
-    tagged.unpersist()
-    return out, acc
+    return two_phase_rank(spark, df, list(order_cols), rn_col=out_col)
 
 
 def text_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -76,3 +76,27 @@ def cartesian_count(df: DataFrame) -> int:
     scale unless one side is a deliberately tiny broadcast set."""
     plan = physical_plan(df)
     return plan.count("CartesianProduct") + plan.count("BroadcastNestedLoopJoin")
+
+
+def window_partition_specs(df: DataFrame) -> list[list[str]]:
+    """Partition columns of every window in the physical plan — the
+    single-task-sort detector: a window whose partition spec is empty
+    or a tiny dimension sorts its whole input in (at most) that many
+    tasks, which is fatal when the input is fact-sized. Parsed from
+    ``windowspecdefinition(part..., order ASC/DESC..., frame)``:
+    partition columns are the leading args before the first sort
+    marker."""
+    plan = physical_plan(df)
+    specs = []
+    for m in re.findall(r"windowspecdefinition\(([^)]*)", plan):
+        cols = []
+        for arg in m.split(", "):
+            if " ASC" in arg or " DESC" in arg or arg.startswith(
+                "specifiedwindowframe"
+            ):
+                break
+            name = arg.split("#")[0].strip()
+            if name:
+                cols.append(name)
+        specs.append(cols)
+    return specs

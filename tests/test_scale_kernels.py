@@ -1,0 +1,126 @@
+"""Unit parity for the two-phase kernels (operators/scale.py): the
+distributed rank / running-sum / sliding-window shapes must produce
+bit-identical results to the monolithic window formulations they
+replace, including across range-partition boundaries (the session
+runs them over many more partitions than rows-per-group, so boundary
+handling is exercised hard)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from distributed_mapreduce_server_spark.operators.scale import (
+    ntile_from_rank,
+    two_phase_rank,
+    two_phase_sliding,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    # 3 groups x uneven sizes, deterministic values with ties in v
+    rows = []
+    for g in ("a", "b", "c"):
+        n = {"a": 57, "b": 8, "c": 113}[g]
+        for i in range(n):
+            rows.append((g, float((i * 7) % 13), i))
+    return spark.createDataFrame(rows, "g string, v double, id int").persist()
+
+
+def test_grouped_rank_matches_window(spark, toy):
+    ranked, total = two_phase_rank(
+        spark, toy, ["v", "id"], group_cols=["g"], rn_col="rn",
+        sum_cols=["v"], n_col="n_g",
+    )
+    w = Window.partitionBy("g").orderBy("v", "id")
+    expect = (
+        toy.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "cum_v",
+            F.sum("v").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("n_g", F.count("*").over(Window.partitionBy("g")))
+    )
+    got = {
+        (r["g"], r["id"]): (r["rn"], round(r["cum_v"], 6), r["n_g"])
+        for r in ranked.collect()
+    }
+    want = {
+        (r["g"], r["id"]): (r["rn"], round(r["cum_v"], 6), r["n_g"])
+        for r in expect.collect()
+    }
+    assert total == toy.count()
+    assert got == want
+    ranked.unpersist()
+
+
+def test_ungrouped_rank_matches_window(spark, toy):
+    ranked, total = two_phase_rank(spark, toy, ["v", "g", "id"], rn_col="rn")
+    w = Window.orderBy("v", "g", "id")
+    want = {
+        (r["g"], r["id"]): r["rn"]
+        for r in toy.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    got = {(r["g"], r["id"]): r["rn"] for r in ranked.collect()}
+    assert got == want and total == len(want)
+    ranked.unpersist()
+
+
+@pytest.mark.parametrize("n", [3, 10, 57, 113])
+def test_ntile_formula_matches_spark_ntile(spark, n):
+    df = spark.range(n).withColumn("v", (F.col("id") * 31) % 17)
+    w = Window.orderBy("v", "id")
+    expect = df.withColumn("t", F.ntile(10).over(w))
+    got = (
+        df.withColumn("rn", F.row_number().over(w))
+        .withColumn("t2", ntile_from_rank(F.col("rn"), F.lit(n), 10))
+    )
+    pairs = {r["id"]: r["t"] for r in expect.collect()}
+    pairs2 = {r["id"]: r["t2"] for r in got.collect()}
+    assert pairs == pairs2
+
+
+def test_sliding_halo_matches_window(spark, toy):
+    def exprs(w):
+        return [
+            F.avg("v").over(w.rowsBetween(-3, 0)).alias("mavg"),
+            F.lag("v", 1).over(w).alias("prev"),
+            F.lead("v", 1).over(w).alias("nxt"),
+        ]
+
+    slid = two_phase_sliding(spark, toy, ["v", "id"], ["g"], 3, 1, exprs)
+    w = Window.partitionBy("g").orderBy("v", "id")
+    expect = (
+        toy.withColumn("mavg", F.avg("v").over(w.rowsBetween(-3, 0)))
+        .withColumn("prev", F.lag("v", 1).over(w))
+        .withColumn("nxt", F.lead("v", 1).over(w))
+    )
+    key = lambda r: (r["g"], r["id"])  # noqa: E731
+    norm = lambda r: (  # noqa: E731
+        round(r["mavg"], 9),
+        r["prev"],
+        r["nxt"],
+    )
+    got = {key(r): norm(r) for r in slid.collect()}
+    want = {key(r): norm(r) for r in expect.collect()}
+    assert got == want
+
+
+def test_two_phase_windows_partition_by_pid(spark):
+    """The kernel's own windows must partition by the range pid —
+    that's the whole point; pin it so a refactor can't quietly fall
+    back to the low-cardinality partition spec."""
+    from distributed_mapreduce_server_spark import registry
+    from distributed_mapreduce_server_spark.plans import window_partition_specs
+
+    df = registry.all_queries()["q_balance_percentiles"](spark, SF)
+    specs = window_partition_specs(df)
+    assert specs, "expected at least one window in the plan"
+    for cols in specs:
+        assert "__pid" in cols, f"window not pid-partitioned: {cols}"
