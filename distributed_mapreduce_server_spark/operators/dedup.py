@@ -1303,8 +1303,19 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_exact = exact.count()
     n_lsh = lsh.count()
     n_missed = exact.join(lsh, ["doc_a", "doc_b"], "left_anti").count()
+    # recall from the anti-join, NOT n_lsh/n_exact: the two agree only
+    # while LSH pairs ⊆ exact pairs (precision 1.0) — assert that
+    # subset property instead of silently assuming it, so a threshold
+    # drift can never report recall > 1.
+    n_hit = n_exact - n_missed
+    if n_lsh != n_hit:
+        raise AssertionError(
+            f"LSH emitted {n_lsh - n_hit} pairs outside the exact set — "
+            "precision is no longer 1.0 by construction; re-check the "
+            "verify threshold"
+        )
     recall = fround(
-        F.lit(float(n_lsh)) / F.greatest(F.lit(n_exact).cast("double"), F.lit(1.0)), 4
+        F.lit(float(n_hit)) / F.greatest(F.lit(n_exact).cast("double"), F.lit(1.0)), 4
     )
     return spark.range(1).select(
         F.lit(n_exact).cast("bigint").alias("n_exact_pairs"),

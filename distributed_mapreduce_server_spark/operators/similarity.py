@@ -930,10 +930,12 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: candidate generation is the distributed part (one
     broadcast-query corpus scan + sort-limit top-30, exactly
     sim_cosine_topk's plan). The greedy loop then runs driver-side
-    over the CANDIDATE SET ONLY — 30 vectors, constant at any corpus
-    scale (the bounded-collect contract of _collect_matrix). Both
-    rel and pairwise sims are rounded to 4 dp before selection with
-    vec_id tie-breaks, so the greedy path is engine-reproducible;
+    over the CANDIDATE SET ONLY — a bounded MMR_CANDIDATES-row
+    collect, constant at any corpus scale. Both rel and pairwise
+    sims are rounded to 4 dp before selection with vec_id
+    tie-breaks, and the pairwise cosines are computed dot-then-divide
+    (same FP operation order as the oracle's dot/(|x||y|), NOT
+    normalize-then-matmul) so the greedy path is engine-reproducible;
     the oracle unrolls the same 10 steps as sequential CTEs."""
     import numpy as np
 
@@ -956,8 +958,8 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = [r["vec_id"] for r in rows]
     rel = {r["vec_id"]: r["rel"] for r in rows}
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    sim = fround_np(mat @ mat.T, 4)
+    norms = np.linalg.norm(mat, axis=1)
+    sim = fround_np((mat @ mat.T) / np.outer(norms, norms), 4)
 
     idx = {v: i for i, v in enumerate(ids)}
     selected: list[int] = []

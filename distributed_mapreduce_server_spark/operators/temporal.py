@@ -70,9 +70,12 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("timestamp_ntz").alias("purchase_ts"),
         )
     )
+    # purchase_id tie-break: _purchases already guarantees at most one
+    # purchase per (user, ts), but a total ordering costs nothing and
+    # keeps the carry deterministic even if that dedup is ever relaxed
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "src")
+        .orderBy("ts", "src", "purchase_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
@@ -234,9 +237,12 @@ def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("purchase_ts"),
         )
     )
+    # purchase_id tie-break mirrors q_asof_last_purchase: _purchases
+    # guarantees one purchase per (user, ts), and the explicit total
+    # ordering pins first() even if that dedup is ever relaxed
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "src")
+        .orderBy("ts", "src", "purchase_id")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     return (
