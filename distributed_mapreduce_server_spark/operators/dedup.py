@@ -313,6 +313,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_a", "doc_b")
 
 
+def _ranked_by_rarity(e: DataFrame) -> DataFrame:
+    """Shingle rows annotated with document frequency ``df``, the
+    per-doc rarest-first rank ``rk``, and the doc's shingle count
+    ``n`` — the shared front half of both prefix-filter schemes.
+
+    df is a partial-agg ``groupBy(h)`` + shuffle join, NOT
+    ``count(*) over (partition by h)``: a boilerplate shingle shared
+    by 1e8 docs makes one giant window partition that a single task
+    must materialize, and window skew is invisible to AQE — while
+    the aggregation combines map-side and the join gets AQE
+    skew-splitting on hot h buckets. (Measured at sf0.1: parity with
+    the window form — ~2.5 s prefix-filter / ~1.8 s containment warm
+    either way — so the skew-robust shape costs nothing here.)
+    The per-doc window is safe: its partitions are bounded by
+    shingles-per-doc, not corpus size; rk and n share one window
+    spec, a single sort pass."""
+    df_h = e.groupBy("h").agg(F.count("*").alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "h")
+    return (
+        e.join(df_h, "h")
+        .withColumn("rk", F.row_number().over(wdoc))
+        .withColumn(
+            "n",
+            F.count("*").over(
+                wdoc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ),
+        )
+    )
+
+
 def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The EXACT sublinear candidate scheme beside MinHash-LSH:
     prefix filtering (Chaudhuri et al. SSJoin / Bayardo AllPairs).
@@ -331,29 +361,16 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     with num/den = JACCARD_T's exact fraction), not t*n doubles, so
     completeness can't hinge on float rounding and cannot
     desynchronize from the shared verify threshold.
-    Scale shape: one df-aggregation, one per-doc window (docs are
-    bounded-size shingle sets), candidate join keyed on rare hashes
-    whose buckets are small BY CONSTRUCTION (rarest-first order).
+    Scale shape: one skew-robust df-aggregation + join (see
+    _ranked_by_rarity — hot boilerplate shingles must not become one
+    window partition), one per-doc window (docs are bounded-size
+    shingle sets), candidate join keyed on rare hashes whose buckets
+    are small BY CONSTRUCTION (rarest-first order).
     """
     e = _shingle_rows(spark, sf_dir, 32).persist()
-    e.count()  # eager: window pass + candidate join + verify all
+    e.count()  # eager: df pass + candidate join + verify all
     # read this cache (lazy persist would recompute the subtree)
-    # Document frequency as a window count over h — one shuffle, no
-    # agg+join round trip — and set sizes reused from the same window
-    # pass (measured 4.0 s -> 2.4 s at sf0.1 vs the former
-    # groupBy(h)+join + re-aggregated-sizes form). rk and n share one
-    # window spec (same partition + order): a single sort pass.
-    wdoc = Window.partitionBy("doc_id").orderBy("df", "h")
-    ranked = (
-        e.withColumn("df", F.count("*").over(Window.partitionBy("h")))
-        .withColumn("rk", F.row_number().over(wdoc))
-        .withColumn(
-            "n",
-            F.count("*").over(
-                wdoc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-            ),
-        )
-    )
+    ranked = _ranked_by_rarity(e)
     pref = (
         ranked.filter(
             # n - ceil(t*n) + 1 with ceil(a/b) = floor((a+b-1)/b):
@@ -1231,17 +1248,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery as dedup_prefix_filter_jaccard."""
     e = _shingle_rows(spark, sf_dir, 32).persist()
     e.count()
-    wdoc = Window.partitionBy("doc_id").orderBy("df", "h")
-    ranked = (
-        e.withColumn("df", F.count("*").over(Window.partitionBy("h")))
-        .withColumn("rk", F.row_number().over(wdoc))
-        .withColumn(
-            "n",
-            F.count("*").over(
-                wdoc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-            ),
-        )
-    )
+    ranked = _ranked_by_rarity(e)
     pref = (
         ranked.filter(
             F.col("rk")
