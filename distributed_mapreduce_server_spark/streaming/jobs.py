@@ -345,6 +345,40 @@ def stream_ingest_partitioned(
     q.awaitTermination()
 
 
+def stream_ingest_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry wrapper for stream_ingest_partitioned: run the ingest
+    into a fresh scratch sink, then read the sink BACK through the
+    batch reader — the parity check is over the landed files, so the
+    oracle verifies the whole write path (manifest commit included),
+    not just the in-memory stream. Deterministic under availableNow:
+    the sink holds exactly the source events, value-for-value, plus
+    the derived hive partition column."""
+    import hashlib
+    import shutil
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    base = f"{tempfile.gettempdir()}/dmrs_stream_ingest_{tag}"
+    shutil.rmtree(base, ignore_errors=True)  # fresh run each call
+    out_dir, ckpt_dir = f"{base}/out", f"{base}/ckpt"
+    stream_ingest_partitioned(spark, sf_dir, out_dir, ckpt_dir)
+    return (
+        spark.read.parquet(out_dir)
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            fround(F.col("value"), 2).alias("value"),
+            "props",
+            # date -> ntz timestamp: the comparators (driver + DuckDB
+            # pandas fetch) normalize dates inconsistently; midnight
+            # timestamps hash identically in both engines
+            F.col("event_date").cast("timestamp_ntz").alias("event_date"),
+        )
+        .orderBy("event_id")
+    )
+
+
 TRENDING_SLIDE_MINUTES = 30
 TRENDING_WINDOW_MINUTES = 60
 TRENDING_TOP_K = 3

@@ -147,6 +147,7 @@ EAGER_OPS = {
     "dedup_lsh_eval",  # runs both pair operators eagerly; final plan
     # is a literal one-row projection with nothing to sweep
     "dedup_cluster_stats",  # rides the eager dedup_clusters loop
+    "stream_ingest_partitioned",  # runs the ingest + sink readback eagerly
     "q_events_value_deciles",  # two-phase rank offsets collect eagerly
     "q_balance_percentiles",  # two-phase rank offsets collect eagerly
     "q_abc_analysis",  # two-phase running-sum offsets collect eagerly
