@@ -545,9 +545,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # block-pair grid for the exact all-pairs cosine kernel: each vector
 # lands in one of B blocks, every unordered block pair becomes one
-# cogroup task. B+1-fold replication shuffle; flops stay n^2/1 (exact
-# semantics) but memory per task is 2 blocks, never the corpus.
-COSINE_BLOCKS = 8
+# cogroup task. B+1-fold replication shuffle; flops stay n^2 (exact
+# semantics) but memory per task is 2 blocks, never the corpus. B is
+# sized adaptively from the corpus count (blocked.BLOCK_TARGET_ROWS).
 
 
 def _embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -556,7 +556,7 @@ def _embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup_semantic_keep's distinct) use this directly so no range
     exchange sneaks in below their shuffle.
 
-    Scale shape: vectors hash into COSINE_BLOCKS blocks; each of the
+    Scale shape: vectors hash into B adaptive blocks; each of the
     B(B+1)/2 unordered block pairs is one cogrouped applyInPandas task
     computing a numpy matmul over its two blocks and emitting only
     thresholded pairs. Nothing corpus-sized ever reaches the driver
@@ -614,7 +614,7 @@ def _blocked_cosine_pairs(spark: SparkSession, emb: DataFrame) -> DataFrame:
         return pd.DataFrame({"vec_a": va, "vec_b": vb, "cos_sim": cos[ai, bj]})
 
     return blocked_cosine_grid(
-        spark, emb, COSINE_BLOCKS, cell, "vec_a long, vec_b long, cos_sim double"
+        spark, emb, None, cell, "vec_a long, vec_b long, cos_sim double"
     )
 
 

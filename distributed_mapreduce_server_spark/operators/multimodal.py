@@ -5,12 +5,14 @@ how a 100 TB training-data lake stores them (parquet binary + struct
 metadata; the bytes never pass through Python except inside the
 Arrow-batched decode UDF).
 
-The decode core is STUBBED: this container has no image/audio libs, so
-``_decode_real`` raises NotImplementedError and the pipeline falls
-back to ``_decode_fake`` — a deterministic byte-statistics extractor.
-Everything around it (schema, mapInPandas batching, partition-parallel
-execution) is the real production shape: swapping in PIL/ffmpeg means
-replacing one function.
+The decode core is import-guarded: ``_decode_real`` uses PIL (image)
+and soundfile (audio) when importable, raising MediaDecodeUnavailable
+otherwise — this container ships neither, so the pipeline falls back
+to ``_decode_fake``, a deterministic byte-statistics extractor.
+Undecodable payloads raise MediaDecodeError and take the same
+fallback (the corrupt-sample path). Everything around the core
+(schema, mapInPandas batching, partition-parallel execution) is the
+real production shape either way.
 """
 
 from __future__ import annotations
@@ -63,9 +65,101 @@ def attach_media(docs: DataFrame) -> DataFrame:
     )
 
 
+class MediaDecodeUnavailable(Exception):
+    """Decode lib for this media type is not importable here."""
+
+
+class MediaDecodeError(Exception):
+    """Lib present but the payload doesn't decode (corrupt/mislabeled)."""
+
+
 def _decode_real(payload: bytes, media_type: str) -> dict:
-    """Real decode (PIL / torchaudio / ffmpeg) — unavailable here."""
-    raise NotImplementedError("media decode libs not present in this environment")
+    """Real decode behind import guards — PIL for images, soundfile
+    for audio (video decode needs ffmpeg bindings; none are commonly
+    vendored, so it stays unavailable). Environments without the libs
+    raise MediaDecodeUnavailable and the pipeline falls back to the
+    deterministic stub; undecodable payloads raise MediaDecodeError
+    (the corrupt-sample path a production run must also handle).
+    Returns the same record shape as _decode_fake so the Spark-side
+    plumbing (schema, batching, rollups) is identical either way."""
+    import hashlib
+    import io
+
+    if media_type == "image":
+        try:
+            from PIL import Image
+        except ImportError as e:
+            raise MediaDecodeUnavailable("PIL not installed") from e
+        try:
+            img = Image.open(io.BytesIO(payload))
+            img.load()
+        except Exception as e:
+            raise MediaDecodeError(str(e)) from e
+        gray = img.convert("L")
+        px = list(gray.getdata())
+        mean = float(sum(px)) / max(len(px), 1)
+        return {
+            "n_bytes": len(payload),
+            "width": int(img.width),
+            "height": int(img.height),
+            "checksum": hashlib.md5(payload).hexdigest()[:8],
+            "features": [mean, float(min(px) if px else 0), float(max(px) if px else 0), float(len(px) % 997)],
+        }
+    if media_type == "audio":
+        try:
+            import soundfile as sf
+        except ImportError as e:
+            raise MediaDecodeUnavailable("soundfile not installed") from e
+        try:
+            data, rate = sf.read(io.BytesIO(payload))
+        except Exception as e:
+            raise MediaDecodeError(str(e)) from e
+        flat = data.reshape(-1)
+        n = int(flat.shape[0])
+        mean = float(flat.mean()) if n else 0.0
+        return {
+            "n_bytes": len(payload),
+            "width": int(rate),  # sample rate in the width slot
+            "height": int(n),  # total samples in the height slot
+            "checksum": hashlib.md5(payload).hexdigest()[:8],
+            "features": [mean, float(flat.min()) if n else 0.0, float(flat.max()) if n else 0.0, float(n % 997)],
+        }
+    raise MediaDecodeUnavailable(f"no decoder for media_type={media_type}")
+
+
+def _audio_features_real(payload: bytes) -> dict:
+    """Audio FEATURE extraction from a genuinely decoded waveform (soundfile)
+    — the real-path twin of mm_audio_features' deterministic fake,
+    emitting the same AUDIO_SCHEMA record shape. MFCC stands in as
+    banded sample means (a true MFCC needs librosa/torchaudio; the
+    band structure keeps the column shape and determinism)."""
+    import io
+
+    try:
+        import soundfile as sf
+    except ImportError as e:
+        raise MediaDecodeUnavailable("soundfile not installed") from e
+    try:
+        data, rate = sf.read(io.BytesIO(payload))
+    except Exception as e:
+        raise MediaDecodeError(str(e)) from e
+    flat = data.reshape(-1).astype(float)
+    n = int(flat.shape[0])
+    mean = float(flat.mean()) if n else 0.0
+    rms = float(((flat - mean) ** 2).mean() ** 0.5) if n else 0.0
+    zc = int((((flat[1:] - mean) * (flat[:-1] - mean)) < 0).sum()) if n > 1 else 0
+    mfcc = [
+        _round_sql(float(flat[j::N_MFCC].mean() - mean), 4) if flat[j::N_MFCC].size else 0.0
+        for j in range(N_MFCC)
+    ]
+    return {
+        "sample_rate": int(rate),
+        "n_samples": n,
+        "duration_s": _round_sql(n / rate, 6),
+        "rms": _round_sql(rms, 4),
+        "zero_crossings": zc,
+        "mfcc": mfcc,
+    }
 
 
 def _decode_fake(payload: bytes, media_type: str) -> dict:
@@ -102,7 +196,11 @@ def decode_media(df: DataFrame) -> DataFrame:
                 media_type = meta["media_type"]
                 try:
                     rec = _decode_real(bytes(payload), media_type)
-                except NotImplementedError:
+                except (MediaDecodeUnavailable, MediaDecodeError):
+                    # no lib in this env, or an undecodable payload
+                    # (these synthetic payloads are utf-8 text, so the
+                    # fallback also keeps the oracle deterministic when
+                    # the libs ARE present)
                     rec = _decode_fake(bytes(payload), media_type)
                 rec["doc_id"] = doc_id
                 rec["media_type"] = media_type
@@ -276,8 +374,8 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
                 if meta["media_type"] != "audio":
                     continue
                 try:
-                    rec = _decode_real(bytes(payload), "audio")
-                except NotImplementedError:
+                    rec = _audio_features_real(bytes(payload))
+                except (MediaDecodeUnavailable, MediaDecodeError):
                     rec = _audio_fake(bytes(payload))
                 rec["doc_id"] = doc_id
                 out.append(rec)

@@ -741,9 +741,8 @@ def sim_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# all-pairs k-NN join: block grid size (B(B+1)/2 cogroup tasks) and
-# neighbors kept per vector
-KNN_BLOCKS = 8
+# all-pairs k-NN join: neighbors kept per vector (block count B is
+# adaptive, blocked.BLOCK_TARGET_ROWS rows per block)
 KNN_K = 5
 
 
@@ -754,7 +753,7 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bootstrapping (sim_cosine_topk answers a small query SET; this
     answers it for the WHOLE corpus).
 
-    Scale shape: vectors hash into KNN_BLOCKS blocks; each unordered
+    Scale shape: vectors hash into B adaptive blocks; each unordered
     block pair is one cogrouped applyInPandas task that computes its
     cos sub-matrix (numpy matmul) and emits only each vector's LOCAL
     top-k within that cell — so the shuffle out of the kernel is
@@ -810,7 +809,7 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     cand = blocked_cosine_grid(
-        spark, emb, KNN_BLOCKS, cell, "vec_id long, nbr_id long, cos_sim double"
+        spark, emb, None, cell, "vec_id long, nbr_id long, cos_sim double"
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("nbr_id"))
     return (

@@ -241,3 +241,36 @@ def test_data_quality_audit_clean_corpus(spark, queries):
             assert v > 0, name
         else:
             assert v == 0.0, (name, v)
+
+
+def test_decode_real_import_guard():
+    """The real media decoder must raise MediaDecodeUnavailable when
+    the lib is absent (so the pipeline's documented fallback path
+    fires), decode a genuine payload when the lib IS present, and
+    classify undecodable bytes as MediaDecodeError."""
+    from distributed_mapreduce_server_spark.operators import multimodal as mm
+
+    try:
+        from PIL import Image  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    if has_pil:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (7, 5), (10, 20, 30)).save(buf, format="PNG")
+        rec = mm._decode_real(buf.getvalue(), "image")
+        assert (rec["width"], rec["height"]) == (7, 5)
+        with pytest.raises(mm.MediaDecodeError):
+            mm._decode_real(b"not an image", "image")
+    else:
+        with pytest.raises(mm.MediaDecodeUnavailable):
+            mm._decode_real(b"not an image", "image")
+    # no video decoder is ever vendored
+    with pytest.raises(mm.MediaDecodeUnavailable):
+        mm._decode_real(b"xx", "video")

@@ -405,8 +405,9 @@ def test_embedding_dedup_no_driver_collect(spark, queries):
     """Building the embedding-dedup plans must never materialize the
     corpus on the driver (the scale-killer the blocked pair-matmul
     kernel replaced): plan construction with DataFrame.collect()
-    forbidden must succeed, and the plan must carry the cogrouped
-    block-pair kernel."""
+    forbidden must succeed, and the plan must carry the grouped
+    block-pair kernel (a count() for adaptive block sizing is fine —
+    one scalar, not the corpus)."""
     from unittest import mock
 
     from pyspark.sql import DataFrame
@@ -417,7 +418,9 @@ def test_embedding_dedup_no_driver_collect(spark, queries):
         cos = queries["dedup_embedding_cosine"](spark, SF)
         keep = queries["dedup_semantic_keep"](spark, SF)
     for df in (cos, keep):
-        assert "FlatMapCoGroupsInPandas" in df._jdf.queryExecution().executedPlan().toString()
+        # FlatMapGroupsInPandas since the round-5 single-shuffle grid
+        # (formerly FlatMapCoGroupsInPandas)
+        assert "GroupsInPandas" in df._jdf.queryExecution().executedPlan().toString()
 
 
 def test_bm25_stats_broadcast_no_big_shuffle(spark, queries):
