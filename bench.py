@@ -133,17 +133,22 @@ def main() -> None:
             assert n >= 0
         times[name] = round(best, 3)
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "sf": sf,
+        }
     )
+    # Also land the full record in a file: a harness that tail-captures
+    # stdout can truncate the head of the (long) one-line JSON, losing
+    # the leading per-query entries from the recorded artifact.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results.json")
+    with open(out_path, "w") as fh:
+        fh.write(payload + "\n")
+    print(payload)
 
 
 if __name__ == "__main__":

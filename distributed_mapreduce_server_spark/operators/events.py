@@ -332,7 +332,14 @@ def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     companion to q_events_funnel, which checks one FIXED path. Window
     lead x2 over the per-user event sequence (one shuffle, the same
     partitioning every sequence operator here reuses), then a
-    map-side-combined path count and a TakeOrdered top-K."""
+    map-side-combined path count and a TakeOrdered top-K.
+
+    Skew pre-flight: per-user partitioning is correct at any scale,
+    but ONE bot-grade user (10^7+ events) serializes that user's sort
+    into one task — run q_shuffle_key_skew on user_id first; a high
+    p99/median ratio says cap or pre-filter bot users before the
+    window. Results are per-user isolated either way
+    (test_scale_kernels.py::test_events_paths_hot_user_isolated)."""
     ev = load_tables(spark, sf_dir, register_views=False)["events"]
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = (
@@ -931,7 +938,13 @@ def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     two forward carry windows — next click after each view, next
     purchase after that click — decide reachability with NO
     self-joins: one user-keyed shuffle serves both window passes and
-    the final per-user max. Level 0 = users with no view at all."""
+    the final per-user max. Level 0 = users with no view at all.
+
+    Skew pre-flight: as q_events_paths — per-user windows isolate a
+    hot user's effect to their own row (pinned by
+    test_scale_kernels.py::test_window_funnel_hot_user_isolated), but
+    a bot-grade key still sorts in one task; check q_shuffle_key_skew
+    before pointing this at a new event source."""
     from pyspark.sql.window import Window
 
     ev = load_tables(spark, sf_dir, register_views=False)["events"]

@@ -15,6 +15,12 @@ adds the importance/shape queries a user would run next:
   in-function notes for the measured variants). At 1000 executors
   this is the standard Pregel-equivalent formulation: both sides
   hash-partition on the join key, no driver state.
+- q_pagerank_converged: the same loop run to a delta tolerance with
+  per-round localCheckpoint lineage cuts — the production form when
+  the round count is data/tolerance-driven rather than budgeted.
+  Not in the registry (a tolerance-driven run is ~75 rounds at any
+  SF — too slow for the per-round oracle drive); covered by the
+  fixed-point invariant test instead.
 - q_graph_degree_distribution: degree histogram — the 30-second
   sanity check before trusting any iterative graph result.
 
@@ -40,6 +46,9 @@ from distributed_mapreduce_server_spark.functions import fround
 PR_ITERATIONS = 5
 PR_DAMPING = 0.85
 PR_BASE = 0.15
+# convergence-mode knobs (q_pagerank_converged)
+PR_TOL = 1e-4
+PR_MAX_ITERATIONS = 120
 
 
 def _bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,8 +79,6 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build the raw edge set ONCE: deg and the deg-annotated join
     # both read it, and without this persist the edeg materialization
     # would run the lineitem⋈orders+distinct build twice.
-    edges = _bipartite_edges(spark, sf_dir).persist()
-    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     # edges annotated with the source's out-degree: built once,
     # persisted PRE-PARTITIONED ON src. The persisted frame's hash
     # partitioning satisfies the per-round join's distribution
@@ -79,9 +86,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round — without this, the (much larger) edge frame re-shuffles
     # every iteration. This is the bucketed-join trick applied to an
     # iterative loop.
-    edeg = edges.join(deg, "src").repartition(F.col("src")).persist()
-    edeg.count()
-    edges.unpersist()
+    edeg = _edges_with_outdeg(spark, sf_dir)
 
     # Unlike dedup_clusters_bigstar (geometric lineage -> needs
     # localCheckpoint cuts), this chain is LINEAR in the round count:
@@ -98,17 +103,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edge build for the rank side.
     pr = edeg.select(F.col("src").alias("node")).distinct().withColumn("pr", F.lit(1.0))
     for _ in range(PR_ITERATIONS):
-        pr = (
-            edeg.join(pr, edeg["src"] == pr["node"])
-            .groupBy(F.col("dst").alias("node2"))
-            .agg(
-                fround(
-                    F.lit(PR_BASE) + F.lit(PR_DAMPING) * F.sum(F.col("pr") / F.col("out_deg")),
-                    10,
-                ).alias("pr")
-            )
-            .select(F.col("node2").alias("node"), "pr")
-        )
+        pr = _pr_round(edeg, pr)
     # materialize the (node-sized) result THROUGH the cache before
     # releasing it: the returned frame is lazy, and unpersisting
     # first would make the caller's execution re-derive the edge
@@ -122,6 +117,94 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("supplier"))
         .alias("node_type"),
         "pr",
+    ).orderBy("node_id")
+
+
+def _edges_with_outdeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted, src-partitioned, out-degree-annotated edge frame
+    both PageRank variants loop over (see q_pagerank's notes on why
+    the pre-partitioned persist makes each round shuffle only the
+    node-sized rank frame). Caller unpersists."""
+    edges = _bipartite_edges(spark, sf_dir).persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    edeg = edges.join(deg, "src").repartition(F.col("src")).persist()
+    edeg.count()
+    edges.unpersist()
+    return edeg
+
+
+def _pr_round(edeg: DataFrame, pr: DataFrame) -> DataFrame:
+    """One damped PageRank round: contributions flow along edges (the
+    persisted src-partitioned frame), aggregate per destination."""
+    return (
+        edeg.join(pr, edeg["src"] == pr["node"])
+        .groupBy(F.col("dst").alias("node2"))
+        .agg(
+            fround(
+                F.lit(PR_BASE) + F.lit(PR_DAMPING) * F.sum(F.col("pr") / F.col("out_deg")),
+                10,
+            ).alias("pr")
+        )
+        .select(F.col("node2").alias("node"), "pr")
+    )
+
+
+def q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank run TO CONVERGENCE (max |Δpr| < PR_TOL) instead of a
+    fixed round budget — the production form q_pagerank's docstring
+    deferred. Same per-round computation (so a run that converges in
+    exactly k rounds equals the fixed-k loop bit-for-bit, per-round
+    10 dp rounding included).
+
+    Loop discipline for a VARIABLE round count: every round's rank
+    frame is cut to a leaf with eager localCheckpoint — the delta
+    test forces an action per round anyway, and an uncut chain would
+    re-execute geometrically once the round count is data-dependent
+    (the q_pagerank measurement notes). The delta itself is a
+    node-sized join of two checkpointed frames: no corpus-scale work
+    beyond the round's own join-agg. Damping guarantees termination:
+    Δ contracts by ~0.85/round (measured: 1.3e+01 at round 1 ->
+    8.6e-08 at round 117 at sf0.01, a clean x0.85 geometric decay —
+    the bipartite graph's -0.85 eigenvalue makes that rate exact), so
+    max_iter=120 covers tol=1e-4 from any start with slack; the loop
+    raises if the budget is ever exhausted (silent non-convergence
+    must not masquerade as a result). Round count is
+    tolerance-driven, NOT data-size-driven — the same ~75 rounds at
+    any SF; each round is one node-frame shuffle against the
+    persisted edges."""
+    edeg = _edges_with_outdeg(spark, sf_dir)
+    pr = (
+        edeg.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("pr", F.lit(1.0))
+        .localCheckpoint(eager=True)
+    )
+    n_rounds = 0
+    for i in range(PR_MAX_ITERATIONS):
+        new = _pr_round(edeg, pr).localCheckpoint(eager=True)
+        delta = (
+            new.alias("n")
+            .join(pr.alias("o"), "node")
+            .agg(F.max(F.abs(F.col("n.pr") - F.col("o.pr"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        pr = new
+        n_rounds = i + 1
+        if delta < PR_TOL:
+            break
+    else:
+        edeg.unpersist()
+        raise RuntimeError(
+            f"PageRank did not reach tol={PR_TOL} in {PR_MAX_ITERATIONS} rounds"
+        )
+    edeg.unpersist()
+    return pr.select(
+        F.col("node").alias("node_id"),
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        "pr",
+        F.lit(n_rounds).alias("n_rounds"),
     ).orderBy("node_id")
 
 

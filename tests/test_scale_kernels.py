@@ -124,3 +124,68 @@ def test_two_phase_windows_partition_by_pid(spark):
     assert specs, "expected at least one window in the plan"
     for cols in specs:
         assert "__pid" in cols, f"window not pid-partitioned: {cols}"
+
+
+@pytest.fixture(scope="module")
+def hot_user_dir(tmp_path_factory):
+    """sf0.001 with one NEW user holding 20k 'view' events — a 20x
+    corpus-dominating hot key. Existing users' event sequences are
+    untouched, so per-user operators must return exactly their
+    baseline results for everyone else."""
+    import shutil
+
+    import pandas as pd
+
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("sfhot")
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        shutil.copy(f"{src}/{t}.parquet", dst / f"{t}.parquet")
+    ev = pd.read_parquet(f"{src}/events.parquet")
+    n_hot = 20_000
+    hot = pd.DataFrame(
+        {
+            "event_id": range(1_000_000, 1_000_000 + n_hot),
+            "ts": pd.date_range("2024-01-01", periods=n_hot, freq="s"),
+            "user_id": 999_999,
+            "event_type": "view",
+            "value": 1.0,
+            "props": '{"k": 0}',
+        }
+    ).astype(ev.dtypes.to_dict())
+    pd.concat([ev, hot], ignore_index=True).to_parquet(
+        dst / "events.parquet", index=False
+    )
+    return str(dst)
+
+
+def test_window_funnel_hot_user_isolated(spark, hot_user_dir):
+    """One corpus-dominating user must shift q_window_funnel's level
+    histogram by EXACTLY their own row (view-only -> level 1) and
+    leave every other user's level untouched — per-user windows
+    isolate skew by construction; this pins it."""
+    from distributed_mapreduce_server_spark import registry
+
+    q = registry.all_queries()["q_window_funnel"]
+    base = {r["max_level"]: r["n_users"] for r in q(spark, "/root/testdata/sf0.001").collect()}
+    hot = {r["max_level"]: r["n_users"] for r in q(spark, hot_user_dir).collect()}
+    expected = dict(base)
+    expected[1] = expected.get(1, 0) + 1
+    assert hot == expected
+
+
+def test_events_paths_hot_user_isolated(spark, hot_user_dir):
+    """q_events_paths with the hot user: their 19,998 'view > view >
+    view' journeys take rank 1; every other returned path must carry
+    its exact baseline count (other users' sequences are untouched)."""
+    from distributed_mapreduce_server_spark import registry
+
+    q = registry.all_queries()["q_events_paths"]
+    base = [(r["path"], r["n_journeys"]) for r in q(spark, "/root/testdata/sf0.001").collect()]
+    hot = [(r["path"], r["n_journeys"]) for r in q(spark, hot_user_dir).collect()]
+    # 19,998 hot journeys + however many baseline vvv journeys exist
+    # (possibly below the baseline top-20 cutoff, so >=)
+    assert hot[0][0] == "view > view > view" and hot[0][1] >= 19_998
+    assert hot[1:] == [p for p in base if p[0] != "view > view > view"][: len(hot) - 1]
