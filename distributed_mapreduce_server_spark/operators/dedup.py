@@ -323,9 +323,12 @@ def _ranked_by_rarity(e: DataFrame) -> DataFrame:
     by 1e8 docs makes one giant window partition that a single task
     must materialize, and window skew is invisible to AQE — while
     the aggregation combines map-side and the join gets AQE
-    skew-splitting on hot h buckets. (Measured at sf0.1: parity with
-    the window form — ~2.5 s prefix-filter / ~1.8 s containment warm
-    either way — so the skew-robust shape costs nothing here.)
+    skew-splitting on hot h buckets. (Measured at sf0.1: warm-cache
+    parity with the window form — ~2.3 s prefix-filter / ~1.7 s
+    containment either way; cold-cache best-of-3 ~2.6 s / ~2.1 s vs
+    the window form's ~1.9 s / ~1.8 s — a few hundred ms for the
+    extra join build, the price of a plan AQE can actually rescue
+    when one shingle goes corpus-hot.)
     The per-doc window is safe: its partitions are bounded by
     shingles-per-doc, not corpus size; rk and n share one window
     spec, a single sort pass."""

@@ -233,13 +233,14 @@ def q_events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_tables(spark, sf_dir, register_views=False)["events"]
-    ranked, _ = two_phase_rank(
+    ranked, _, tagged = two_phase_rank(
         spark,
         ev.select("event_type", "value", "event_id"),
         ["value", "event_id"],
         group_cols=["event_type"],
         rn_col="rn",
         n_col="n_type",
+        materialize=False,
     )
     out = (
         ranked.withColumn(
@@ -253,8 +254,10 @@ def q_events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "decile")
     )
+    # one pass: fold through the tagged cache into the (60-row)
+    # checkpoint, then release the cache
     out = out.localCheckpoint(eager=True)
-    ranked.unpersist()
+    tagged.unpersist()
     return out
 
 

@@ -882,13 +882,16 @@ def q_balance_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_mapreduce_server_spark.operators.scale import two_phase_rank
 
     cust = load_tables(spark, sf_dir, register_views=False)["customer"]
-    ranked, _ = two_phase_rank(
+    # lazy form: the per-customer result streams straight off the
+    # still-persisted range-partition cache at the caller's action
+    ranked, _, _tagged = two_phase_rank(
         spark,
         cust.select("c_custkey", "c_nationkey", "c_acctbal"),
         ["c_acctbal", "c_custkey"],
         group_cols=["c_nationkey"],
         rn_col="rn",
         n_col="n_nat",
+        materialize=False,
     )
     # the (acctbal, custkey) ordering is total, so rank == row_number:
     # percent_rank = (rn-1)/(n-1), cume_dist = rn/n, computed
@@ -1659,16 +1662,22 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy("l_partkey").agg(
         fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("rev")
     )
+    # persist the part-sized revenue frame: the range partitioner's
+    # sample pass, the range shuffle itself, and the grand-total agg
+    # would otherwise each re-run the lineitem scan + aggregation
+    rev = rev.persist()
+    rev.count()
     # cumulative revenue via the two-phase kernel (operators/scale.py):
     # an unpartitioned running-sum window sorts the whole part frame
     # in ONE task, and TPC-H parts scale with SF — range-partition on
     # (-rev, partkey) instead and add broadcast per-partition offsets
-    ranked, _ = two_phase_rank(
+    ranked, _, tagged = two_phase_rank(
         spark,
         rev,
         [F.desc("rev"), F.asc("l_partkey")],
         sum_cols=["rev"],
         rn_col="rev_rank",
+        materialize=False,
     )
     total = rev.agg(F.sum("rev").alias("total_rev"))
     classed = (
@@ -1694,7 +1703,8 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("abc_class")
     )
     out = out.localCheckpoint(eager=True)
-    ranked.unpersist()
+    tagged.unpersist()
+    rev.unpersist()
     return out
 
 

@@ -47,6 +47,7 @@ def two_phase_rank(
     rn_col: str = "rn",
     sum_cols: list | tuple = (),
     n_col: str | None = None,
+    materialize: bool = True,
 ):
     """1-based ``row_number`` within ``group_cols`` under ``order_cols``
     without a low-cardinality-partition window.
@@ -63,9 +64,15 @@ def two_phase_rank(
     ``n_col``: adds the per-group total row count (for ntile /
     percent_rank / cume_dist denominators).
 
-    Returns ``(out_df, total_rows)``. ``out_df`` is persisted and
-    already materialised (the caller may unpersist when done);
-    ``total_rows`` is the overall input count.
+    Returns ``(out_df, total_rows)`` with ``out_df`` persisted and
+    already materialised (the caller may unpersist when done) —
+    or, with ``materialize=False``, ``(out_df, total_rows, tagged)``
+    where ``out_df`` is LAZY over the still-persisted ``tagged``
+    range-partition cache: a caller that immediately folds the ranked
+    frame to a small result (then eagerly checkpoints it) saves one
+    full materialisation pass by reading the cache once and
+    unpersisting ``tagged`` itself. ``total_rows`` is the overall
+    input count either way.
     """
     group_cols = list(group_cols)
     sum_cols = list(sum_cols)
@@ -134,6 +141,8 @@ def two_phase_rank(
     out = out.drop(
         "__pid", "__rn_off", "__n_total", *[f"__off_{c}" for c in sum_cols]
     )
+    if not materialize:
+        return out, total_rows, tagged
     out = out.persist()
     out.count()  # materialise through the cache BEFORE releasing input
     tagged.unpersist()
