@@ -54,6 +54,7 @@ HEADLINE = [
     "text_mixture_sample",
     "emb_pq_quantize",
     "sim_pq_adc_ann",
+    "sim_ivfpq_ann",
     "emb_coverage",
     "sim_knn_join",
     "emb_encode_backfill",

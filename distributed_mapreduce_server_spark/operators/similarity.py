@@ -741,6 +741,101 @@ def sim_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — the two serving halves composed the way a
+    production index (FAISS IVFPQ) ships them: the coarse quantizer
+    routes every candidate into its nearest IVF list (sim_ivf_ann's
+    assignment), queries probe their N_PROBE nearest lists, and
+    INSIDE the probed lists candidates are scored by PQ-ADC over
+    their code words (sim_pq_adc_ann's LUT kernel) — no float vector
+    is touched at query time, and only nprobe/nlist of the corpus is
+    scanned per query. This is the ``by_residual=False`` IVFPQ
+    variant (codes encode raw vectors, not list residuals), which is
+    a real FAISS option and what keeps the operator fully
+    deterministic -> FULL value-parity oracle, like both parents.
+
+    Scale shape: candidate codes+list-ids partition BY centroid_id
+    (the inverted file); the query LUT is |Q| x PQ_M x PQ_K doubles —
+    bounded at any corpus size — broadcast to the Arrow kernel; the
+    probe join is an equi-join on centroid_id whose fan-out is list
+    size, never the corpus. Recall carries both parents' documented
+    caveats (untrained stand-in codebooks on near-random vectors);
+    the machinery — routing, probing, encode, ADC — is verified
+    exactly."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
+    centroids = emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+    )
+    cand = emb.filter(F.col("vec_id") >= N_QUERIES)
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    cand_buckets = _centroid_assign(cand, centroids, 1).withColumnsRenamed(
+        {"vec_id": "neighbor_id"}
+    )
+    q_probes = _centroid_assign(q, centroids, N_PROBE).withColumnsRenamed(
+        {"vec_id": "query_id"}
+    )
+
+    # ADC lookup table from the bounded query set (sim_pq_adc_ann's
+    # construction, shared rounding discipline)
+    _, cen_mat = _pq_codebook(emb)
+    q_ids, q_mat = _collect_matrix(q)
+    lut = np.zeros((len(q_ids), PQ_M, PQ_K))
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUB_DIM, (m + 1) * PQ_SUB_DIM
+        diff = q_mat[:, None, lo:hi] - cen_mat[None, :, lo:hi]
+        lut[:, m, :] = fround_np((diff * diff).sum(axis=2))
+    qpos = {int(v): i for i, v in enumerate(q_ids)}
+    bc = spark.sparkContext.broadcast((cen_mat, qpos, lut))
+
+    # candidates restricted to probed lists BEFORE any scoring — the
+    # IVF pruning is the point; each candidate sits in exactly one
+    # list and probes are distinct, so pairs are already unique
+    ce = cand.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    pairs = (
+        broadcast(q_probes)
+        .join(cand_buckets, "centroid_id")
+        .select("query_id", "neighbor_id")
+        .join(ce, "neighbor_id")
+    )
+
+    def blocks(batches):
+        cen, qix, tab = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            qi = np.array([qix[int(v)] for v in pdf["query_id"]], dtype=np.int64)
+            adc = np.zeros(len(pdf))
+            for m in range(PQ_M):
+                lo, hi = m * PQ_SUB_DIM, (m + 1) * PQ_SUB_DIM
+                diff = x[:, None, lo:hi] - cen[None, :, lo:hi]
+                d = fround_np((diff * diff).sum(axis=2))
+                codes = np.argmin(d, axis=1)  # first min = lowest cid
+                adc += tab[qi, m, codes]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(dtype=np.int64),
+                    "adc_dist": fround_np(adc),
+                }
+            )
+
+    scored = pairs.mapInPandas(
+        blocks, "query_id long, neighbor_id long, adc_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 # all-pairs k-NN join: neighbors kept per vector (block count B is
 # adaptive, blocked.BLOCK_TARGET_ROWS rows per block)
 KNN_K = 5

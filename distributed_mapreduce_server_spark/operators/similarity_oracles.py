@@ -285,6 +285,81 @@ SIMILARITY_ORACLES["sim_pq_adc_ann"] = f"""
     ORDER BY query_id, rank
 """
 
+# IVF-PQ = the IVF routing CTEs + the PQ encode/LUT CTEs, with ADC
+# summed only over (query, candidate) pairs that share a probed list.
+SIMILARITY_ORACLES["sim_ivfpq_ann"] = f"""
+    WITH centroids AS (
+        SELECT vec_id AS centroid_id, embedding FROM embeddings
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}
+    ),
+    cand_assign AS (
+        SELECT vec_id AS neighbor_id, centroid_id FROM (
+            SELECT v.vec_id, k.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY ROUND({_DOT_VK} / ({_NORM_V} * {_NORM_K}), 4) DESC,
+                                k.centroid_id) AS crank
+            FROM embeddings v CROSS JOIN centroids k
+            WHERE v.vec_id >= {N_QUERIES}
+        ) WHERE crank <= 1
+    ),
+    q_probes AS (
+        SELECT vec_id AS query_id, centroid_id FROM (
+            SELECT v.vec_id, k.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY ROUND({_DOT_VK} / ({_NORM_V} * {_NORM_K}), 4) DESC,
+                                k.centroid_id) AS crank
+            FROM embeddings v CROSS JOIN centroids k
+            WHERE v.vec_id < {N_QUERIES}
+        ) WHERE crank <= {N_PROBE}
+    ),
+    cen AS (
+        SELECT vec_id AS cid, embedding AS c
+        FROM embeddings
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
+    ),
+    subs AS (SELECT unnest(range(0, {PQ_M})) AS m),
+    d AS (
+        SELECT x.vec_id, sub.m, cen.cid,
+               {_pq_subdist('x.embedding', 'cen.c')} AS dist
+        FROM embeddings x, cen, subs sub
+        WHERE x.vec_id >= {N_QUERIES}
+    ),
+    codes AS (
+        SELECT vec_id, m, cid FROM (
+            SELECT vec_id, m, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dist, cid) AS rn
+            FROM d
+        ) WHERE rn = 1
+    ),
+    lut AS (
+        SELECT q.vec_id AS query_id, sub.m, cen.cid,
+               {_pq_subdist('q.embedding', 'cen.c')} AS ldist
+        FROM embeddings q, cen, subs sub
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    pairs AS (
+        SELECT p.query_id, ca.neighbor_id
+        FROM q_probes p JOIN cand_assign ca USING (centroid_id)
+    ),
+    adc AS (
+        SELECT pr.query_id, pr.neighbor_id,
+               ROUND(SUM(l.ldist), 4) AS adc_dist
+        FROM pairs pr
+        JOIN codes c ON c.vec_id = pr.neighbor_id
+        JOIN lut l ON l.query_id = pr.query_id AND l.m = c.m AND l.cid = c.cid
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_dist, rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist, neighbor_id) AS rank
+        FROM adc
+    )
+    WHERE rank <= {_PQ_TOP_K}
+    ORDER BY query_id, rank
+"""
+
 from distributed_mapreduce_server_spark.operators.similarity import KNN_K  # noqa: E402
 
 SIMILARITY_ORACLES["sim_knn_join"] = f"""

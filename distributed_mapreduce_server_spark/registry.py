@@ -175,6 +175,7 @@ _register(
         "emb_coverage",
         "emb_pq_quantize",
         "sim_pq_adc_ann",
+        "sim_ivfpq_ann",
         "sim_knn_join",
         "emb_encode_backfill",
         "sim_range_search",

@@ -148,3 +148,33 @@ def test_pq_adc_topk_shape_and_monotone(spark, sf_dir):
         dists = [r["adc_dist"] for r in rs]
         assert dists == sorted(dists)
         assert all(d >= 0 for d in dists)
+
+
+def test_ivfpq_prunes_to_probed_lists(spark):
+    """IVF-PQ must return only neighbors whose IVF list the query
+    probed (the pruning IS the operator), and its per-query result
+    must agree with full-scan PQ-ADC wherever both rank a probed
+    candidate — the combo may only ever DROP candidates, never
+    rescore them."""
+    from distributed_mapreduce_server_spark import registry
+    from distributed_mapreduce_server_spark.catalog import load_tables
+
+    queries = registry.all_queries()
+    sf = "/root/testdata/sf0.01"
+    ivfpq = {
+        (r["query_id"], r["neighbor_id"]): r["adc_dist"]
+        for r in queries["sim_ivfpq_ann"](spark, sf).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"]): r["adc_dist"]
+        for r in queries["sim_pq_adc_ann"](spark, sf).collect()
+    }
+    assert ivfpq, "empty IVF-PQ result"
+    for pair, dist in ivfpq.items():
+        if pair in full:
+            assert full[pair] == dist, pair
+    # pruning is real: the probed union must be smaller than the corpus
+    n_cand = (
+        load_tables(spark, sf, register_views=False)["embeddings"].count() - 5
+    )
+    assert len({p[1] for p in ivfpq}) < n_cand
