@@ -73,6 +73,7 @@ HEADLINE = [
     "sim_hybrid_search",
     "text_weighted_sample",
     "text_gopher_filters",
+    "text_model_quality_filter",
     "q_pagerank",
     "q_ewma_revenue",
     "q_events_attribution",

@@ -1454,3 +1454,73 @@ def text_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_token_entropy",
         )
     )
+
+
+# fixed classifier weights: a transparent linear stand-in for the
+# FastText-style quality model the production pipelines run (DCLM /
+# FineWeb-Edu shape). Intercept sized so the corpus splits, not
+# rubber-stamps (keep rate ~0.5-0.8 at both SFs).
+MODEL_QF_W = {
+    "intercept": -4.5,
+    "distinct_ratio": 5.0,
+    "stop_signal": 4.0,  # over least(stop_ratio * 8, 1)
+    "log_tokens": 0.3,  # over ln(1 + n_tokens)
+    "avg_tok_len": -0.2,
+}
+MODEL_QF_THRESHOLD = 0.5
+
+
+def text_model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the classifier stage modern
+    corpus pipelines run AFTER heuristic filters (a trained quality
+    classifier scores each doc; docs below threshold drop). The model
+    here is a fixed-weight logistic regression over interpretable
+    features (distinct-token ratio, saturating stopword signal,
+    log-length, mean token length): transparent enough for an exact
+    cross-engine oracle, same serving shape as a FastText/linear
+    scorer — per-doc feature extraction + dot product + sigmoid, all
+    codegen column arithmetic, embarrassingly parallel at 100 TB (a
+    learned model would broadcast its weights exactly the same way).
+
+    Determinism: features are exact integer ratios; the logit is
+    rounded to 6 dp before the sigmoid and the score to 6 dp before
+    the threshold compare, so the keep decision cannot hinge on
+    sub-rounding libm noise."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    toks = tokens("text")
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n_tok
+    avg_tok_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)
+    ) / n_tok
+    w = MODEL_QF_W
+    logit = fround(
+        F.lit(w["intercept"])
+        + F.lit(w["distinct_ratio"]) * distinct_ratio
+        + F.lit(w["stop_signal"]) * F.least(stop_ratio * 8, F.lit(1.0))
+        + F.lit(w["log_tokens"]) * F.log(F.lit(1.0) + F.size(toks))
+        + F.lit(w["avg_tok_len"]) * avg_tok_len,
+        6,
+    )
+    score = fround(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit"))), 6)
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            fround(distinct_ratio, 4).alias("distinct_ratio"),
+            fround(stop_ratio, 4).alias("stop_ratio"),
+            fround(avg_tok_len, 4).alias("avg_tok_len"),
+            logit.alias("logit"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "distinct_ratio",
+            "stop_ratio",
+            "avg_tok_len",
+            score.alias("model_score"),
+            (score >= MODEL_QF_THRESHOLD).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

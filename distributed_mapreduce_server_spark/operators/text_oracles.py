@@ -787,3 +787,45 @@ TEXT_ORACLES["text_corpus_report"] = f"""
            avg_token_entropy
     FROM base CROSS JOIN dup CROSS JOIN kept CROSS JOIN ent
 """
+
+from distributed_mapreduce_server_spark.operators.text import (  # noqa: E402
+    MODEL_QF_THRESHOLD,
+    MODEL_QF_W,
+)
+
+# weights interpolated from the SAME dict the operator reads, so an
+# edit can never desynchronize model and oracle
+TEXT_ORACLES["text_model_quality_filter"] = f"""
+    WITH base AS (
+        SELECT doc_id, text, {_TOKS} AS toks FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / greatest(len(toks), 1) AS dr,
+               CAST(len(list_filter(toks, t -> list_contains(
+                    ['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
+                   / greatest(len(toks), 1) AS sr,
+               CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS DOUBLE)
+                   / greatest(len(toks), 1) AS atl
+        FROM base
+    ),
+    lg AS (
+        SELECT *,
+               ROUND({MODEL_QF_W["intercept"]}
+                     + {MODEL_QF_W["distinct_ratio"]} * dr
+                     + {MODEL_QF_W["stop_signal"]} * least(sr * 8, 1.0)
+                     + {MODEL_QF_W["log_tokens"]} * ln(1.0 + n_tokens)
+                     + {MODEL_QF_W["avg_tok_len"]} * atl, 6) AS logit
+        FROM m
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(dr, 4) AS distinct_ratio,
+           ROUND(sr, 4) AS stop_ratio,
+           ROUND(atl, 4) AS avg_tok_len,
+           ROUND(1.0 / (1.0 + exp(-logit)), 6) AS model_score,
+           ROUND(1.0 / (1.0 + exp(-logit)), 6) >= {MODEL_QF_THRESHOLD} AS keep
+    FROM lg
+    ORDER BY doc_id
+"""

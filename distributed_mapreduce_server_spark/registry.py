@@ -226,6 +226,7 @@ _register(
         "text_collocations",
         "text_token_entropy",
         "text_corpus_report",
+        "text_model_quality_filter",
     ],
 )
 _register(
