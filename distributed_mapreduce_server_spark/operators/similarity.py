@@ -836,6 +836,45 @@ def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall harness: every approximate serving arm (Hamming/BQ,
+    IVF, IVF-PQ, LSH, full-scan PQ-ADC) scored against the exact
+    cosine top-k — the one-table answer to "which index can I trust
+    at which recall" that an ANN stack publishes before pointing any
+    arm at 100 TB (dedup_lsh_eval's role, for the similarity side).
+
+    recall@k = |arm ∩ exact top-k| / |exact top-k|. Every arm here is
+    deterministic (rounded-grid selection, id tie-breaks), so the
+    report itself carries a FULL value oracle — the DuckDB side
+    re-runs each arm's own oracle SQL as a CTE and intersects, so the
+    eval can never drift from the operators it evaluates. Each arm
+    keeps its own scale shape; the intersections are top-k-sized
+    joins (|Q|·k rows), nothing corpus-scale beyond the arms
+    themselves."""
+    from distributed_mapreduce_server_spark.functions import fround_scalar
+
+    exact = sim_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id").persist()
+    n_exact = exact.count()
+    arms = [
+        ("hamming", sim_hamming_ann),
+        ("ivf", sim_ivf_ann),
+        ("ivfpq", sim_ivfpq_ann),
+        ("lsh", sim_lsh_ann),
+        ("pq_adc", sim_pq_adc_ann),
+    ]
+    rows = []
+    for name, fn in arms:
+        got = fn(spark, sf_dir).select("query_id", "neighbor_id").persist()
+        n_ret = got.count()
+        n_hit = got.join(exact, ["query_id", "neighbor_id"], "left_semi").count()
+        got.unpersist()
+        rows.append((name, n_ret, n_hit, fround_scalar(n_hit / n_exact, 4)))
+    exact.unpersist()
+    return spark.createDataFrame(
+        rows, "arm string, n_returned bigint, n_hits bigint, recall_at_k double"
+    ).orderBy("arm")
+
+
 # all-pairs k-NN join: neighbors kept per vector (block count B is
 # adaptive, blocked.BLOCK_TARGET_ROWS rows per block)
 KNN_K = 5

@@ -734,3 +734,38 @@ SIMILARITY_ORACLES["emb_cluster_purity"] = f"""
     GROUP BY 1
     ORDER BY 1
 """
+
+
+def _ann_eval_sql() -> str:
+    """Compose the recall report from each arm's OWN oracle SQL (as
+    MATERIALIZED CTEs — each is referenced twice and DuckDB would
+    otherwise inline-re-expand them), so the eval oracle can never
+    diverge from the arm oracles it evaluates."""
+    arms = {
+        "hamming": "sim_hamming_ann",
+        "ivf": "sim_ivf_ann",
+        "ivfpq": "sim_ivfpq_ann",
+        "lsh": "sim_lsh_ann",
+        "pq_adc": "sim_pq_adc_ann",
+    }
+    ctes = ["exact AS MATERIALIZED (\n" + SIMILARITY_ORACLES["sim_cosine_topk"] + "\n)"]
+    selects = []
+    for arm, key in sorted(arms.items()):
+        ctes.append(f"arm_{arm} AS MATERIALIZED (\n" + SIMILARITY_ORACLES[key] + "\n)")
+        selects.append(
+            f"SELECT '{arm}' AS arm, "
+            f"(SELECT COUNT(*) FROM arm_{arm}) AS n_returned, "
+            f"(SELECT COUNT(*) FROM arm_{arm} a JOIN exact e "
+            f"USING (query_id, neighbor_id)) AS n_hits, "
+            f"ROUND((SELECT COUNT(*) FROM arm_{arm} a JOIN exact e "
+            f"USING (query_id, neighbor_id)) "
+            f"/ (SELECT COUNT(*) FROM exact), 4) AS recall_at_k"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY arm"
+    )
+
+
+SIMILARITY_ORACLES["sim_ann_eval"] = _ann_eval_sql()

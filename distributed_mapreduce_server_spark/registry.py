@@ -176,6 +176,7 @@ _register(
         "emb_pq_quantize",
         "sim_pq_adc_ann",
         "sim_ivfpq_ann",
+        "sim_ann_eval",
         "sim_knn_join",
         "emb_encode_backfill",
         "sim_range_search",
