@@ -148,6 +148,8 @@ EAGER_OPS = {
     # is a literal one-row projection with nothing to sweep
     "dedup_cluster_stats",  # rides the eager dedup_clusters loop
     "stream_ingest_partitioned",  # runs the ingest + sink readback eagerly
+    "sim_ann_eval",  # runs all five ANN arms + exact eagerly; final
+    # frame is a 5-row createDataFrame with nothing to sweep
     "q_events_value_deciles",  # two-phase rank offsets collect eagerly
     "q_balance_percentiles",  # two-phase rank offsets collect eagerly
     "q_abc_analysis",  # two-phase running-sum offsets collect eagerly
