@@ -1487,6 +1487,14 @@ def text_model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the threshold compare, so the keep decision cannot hinge on
     sub-rounding libm noise."""
     docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    return model_quality_frame(docs).orderBy("doc_id")
+
+
+def model_quality_frame(docs: DataFrame) -> DataFrame:
+    """The scorer itself over any (doc_id, text) frame — shared by the
+    batch operator and the streaming filter (streaming/jobs.py
+    stream_model_quality_filter) so both score with the identical
+    expressions and carry the same oracle arithmetic."""
     toks = tokens("text")
     n_tok = F.greatest(F.size(toks), F.lit(1))
     distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
@@ -1522,5 +1530,4 @@ def text_model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             score.alias("model_score"),
             (score >= MODEL_QF_THRESHOLD).alias("keep"),
         )
-        .orderBy("doc_id")
     )

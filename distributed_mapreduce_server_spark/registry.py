@@ -561,6 +561,15 @@ _ORACLES["stream_dedup_within_watermark"] = """
 # batch anomaly operator's oracle verifies the streaming job too.
 _QUERIES["stream_anomaly_filter"] = streaming_jobs.stream_anomaly_filter
 _ORACLES["stream_anomaly_filter"] = EVENTS_ORACLES["q_events_anomaly"].strip()
+# stateless classifier filter on the document stream: scores with the
+# SAME expressions as the batch operator, so its oracle is the batch
+# oracle restricted to kept rows.
+_QUERIES["stream_model_quality_filter"] = streaming_jobs.stream_model_quality_filter
+_ORACLES["stream_model_quality_filter"] = (
+    "SELECT doc_id, model_score FROM (\n"
+    + TEXT_ORACLES["text_model_quality_filter"]
+    + "\n) WHERE keep ORDER BY doc_id"
+).strip()
 # date-partitioned parquet ingest: the registry entry re-reads the
 # LANDED sink files, so the oracle checks the exactly-once write path
 # end-to-end (availableNow drains everything -> sink == source).

@@ -839,3 +839,33 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+def stream_model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-stage quality filtering on the INGEST stream: each
+    arriving document is scored by the fixed-weight logistic model
+    (operators/text.py model_quality_frame — the identical expressions
+    the batch operator runs) and only keep-scored docs pass — the
+    "filter at the door" deployment of the corpus-quality classifier.
+    Stateless (no streaming aggregation state at all), so it scales to
+    any ingest rate; append-mode deterministic -> carries the batch
+    operator's oracle restricted to kept rows."""
+    from distributed_mapreduce_server_spark.operators.text import (
+        model_quality_frame,
+    )
+
+    docs = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    kept = (
+        model_quality_frame(docs)
+        .filter(F.col("keep"))
+        .select("doc_id", "model_score")
+    )
+    out = _run_to_memory(kept, "append")
+    return out.orderBy("doc_id")

@@ -128,6 +128,7 @@ EAGER_OPS = {
     "stream_session_window_native",
     "stream_dedup_within_watermark",
     "stream_anomaly_filter",
+    "stream_model_quality_filter",
     "pysource_stream_events",  # custom stream source drains eagerly
     "dedup_clusters",
     "dedup_clusters_bigstar",
