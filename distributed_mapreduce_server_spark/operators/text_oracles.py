@@ -829,3 +829,45 @@ TEXT_ORACLES["text_model_quality_filter"] = f"""
     FROM lg
     ORDER BY doc_id
 """
+
+from distributed_mapreduce_server_spark.operators.text import HASH_FEAT_DIM  # noqa: E402
+
+_H60 = "CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT)"
+
+TEXT_ORACLES["text_hashed_features"] = f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    terms AS (
+        SELECT doc_id, unnest(toks) AS term FROM base
+        UNION ALL
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i + 1])) AS term
+        FROM base
+    ),
+    counts AS (
+        SELECT doc_id, {_H60} % {HASH_FEAT_DIM} AS bucket, COUNT(*) AS cnt
+        FROM terms
+        GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS INTEGER) AS nnz,
+               CAST(SUM(cnt) AS BIGINT) AS l1,
+               ROUND(SQRT(SUM(CAST(cnt AS DOUBLE) * cnt)), 4) AS l2
+        FROM counts GROUP BY doc_id
+    ),
+    top AS (
+        SELECT doc_id, CAST(bucket AS INTEGER) AS top_bucket,
+               CAST(cnt AS BIGINT) AS top_count
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY cnt DESC, bucket) AS rn
+            FROM counts
+        ) WHERE rn = 1
+    )
+    SELECT a.doc_id, a.nnz, a.l1, a.l2, t.top_bucket, t.top_count
+    FROM agg a JOIN top t USING (doc_id)
+    ORDER BY a.doc_id
+"""

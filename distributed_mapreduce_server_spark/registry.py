@@ -228,6 +228,7 @@ _register(
         "text_token_entropy",
         "text_corpus_report",
         "text_model_quality_filter",
+        "text_hashed_features",
     ],
 )
 _register(
