@@ -1,4 +1,4 @@
-"""Blocked all-pairs cosine grid — the shared cogroup scaffold behind
+"""Blocked all-pairs cosine grid — the shared grid scaffold behind
 the exact embedding near-dup matmul (dedup.py) and the all-pairs k-NN
 join (similarity.py).
 
@@ -13,7 +13,10 @@ adaptively from the corpus count (BLOCK_TARGET_ROWS per block), so
 small corpora pay few tasks and big corpora bound per-task memory.
 The n² flop count is inherent to EXACT all-pairs semantics;
 approximate regimes (LSH/IVF/PQ) live in similarity.py's sim_*_ann
-family.
+family. (Grid ids are BIGINT so huge adaptive B cannot overflow;
+note the per-row cell list is O(B), so beyond B ~ 10^4 — already an
+absurd ~10^16-flop exact job — the approximate arms are the answer,
+not a bigger grid.)
 
 Scores are rounded to the 1e-4 grid half-away-from-zero (DuckDB ROUND
 semantics — np.round is banker's at scaled .5 ties) BEFORE cell_fn
@@ -83,25 +86,25 @@ def blocked_cosine_grid(
     )
     a_pids = F.transform(
         F.sequence(F.col("blk"), F.lit(B - 1)),
-        lambda b: F.col("blk") * B + b,
+        lambda b: F.col("blk").cast("long") * B + b,
     )
     b_pids = F.when(
         F.col("blk") > 0,
         F.transform(
             F.sequence(F.lit(0), F.col("blk") - 1),
-            lambda a: a * B + F.col("blk"),
+            lambda a: a.cast("long") * B + F.col("blk"),
         ),
-    ).otherwise(F.array().cast("array<int>"))
+    ).otherwise(F.array().cast("array<bigint>"))
     rep = e.select(
         "vec_id",
         "embedding",
         F.explode(
             F.concat(
                 F.transform(
-                    a_pids, lambda p: F.struct(p.cast("int").alias("pid"), F.lit(True).alias("is_a"))
+                    a_pids, lambda p: F.struct(p.cast("long").alias("pid"), F.lit(True).alias("is_a"))
                 ),
                 F.transform(
-                    b_pids, lambda p: F.struct(p.cast("int").alias("pid"), F.lit(False).alias("is_a"))
+                    b_pids, lambda p: F.struct(p.cast("long").alias("pid"), F.lit(False).alias("is_a"))
                 ),
             )
         ).alias("cell"),

@@ -114,13 +114,15 @@ def _decode_real(payload: bytes, media_type: str) -> dict:
             data, rate = sf.read(io.BytesIO(payload))
         except Exception as e:
             raise MediaDecodeError(str(e)) from e
-        flat = data.reshape(-1)
+        # frame-based (see _audio_features_real): stereo must not
+        # double the sample count; stats over the mono mixdown
+        flat = data.mean(axis=1) if data.ndim > 1 else data
         n = int(flat.shape[0])
         mean = float(flat.mean()) if n else 0.0
         return {
             "n_bytes": len(payload),
             "width": int(rate),  # sample rate in the width slot
-            "height": int(n),  # total samples in the height slot
+            "height": int(n),  # frame count in the height slot
             "checksum": hashlib.md5(payload).hexdigest()[:8],
             "features": [mean, float(flat.min()) if n else 0.0, float(flat.max()) if n else 0.0, float(n % 997)],
         }
@@ -143,8 +145,16 @@ def _audio_features_real(payload: bytes) -> dict:
         data, rate = sf.read(io.BytesIO(payload))
     except Exception as e:
         raise MediaDecodeError(str(e)) from e
-    flat = data.reshape(-1).astype(float)
-    n = int(flat.shape[0])
+    # soundfile returns (frames, channels) for multi-channel audio:
+    # duration and sample counts are FRAME-based (a 1 s stereo file is
+    # 1 s, not 2), and stats run over the mono mixdown, never the
+    # channel-interleaved flat array
+    if data.ndim > 1:
+        mono = data.mean(axis=1).astype(float)
+    else:
+        mono = data.astype(float)
+    flat = mono
+    n = int(flat.shape[0])  # frames
     mean = float(flat.mean()) if n else 0.0
     rms = float(((flat - mean) ** 2).mean() ** 0.5) if n else 0.0
     zc = int((((flat[1:] - mean) * (flat[:-1] - mean)) < 0).sum()) if n > 1 else 0

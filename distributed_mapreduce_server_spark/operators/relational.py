@@ -258,29 +258,25 @@ def q_moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ``Window.partitionBy(event_type)`` would sort the
     whole fact stream in ~5 tasks. The two-phase sliding kernel
-    (operators/scale.py halo exchange) range-partitions on
-    (type, ts, id) and replicates 3 boundary rows per partition, so
-    every sort runs at cluster parallelism while frames stay exact
-    across partition boundaries."""
+    (operators/scale.py: rank + bounded-offset contribution fold)
+    computes exact frames at cluster parallelism, independent of
+    where range-partition boundaries land."""
     from distributed_mapreduce_server_spark.operators.scale import (
         two_phase_sliding,
     )
 
     t = load_tables(spark, sf_dir, register_views=False)
     ev = t["events"].select("event_id", "event_type", "ts", "value")
-
-    def exprs(w):
-        wf = w.rowsBetween(-3, 0)
-        return [
-            # 4dp, not 2: a 4-row avg of 2-decimal values terminates at
-            # 4 decimals, so no engine-dependent .xx5 rounding boundary.
-            fround(F.avg("value").over(wf), 4).alias("moving_avg"),
-            _r2(F.lag("value", 1).over(w)).alias("prev_value"),
-            _r2(F.lead("value", 1).over(w)).alias("next_value"),
-        ]
-
     slid = two_phase_sliding(
-        spark, ev, ["ts", "event_id"], ["event_type"], 3, 1, exprs
+        spark,
+        ev,
+        ["ts", "event_id"],
+        ["event_type"],
+        "value",
+        frame_before=3,
+        frame_after=0,
+        lags=(1,),
+        leads=(1,),
     )
     return (
         slid.select(
@@ -288,9 +284,11 @@ def q_moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "ts",
             _r2(F.col("value")).alias("value_r"),
-            "moving_avg",
-            "prev_value",
-            "next_value",
+            # 4dp, not 2: a 4-row avg of 2-decimal values terminates at
+            # 4 decimals, so no engine-dependent .xx5 rounding boundary.
+            fround(F.col("frame_avg"), 4).alias("moving_avg"),
+            _r2(F.col("lag_1")).alias("prev_value"),
+            _r2(F.col("lead_1")).alias("next_value"),
         )
         .orderBy("event_type", "ts", "event_id")
     )

@@ -88,15 +88,42 @@ def window_partition_specs(df: DataFrame) -> list[list[str]]:
     marker."""
     plan = physical_plan(df)
     specs = []
-    for m in re.findall(r"windowspecdefinition\(([^)]*)", plan):
+    marker = "windowspecdefinition("
+    i = plan.find(marker)
+    while i != -1:
+        # balanced-paren scan: partition expressions may themselves
+        # contain calls (upper(col), pmod(a, b)) — a first-')' regex
+        # would truncate mid-expression and silently mis-parse
+        j = i + len(marker)
+        depth, start, args = 1, j, []
+        while j < len(plan) and depth > 0:
+            ch = plan[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    args.append(plan[start:j])
+            elif ch == "," and depth == 1:
+                args.append(plan[start:j])
+                start = j + 2 if plan[j : j + 2] == ", " else j + 1
+            j += 1
         cols = []
-        for arg in m.split(", "):
-            if " ASC" in arg or " DESC" in arg or arg.startswith(
-                "specifiedwindowframe"
+        for arg in args:
+            arg = arg.strip()
+            if (
+                " ASC" in arg
+                or " DESC" in arg
+                or arg.startswith("specifiedwindowframe")
             ):
                 break
-            name = arg.split("#")[0].strip()
-            if name:
-                cols.append(name)
+            # report the BASE columns a partition expression reads
+            # (upper(event_type#3) partitions no finer than event_type)
+            refs = re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", arg)
+            if refs:
+                cols.extend(refs)
+            elif arg:
+                cols.append(arg)
         specs.append(cols)
+        i = plan.find(marker, i + len(marker))
     return specs

@@ -86,30 +86,58 @@ def test_ntile_formula_matches_spark_ntile(spark, n):
     assert pairs == pairs2
 
 
-def test_sliding_halo_matches_window(spark, toy):
-    def exprs(w):
-        return [
-            F.avg("v").over(w.rowsBetween(-3, 0)).alias("mavg"),
-            F.lag("v", 1).over(w).alias("prev"),
-            F.lead("v", 1).over(w).alias("nxt"),
-        ]
-
-    slid = two_phase_sliding(spark, toy, ["v", "id"], ["g"], 3, 1, exprs)
+def _sliding_vs_window(spark, df):
+    slid = two_phase_sliding(
+        spark, df, ["v", "id"], ["g"], "v",
+        frame_before=3, frame_after=0, lags=(1,), leads=(1,),
+    )
     w = Window.partitionBy("g").orderBy("v", "id")
     expect = (
-        toy.withColumn("mavg", F.avg("v").over(w.rowsBetween(-3, 0)))
-        .withColumn("prev", F.lag("v", 1).over(w))
-        .withColumn("nxt", F.lead("v", 1).over(w))
+        df.withColumn("frame_avg", F.avg("v").over(w.rowsBetween(-3, 0)))
+        .withColumn("lag_1", F.lag("v", 1).over(w))
+        .withColumn("lead_1", F.lead("v", 1).over(w))
     )
     key = lambda r: (r["g"], r["id"])  # noqa: E731
     norm = lambda r: (  # noqa: E731
-        round(r["mavg"], 9),
-        r["prev"],
-        r["nxt"],
+        round(r["frame_avg"], 9),
+        r["lag_1"],
+        r["lead_1"],
     )
     got = {key(r): norm(r) for r in slid.collect()}
     want = {key(r): norm(r) for r in expect.collect()}
     assert got == want
+
+
+def test_sliding_matches_window(spark, toy):
+    _sliding_vs_window(spark, toy)
+
+
+def test_sliding_sparse_partitions(spark):
+    """The round-5 review's killer case for the old halo design: far
+    fewer rows than range partitions, so every (partition, group) run
+    is thinner than the frame depth. The contribution formulation
+    must still produce the exact monolithic-window frames."""
+    rows = [("g", float((i * 7) % 13), i) for i in range(20)]
+    df = spark.createDataFrame(rows, "g string, v double, id int")
+    _sliding_vs_window(spark, df)
+
+
+def test_grouped_rank_keeps_null_groups(spark):
+    """A NULL group key is its own window partition in the monolithic
+    formulation; the kernel's offset join must be null-safe or those
+    rows silently vanish (round-5 review finding)."""
+    df = spark.createDataFrame(
+        [("a", 1.0, 1), (None, 2.0, 2), ("a", 3.0, 3), (None, 0.5, 4)],
+        "g string, v double, id int",
+    )
+    ranked, total = two_phase_rank(
+        spark, df, ["v", "id"], group_cols=["g"], rn_col="rn", n_col="n_g"
+    )
+    got = {(r["g"], r["id"]): (r["rn"], r["n_g"]) for r in ranked.collect()}
+    ranked.unpersist()
+    assert total == 4 and len(got) == 4
+    assert got[(None, 4)] == (1, 2) and got[(None, 2)] == (2, 2)
+    assert got[("a", 1)] == (1, 2) and got[("a", 3)] == (2, 2)
 
 
 def test_two_phase_windows_partition_by_pid(spark):
