@@ -1030,3 +1030,75 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "new_users", "returning_users", "cum_distinct_users")
         .orderBy("day")
     )
+
+
+def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak session concurrency per day (sweep line): every session
+    interval contributes +1 at its start and -1 at its end; the
+    running sum over the GLOBALLY time-ordered boundary stream is the
+    live-session count, and its per-day max is the capacity-planning
+    number ("how many concurrent users must we serve"). Boundary
+    order at equal timestamps is starts-before-ends (delta DESC) with
+    a (user, seq) tie-break — a session ending exactly when another
+    starts counts both as momentarily concurrent; the oracle applies
+    the identical rule.
+
+    Scale shape: the global ordered cumulative sum is THE
+    single-partition-window trap — it rides the two-phase running-sum
+    kernel (operators/scale.py) instead, so the sweep runs at cluster
+    parallelism. Per-day peaks account for midnight carry-in (a day
+    whose concurrency only falls still peaks at its first boundary's
+    pre-delta value), so sessions spanning days are counted
+    correctly."""
+    from distributed_mapreduce_server_spark.operators.scale import two_phase_rank
+
+    sess = q_events_sessionize(spark, sf_dir).select(
+        "user_id", "session_seq", "session_start", "session_end"
+    )
+    deltas = sess.select(
+        F.col("session_start").alias("ts"),
+        F.lit(1.0).alias("delta"),
+        "user_id",
+        "session_seq",
+    ).unionByName(
+        sess.select(
+            F.col("session_end").alias("ts"),
+            F.lit(-1.0).alias("delta"),
+            "user_id",
+            "session_seq",
+        )
+    )
+    ranked, _, tagged = two_phase_rank(
+        spark,
+        deltas,
+        [F.col("ts"), F.desc("delta"), F.col("user_id"), F.col("session_seq")],
+        sum_cols=["delta"],
+        rn_col="rn",
+        materialize=False,
+    )
+    first_carry = F.min(
+        F.struct(
+            F.col("rn").alias("rn"),
+            (F.col("cum_delta") - F.col("delta")).alias("cin"),
+        )
+    )
+    out = (
+        ranked.withColumn("day", F.date_trunc("day", "ts"))
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_boundaries"),
+            F.max("cum_delta").alias("mx"),
+            first_carry.alias("fc"),
+        )
+        .select(
+            "day",
+            "n_boundaries",
+            F.greatest(F.col("mx"), F.col("fc.cin")).cast("integer").alias(
+                "max_concurrent"
+            ),
+        )
+        .orderBy("day")
+    )
+    out = out.localCheckpoint(eager=True)
+    tagged.unpersist()
+    return out

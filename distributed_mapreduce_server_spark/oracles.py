@@ -1360,3 +1360,35 @@ RELATIONAL_ORACLES["q_open_order_backlog"] = """
     FROM grid g
     ORDER BY month
 """
+
+# sweep-line peak concurrency: composed from the sessionize oracle
+# (referenced twice by the delta union -> MATERIALIZED; same for the
+# sweep, read by both the day agg and the carry-in join). Boundary
+# order = (ts, delta DESC, user, seq): starts before ends at ties,
+# mirroring the operator exactly.
+EVENTS_ORACLES["q_concurrent_sessions"] = f"""
+    WITH sess AS MATERIALIZED (
+{EVENTS_ORACLES["q_events_sessionize"]}
+    ),
+    deltas AS (
+        SELECT session_start AS ts, 1.0 AS delta, user_id, session_seq FROM sess
+        UNION ALL
+        SELECT session_end AS ts, -1.0 AS delta, user_id, session_seq FROM sess
+    ),
+    sweep AS MATERIALIZED (
+        SELECT ts, delta,
+               ROW_NUMBER() OVER (ORDER BY ts, delta DESC, user_id, session_seq) AS rn,
+               SUM(delta) OVER (ORDER BY ts, delta DESC, user_id, session_seq
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM deltas
+    ),
+    agg AS (
+        SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_boundaries,
+               MAX(cum) AS mx, MIN(rn) AS rn0
+        FROM sweep GROUP BY 1
+    )
+    SELECT a.day, CAST(a.n_boundaries AS BIGINT) AS n_boundaries,
+           CAST(GREATEST(a.mx, s.cum - s.delta) AS INTEGER) AS max_concurrent
+    FROM agg a JOIN sweep s ON s.rn = a.rn0
+    ORDER BY a.day
+"""

@@ -252,6 +252,7 @@ _register(
     EVENTS_ORACLES,
     [
         "q_events_sessionize",
+        "q_concurrent_sessions",
         "q_events_windowed",
         "q_events_pivot",
         "q_events_json_extract",

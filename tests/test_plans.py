@@ -153,6 +153,7 @@ EAGER_OPS = {
     # frame is a 5-row createDataFrame with nothing to sweep
     "q_events_value_deciles",  # two-phase rank offsets collect eagerly
     "q_moving_avg_events",  # two-phase sliding rank offsets collect eagerly
+    "q_concurrent_sessions",  # sweep-line cumsum offsets collect eagerly
     "q_balance_percentiles",  # two-phase rank offsets collect eagerly
     "q_abc_analysis",  # two-phase running-sum offsets collect eagerly
 }
