@@ -649,6 +649,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge list; convergence is checked with a cheap count.
     """
     edges = _near_dup_edges(spark, sf_dir)
+    out = _cc_min_label(edges)
+    edges.unpersist()
+    return out.orderBy("doc_id")
+
+
+def _cc_min_label(edges: DataFrame) -> DataFrame:
+    """Min-label-propagation connected components over a persisted
+    symmetric (src, dst) edge frame — the shared loop behind
+    dedup_clusters (jaccard graph) and dedup_semantic_clusters
+    (embedding-cosine graph). Returns the cached (doc_id, cluster_id)
+    labels; caller releases the edge frame."""
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -683,9 +694,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     # labels is already persisted+counted by the loop; just track it as
     # the result cache (re-persist is a no-op) — do NOT unpersist it.
-    out = _cache_result(labels)
-    edges.unpersist()
-    return out.orderBy("doc_id")
+    return _cache_result(labels)
 
 
 def dedup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1348,3 +1357,26 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_clusters"))
         .orderBy("cluster_size")
     )
+
+
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the EMBEDDING near-dup graph — the
+    transitive view SemDedup-style pipelines cluster on (a ~ b ~ c
+    groups all three even when cos(a, c) < T), completing the
+    semantic arc: pairs (dedup_embedding_cosine) -> clusters (here)
+    -> greedy keep (dedup_semantic_keep). Same min-label-propagation
+    loop as the jaccard clusters (shared _cc_min_label), over edges
+    from the exact blocked pair-matmul — both halves are the
+    components already proven at scale."""
+    pairs = _cache_result(
+        _embedding_cosine_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    )
+    edges = (
+        pairs.selectExpr("vec_a AS src", "vec_b AS dst")
+        .unionByName(pairs.selectExpr("vec_b AS src", "vec_a AS dst"))
+        .persist()
+    )
+    edges.count()
+    out = _cc_min_label(edges)
+    edges.unpersist()
+    return out.withColumnsRenamed({"doc_id": "vec_id"}).orderBy("vec_id")

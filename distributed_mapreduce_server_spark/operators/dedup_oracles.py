@@ -443,3 +443,27 @@ DEDUP_ORACLES["dedup_cluster_stats"] = f"""
     GROUP BY 1
     ORDER BY 1
 """
+
+# semantic clusters: the jaccard-cluster recursive-reach shape over the
+# embedding-cosine pair graph (pairs CTE swapped; same LEAST min-label
+# semantics as the Spark loop's fixpoint).
+DEDUP_ORACLES["dedup_semantic_clusters"] = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_COS_AB} >= {COSINE_DEDUP_T}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
+    FROM reach GROUP BY src
+    ORDER BY vec_id
+"""

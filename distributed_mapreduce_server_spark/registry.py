@@ -144,6 +144,7 @@ _register(
         "dedup_simhash",
         "dedup_embedding_cosine",
         "dedup_clusters",
+        "dedup_semantic_clusters",
         "dedup_keep_canonical",
         "dedup_semantic_keep",
         "dedup_incremental",

@@ -131,6 +131,7 @@ EAGER_OPS = {
     "stream_model_quality_filter",
     "pysource_stream_events",  # custom stream source drains eagerly
     "dedup_clusters",
+    "dedup_semantic_clusters",  # CC loop over cosine pairs runs eagerly
     "dedup_clusters_bigstar",
     "dedup_incremental_neardup_indexed",  # index build runs eagerly
     "dedup_keep_canonical",
@@ -486,3 +487,17 @@ def test_sampling_ops_are_sort_limit(spark, queries):
     for k in ["text_reservoir_sample", "text_weighted_sample"]:
         plan = physical_plan(queries[k](spark, SF))
         assert "TakeOrderedAndProject" in plan, k
+
+
+def test_registry_prefix_covers_all_families(queries):
+    """The registry emits keys family-interleaved so any prefix sample
+    (e.g. a driver verifying the first N keys) covers every operator
+    family — pin it so a re-ordering can't silently regress driver
+    coverage back to one family."""
+    prefix = list(queries)[:50]
+    fams = {
+        "q" if k.startswith("q") else k.split("_", 1)[0] for k in prefix
+    }
+    assert {
+        "q", "mr", "dedup", "sim", "emb", "text", "mm", "stream", "pysource"
+    } <= fams, fams
