@@ -1102,3 +1102,69 @@ def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     tagged.unpersist()
     return out
+
+
+LATENESS_JITTER_SEED = 17
+LATENESS_JITTER_MAX_S = 600
+
+
+def q_events_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness audit — the pre-flight that SIZES a streaming
+    watermark: per event, how far behind the event-time frontier
+    (running max of ts over arrival order) did it arrive? The bucketed
+    histogram per type answers "what watermark delay keeps X% of
+    events" before any stateful streaming job is deployed.
+
+    Arrival order is SIMULATED deterministically (arrival =
+    event-time + seeded-hash jitter of up to LATENESS_JITTER_MAX_S
+    seconds): the testdata's log is perfectly time-ordered, so
+    lateness against its own order is vacuously zero; the portable
+    seeded jitter models collection delay identically in both engines
+    (same hash, same arrival sequence).
+
+    Scale shape: the frontier is a GLOBAL running max over arrival
+    order — the same single-partition-window trap as a global cumsum —
+    so it rides the two-phase kernel's running-max columns
+    (operators/scale.py max_cols); everything after is one partial-agg
+    histogram."""
+    from distributed_mapreduce_server_spark.functions import seeded_u60
+    from distributed_mapreduce_server_spark.operators.scale import two_phase_rank
+
+    ev = load_tables(spark, sf_dir, register_views=False)["events"].select(
+        "event_id", "event_type", "ts"
+    )
+    jitter_s = F.pmod(
+        seeded_u60(F.col("event_id").cast("string"), LATENESS_JITTER_SEED),
+        F.lit(LATENESS_JITTER_MAX_S),
+    )
+    arr = ev.withColumn(
+        "arrival_us", F.unix_micros("ts") + jitter_s * F.lit(1_000_000)
+    )
+    ranked, _, tagged = two_phase_rank(
+        spark,
+        arr,
+        ["arrival_us", "event_id"],
+        max_cols=["ts"],
+        rn_col="arrival_rank",
+        materialize=False,
+    )
+    late_s = (F.unix_micros("cummax_ts") - F.unix_micros("ts")) / F.lit(1e6)
+    bucket = (
+        F.when(late_s <= 0, "0_frontier")
+        .when(late_s <= 60, "1_le_1m")
+        .when(late_s <= 300, "2_le_5m")
+        .when(late_s <= 600, "3_le_10m")
+        .otherwise("4_gt_10m")
+    )
+    out = (
+        ranked.select("event_type", late_s.alias("late_s"), bucket.alias("lateness_bucket"))
+        .groupBy("event_type", "lateness_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            fround(F.max("late_s"), 3).alias("max_late_s"),
+        )
+        .orderBy("event_type", "lateness_bucket")
+    )
+    out = out.localCheckpoint(eager=True)
+    tagged.unpersist()
+    return out

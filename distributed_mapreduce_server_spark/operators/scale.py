@@ -60,6 +60,7 @@ def two_phase_rank(
     rn_col: str = "rn",
     sum_cols: list | tuple = (),
     n_col: str | None = None,
+    max_cols: list | tuple = (),
     materialize: bool = True,
 ):
     """1-based ``row_number`` within ``group_cols`` under ``order_cols``
@@ -74,6 +75,9 @@ def two_phase_rank(
 
     ``sum_cols``: for each name ``c``, adds ``cum_<c>`` = running sum
     of ``c`` within the group under the same order (inclusive).
+    ``max_cols``: for each name ``c``, adds ``cummax_<c>`` = running
+    max (inclusive) — the watermark/frontier shape; works for any
+    orderable type (numeric, timestamp).
     ``n_col``: adds the per-group total row count (for ntile /
     percent_rank / cume_dist denominators).
 
@@ -89,6 +93,7 @@ def two_phase_rank(
     """
     group_cols = list(group_cols)
     sum_cols = list(sum_cols)
+    max_cols = list(max_cols)
     order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_cols]
 
     release_kernel_caches()  # retire the previous call's input cache
@@ -98,9 +103,11 @@ def two_phase_rank(
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
-    aggs = [F.count("*").alias("__cnt")] + [
-        F.sum(c).alias(f"__sum_{c}") for c in sum_cols
-    ]
+    aggs = (
+        [F.count("*").alias("__cnt")]
+        + [F.sum(c).alias(f"__sum_{c}") for c in sum_cols]
+        + [F.max(c).alias(f"__max_{c}") for c in max_cols]
+    )
     stats = tagged.groupBy("__pid", *group_cols).agg(*aggs).collect()
 
     # per-group cumulative offsets over pid order (pids are ordered by
@@ -114,15 +121,21 @@ def two_phase_rank(
     for key, rows in by_group.items():
         rows.sort(key=lambda r: r["__pid"])
         rn_off, sum_off = 0, [0.0] * len(sum_cols)
+        max_off: list = [None] * len(max_cols)
         g_total = sum(r["__cnt"] for r in rows)
         total_rows += g_total
         for r in rows:
             offset_rows.append(
-                tuple([r["__pid"], *key, rn_off, *sum_off, g_total])
+                tuple([r["__pid"], *key, rn_off, *sum_off, *max_off, g_total])
             )
             rn_off += r["__cnt"]
             sum_off = [
                 s + (r[f"__sum_{c}"] or 0.0) for s, c in zip(sum_off, sum_cols)
+            ]
+            max_off = [
+                m if (v := r[f"__max_{c}"]) is None
+                else (v if m is None else max(m, v))
+                for m, c in zip(max_off, max_cols)
             ]
 
     from pyspark.sql.types import (
@@ -138,6 +151,7 @@ def two_phase_rank(
         + [df.schema[g] for g in group_cols]
         + [StructField("__rn_off", LongType())]
         + [StructField(f"__off_{c}", DoubleType()) for c in sum_cols]
+        + [StructField(f"__maxoff_{c}", df.schema[c].dataType, True) for c in max_cols]
         + [StructField("__n_total", LongType())]
     )
     off = spark.createDataFrame(offset_rows, off_schema)
@@ -159,10 +173,21 @@ def two_phase_rank(
         out = out.withColumn(
             f"cum_{c}", F.sum(c).over(wsum) + F.col(f"__off_{c}")
         )
+    for c in max_cols:
+        # greatest() skips NULLs, so a first-partition (null) offset
+        # leaves the within-partition running max untouched
+        out = out.withColumn(
+            f"cummax_{c}",
+            F.greatest(F.max(c).over(wsum), F.col(f"__maxoff_{c}")),
+        )
     if n_col is not None:
         out = out.withColumn(n_col, F.col("__n_total"))
     out = out.drop(
-        "__pid", "__rn_off", "__n_total", *[f"__off_{c}" for c in sum_cols]
+        "__pid",
+        "__rn_off",
+        "__n_total",
+        *[f"__off_{c}" for c in sum_cols],
+        *[f"__maxoff_{c}" for c in max_cols],
     )
     if not materialize:
         _kernel_caches.append(tagged)

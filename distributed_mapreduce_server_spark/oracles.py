@@ -1392,3 +1392,41 @@ EVENTS_ORACLES["q_concurrent_sessions"] = f"""
     FROM agg a JOIN sweep s ON s.rn = a.rn0
     ORDER BY a.day
 """
+
+from distributed_mapreduce_server_spark.operators.events import (  # noqa: E402
+    LATENESS_JITTER_MAX_S,
+    LATENESS_JITTER_SEED,
+)
+
+EVENTS_ORACLES["q_events_lateness"] = f"""
+    WITH arr AS (
+        SELECT event_id, event_type, ts,
+               epoch_us(ts)
+               + (CAST(concat('0x', substr(md5(concat('{LATENESS_JITTER_SEED}|',
+                       CAST(event_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                  % {LATENESS_JITTER_MAX_S}) * 1000000 AS arrival_us
+        FROM events
+    ),
+    wm AS (
+        SELECT event_type, ts,
+               MAX(ts) OVER (ORDER BY arrival_us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS frontier
+        FROM arr
+    ),
+    lat AS (
+        SELECT event_type,
+               (epoch_us(frontier) - epoch_us(ts)) / 1000000.0 AS late_s
+        FROM wm
+    )
+    SELECT event_type,
+           CASE WHEN late_s <= 0 THEN '0_frontier'
+                WHEN late_s <= 60 THEN '1_le_1m'
+                WHEN late_s <= 300 THEN '2_le_5m'
+                WHEN late_s <= 600 THEN '3_le_10m'
+                ELSE '4_gt_10m' END AS lateness_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(MAX(late_s), 3) AS max_late_s
+    FROM lat
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""

@@ -254,6 +254,7 @@ _register(
     [
         "q_events_sessionize",
         "q_concurrent_sessions",
+        "q_events_lateness",
         "q_events_windowed",
         "q_events_pivot",
         "q_events_json_extract",

@@ -155,6 +155,7 @@ EAGER_OPS = {
     "q_events_value_deciles",  # two-phase rank offsets collect eagerly
     "q_moving_avg_events",  # two-phase sliding rank offsets collect eagerly
     "q_concurrent_sessions",  # sweep-line cumsum offsets collect eagerly
+    "q_events_lateness",  # running-max frontier offsets collect eagerly
     "q_balance_percentiles",  # two-phase rank offsets collect eagerly
     "q_abc_analysis",  # two-phase running-sum offsets collect eagerly
 }

@@ -217,3 +217,24 @@ def test_events_paths_hot_user_isolated(spark, hot_user_dir):
     # (possibly below the baseline top-20 cutoff, so >=)
     assert hot[0][0] == "view > view > view" and hot[0][1] >= 19_998
     assert hot[1:] == [p for p in base if p[0] != "view > view > view"][: len(hot) - 1]
+
+
+def test_grouped_rank_running_max_matches_window(spark, toy):
+    """max_cols: the kernel's running max (frontier shape) must equal
+    the monolithic cumulative-max window, including across range
+    partition boundaries."""
+    ranked, _ = two_phase_rank(
+        spark, toy, ["id"], group_cols=["g"], rn_col="rn", max_cols=["v"]
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r["g"], r["id"]): r["m"]
+        for r in toy.withColumn("m", F.max("v").over(w)).collect()
+    }
+    got = {(r["g"], r["id"]): r["cummax_v"] for r in ranked.collect()}
+    ranked.unpersist()
+    assert got == want
