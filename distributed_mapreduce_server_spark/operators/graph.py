@@ -218,3 +218,165 @@ def q_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_nodes"))
         .orderBy("degree")
     )
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected co-purchase edges (u < v): two parts that
+    appear together in at least one order. Built with the same
+    basket-explode shape as q_part_pairs (one shuffle to baskets, pair
+    fan-out bounded by basket size in codegen, never n²) — the
+    bipartite purchase graph in graph.py is triangle-free by
+    construction, so the triangle/clustering queries run on this
+    one-mode projection instead."""
+    li = (
+        load_tables(spark, sf_dir, register_views=False)["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    baskets = li.groupBy("l_orderkey").agg(F.collect_list("l_partkey").alias("parts"))
+    return (
+        baskets.select(F.explode("parts").alias("u"), "parts")
+        .select("u", F.explode("parts").alias("v"))
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count + clustering coefficient of the
+    co-purchase graph, via DEGREE-ORDERED edge orientation (the
+    standard distributed-triangle algorithm: orient every edge from
+    its lower-(degree, id) endpoint to the higher one, enumerate
+    wedges from each node's out-neighbors, close them against the
+    undirected edge set). The orientation bounds every node's
+    out-degree by O(√m) regardless of how skewed the raw degree
+    distribution is — the hub node that would generate C(hub_deg, 2)
+    wedges in a naive id-ordered enumeration generates almost none
+    here, because hubs lose the (degree, id) comparison on every edge.
+    This is what makes the wedge fan-out survive a 100× scale-up:
+    Σ C(out_deg, 2) ≤ m·√m instead of Σ C(deg, 2).
+
+    Every join is keyed (node / edge ids) — no cartesian anywhere; the
+    final assembly cross-joins three 1-ROW aggregate frames
+    (deliberate-broadcast pattern shared with text_corpus_report).
+    The identical `edges` subtree feeds degree, orientation, and the
+    closing join: Spark's ReuseExchange rule dedupes those shuffles in
+    the physical plan, so the edge build executes once.
+
+    Each triangle is counted exactly once: any acyclic orientation of
+    a triangle has exactly one node with out-degree 2 (the wedge
+    apex). Oracle counts the same triangles with the id-ordered
+    3-way self-join (u < v < w) — a different enumeration order, the
+    same set. n_wedges = Σ C(deg, 2) over UNDIRECTED degrees;
+    global_clustering = 3·triangles / wedges (ratio of exact integers
+    → bit-identical across engines before the 6 dp rounding)."""
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    e = (
+        edges.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    lower_is_u = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(lower_is_u, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_is_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    # wedge endpoints normalized to (u < v) so the closing join hits
+    # the undirected (u < v) edge set directly.
+    wedges = (
+        o1.join(o2, F.col("o1.src") == F.col("o2.src"))
+        .filter(F.col("o1.dst") < F.col("o2.dst"))
+        .select(F.col("o1.dst").alias("u"), F.col("o2.dst").alias("v"))
+    )
+    tri = wedges.join(edges, ["u", "v"]).agg(F.count("*").alias("n_triangles"))
+    node_stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.expr("CAST(d * (d - 1) AS BIGINT) div 2")).alias("n_wedges"),
+    )
+    edge_stats = edges.agg(F.count("*").alias("n_edges"))
+    from pyspark.sql.functions import broadcast
+
+    return (
+        node_stats.crossJoin(broadcast(edge_stats))
+        .crossJoin(broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            fround(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("global_clustering"),
+        )
+    )
+
+
+# common-neighbors similarity: parts bought by more than this many
+# customers are excluded from BOTH intersection and union (an exact,
+# deterministic semantics — not an approximation of the uncapped one).
+# Hub features carry no discriminative signal (every pair shares
+# them), and a single hub part with 10⁶ buyers would otherwise fan
+# out C(10⁶, 2) candidate pairs — the idf/stopword cut applied to
+# graphs. At the test SFs part degree tops out ~50 (orders/parts
+# ratio is SF-invariant), so the cap never binds there; it exists
+# for the skewed-catalog case at scale.
+CN_DEG_CAP = 200
+CN_TOP_K = 20
+
+
+def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-user collaborative-filtering similarity: the CN_TOP_K
+    customer pairs with the highest Jaccard overlap of their (degree-
+    capped) purchased-part sets — the classic link-prediction /
+    item-based-CF kernel as a batch operator.
+
+    Scale shape: candidate pairs are generated PER PART (basket
+    explode, same as q_part_pairs) — fan-out per part is C(buyers, 2)
+    with buyers ≤ CN_DEG_CAP, so the candidate volume is
+    O(n_parts · CAP²) and never the customer-pair cross product.
+    Intersection sizes partial-aggregate per pair; union sizes come
+    from one per-customer count joined in twice. The identical
+    `capped` subtree feeds both the pair fan-out and the size frame —
+    ReuseExchange dedupes its shuffle. Final top-K is a TakeOrdered
+    (each partition ships only its own top K), tie-broken on
+    (jaccard desc, cust_a, cust_b) for cross-engine determinism."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    cp = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    pdeg = cp.groupBy("p").agg(F.count("*").alias("d"))
+    capped = cp.join(pdeg.filter(F.col("d") <= CN_DEG_CAP).select("p"), "p")
+    sizes = capped.groupBy("c").agg(F.count("*").alias("n_parts"))
+    buyers = capped.groupBy("p").agg(F.collect_list("c").alias("cs"))
+    pairs = (
+        buyers.select(F.explode("cs").alias("ca"), "cs")
+        .select("ca", F.explode("cs").alias("cb"))
+        .filter(F.col("ca") < F.col("cb"))
+    )
+    inter = pairs.groupBy("ca", "cb").agg(F.count("*").alias("n_shared"))
+    j = (
+        inter.join(sizes.select(F.col("c").alias("ca"), F.col("n_parts").alias("na")), "ca")
+        .join(sizes.select(F.col("c").alias("cb"), F.col("n_parts").alias("nb")), "cb")
+        .select(
+            F.col("ca").alias("cust_a"),
+            F.col("cb").alias("cust_b"),
+            "n_shared",
+            fround(
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return j.orderBy(F.desc("jaccard"), "cust_a", "cust_b").limit(CN_TOP_K)

@@ -49,6 +49,21 @@ def _pagerank_sql() -> str:
 """
 
 
+from distributed_mapreduce_server_spark.operators.graph import (  # noqa: E402
+    CN_DEG_CAP,
+    CN_TOP_K,
+)
+
+# one-mode projection: parts co-ordered in at least one order
+# (u < v, distinct) — the triangle-bearing graph.
+_COPURCHASE = """
+    li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    ce AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    )
+"""
+
 GRAPH_ORACLES: dict[str, str] = {
     "q_pagerank": _pagerank_sql(),
     "q_graph_degree_distribution": f"""
@@ -58,5 +73,56 @@ GRAPH_ORACLES: dict[str, str] = {
         FROM d2
         GROUP BY 1
         ORDER BY 1
+    """,
+    # id-ordered 3-way self-join (u < v < w): a different enumeration
+    # order than the Spark side's degree-ordered orientation, the same
+    # triangle set — each triangle counted exactly once by both.
+    "q_graph_triangles": f"""
+        WITH {_COPURCHASE},
+        tri AS (
+            SELECT COUNT(*) AS n_triangles
+            FROM ce e1
+            JOIN ce e2 ON e2.u = e1.u AND e2.v > e1.v
+            JOIN ce e3 ON e3.u = e1.v AND e3.v = e2.v
+        ),
+        deg AS (
+            SELECT node, COUNT(*) AS d
+            FROM (SELECT u AS node FROM ce UNION ALL SELECT v AS node FROM ce)
+            GROUP BY 1
+        ),
+        ns AS (
+            SELECT COUNT(*) AS n_nodes,
+                   CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+            FROM deg
+        ),
+        es AS (SELECT COUNT(*) AS n_edges FROM ce)
+        SELECT n_nodes, n_edges, n_triangles, n_wedges,
+               ROUND(3.0 * n_triangles / n_wedges, 6) AS global_clustering
+        FROM ns, es, tri
+    """,
+    "q_graph_common_neighbors": f"""
+        WITH cp AS (
+            SELECT DISTINCT o_custkey AS c, l_partkey AS p
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        pdeg AS (SELECT p, COUNT(*) AS d FROM cp GROUP BY 1),
+        capped AS (
+            SELECT c, cp.p FROM cp
+            JOIN pdeg ON cp.p = pdeg.p AND pdeg.d <= {CN_DEG_CAP}
+        ),
+        sz AS (SELECT c, COUNT(*) AS n_parts FROM capped GROUP BY 1),
+        inter AS (
+            SELECT a.c AS ca, b.c AS cb, COUNT(*) AS n_shared
+            FROM capped a JOIN capped b ON a.p = b.p AND a.c < b.c
+            GROUP BY 1, 2
+        )
+        SELECT ca AS cust_a, cb AS cust_b, n_shared,
+               ROUND(CAST(n_shared AS DOUBLE)
+                     / (sa.n_parts + sb.n_parts - n_shared), 6) AS jaccard
+        FROM inter
+        JOIN sz sa ON ca = sa.c
+        JOIN sz sb ON cb = sb.c
+        ORDER BY jaccard DESC, cust_a, cust_b
+        LIMIT {CN_TOP_K}
     """,
 }

@@ -238,6 +238,8 @@ _register(
     [
         "q_pagerank",
         "q_graph_degree_distribution",
+        "q_graph_triangles",
+        "q_graph_common_neighbors",
     ],
 )
 _register(

@@ -111,6 +111,7 @@ DELIBERATE_NESTED_LOOP = {
     "emb_encode_backfill",  # 1-row broadcast tail-cutoff cross-join
     "q_time_bucket_gapfill",  # 1-row broadcast time-bounds cross-join
     "q_snapshot_diff",  # 1-row broadcast snapshot-cutoff cross-join
+    "q_graph_triangles",  # 1-row metric frames cross-joined
 }
 
 # Streaming / iterative ops execute eagerly inside the callable; the
