@@ -1168,3 +1168,46 @@ def q_events_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     tagged.unpersist()
     return out
+
+
+def q_events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascaded time rollup minute -> hour -> day (the hypertable /
+    continuous-aggregate pattern): every coarser level aggregates the
+    PREVIOUS level's partials, never the fact table. At 100 TB this
+    is the difference between one fact scan feeding three
+    aggregations and three fact scans — the minute partials are ~5
+    orders of magnitude smaller than the raw stream, so hour and day
+    cost ~nothing; the same cascade is how a streaming job would
+    maintain these levels incrementally (merge new minute partials
+    upward). The minute frame feeds both the hour rollup and the
+    output union — identical subtrees, so ReuseExchange dedupes the
+    shuffle (same trick as q_graph_triangles' edge build).
+
+    Counts stay exact integers up the cascade. Sums are re-rounded to
+    2 dp AT EACH LEVEL in both engines, so the cascade itself (not
+    just the final output) is cross-engine deterministic — the same
+    per-level pinning q_pagerank applies per round."""
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    minute = ev.groupBy(F.date_trunc("minute", "ts").alias("bucket_start")).agg(
+        F.count("*").alias("n_events"),
+        fround(F.sum("value"), 2).alias("total_value"),
+    )
+    hour = minute.groupBy(F.date_trunc("hour", "bucket_start").alias("bucket_start")).agg(
+        F.sum("n_events").alias("n_events"),
+        fround(F.sum("total_value"), 2).alias("total_value"),
+    )
+    day = hour.groupBy(F.date_trunc("day", "bucket_start").alias("bucket_start")).agg(
+        F.sum("n_events").alias("n_events"),
+        fround(F.sum("total_value"), 2).alias("total_value"),
+    )
+    levels = [
+        minute.withColumn("level", F.lit("1_minute")),
+        hour.withColumn("level", F.lit("2_hour")),
+        day.withColumn("level", F.lit("3_day")),
+    ]
+    out = levels[0]
+    for frame in levels[1:]:
+        out = out.unionAll(frame)
+    return out.select("level", "bucket_start", "n_events", "total_value").orderBy(
+        "level", "bucket_start"
+    )

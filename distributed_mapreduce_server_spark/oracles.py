@@ -1430,3 +1430,35 @@ EVENTS_ORACLES["q_events_lateness"] = f"""
     GROUP BY 1, 2
     ORDER BY 1, 2
 """
+
+# cascaded rollup: each level re-aggregates the previous level's
+# partials with per-level 2 dp re-rounding (mirrors the operator's
+# cascade exactly). minute is referenced by hour AND the final union
+# -> MATERIALIZED (DuckDB inlines CTEs per reference site). DuckDB
+# SUM(BIGINT) -> HUGEINT, so every rolled-up count is re-CAST.
+EVENTS_ORACLES["q_events_hierarchical_rollup"] = """
+    WITH minute AS MATERIALIZED (
+        SELECT date_trunc('minute', ts) AS bucket_start,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events GROUP BY 1
+    ),
+    hour AS MATERIALIZED (
+        SELECT date_trunc('hour', bucket_start) AS bucket_start,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               ROUND(SUM(total_value), 2) AS total_value
+        FROM minute GROUP BY 1
+    ),
+    day AS (
+        SELECT date_trunc('day', bucket_start) AS bucket_start,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               ROUND(SUM(total_value), 2) AS total_value
+        FROM hour GROUP BY 1
+    )
+    SELECT '1_minute' AS level, bucket_start, n_events, total_value FROM minute
+    UNION ALL
+    SELECT '2_hour' AS level, bucket_start, n_events, total_value FROM hour
+    UNION ALL
+    SELECT '3_day' AS level, bucket_start, n_events, total_value FROM day
+    ORDER BY level, bucket_start
+"""
