@@ -1593,3 +1593,60 @@ def text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit: least-squares slope of log10(freq) on
+    log10(rank) over the corpus vocabulary, plus intercept and R² —
+    the standard corpus-health check (natural-language corpora fit
+    slope ≈ -1; a crawl whose slope collapses toward 0 is template
+    spam, one that steepens is vocabulary collapse).
+
+    Scale shape: token counts partial-aggregate per type; the
+    frequency rank rides the two-phase kernel (operators/scale.py) —
+    vocabulary is corpus-dependent (Heaps' law: ~√N types at N
+    tokens), so a global ``row_number`` window would funnel the whole
+    vocabulary through one task at 100 TB. The regression consumes
+    only the six scalar moments (n, Σx, Σy, Σx², Σy², Σxy) — one
+    partial-agg reduction to a single row, nothing vocabulary-sized
+    ever reaches the driver."""
+    from distributed_mapreduce_server_spark.operators.scale import two_phase_rank
+
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ranked, _, tagged = two_phase_rank(
+        spark, counts, [F.desc("cnt"), "tok"], rn_col="rank", materialize=False
+    )
+    x = F.log10(F.col("rank").cast("double"))
+    y = F.log10(F.col("cnt").cast("double"))
+    moments = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / denx
+    out = moments.select(
+        F.col("n").alias("n_types"),
+        "n_tokens",
+        fround(slope, 6).alias("zipf_slope"),
+        fround((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "zipf_intercept"
+        ),
+        fround(num * num / (denx * deny), 6).alias("r2"),
+    )
+    # fold through the tagged range-partition cache into the 1-row
+    # checkpoint, then release the cache (two_phase_rank contract)
+    out = out.localCheckpoint(eager=True)
+    tagged.unpersist()
+    return out

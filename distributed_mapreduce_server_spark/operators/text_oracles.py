@@ -871,3 +871,36 @@ TEXT_ORACLES["text_hashed_features"] = f"""
     FROM agg a JOIN top t USING (doc_id)
     ORDER BY a.doc_id
 """
+
+# Zipf fit: identical formula tree to the operator (slope / intercept
+# / R² from the six scalar moments over the log-log rank-frequency
+# points), so the two engines diverge only by float ulps under the
+# 6 dp rounding.
+TEXT_ORACLES["text_zipf_fit"] = f"""
+    WITH counts AS (
+        SELECT tok, COUNT(*) AS cnt
+        FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank
+        FROM counts
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+               SUM(log10(CAST(rank AS DOUBLE))) AS sx,
+               SUM(log10(CAST(cnt AS DOUBLE))) AS sy,
+               SUM(log10(CAST(rank AS DOUBLE)) * log10(CAST(rank AS DOUBLE))) AS sxx,
+               SUM(log10(CAST(cnt AS DOUBLE)) * log10(CAST(cnt AS DOUBLE))) AS syy,
+               SUM(log10(CAST(rank AS DOUBLE)) * log10(CAST(cnt AS DOUBLE))) AS sxy
+        FROM ranked
+    )
+    SELECT n AS n_types, n_tokens,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+               AS zipf_intercept,
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+"""

@@ -230,6 +230,7 @@ _register(
         "text_corpus_report",
         "text_model_quality_filter",
         "text_hashed_features",
+        "text_zipf_fit",
     ],
 )
 _register(

@@ -159,6 +159,7 @@ EAGER_OPS = {
     "q_events_lateness",  # running-max frontier offsets collect eagerly
     "q_balance_percentiles",  # two-phase rank offsets collect eagerly
     "q_abc_analysis",  # two-phase running-sum offsets collect eagerly
+    "text_zipf_fit",  # two-phase rank offsets collect eagerly
 }
 
 
