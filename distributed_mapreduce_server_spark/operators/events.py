@@ -1211,3 +1211,89 @@ def q_events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("level", "bucket_start", "n_events", "total_value").orderBy(
         "level", "bucket_start"
     )
+
+
+AB_SEED = 20240814
+# conversion = heavy purchaser (>= this many purchase events). The
+# frozen corpora are dense — EVERY user has every event type at both
+# SFs — so presence-of-purchase would be a degenerate 100% rate; the
+# per-user purchase count is ~Poisson(13) at any SF (events/user is
+# SF-invariant), so a cut at 14 yields a non-trivial rate at both.
+AB_CONV_MIN_PURCHASES = 14
+
+
+def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users split 50/50 by a seeded portable
+    hash (the assignment every experimentation platform uses — sticky,
+    stateless, reproducible from the user id alone), then per-variant
+    conversion (heavy purchaser, see AB_CONV_MIN_PURCHASES) and
+    revenue, with the pooled two-proportion z-score for the
+    conversion lift (NULL when the pooled rate is degenerate 0/1 —
+    both engines apply the same guard).
+
+    Scale shape: one keyed shuffle to the per-user frame (conversion
+    flag + revenue partial-agg), then a conditional-aggregate
+    reduction straight to the 1-row readout — variant never becomes a
+    2-partition shuffle key, so a 10⁹-user experiment reduces exactly
+    like a 10³-user one. All inputs to the z-score are exact integers;
+    the float expression tree is identical in the oracle, so the 6 dp
+    rounding pins cross-engine parity."""
+    from distributed_mapreduce_server_spark.functions import seeded_u60
+
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            >= AB_CONV_MIN_PURCHASES
+        )
+        .cast("int")
+        .alias("converted"),
+        fround(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                    0.0
+                )
+            ),
+            2,
+        ).alias("purchase_value"),
+    )
+    tagged = per_user.withColumn(
+        "variant",
+        F.when(
+            seeded_u60(F.col("user_id").cast("string"), AB_SEED) % 2 == 0, "A"
+        ).otherwise("B"),
+    )
+    is_a = (F.col("variant") == "A").cast("int")
+    is_b = (F.col("variant") == "B").cast("int")
+    agg = tagged.agg(
+        F.sum(is_a).cast("bigint").alias("n_a"),
+        F.sum(is_b).cast("bigint").alias("n_b"),
+        F.sum(is_a * F.col("converted")).cast("bigint").alias("conv_a"),
+        F.sum(is_b * F.col("converted")).cast("bigint").alias("conv_b"),
+        fround(F.sum(F.when(F.col("variant") == "A", F.col("purchase_value")).otherwise(0.0)), 2).alias("rev_a"),
+        fround(F.sum(F.when(F.col("variant") == "B", F.col("purchase_value")).otherwise(0.0)), 2).alias("rev_b"),
+    )
+    pa = F.col("conv_a") / F.col("n_a")
+    pb = F.col("conv_b") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    z = F.when(
+        (pooled > 0) & (pooled < 1),
+        (pa - pb)
+        / F.sqrt(
+            pooled
+            * (F.lit(1.0) - pooled)
+            * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+        ),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        fround(pa, 6).alias("rate_a"),
+        fround(pb, 6).alias("rate_b"),
+        fround(pa - pb, 6).alias("lift"),
+        fround(z, 6).alias("z_score"),
+        "rev_a",
+        "rev_b",
+    )

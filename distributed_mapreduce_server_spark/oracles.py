@@ -1462,3 +1462,50 @@ EVENTS_ORACLES["q_events_hierarchical_rollup"] = """
     SELECT '3_day' AS level, bucket_start, n_events, total_value FROM day
     ORDER BY level, bucket_start
 """
+
+# A/B readout: same seeded md5 assignment, same per-user aggregation,
+# same z-score expression tree — integer inputs, 6 dp rounding.
+from distributed_mapreduce_server_spark.operators.events import (  # noqa: E402
+    AB_CONV_MIN_PURCHASES,
+    AB_SEED,
+)
+
+EVENTS_ORACLES["q_events_ab_test"] = f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                         >= {AB_CONV_MIN_PURCHASES} THEN 1 ELSE 0 END AS converted,
+               ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2)
+                   AS purchase_value
+        FROM events GROUP BY 1
+    ),
+    tagged AS (
+        SELECT *,
+               CASE WHEN CAST(concat('0x', substr(md5(concat('{AB_SEED}|',
+                        CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 2 = 0
+                    THEN 'A' ELSE 'B' END AS variant
+        FROM per_user
+    ),
+    agg AS (
+        SELECT CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN variant = 'A' THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+               CAST(SUM(CASE WHEN variant = 'B' THEN converted ELSE 0 END) AS BIGINT) AS conv_b,
+               ROUND(SUM(CASE WHEN variant = 'A' THEN purchase_value ELSE 0.0 END), 2) AS rev_a,
+               ROUND(SUM(CASE WHEN variant = 'B' THEN purchase_value ELSE 0.0 END), 2) AS rev_b
+        FROM tagged
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           ROUND(conv_a / n_a, 6) AS rate_a,
+           ROUND(conv_b / n_b, 6) AS rate_b,
+           ROUND(conv_a / n_a - conv_b / n_b, 6) AS lift,
+           CASE WHEN (conv_a + conv_b) / (n_a + n_b) > 0
+                     AND (conv_a + conv_b) / (n_a + n_b) < 1
+                THEN ROUND((conv_a / n_a - conv_b / n_b)
+                     / sqrt(((conv_a + conv_b) / (n_a + n_b))
+                            * (1.0 - (conv_a + conv_b) / (n_a + n_b))
+                            * (1.0 / n_a + 1.0 / n_b)), 6)
+           END AS z_score,
+           rev_a, rev_b
+    FROM agg
+"""

@@ -281,6 +281,7 @@ _register(
         "q_events_cohort_ltv",
         "q_scd2_pit_join",
         "q_events_hierarchical_rollup",
+        "q_events_ab_test",
         "q_events_heatmap",
         "q_time_weighted_avg",
         "q_window_funnel",
