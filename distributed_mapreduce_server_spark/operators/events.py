@@ -1297,3 +1297,61 @@ def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev_a",
         "rev_b",
     )
+
+
+MARKOV_ROUNDS = 20
+
+
+def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the first-order event-type Markov
+    chain (power iteration, MARKOV_ROUNDS rounds from uniform), next
+    to the empirical type share and their gap — "does long-run chain
+    behavior match the marginal mix" is the drift check behind
+    session-model monitoring.
+
+    Bounded-collect contract (the similarity.py:40 pattern): the
+    fact-scale work — per-user lag window + pair counts — runs
+    distributed and reduces to the K×K transition-count matrix,
+    K = |event-type domain| (~5, schema-bounded like the 64-dim
+    covariance); only that matrix and the K-row marginal reach the
+    driver, where the K×K power iteration is arithmetic noise. Per
+    round the new vector is rounded to 10 dp (fround_scalar) exactly
+    like the PageRank loop, so the oracle's unrolled CTE rounds land
+    on the same grid regardless of float-sum order."""
+    from distributed_mapreduce_server_spark.functions import fround_scalar
+
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    rows = pairs.collect()  # K^2 rows, K = event-type domain
+    marg = (
+        ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    )  # K rows
+    types = sorted({r.prev_type for r in rows} | {r.next_type for r in rows})
+    tot = {t: 0 for t in types}
+    for r in rows:
+        tot[r.prev_type] += r.n
+    P = {(r.prev_type, r.next_type): r.n / tot[r.prev_type] for r in rows}
+    pi = {t: 1.0 / len(types) for t in types}
+    for _ in range(MARKOV_ROUNDS):
+        pi = {
+            t: fround_scalar(
+                sum(pi[s] * P.get((s, t), 0.0) for s in types), 10
+            )
+            for t in types
+        }
+    n_events = sum(r.n for r in marg)
+    emp = {r.event_type: fround_scalar(r.n / n_events, 10) for r in marg}
+    out = [
+        (t, pi[t], emp.get(t, 0.0), fround_scalar(abs(pi[t] - emp.get(t, 0.0)), 10))
+        for t in types
+    ]
+    return spark.createDataFrame(
+        out, "event_type string, pi double, emp_share double, gap double"
+    ).orderBy("event_type")

@@ -1509,3 +1509,59 @@ EVENTS_ORACLES["q_events_ab_test"] = f"""
            rev_a, rev_b
     FROM agg
 """
+
+
+# stationary distribution: unrolled power-iteration CTEs (one per
+# round, like the PageRank oracle) with per-round ROUND(...,10); the
+# transition-probability frame is MATERIALIZED because every round
+# references it (DuckDB inlines CTEs per reference site).
+from distributed_mapreduce_server_spark.operators.events import MARKOV_ROUNDS  # noqa: E402
+
+
+def _markov_stationary_sql() -> str:
+    steps = ["pi0 AS (SELECT t, 1.0 / k AS pi FROM types, k)"]
+    for i in range(1, MARKOV_ROUNDS + 1):
+        steps.append(
+            f"""pi{i} AS (
+        SELECT p.next_type AS t, ROUND(SUM(pi{i - 1}.pi * p.p), 10) AS pi
+        FROM p JOIN pi{i - 1} ON p.prev_type = pi{i - 1}.t
+        GROUP BY 1
+    )"""
+        )
+    return f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    pairs AS MATERIALIZED (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT prev_type, SUM(n) AS tot FROM pairs GROUP BY 1),
+    p AS MATERIALIZED (
+        SELECT pairs.prev_type, next_type, n / CAST(tot AS DOUBLE) AS p
+        FROM pairs JOIN tot ON pairs.prev_type = tot.prev_type
+    ),
+    types AS MATERIALIZED (
+        SELECT prev_type AS t FROM pairs
+        UNION
+        SELECT next_type AS t FROM pairs
+    ),
+    k AS (SELECT COUNT(*) AS k FROM types),
+    {", ".join(steps)},
+    emp AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+    te AS (SELECT SUM(n) AS s FROM emp)
+    SELECT emp.event_type,
+           pi{MARKOV_ROUNDS}.pi AS pi,
+           ROUND(emp.n / CAST(te.s AS DOUBLE), 10) AS emp_share,
+           ROUND(ABS(pi{MARKOV_ROUNDS}.pi
+                     - ROUND(emp.n / CAST(te.s AS DOUBLE), 10)), 10) AS gap
+    FROM emp JOIN pi{MARKOV_ROUNDS} ON emp.event_type = pi{MARKOV_ROUNDS}.t, te
+    ORDER BY emp.event_type
+"""
+
+
+EVENTS_ORACLES["q_events_markov_stationary"] = _markov_stationary_sql()

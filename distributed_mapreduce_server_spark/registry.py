@@ -268,6 +268,7 @@ _register(
         "q_events_retention",
         "q_events_dau_wau",
         "q_events_transitions",
+        "q_events_markov_stationary",
         "q_events_paths",
         "q_events_latest_per_key",
         "q_events_daily_sketch_rollup",

@@ -160,6 +160,7 @@ EAGER_OPS = {
     "q_balance_percentiles",  # two-phase rank offsets collect eagerly
     "q_abc_analysis",  # two-phase running-sum offsets collect eagerly
     "text_zipf_fit",  # two-phase rank offsets collect eagerly
+    "q_events_markov_stationary",  # K×K bounded collect + driver power iteration
 }
 
 
