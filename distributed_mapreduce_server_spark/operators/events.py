@@ -1192,6 +1192,15 @@ def q_events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         fround(F.sum("value"), 2).alias("total_value"),
     )
+    return rollup_cascade(minute)
+
+
+def rollup_cascade(minute: DataFrame) -> DataFrame:
+    """hour/day levels from a (bucket_start, n_events, total_value)
+    MINUTE partial frame, unioned with it — ONE definition shared by
+    the batch operator and streaming.stream_hierarchical_rollup's
+    final readback (which carries the batch oracle), so the per-level
+    rounding cascade cannot drift between the two."""
     hour = minute.groupBy(F.date_trunc("hour", "bucket_start").alias("bucket_start")).agg(
         F.sum("n_events").alias("n_events"),
         fround(F.sum("total_value"), 2).alias("total_value"),

@@ -580,6 +580,14 @@ _ORACLES["stream_model_quality_filter"] = (
     + TEXT_ORACLES["text_model_quality_filter"]
     + "\n) WHERE keep ORDER BY doc_id"
 ).strip()
+# incremental continuous aggregate: foreachBatch maintains the
+# minute-level additive state (day-partitioned merge), the cascade to
+# hour/day reuses the batch helper — availableNow drains everything,
+# so the job carries the batch cascade's full oracle.
+_QUERIES["stream_hierarchical_rollup"] = streaming_jobs.stream_hierarchical_rollup
+_ORACLES["stream_hierarchical_rollup"] = EVENTS_ORACLES[
+    "q_events_hierarchical_rollup"
+].strip()
 # date-partitioned parquet ingest: the registry entry re-reads the
 # LANDED sink files, so the oracle checks the exactly-once write path
 # end-to-end (availableNow drains everything -> sink == source).

@@ -869,3 +869,101 @@ def stream_model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(kept, "append")
     return out.orderBy("doc_id")
+
+
+def rollup_apply_batch(state_dir: str):
+    """foreachBatch body for stream_hierarchical_rollup: ADDITIVE merge
+    of the micro-batch's minute partials into a day-partitioned minute
+    state table. Counts and raw value sums are mergeable monoids, so a
+    minute split across micro-batches converges to the same state as a
+    single-batch run — rounding happens only at readback.
+
+    Per-batch work is bounded by the batch's event-time spread: the
+    batch's touched DAYS are read back (hive partition pruning on the
+    day dir), merged additively, and only those day directories are
+    swapped — yesterday's rollups are never rewritten once the stream
+    has moved on. This is the watermark-bounded incremental
+    continuous-aggregate shape: state touched per batch ~ lateness
+    horizon, not stream lifetime."""
+    import os
+    import shutil
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        partial = (
+            batch_df.groupBy(F.date_trunc("minute", "ts").alias("bucket_start"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("value").alias("sum_value"),
+            )
+            .withColumn("day", F.date_format("bucket_start", "yyyy-MM-dd"))
+            .persist()
+        )
+        touched = sorted(r["day"] for r in partial.select("day").distinct().collect())
+        if not touched:
+            partial.unpersist()
+            return
+        if os.path.isdir(state_dir):
+            current = sess.read.parquet(state_dir).filter(F.col("day").isin(touched))
+            merged = (
+                current.unionByName(partial)
+                .groupBy("day", "bucket_start")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_value").alias("sum_value"),
+                )
+            )
+        else:
+            merged = partial
+        tmp = state_dir + ".next"
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.write.mode("overwrite").partitionBy("day").parquet(tmp)
+        partial.unpersist()
+        if os.path.isdir(state_dir):
+            for d in touched:
+                src = os.path.join(tmp, f"day={d}")
+                dst = os.path.join(state_dir, f"day={d}")
+                if os.path.isdir(dst):
+                    shutil.rmtree(dst)
+                os.replace(src, dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            os.replace(tmp, state_dir)
+
+    return apply_batch
+
+
+def stream_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_events_hierarchical_rollup: the event
+    stream maintains the MINUTE-level partial state incrementally
+    (rollup_apply_batch: additive day-partitioned merge), and the
+    hour/day levels are derived from that state by the SAME cascade
+    the batch operator runs (operators/events.py rollup_cascade) —
+    coarser levels are free once the minute partials exist, which is
+    the entire point of the continuous-aggregate pattern. availableNow
+    drains everything, so the final state equals the batch minute
+    aggregation and the job carries the batch operator's full oracle."""
+    import os
+
+    from distributed_mapreduce_server_spark.operators.events import rollup_cascade
+
+    state_dir = os.path.join(
+        tempfile.gettempdir(), f"dmrs_rollup_{uuid.uuid4().hex[:12]}"
+    )
+    ev = _events_stream(spark, sf_dir).select("ts", "value")
+    q = (
+        ev.writeStream.foreachBatch(rollup_apply_batch(state_dir))
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.gettempdir(), f"dmrs_rollup_ck_{uuid.uuid4().hex[:12]}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    minute = spark.read.parquet(state_dir).select(
+        "bucket_start",
+        "n_events",
+        fround(F.col("sum_value"), 2).alias("total_value"),
+    )
+    return rollup_cascade(minute)

@@ -161,6 +161,7 @@ EAGER_OPS = {
     "q_abc_analysis",  # two-phase running-sum offsets collect eagerly
     "text_zipf_fit",  # two-phase rank offsets collect eagerly
     "q_events_markov_stationary",  # K×K bounded collect + driver power iteration
+    "stream_hierarchical_rollup",  # foreachBatch state build runs eagerly
 }
 
 

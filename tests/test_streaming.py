@@ -283,3 +283,44 @@ def test_upsert_recovers_from_mid_swap_crash(spark, sf_smoke, tmp_path_factory):
     assert not os.path.isdir(trash)
     got = sorted(map(tuple, spark.read.parquet(state).drop("bucket").collect()))
     assert got == expected
+
+
+def test_rollup_incremental_merge_matches_batch(spark, sf_smoke, tmp_path):
+    """The additive minute-state merge must converge to the batch
+    cascade even when a minute's events are SPLIT across micro-batches
+    (the single-file availableNow run executes in one batch, so the
+    merge branch needs direct exercise). Split by event_id parity —
+    both halves hit every day — then cascade the merged state and
+    compare to the batch operator."""
+    from distributed_mapreduce_server_spark.catalog import load_tables
+    from distributed_mapreduce_server_spark.operators.events import (
+        q_events_hierarchical_rollup,
+        rollup_cascade,
+    )
+    from distributed_mapreduce_server_spark.streaming.jobs import rollup_apply_batch
+    from distributed_mapreduce_server_spark.functions import fround
+    from pyspark.sql import functions as F
+
+    ev = load_tables(spark, sf_smoke, register_views=False)["events"].select(
+        "event_id", "ts", "value"
+    )
+    state_dir = str(tmp_path / "rollup_state")
+    apply_batch = rollup_apply_batch(state_dir)
+    apply_batch(ev.filter(F.col("event_id") % 2 == 0), 0)
+    apply_batch(ev.filter(F.col("event_id") % 2 == 1), 1)
+    # empty micro-batch must be a no-op, not a state wipe
+    apply_batch(ev.filter(F.lit(False)), 2)
+    minute = spark.read.parquet(state_dir).select(
+        "bucket_start",
+        "n_events",
+        fround(F.col("sum_value"), 2).alias("total_value"),
+    )
+    merged = {
+        (r["level"], r["bucket_start"]): (r["n_events"], r["total_value"])
+        for r in rollup_cascade(minute).collect()
+    }
+    batch = {
+        (r["level"], r["bucket_start"]): (r["n_events"], r["total_value"])
+        for r in q_events_hierarchical_rollup(spark, sf_smoke).collect()
+    }
+    assert merged == batch
