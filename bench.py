@@ -94,6 +94,12 @@ HEADLINE = [
     "q_new_vs_returning",
     "q_seasonality_index",
     "q_argmax_suite",
+    # round-5 continuation wave
+    "q_graph_triangles",
+    "q_graph_common_neighbors",
+    "q_events_hierarchical_rollup",
+    "q_events_ab_test",
+    "text_zipf_fit",
 ]
 
 

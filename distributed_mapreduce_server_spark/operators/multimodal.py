@@ -580,3 +580,111 @@ def mm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+PHASH_CHUNKS = 24
+PHASH_BAND_BITS = 6
+PHASH_BANDS = 4  # 4 bands x 6 bits; complete for Hamming <= PHASH_BANDS - 1
+PHASH_MAX_HAMMING = 3
+
+
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-aware near-dup over media payloads — the stage
+    mm_payload_dedup's docstring defers ("dedup by digest is exact,
+    format-aware near-dup comes later"). A 24-bit blockwise perceptual
+    signature: the payload is cut into PHASH_CHUNKS equal byte blocks,
+    bit k = (block-k mean intensity > global mean) — the aHash
+    construction applied to payload bytes instead of decoded pixels
+    (the corpus payloads are ASCII text, which also makes the
+    signature SQL-expressible for the oracle, like the rest of §2.6).
+
+    Candidate generation is banded (PHASH_BANDS × PHASH_BAND_BITS
+    bits), verify = exact Hamming within buckets. Completeness is
+    EXACT, not probabilistic: a pair at Hamming ≤ 3 differs in at
+    most 3 of 4 bands, so it collides on at least one full band
+    (pigeonhole) — the oracle therefore enumerates ALL within-type
+    pairs with the same ≤ 3 cut, and the parity check doubles as the
+    executed completeness proof.
+
+    Scale shape: signature = one explode + two keyed partial aggs
+    (bytes → block sums → signature); candidates only within
+    (media_type, band, value) buckets, never the all-pairs product
+    the oracle can afford at test SF. Bucket load is n/2^6 per band —
+    at larger corpora widen the band (band bits ~ log₂ n), the same
+    dial as dedup_simhash."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    media = attach_media(docs).filter(F.length("payload") >= PHASH_CHUNKS)
+    txt = media.select(
+        "doc_id",
+        F.col("media_meta.media_type").alias("media_type"),
+        F.decode("payload", "utf-8").alias("txt"),
+    )
+    pts = txt.select(
+        "doc_id",
+        "media_type",
+        F.length("txt").alias("L"),
+        F.posexplode(
+            F.expr("transform(sequence(1, length(txt)), i -> ascii(substr(txt, i, 1)))")
+        ).alias("pos", "code"),
+    )
+    # 1-based position p = pos + 1; block k = (CHUNKS*p - 1) div L,
+    # the closed form of the floor-boundary equal-split (identical in
+    # the oracle).
+    chunked = (
+        pts.withColumn(
+            "k",
+            F.expr(f"CAST(((pos + 1) * {PHASH_CHUNKS} - 1) div L AS INT)"),
+        )
+        .groupBy("doc_id", "media_type", "L", "k")
+        .agg(F.sum("code").alias("csum"), F.count("*").alias("cn"))
+    )
+    tot = chunked.groupBy(F.col("doc_id").alias("doc_tot")).agg(
+        F.sum("csum").alias("stot")
+    )
+    sig = (
+        chunked.join(tot, F.col("doc_id") == F.col("doc_tot"))
+        .groupBy("doc_id", "media_type")
+        .agg(
+            F.sum(
+                F.expr("shiftleft(CAST(csum / cn > stot / L AS INT), k)")
+            )
+            .cast("bigint")
+            .alias("sig")
+        )
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.expr(
+                    f"(sig >> {b * PHASH_BAND_BITS}) & {(1 << PHASH_BAND_BITS) - 1}"
+                ).alias("band_val"),
+            )
+            for b in range(PHASH_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", "media_type", "sig", F.explode(band_structs).alias("band")
+    ).select("doc_id", "media_type", "sig", "band.band_idx", "band.band_val")
+    buckets = bands.groupBy("media_type", "band_idx", "band_val").agg(
+        F.collect_list(F.struct("doc_id", "sig")).alias("ds")
+    )
+    cand = (
+        buckets.select("media_type", F.explode("ds").alias("a"), "ds")
+        .select("media_type", "a", F.explode("ds").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            "media_type",
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("CAST(bit_count(sig_a ^ sig_b) AS INT)"))
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .select("media_type", "doc_a", "doc_b", "hamming")
+        .orderBy("media_type", "doc_a", "doc_b")
+    )

@@ -208,3 +208,51 @@ MULTIMODAL_ORACLES["mm_quality_gate"] = f"""
     )
     ORDER BY doc_id
 """
+
+from distributed_mapreduce_server_spark.operators.multimodal import (  # noqa: E402
+    PHASH_CHUNKS,
+    PHASH_MAX_HAMMING,
+)
+
+# near-dup oracle is the ALL-PAIRS enumeration (no banding): the
+# operator's banded candidates are provably complete for
+# Hamming <= PHASH_MAX_HAMMING (pigeonhole over 4 bands), so the two
+# must return the identical pair set.
+MULTIMODAL_ORACLES["mm_phash_neardup"] = f"""
+    WITH media AS (
+        SELECT doc_id, text,
+               (['image', 'audio', 'video'])[(doc_id % 3 + 1)] AS media_type,
+               length(text) AS L
+        FROM documents
+        WHERE length(text) >= {PHASH_CHUNKS}
+    ),
+    p1 AS (
+        SELECT doc_id, media_type, L, text, unnest(range(1, L + 1)) AS p
+        FROM media
+    ),
+    pts AS (
+        SELECT doc_id, media_type, L,
+               ({PHASH_CHUNKS} * p - 1) // L AS k,
+               ascii(text[p]) AS code
+        FROM p1
+    ),
+    chunked AS (
+        SELECT doc_id, media_type, L, k,
+               SUM(code) AS csum, COUNT(*) AS cn
+        FROM pts GROUP BY 1, 2, 3, 4
+    ),
+    tot AS (SELECT doc_id, SUM(csum) AS stot FROM chunked GROUP BY 1),
+    sig AS (
+        SELECT c.doc_id, c.media_type,
+               CAST(SUM(CASE WHEN c.csum / c.cn > t.stot / c.L
+                             THEN 1::BIGINT << c.k ELSE 0 END) AS BIGINT) AS s
+        FROM chunked c JOIN tot t ON c.doc_id = t.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT a.media_type, a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+    FROM sig a JOIN sig b
+      ON a.media_type = b.media_type AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= {PHASH_MAX_HAMMING}
+    ORDER BY 1, 2, 3
+"""

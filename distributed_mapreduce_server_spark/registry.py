@@ -304,6 +304,7 @@ _register(
         "mm_frame_sample",
         "mm_audio_features",
         "mm_payload_dedup",
+        "mm_phash_neardup",
         "mm_modality_mix",
         "mm_shard_manifest",
         "mm_quality_gate",
