@@ -140,3 +140,50 @@ def sim_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(HYBRID_TOP_K)
     )
+
+
+# distinct-word phrases (w1 != w2 makes occurrences non-overlapping);
+# all four occur at both test SFs, so the counts are non-vacuous.
+PHRASE_QUERIES: tuple[str, ...] = ("fast table", "key agg", "merge batch", "row scan")
+
+
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search via a POSITIONAL index — the capability
+    BM25's bag-of-words scoring cannot express ("key agg" the phrase,
+    not the two terms anywhere). One posexplode builds the
+    (doc, position, term) index; both sides are then SEMI-FILTERED to
+    query terms against the broadcast phrase table BEFORE the
+    adjacency join (term-at-a-time evaluation: at real corpus scale
+    query terms are rare, so the filter drops almost the whole index
+    — the classic reason posting lists beat document scans), and the
+    adjacency join is keyed on (doc, position), never a cross
+    product. Output is the per-phrase hit summary."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    idx = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
+    ph = spark.createDataFrame(
+        [(p, p.split()[0], p.split()[1]) for p in PHRASE_QUERIES],
+        "phrase string, w1 string, w2 string",
+    )
+    first = idx.join(broadcast(ph), F.col("tok") == F.col("w1")).select(
+        "doc_id", "pos", "phrase", "w2"
+    )
+    second = (
+        idx.join(broadcast(ph.select("w2").distinct()), F.col("tok") == F.col("w2"), "semi")
+        .select(
+            F.col("doc_id").alias("d2"), F.col("pos").alias("p2"), F.col("tok").alias("t2")
+        )
+    )
+    hits = first.join(
+        second,
+        (F.col("doc_id") == F.col("d2"))
+        & (F.col("p2") == F.col("pos") + 1)
+        & (F.col("t2") == F.col("w2")),
+    )
+    return (
+        hits.groupBy("phrase")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_occurrences"),
+        )
+        .orderBy("phrase")
+    )

@@ -95,3 +95,24 @@ SEARCH_ORACLES["sim_hybrid_search"] = f"""
     ORDER BY rrf DESC, doc_id
     LIMIT {HYBRID_TOP_K}
 """
+
+from distributed_mapreduce_server_spark.operators.search import (  # noqa: E402
+    PHRASE_QUERIES,
+)
+
+_PHRASE_LIST = ", ".join(f"'{p}'" for p in PHRASE_QUERIES)
+
+# the oracle enumerates every adjacent-token bigram and filters to the
+# query phrases — same token stream, no positional-join machinery.
+SEARCH_ORACLES["text_phrase_search"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    p1 AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t),
+    bg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram FROM p1)
+    SELECT bigram AS phrase,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences
+    FROM bg
+    WHERE bigram IN ({_PHRASE_LIST})
+    GROUP BY 1
+    ORDER BY 1
+"""

@@ -249,6 +249,7 @@ _register(
     [
         "text_bm25_search",
         "sim_hybrid_search",
+        "text_phrase_search",
     ],
 )
 _register(
