@@ -330,6 +330,25 @@ from distributed_mapreduce_server_spark.sources.python_source import (  # noqa: 
 _QUERIES["pysource_stream_events"] = pysource_stream_events
 _ORACLES["pysource_stream_events"] = pysource_stream_oracle().strip()
 
+# interop-format round-trips: write events through the format registry,
+# return the READ-BACK rows — the events-table oracle verifies the
+# whole write→read loop (timestamp micros, CSV quoting of embedded
+# JSON) with full value parity.
+from distributed_mapreduce_server_spark.sources.roundtrip import (  # noqa: E402
+    ROUNDTRIP_ORACLE,
+    src_csv_roundtrip,
+    src_json_roundtrip,
+    src_orc_roundtrip,
+)
+
+for _rt_key, _rt_fn in (
+    ("src_csv_roundtrip", src_csv_roundtrip),
+    ("src_json_roundtrip", src_json_roundtrip),
+    ("src_orc_roundtrip", src_orc_roundtrip),
+):
+    _QUERIES[_rt_key] = _rt_fn
+    _ORACLES[_rt_key] = ROUNDTRIP_ORACLE.strip()
+
 # stream_sessionize emits exactly the sessions CLOSED during the run:
 # under availableNow a session closes when a later event starts the
 # user's next session, so the output is the batch sessionization MINUS

@@ -162,6 +162,9 @@ EAGER_OPS = {
     "text_zipf_fit",  # two-phase rank offsets collect eagerly
     "q_events_markov_stationary",  # K×K bounded collect + driver power iteration
     "stream_hierarchical_rollup",  # foreachBatch state build runs eagerly
+    "src_csv_roundtrip",  # write_sink action runs eagerly
+    "src_json_roundtrip",  # write_sink action runs eagerly
+    "src_orc_roundtrip",  # write_sink action runs eagerly
 }
 
 
