@@ -1364,3 +1364,49 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "event_type string, pi double, emp_share double, gap double"
     ).orderBy("event_type")
+
+
+def q_events_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of daily event volume: grouped OLS of
+    count on day index, with slope/intercept/R² and the next-day
+    forecast — the capacity-planning readout ("is error volume
+    growing, and what does tomorrow look like").
+
+    Scale shape: the fact stream reduces to the (day × type) frame in
+    one partial-agg shuffle; the regression consumes per-type scalar
+    moments (second keyed reduction over the ~30·K-row daily frame) —
+    the same moments-only OLS as text_zipf_fit, grouped. The day-zero
+    anchor is a 1-row broadcast cross-join (q_customer_rfm pattern).
+    Identical formula tree in the oracle under 6 dp rounding."""
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    anchor = daily.agg(F.min("day").alias("day0"))
+    xy = daily.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        F.datediff("day", "day0").cast("double").alias("x"),
+        F.col("n").cast("double").alias("y"),
+    )
+    m = xy.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.max("x").alias("xmax"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / denx
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n_days")
+    return m.select(
+        "event_type",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        fround(slope, 6).alias("slope"),
+        fround(intercept, 6).alias("intercept"),
+        fround(num * num / (denx * deny), 6).alias("r2"),
+        fround(intercept + slope * (F.col("xmax") + 1), 6).alias("forecast_next"),
+    ).orderBy("event_type")

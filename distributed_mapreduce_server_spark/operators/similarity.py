@@ -1329,3 +1329,43 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+NORM_OUTLIER_SIGMA = 2.5
+
+
+def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm outliers: vectors whose L2 norm sits more than
+    NORM_OUTLIER_SIGMA·σ from the corpus mean — the 30-second sanity gate before any
+    index build (a batch of zero vectors or exploded norms from a bad
+    encoder checkpoint shows up here first; the ANN arms all assume
+    roughly calibrated norms).
+
+    Scale shape: the norm is a per-row sequential array fold (same
+    left-to-right order as the oracle's list_sum — bit-comparable,
+    the cosine_sim contract); (μ, σ) reduce to a 1-row broadcast
+    joined back, exactly the q_events_anomaly shape — no window over
+    the corpus, two passes, nothing vector-sized on the driver."""
+    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    norms = emb.select("vec_id", "label", norm.alias("norm"))
+    stats = norms.agg(
+        F.avg("norm").alias("mu"), F.stddev_samp("norm").alias("sigma")
+    )
+    return (
+        norms.crossJoin(F.broadcast(stats))
+        .filter(F.abs(F.col("norm") - F.col("mu")) > NORM_OUTLIER_SIGMA * F.col("sigma"))
+        .select(
+            "vec_id",
+            "label",
+            fround("norm", 4).alias("norm"),
+            fround((F.col("norm") - F.col("mu")) / F.col("sigma"), 4).alias("z"),
+        )
+        .orderBy("vec_id")
+    )

@@ -769,3 +769,23 @@ def _ann_eval_sql() -> str:
 
 
 SIMILARITY_ORACLES["sim_ann_eval"] = _ann_eval_sql()
+
+# norm outliers: same sequential list fold for the norm, same 1-row
+# (mu, sigma) stats, same 2.5-sigma cut (q_events_anomaly
+# precedent for the unrounded boundary compare; 2.5 keeps both SFs
+# non-vacuous).
+SIMILARITY_ORACLES["emb_norm_outliers"] = """
+    WITH norms AS (
+        SELECT vec_id, label,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        FROM embeddings
+    ),
+    stats AS (SELECT AVG(norm) AS mu, STDDEV_SAMP(norm) AS sigma FROM norms)
+    SELECT vec_id, label,
+           ROUND(norm, 4) AS norm,
+           ROUND((norm - mu) / sigma, 4) AS z
+    FROM norms, stats
+    WHERE ABS(norm - mu) > 2.5 * sigma
+    ORDER BY vec_id
+"""

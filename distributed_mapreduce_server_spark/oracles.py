@@ -1565,3 +1565,38 @@ def _markov_stationary_sql() -> str:
 
 
 EVENTS_ORACLES["q_events_markov_stationary"] = _markov_stationary_sql()
+
+# grouped OLS trend: identical moments formula tree per event_type.
+EVENTS_ORACLES["q_events_trend_fit"] = """
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    anchor AS (SELECT MIN(day) AS day0 FROM daily),
+    xy AS (
+        SELECT event_type,
+               CAST(date_diff('day', day0, day) AS DOUBLE) AS x,
+               CAST(n AS DOUBLE) AS y
+        FROM daily, anchor
+    ),
+    m AS (
+        SELECT event_type,
+               COUNT(*) AS n_days, MAX(x) AS xmax,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        FROM xy GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n_days AS BIGINT) AS n_days,
+           ROUND((n_days * sxy - sx * sy) / (n_days * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - ((n_days * sxy - sx * sy) / (n_days * sxx - sx * sx)) * sx)
+                 / n_days, 6) AS intercept,
+           ROUND((n_days * sxy - sx * sy) * (n_days * sxy - sx * sy)
+                 / ((n_days * sxx - sx * sx) * (n_days * syy - sy * sy)), 6) AS r2,
+           ROUND((sy - ((n_days * sxy - sx * sy) / (n_days * sxx - sx * sx)) * sx)
+                 / n_days
+                 + ((n_days * sxy - sx * sy) / (n_days * sxx - sx * sx)) * (xmax + 1),
+                 6) AS forecast_next
+    FROM m
+    ORDER BY event_type
+"""

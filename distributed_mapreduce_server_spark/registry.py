@@ -187,6 +187,7 @@ _register(
         "sim_hamming_ann",
         "sim_bq_rerank",
         "emb_cluster_purity",
+        "emb_norm_outliers",
     ],
 )
 _register(
@@ -270,6 +271,7 @@ _register(
         "q_events_dau_wau",
         "q_events_transitions",
         "q_events_markov_stationary",
+        "q_events_trend_fit",
         "q_events_paths",
         "q_events_latest_per_key",
         "q_events_daily_sketch_rollup",

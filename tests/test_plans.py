@@ -112,6 +112,8 @@ DELIBERATE_NESTED_LOOP = {
     "q_time_bucket_gapfill",  # 1-row broadcast time-bounds cross-join
     "q_snapshot_diff",  # 1-row broadcast snapshot-cutoff cross-join
     "q_graph_triangles",  # 1-row metric frames cross-joined
+    "q_events_trend_fit",  # 1-row broadcast day-zero anchor cross-join
+    "emb_norm_outliers",  # 1-row broadcast (mu, sigma) stats cross-join
 }
 
 # Streaming / iterative ops execute eagerly inside the callable; the
