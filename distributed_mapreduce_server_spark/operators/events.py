@@ -1410,3 +1410,70 @@ def q_events_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(num * num / (denx * deny), 6).alias("r2"),
         fround(intercept + slope * (F.col("xmax") + 1), 6).alias("forecast_next"),
     ).orderBy("event_type")
+
+
+IVM_OLD_FRACTION = (4, 5)  # first 4/5 of event_id space = the old corpus
+
+
+def q_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of a join view. The materialized
+    view is V = clicks ⋈ purchases (same user, purchase within 1 h of
+    the click — the attribution join the streaming module also runs).
+    When a delta batch arrives (here: the last 1/5 of the event_id
+    space, dedup_incremental's cutoff convention), the refresh is
+    V ← V ∪ ΔV with the bilinear identity
+
+        ΔV = Δc ⋈ P_old  ∪  C_old ⋈ Δp  ∪  Δc ⋈ Δp
+
+    — this operator computes ΔV via those three joins, each with a
+    DELTA on at least one side, so refresh cost scales with the day's
+    delta and never with |V| or the accumulated corpus (at 100 TB the
+    old sides are read through their join-key partitioning / index,
+    not rescanned: the joins are key-partitioned on user_id). Each
+    output row carries its term tag. The oracle derives the identical
+    set from the FULL join filtered to pairs touching a new row — the
+    IVM identity executed as the parity check."""
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    num, den = IVM_OLD_FRACTION
+    cut = ev.agg(
+        F.floor(((F.max("event_id") + 1) * num) / den).cast("long").alias("cutoff")
+    )
+    evx = ev.crossJoin(F.broadcast(cut))
+
+    def side(etype: str, prefix: str) -> DataFrame:
+        return evx.filter(F.col("event_type") == etype).select(
+            F.col("user_id").alias(f"{prefix}_user"),
+            F.col("event_id").alias(f"{prefix}_id"),
+            F.col("ts").alias(f"{prefix}_ts"),
+            (F.col("event_id") >= F.col("cutoff")).alias(f"{prefix}_new"),
+        )
+
+    clicks, purchases = side("click", "click"), side("purchase", "purchase")
+    cond = (
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+
+    def term(c: DataFrame, p: DataFrame, tag: str) -> DataFrame:
+        return c.join(p, cond).select(
+            F.col("click_user").alias("user_id"),
+            F.col("click_id"),
+            F.col("purchase_id"),
+            (F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")).alias(
+                "delay_sec"
+            ),
+            F.lit(tag).alias("delta_term"),
+        )
+
+    old_c, new_c = clicks.filter(~F.col("click_new")), clicks.filter("click_new")
+    old_p, new_p = (
+        purchases.filter(~F.col("purchase_new")),
+        purchases.filter("purchase_new"),
+    )
+    delta = (
+        term(new_c, old_p, "new_old")
+        .unionAll(term(old_c, new_p, "old_new"))
+        .unionAll(term(new_c, new_p, "new_new"))
+    )
+    return delta.orderBy("user_id", "click_id", "purchase_id")

@@ -1600,3 +1600,42 @@ EVENTS_ORACLES["q_events_trend_fit"] = """
     FROM m
     ORDER BY event_type
 """
+
+# IVM delta: the oracle takes the FULL join and keeps pairs touching a
+# new row, tagging which side(s) are new — exactly the set the
+# operator assembles from the three delta-sided joins (the bilinear
+# IVM identity; the parity check IS the identity proof, executed).
+from distributed_mapreduce_server_spark.operators.events import IVM_OLD_FRACTION  # noqa: E402
+
+_IVM_NUM, _IVM_DEN = IVM_OLD_FRACTION
+EVENTS_ORACLES["q_ivm_join_delta"] = f"""
+    WITH cut AS (
+        SELECT CAST(FLOOR(((MAX(event_id) + 1) * {_IVM_NUM}) / {_IVM_DEN}) AS BIGINT)
+               AS cutoff
+        FROM events
+    ),
+    c AS (
+        SELECT user_id, event_id AS click_id, ts AS cts,
+               event_id >= cutoff AS cn
+        FROM events, cut WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id, event_id AS purchase_id, ts AS pts,
+               event_id >= cutoff AS pn
+        FROM events, cut WHERE event_type = 'purchase'
+    ),
+    j AS (
+        SELECT c.user_id, click_id, purchase_id,
+               CAST(date_diff('second', cts, pts) AS BIGINT) AS delay_sec,
+               cn, pn
+        FROM c JOIN p ON c.user_id = p.user_id
+         AND pts >= cts AND pts <= cts + INTERVAL 1 HOUR
+    )
+    SELECT user_id, click_id, purchase_id, delay_sec,
+           CASE WHEN cn AND pn THEN 'new_new'
+                WHEN cn THEN 'new_old'
+                ELSE 'old_new' END AS delta_term
+    FROM j
+    WHERE cn OR pn
+    ORDER BY user_id, click_id, purchase_id
+"""

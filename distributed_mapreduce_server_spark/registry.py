@@ -272,6 +272,7 @@ _register(
         "q_events_transitions",
         "q_events_markov_stationary",
         "q_events_trend_fit",
+        "q_ivm_join_delta",
         "q_events_paths",
         "q_events_latest_per_key",
         "q_events_daily_sketch_rollup",

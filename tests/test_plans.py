@@ -114,6 +114,7 @@ DELIBERATE_NESTED_LOOP = {
     "q_graph_triangles",  # 1-row metric frames cross-joined
     "q_events_trend_fit",  # 1-row broadcast day-zero anchor cross-join
     "emb_norm_outliers",  # 1-row broadcast (mu, sigma) stats cross-join
+    "q_ivm_join_delta",  # 1-row broadcast id-cutoff cross-join
 }
 
 # Streaming / iterative ops execute eagerly inside the callable; the
