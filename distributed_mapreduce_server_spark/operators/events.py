@@ -1477,3 +1477,25 @@ def q_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(term(new_c, new_p, "new_new"))
     )
     return delta.orderBy("user_id", "click_id", "purchase_id")
+
+
+def q_sessions_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day bounce rate: share of sessions (q_events_sessionize's
+    exact session definition — composed, not re-derived) that contain
+    a single event, keyed by the session's start day — the first KPI
+    a web-analytics dashboard adds after sessionization. Rides the
+    sessionizer's per-user window partitioning; the daily reduction
+    is one partial-agg shuffle over the session-sized frame."""
+    sessions = q_events_sessionize(spark, sf_dir)
+    return (
+        sessions.groupBy(F.date_trunc("day", "session_start").alias("day"))
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("bigint")).alias("n_bounces"),
+            fround(
+                F.sum((F.col("n_events") == 1).cast("bigint")) / F.count("*"), 6
+            ).alias("bounce_rate"),
+            fround(F.avg("n_events"), 4).alias("avg_session_events"),
+        )
+        .orderBy("day")
+    )

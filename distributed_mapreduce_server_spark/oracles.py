@@ -1639,3 +1639,21 @@ EVENTS_ORACLES["q_ivm_join_delta"] = f"""
     WHERE cn OR pn
     ORDER BY user_id, click_id, purchase_id
 """
+
+
+# bounce rate: composed from the sessionize oracle (MATERIALIZED —
+# q_concurrent_sessions precedent), identical expressions.
+EVENTS_ORACLES["q_sessions_bounce_rate"] = f"""
+    WITH sess AS MATERIALIZED (
+{EVENTS_ORACLES["q_events_sessionize"]}
+    )
+    SELECT date_trunc('day', session_start) AS day,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+           ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) / COUNT(*), 6)
+               AS bounce_rate,
+           ROUND(AVG(n_events), 4) AS avg_session_events
+    FROM sess
+    GROUP BY 1
+    ORDER BY 1
+"""

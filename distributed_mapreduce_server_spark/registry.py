@@ -273,6 +273,7 @@ _register(
         "q_events_markov_stationary",
         "q_events_trend_fit",
         "q_ivm_join_delta",
+        "q_sessions_bounce_rate",
         "q_events_paths",
         "q_events_latest_per_key",
         "q_events_daily_sketch_rollup",
@@ -604,6 +605,23 @@ _ORACLES["stream_model_quality_filter"] = (
     + TEXT_ORACLES["text_model_quality_filter"]
     + "\n) WHERE keep ORDER BY doc_id"
 ).strip()
+# ingest-door phrase alerting: per-row bigram match + complete-mode
+# count state; carries the batch phrase oracle minus the distinct-doc
+# column (distinct aggs are unsupported in streaming).
+from distributed_mapreduce_server_spark.operators.search_oracles import _TOKS  # noqa: E402
+from distributed_mapreduce_server_spark.operators.search import PHRASE_QUERIES  # noqa: E402
+
+_QUERIES["stream_phrase_search"] = streaming_jobs.stream_phrase_search
+_ORACLES["stream_phrase_search"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    p1 AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t),
+    bg AS (SELECT toks[i] || ' ' || toks[i + 1] AS bigram FROM p1)
+    SELECT bigram AS phrase, COUNT(*) AS n_occurrences
+    FROM bg
+    WHERE bigram IN ({", ".join(f"'{p}'" for p in PHRASE_QUERIES)})
+    GROUP BY 1
+    ORDER BY 1
+""".strip()
 # incremental continuous aggregate: foreachBatch maintains the
 # minute-level additive state (day-partitioned merge), the cascade to
 # hour/day reuses the batch helper — availableNow drains everything,

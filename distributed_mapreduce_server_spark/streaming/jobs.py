@@ -967,3 +967,44 @@ def stream_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("sum_value"), 2).alias("total_value"),
     )
     return rollup_cascade(minute)
+
+
+def stream_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase matching at the ingest door: each arriving document's
+    adjacent-token bigrams are matched against the query phrases
+    (operators/search.py PHRASE_QUERIES) and counted with a stateful
+    streaming aggregation — live phrase-alerting over a document
+    stream. Bigram extraction is per-row (stateless; the positional
+    join the batch operator uses isn't needed because adjacency is
+    local to a document), so the only streaming state is the K-row
+    phrase-count table. Complete-mode counts are deterministic; the
+    oracle is the batch phrase oracle minus its distinct-doc column
+    (distinct aggregation is unsupported in streaming — the
+    stream_events_windowed precedent)."""
+    from distributed_mapreduce_server_spark.functions import tokens
+    from distributed_mapreduce_server_spark.operators.search import PHRASE_QUERIES
+
+    docs = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    toks = docs.select(tokens("text").alias("toks")).filter(F.size("toks") >= 2)
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            )
+        ).alias("phrase")
+    )
+    agg = (
+        bigrams.filter(F.col("phrase").isin(*PHRASE_QUERIES))
+        .groupBy("phrase")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.orderBy("phrase")
