@@ -380,3 +380,54 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.orderBy(F.desc("jaccard"), "cust_a", "cust_b").limit(CN_TOP_K)
+
+
+BFS_MAX_ROUNDS = 8
+
+
+def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS level sets from a deterministic source (the minimum node id)
+    over the symmetric purchase graph — the traversal primitive under
+    "how far is every customer from this supplier" / reachability
+    questions, and the third iterative-graph shape next to PageRank
+    (fixed rounds) and connected components (fixpoint).
+
+    Loop discipline: per-round frames are cut to leaves with eager
+    localCheckpoint (the variable-round rule from
+    q_pagerank_converged); edges persist ONCE pre-partitioned on src,
+    so each round shuffles only the frontier (frontier ⋈ edges, then
+    an anti-join against the visited set — both keyed on node).
+    Terminates when the frontier empties, bounded by BFS_MAX_ROUNDS
+    (the oracle unrolls exactly that many rounds; an empty frontier
+    makes the remaining rounds no-ops in both engines, so early exit
+    is value-identical)."""
+    edges = _bipartite_edges(spark, sf_dir).repartition(F.col("src")).persist()
+    src_node = edges.agg(F.min("src").alias("s")).collect()[0]["s"]
+    visited = spark.createDataFrame(
+        [(src_node, 0)], "node long, level int"
+    ).localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    for lvl in range(1, BFS_MAX_ROUNDS + 1):
+        nxt = (
+            edges.join(frontier, edges["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        visited = visited.unionAll(
+            nxt.withColumn("level", F.lit(lvl))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    edges.unpersist()
+    return (
+        visited.groupBy("level")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("level")
+    )

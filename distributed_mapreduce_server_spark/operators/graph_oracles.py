@@ -126,3 +126,45 @@ GRAPH_ORACLES: dict[str, str] = {
         LIMIT {CN_TOP_K}
     """,
 }
+
+
+from distributed_mapreduce_server_spark.operators.graph import (  # noqa: E402
+    BFS_MAX_ROUNDS,
+)
+
+
+def _bfs_sql() -> str:
+    """Unrolled BFS rounds (one frontier + one visited CTE per level,
+    MATERIALIZED — each is referenced twice downstream and DuckDB
+    inlines CTEs per reference site)."""
+    steps = [
+        "v0 AS MATERIALIZED (SELECT MIN(src) AS node, 0 AS level FROM edges)",
+        "f0 AS MATERIALIZED (SELECT node FROM v0)",
+    ]
+    for i in range(1, BFS_MAX_ROUNDS + 1):
+        steps.append(
+            f"""f{i} AS MATERIALIZED (
+        SELECT DISTINCT e.dst AS node
+        FROM edges e JOIN f{i - 1} p ON e.src = p.node
+        WHERE e.dst NOT IN (SELECT node FROM v{i - 1})
+    )"""
+        )
+        steps.append(
+            f"""v{i} AS MATERIALIZED (
+        SELECT node, level FROM v{i - 1}
+        UNION ALL
+        SELECT node, {i} AS level FROM f{i}
+    )"""
+        )
+    return f"""
+    WITH {_EDGES},
+    {", ".join(steps)}
+    SELECT level, COUNT(*) AS n_nodes,
+           MIN(node) AS min_node, MAX(node) AS max_node
+    FROM v{BFS_MAX_ROUNDS}
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
+GRAPH_ORACLES["q_graph_bfs_levels"] = _bfs_sql()

@@ -242,6 +242,7 @@ _register(
         "q_graph_degree_distribution",
         "q_graph_triangles",
         "q_graph_common_neighbors",
+        "q_graph_bfs_levels",
     ],
 )
 _register(

@@ -169,6 +169,7 @@ EAGER_OPS = {
     "src_json_roundtrip",  # write_sink action runs eagerly
     "src_orc_roundtrip",  # write_sink action runs eagerly
     "stream_phrase_search",
+    "q_graph_bfs_levels",  # iterative frontier loop runs eagerly
 }
 
 
