@@ -1499,3 +1499,78 @@ def q_sessions_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def q_session_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: pairs of DIFFERENT users' sessions whose
+    [start, end] intervals intersect, aggregated per overlap-start
+    day — "who was online together", the workload behind co-presence
+    and capacity attribution. Session definition composed from
+    q_events_sessionize.
+
+    Spark has no native interval join, so this is the standard
+    distributed realization: each interval explodes to the HOUR GRID
+    CELLS it covers (fan-out = session duration in hours, ~1-2 here),
+    candidates pair only WITHIN a cell (keyed join on the cell +
+    user_a < user_b), duplicates from multi-cell overlaps collapse
+    with one distinct, then the exact predicate
+    (a.start ≤ b.end ∧ b.start ≤ a.end) verifies. Work per cell is
+    (concurrency choose 2) — the grid turns a quadratic all-pairs
+    into concurrency-bounded local products; a hotter system picks a
+    finer grid (the dial is cell width vs fan-out). Overlap durations
+    sum as exact integer MICROSECONDS (no float drift); the oracle
+    runs the naive inequality self-join (DuckDB's IEJoin affords it
+    at test SF) over the same composed sessions."""
+    sessions = q_events_sessionize(spark, sf_dir).select(
+        "user_id", "session_seq", "session_start", "session_end"
+    )
+    cells = sessions.select(
+        "user_id",
+        "session_seq",
+        "session_start",
+        "session_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "session_start"),
+                F.date_trunc("hour", "session_end"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("cell"),
+    )
+    a = cells.select(
+        F.col("cell").alias("cell_a"),
+        F.col("user_id").alias("ua"),
+        F.col("session_seq").alias("sa"),
+        F.col("session_start").alias("sta"),
+        F.col("session_end").alias("ena"),
+    )
+    b = cells.select(
+        F.col("cell").alias("cell_b"),
+        F.col("user_id").alias("ub"),
+        F.col("session_seq").alias("sb"),
+        F.col("session_start").alias("stb"),
+        F.col("session_end").alias("enb"),
+    )
+    cand = (
+        a.join(b, (F.col("cell_a") == F.col("cell_b")) & (F.col("ua") < F.col("ub")))
+        .select("ua", "sa", "sta", "ena", "ub", "sb", "stb", "enb")
+        .distinct()
+    )
+    verified = cand.filter(
+        (F.col("sta") <= F.col("enb")) & (F.col("stb") <= F.col("ena"))
+    )
+    ov_us = F.least(F.unix_micros("ena"), F.unix_micros("enb")) - F.greatest(
+        F.unix_micros("sta"), F.unix_micros("stb")
+    )
+    return (
+        verified.select(
+            F.date_trunc("day", F.greatest("sta", "stb")).alias("day"),
+            ov_us.alias("ov_us"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_overlapping_pairs"),
+            F.sum("ov_us").cast("bigint").alias("total_overlap_us"),
+        )
+        .orderBy("day")
+    )

@@ -1657,3 +1657,30 @@ EVENTS_ORACLES["q_sessions_bounce_rate"] = f"""
     GROUP BY 1
     ORDER BY 1
 """
+
+
+# interval-overlap join: the oracle runs the naive inequality
+# self-join (DuckDB IEJoin) over the SAME composed sessions; the
+# operator's grid-bucketed candidates must verify to the identical
+# pair set. Durations in exact integer microseconds.
+EVENTS_ORACLES["q_session_overlap_join"] = f"""
+    WITH sess AS MATERIALIZED (
+{EVENTS_ORACLES["q_events_sessionize"]}
+    ),
+    pairs AS (
+        SELECT a.session_start AS sta, a.session_end AS ena,
+               b.session_start AS stb, b.session_end AS enb
+        FROM sess a JOIN sess b
+          ON a.user_id < b.user_id
+         AND a.session_start <= b.session_end
+         AND b.session_start <= a.session_end
+    )
+    SELECT date_trunc('day', greatest(sta, stb)) AS day,
+           COUNT(*) AS n_overlapping_pairs,
+           CAST(SUM(least(epoch_us(ena), epoch_us(enb))
+                    - greatest(epoch_us(sta), epoch_us(stb))) AS BIGINT)
+               AS total_overlap_us
+    FROM pairs
+    GROUP BY 1
+    ORDER BY 1
+"""

@@ -275,6 +275,7 @@ _register(
         "q_events_trend_fit",
         "q_ivm_join_delta",
         "q_sessions_bounce_rate",
+        "q_session_overlap_join",
         "q_events_paths",
         "q_events_latest_per_key",
         "q_events_daily_sketch_rollup",
