@@ -276,3 +276,73 @@ def q_conversion_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.expr("percentile(delay_sec, 0.99)"), 2).alias("p99_delay_sec"),
         fround(F.avg("delay_sec"), 2).alias("avg_delay_sec"),
     )
+
+
+def q_asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join: each click annotated with the same user's
+    closest purchase in EITHER direction, ties to the past — the
+    "which transaction does this telemetry belong to" matcher.
+
+    Fused single-shuffle realization: ONE union frame carries BOTH
+    windows (backward last() over PRECEDING..CURRENT, forward first()
+    over CURRENT..FOLLOWING) on the same (ts, src, purchase_id)
+    ordering — purchases sort before clicks at equal ts, so the
+    backward frame takes the equal-ts purchase (delta 0) and the
+    forward frame's exclusion of it is unobservable because the past
+    wins ties. Both windows share the user_id partitioning, so
+    Catalyst plans one exchange; composing the two existing as-of
+    operators would cost three. Deltas compare in exact integer
+    microseconds."""
+    events = load_tables(spark, sf_dir, register_views=False)["events"]
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = _purchases(events)
+    u = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("src"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).unionByName(
+        clicks.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("src"),
+            "event_id",
+            F.lit(None).cast("long").alias("purchase_id"),
+            F.lit(None).cast("timestamp_ntz").alias("purchase_ts"),
+        )
+    )
+    base = Window.partitionBy("user_id").orderBy("ts", "src", "purchase_id")
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ann = (
+        u.withColumn("bid", F.last("purchase_id", ignorenulls=True).over(wb))
+        .withColumn("bts", F.last("purchase_ts", ignorenulls=True).over(wb))
+        .withColumn("fid", F.first("purchase_id", ignorenulls=True).over(wf))
+        .withColumn("fts", F.first("purchase_ts", ignorenulls=True).over(wf))
+        .filter(F.col("src") == 1)
+    )
+    db = F.unix_micros("ts") - F.unix_micros("bts")
+    df_ = F.unix_micros("fts") - F.unix_micros("ts")
+    pick_back = F.col("bid").isNotNull() & (F.col("fid").isNull() | (db <= df_))
+    return ann.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(pick_back, F.col("bid")).otherwise(F.col("fid")).alias(
+            "nearest_purchase_id"
+        ),
+        F.when(pick_back, F.col("bts")).otherwise(F.col("fts")).alias(
+            "nearest_purchase_ts"
+        ),
+        F.expr(
+            "CASE WHEN bid IS NOT NULL AND (fid IS NULL OR "
+            "unix_micros(ts) - unix_micros(bts) <= unix_micros(fts) - unix_micros(ts)) "
+            "THEN (unix_micros(ts) - unix_micros(bts)) div 1000000 "
+            "ELSE (unix_micros(fts) - unix_micros(ts)) div 1000000 END"
+        ).alias("delta_sec"),
+        F.when(pick_back, F.lit("past")).otherwise(F.lit("future")).alias("direction"),
+    ).orderBy("event_id")

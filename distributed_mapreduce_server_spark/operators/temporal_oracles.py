@@ -36,6 +36,42 @@ TEMPORAL_ORACLES: dict[str, str] = {
           ON c.user_id = p.user_id AND p.ts >= c.ts
         ORDER BY c.event_id
     """,
+    "q_asof_nearest_purchase": f"""
+        WITH p AS ({_PURCHASES}),
+        c AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'),
+        b AS (
+            SELECT c.event_id, p.event_id AS bid, p.ts AS bts
+            FROM c ASOF LEFT JOIN p
+              ON c.user_id = p.user_id AND p.ts <= c.ts
+        ),
+        f AS (
+            SELECT c.event_id, p.event_id AS fid, p.ts AS fts
+            FROM c ASOF LEFT JOIN p
+              ON c.user_id = p.user_id AND p.ts >= c.ts
+        )
+        SELECT c.event_id, c.user_id, c.ts,
+               CASE WHEN bid IS NOT NULL AND (fid IS NULL OR
+                         epoch_us(c.ts) - epoch_us(bts)
+                         <= epoch_us(fts) - epoch_us(c.ts))
+                    THEN bid ELSE fid END AS nearest_purchase_id,
+               CASE WHEN bid IS NOT NULL AND (fid IS NULL OR
+                         epoch_us(c.ts) - epoch_us(bts)
+                         <= epoch_us(fts) - epoch_us(c.ts))
+                    THEN bts ELSE fts END AS nearest_purchase_ts,
+               CASE WHEN bid IS NOT NULL AND (fid IS NULL OR
+                         epoch_us(c.ts) - epoch_us(bts)
+                         <= epoch_us(fts) - epoch_us(c.ts))
+                    THEN (epoch_us(c.ts) - epoch_us(bts)) // 1000000
+                    ELSE (epoch_us(fts) - epoch_us(c.ts)) // 1000000 END AS delta_sec,
+               CASE WHEN bid IS NOT NULL AND (fid IS NULL OR
+                         epoch_us(c.ts) - epoch_us(bts)
+                         <= epoch_us(fts) - epoch_us(c.ts))
+                    THEN 'past' ELSE 'future' END AS direction
+        FROM c JOIN b ON c.event_id = b.event_id
+               JOIN f ON c.event_id = f.event_id
+        ORDER BY c.event_id
+    """,
     "q_conversion_delay_stats": f"""
         WITH p AS ({_PURCHASES}),
         c AS (SELECT event_id, user_id, ts FROM events

@@ -131,6 +131,7 @@ _register(
         "q_range_join_keyless",
         "q_asof_tolerance",
         "q_asof_next_purchase",
+        "q_asof_nearest_purchase",
         "q_conversion_delay_stats",
     ],
 )
