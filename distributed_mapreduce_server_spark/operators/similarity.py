@@ -1369,3 +1369,48 @@ def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+def emb_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-class centroid geometry: L2 distance and cosine between
+    every pair of label centroids — the class-separability map read
+    next to emb_label_coherence (tight classes whose centroids sit on
+    top of each other are still unseparable; this is the between-class
+    half of that diagnostic).
+
+    Scale shape: one map-side-combined shuffle to the (label × dim)
+    centroid frame (the emb_centroids kernel — nothing vector-sized
+    on the driver), then all pair arithmetic runs on the K·64-row
+    aggregate. Centroids are rounded to 4 dp BEFORE the pair math in
+    both engines, so the distance sums start from identical inputs."""
+    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
+    c = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(fround(F.avg(F.col("x").cast("double")), 4).alias("c"))
+    )
+    norms = c.groupBy("label").agg(F.sum(F.col("c") * F.col("c")).alias("ss"))
+    a = c.select(F.col("label").alias("la"), "pos", F.col("c").alias("ca"))
+    b = c.select(F.col("label").alias("lb"), "pos", F.col("c").alias("cb"))
+    pairs = (
+        a.join(b, "pos")
+        .filter(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+            F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))).alias("d2"),
+        )
+    )
+    return (
+        pairs.join(norms.select(F.col("label").alias("la"), F.col("ss").alias("ssa")), "la")
+        .join(norms.select(F.col("label").alias("lb"), F.col("ss").alias("ssb")), "lb")
+        .select(
+            F.col("la").alias("label_a"),
+            F.col("lb").alias("label_b"),
+            fround(F.sqrt("d2"), 6).alias("l2_dist"),
+            fround(
+                F.col("dot") / (F.sqrt("ssa") * F.sqrt("ssb")), 6
+            ).alias("cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )

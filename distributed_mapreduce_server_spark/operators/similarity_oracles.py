@@ -789,3 +789,29 @@ SIMILARITY_ORACLES["emb_norm_outliers"] = """
     WHERE ABS(norm - mu) > 2.5 * sigma
     ORDER BY vec_id
 """
+
+
+# centroid pair geometry from the SAME 4 dp-rounded centroid frame.
+SIMILARITY_ORACLES["emb_centroid_distances"] = """
+    WITH c AS (
+        SELECT label, i AS pos,
+               ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) AS c
+        FROM embeddings, generate_series(1, 64) AS s(i)
+        GROUP BY 1, 2
+    ),
+    norms AS (SELECT label, SUM(c * c) AS ss FROM c GROUP BY 1),
+    pairs AS (
+        SELECT a.label AS la, b.label AS lb,
+               SUM(a.c * b.c) AS dot,
+               SUM((a.c - b.c) * (a.c - b.c)) AS d2
+        FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+        GROUP BY 1, 2
+    )
+    SELECT la AS label_a, lb AS label_b,
+           ROUND(sqrt(d2), 6) AS l2_dist,
+           ROUND(dot / (sqrt(na.ss) * sqrt(nb.ss)), 6) AS cosine
+    FROM pairs
+    JOIN norms na ON la = na.label
+    JOIN norms nb ON lb = nb.label
+    ORDER BY 1, 2
+"""

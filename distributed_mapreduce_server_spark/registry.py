@@ -189,6 +189,7 @@ _register(
         "sim_bq_rerank",
         "emb_cluster_purity",
         "emb_norm_outliers",
+        "emb_centroid_distances",
     ],
 )
 _register(
