@@ -100,6 +100,7 @@ HEADLINE = [
     "q_events_hierarchical_rollup",
     "q_events_ab_test",
     "text_zipf_fit",
+    "mr_join",
 ]
 
 

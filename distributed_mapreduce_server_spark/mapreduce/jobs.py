@@ -288,3 +288,25 @@ def mr_exec_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_reducers=3,
     )
     return res.select("line").orderBy("line")
+
+
+def mr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative twin of mr_exec_join — the same reduce-side join
+    (orders ⋈ customer, pipe-delimited output lines) as a plain
+    DataFrame join, completing the exec/declarative pair pattern
+    wordcount and grep already follow (BASELINE.md: the exec path is
+    the subprocess-compatibility tax for drop-in reference
+    executables; this is the perf path a migrated user runs). The
+    tagged-secondary-sort machinery the executable pipeline needs
+    (mapper tags, 'C'-before-'O' intra-key order, O(1)-state stream
+    reducer) collapses into one keyed join the optimizer is free to
+    broadcast or shuffle by size."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.concat_ws("|", "o_custkey", "o_orderkey", "c_mktsegment").alias("line")
+        )
+        .orderBy("line")
+    )

@@ -83,3 +83,6 @@ MAPREDUCE_ORACLES["mr_exec_join"] = """
     FROM orders JOIN customer ON o_custkey = c_custkey
     ORDER BY line
 """
+
+# declarative twin carries the identical oracle
+MAPREDUCE_ORACLES["mr_join"] = MAPREDUCE_ORACLES["mr_exec_join"]

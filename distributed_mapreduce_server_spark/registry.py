@@ -120,6 +120,7 @@ _register(
         "mr_exec_wordcount",
         "mr_exec_grep",
         "mr_exec_join",
+        "mr_join",
     ],
 )
 _register(
