@@ -1800,3 +1800,42 @@ def q_open_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+def q_join_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size and skew audit WITHOUT executing the joins:
+    |A ⋈_k B| = Σ_k c_A(k)·c_B(k), computed exactly from the two
+    per-key count frames — the cardinality check a planner (or an
+    engineer deciding between broadcast/shuffle/salting) runs before
+    committing to a join strategy, for the three fact joins of the
+    star schema. max_key_fanout / avg exposes the skew that
+    q_salted_skew_join then mitigates.
+
+    Scale shape: each side reduces to its key-count frame with one
+    partial-agg shuffle (tiny vs the fact), the count frames join on
+    the key, and everything folds to one row per audited join — the
+    join whose size is being estimated never runs."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    audits = [
+        ("orders_x_lineitem", t["orders"], "o_orderkey", t["lineitem"], "l_orderkey"),
+        ("customer_x_orders", t["customer"], "c_custkey", t["orders"], "o_custkey"),
+        ("part_x_lineitem", t["part"], "p_partkey", t["lineitem"], "l_partkey"),
+    ]
+    out = None
+    for name, left, lk, right, rk in audits:
+        ca = left.groupBy(F.col(lk).alias("k")).agg(F.count("*").alias("ca"))
+        cb = right.groupBy(F.col(rk).alias("k")).agg(F.count("*").alias("cb"))
+        j = ca.join(cb, "k")
+        row = j.agg(
+            F.lit(name).alias("join_name"),
+            F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("n_join_rows"),
+            F.count("*").cast("bigint").alias("n_matched_keys"),
+            F.max(F.col("ca") * F.col("cb")).cast("bigint").alias("max_key_fanout"),
+            fround(
+                F.max(F.col("ca") * F.col("cb"))
+                / (F.sum(F.col("ca") * F.col("cb")) / F.count("*")),
+                4,
+            ).alias("skew_ratio"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("join_name")

@@ -1684,3 +1684,25 @@ EVENTS_ORACLES["q_session_overlap_join"] = f"""
     GROUP BY 1
     ORDER BY 1
 """
+
+
+# join-size audit: identical count-product-sum per audited join.
+def _join_audit_term(name: str, left: str, lk: str, right: str, rk: str) -> str:
+    return f"""
+    SELECT '{name}' AS join_name,
+           CAST(SUM(ca * cb) AS BIGINT) AS n_join_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_matched_keys,
+           CAST(MAX(ca * cb) AS BIGINT) AS max_key_fanout,
+           ROUND(MAX(ca * cb) / (SUM(ca * cb) / COUNT(*)), 4) AS skew_ratio
+    FROM (SELECT {lk} AS k, COUNT(*) AS ca FROM {left} GROUP BY 1) a
+    JOIN (SELECT {rk} AS k, COUNT(*) AS cb FROM {right} GROUP BY 1) b USING (k)
+"""
+
+
+RELATIONAL_ORACLES["q_join_size_audit"] = " UNION ALL ".join(
+    [
+        _join_audit_term("orders_x_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+        _join_audit_term("customer_x_orders", "customer", "c_custkey", "orders", "o_custkey"),
+        _join_audit_term("part_x_lineitem", "part", "p_partkey", "lineitem", "l_partkey"),
+    ]
+) + " ORDER BY join_name"

@@ -78,6 +78,7 @@ _register(
         "q22_idle_customers",
         "q_region_cube",
         "q_salted_skew_join",
+        "q_join_size_audit",
         "q_stats_suite",
         "q_price_histogram",
         "q_order_gaps",
