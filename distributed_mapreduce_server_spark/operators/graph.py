@@ -431,3 +431,93 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level")
     )
+
+
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the purchase graph: the Pearson
+    correlation of (source degree, destination degree) over the
+    symmetric edge list — one number telling whether hubs attach to
+    hubs (r > 0, social-network shape) or to leaves (r < 0,
+    hub-and-spoke shape), which predicts how the graph partitions
+    and where join skew will land before running anything iterative.
+
+    Scale shape: degrees via one partial-agg shuffle, two keyed joins
+    annotate each edge's endpoints, and the correlation reduces to
+    six scalar moments (the text_zipf_fit OLS kernel, applied to a
+    graph) — nothing beyond edge-frame scale is ever shuffled, and
+    only the 1-row moment frame leaves the executors."""
+    edges = _bipartite_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    ann = (
+        edges.join(deg.select(F.col("src"), F.col("d").alias("dx")), "src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("d").alias("dy")), "dst"
+        )
+        .select(
+            F.col("dx").cast("double").alias("x"), F.col("dy").cast("double").alias("y")
+        )
+    )
+    m = ann.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_edges"),
+        fround(num / den, 6).alias("assortativity"),
+    )
+
+
+AA_TOP_K = 20
+
+
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction over the shared-part graph: the
+    AA_TOP_K customer pairs by Σ_{shared part p} 1/ln(buyers(p)) —
+    the common-neighbors pipeline (q_graph_common_neighbors) with the
+    standard rarity weighting: sharing a part only two people buy is
+    strong evidence, sharing a best-seller is none. Same degree-capped
+    per-part pair generation (fan-out ≤ C(CN_DEG_CAP, 2) per part);
+    the 1/ln(d) weight attaches at explode time so the pair reduction
+    is a plain partial-agg SUM. Parts with a single buyer generate no
+    pairs, so ln(d) ≥ ln 2 — no division-by-zero edge. Scores round
+    to 6 dp BEFORE the top-K ordering (tie-broken on the pair ids)
+    for cross-engine rank stability."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    cp = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    pdeg = cp.groupBy("p").agg(F.count("*").alias("d"))
+    capped = cp.join(
+        pdeg.filter(F.col("d") <= CN_DEG_CAP), "p"
+    ).select("c", "p", (F.lit(1.0) / F.log(F.col("d").cast("double"))).alias("w"))
+    buyers = capped.groupBy("p", "w").agg(F.collect_list("c").alias("cs"))
+    pairs = (
+        buyers.select("w", F.explode("cs").alias("ca"), "cs")
+        .select("w", "ca", F.explode("cs").alias("cb"))
+        .filter(F.col("ca") < F.col("cb"))
+    )
+    scored = pairs.groupBy("ca", "cb").agg(
+        F.count("*").alias("n_shared"), fround(F.sum("w"), 6).alias("aa_score")
+    )
+    return (
+        scored.select(
+            F.col("ca").alias("cust_a"),
+            F.col("cb").alias("cust_b"),
+            "n_shared",
+            "aa_score",
+        )
+        .orderBy(F.desc("aa_score"), "cust_a", "cust_b")
+        .limit(AA_TOP_K)
+    )

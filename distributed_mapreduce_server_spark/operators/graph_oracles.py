@@ -168,3 +168,48 @@ def _bfs_sql() -> str:
 
 
 GRAPH_ORACLES["q_graph_bfs_levels"] = _bfs_sql()
+
+
+from distributed_mapreduce_server_spark.operators.graph import AA_TOP_K  # noqa: E402
+
+GRAPH_ORACLES["q_graph_assortativity"] = f"""
+    WITH {_EDGES},
+    ann AS (
+        SELECT CAST(dx.out_deg AS DOUBLE) AS x, CAST(dy.out_deg AS DOUBLE) AS y
+        FROM edges e
+        JOIN deg dx ON e.src = dx.src
+        JOIN deg dy ON e.dst = dy.src
+    ),
+    m AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        FROM ann
+    )
+    SELECT CAST(n AS BIGINT) AS n_edges,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS assortativity
+    FROM m
+"""
+
+GRAPH_ORACLES["q_graph_adamic_adar"] = f"""
+    WITH cp AS (
+        SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    pdeg AS (SELECT p, COUNT(*) AS d FROM cp GROUP BY 1),
+    capped AS (
+        SELECT c, cp.p, 1.0 / ln(CAST(d AS DOUBLE)) AS w
+        FROM cp JOIN pdeg ON cp.p = pdeg.p AND pdeg.d <= {CN_DEG_CAP}
+    ),
+    pairs AS (
+        SELECT a.c AS ca, b.c AS cb, COUNT(*) AS n_shared,
+               ROUND(SUM(a.w), 6) AS aa_score
+        FROM capped a JOIN capped b ON a.p = b.p AND a.c < b.c
+        GROUP BY 1, 2
+    )
+    SELECT ca AS cust_a, cb AS cust_b, n_shared, aa_score
+    FROM pairs
+    ORDER BY aa_score DESC, cust_a, cust_b
+    LIMIT {AA_TOP_K}
+"""

@@ -247,6 +247,8 @@ _register(
         "q_graph_triangles",
         "q_graph_common_neighbors",
         "q_graph_bfs_levels",
+        "q_graph_assortativity",
+        "q_graph_adamic_adar",
     ],
 )
 _register(
