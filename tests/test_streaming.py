@@ -324,3 +324,45 @@ def test_rollup_incremental_merge_matches_batch(spark, sf_smoke, tmp_path):
         for r in q_events_hierarchical_rollup(spark, sf_smoke).collect()
     }
     assert merged == batch
+
+
+def test_rollup_rewrites_only_touched_days(spark, sf_smoke, tmp_path):
+    """Day-partition pruning contract: a batch whose event-times fall
+    in later days must not rewrite earlier days' state directories
+    (mtime-pinned, like the upsert bucket test)."""
+    import os
+
+    from distributed_mapreduce_server_spark.catalog import load_tables
+    from distributed_mapreduce_server_spark.streaming.jobs import rollup_apply_batch
+    from pyspark.sql import functions as F
+
+    ev = load_tables(spark, sf_smoke, register_views=False)["events"].select(
+        "event_id", "ts", "value"
+    )
+    split_day = "2024-01-15"
+    early = ev.filter(F.to_date("ts") < F.lit(split_day))
+    late = ev.filter(F.to_date("ts") >= F.lit(split_day))
+    state_dir = str(tmp_path / "rollup_state")
+    apply_batch = rollup_apply_batch(state_dir)
+    apply_batch(early, 0)
+
+    def day_mtimes():
+        out = {}
+        for d in os.listdir(state_dir):
+            if not d.startswith("day="):
+                continue
+            p = os.path.join(state_dir, d)
+            out[d] = max(
+                os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p)
+            )
+        return out
+
+    before = day_mtimes()
+    apply_batch(late, 1)
+    after = day_mtimes()
+    early_days = {d for d in before if d < f"day={split_day}"}
+    assert early_days, "split produced no early days"
+    touched_early = [d for d in early_days if after[d] != before[d]]
+    assert not touched_early, f"untouched days rewritten: {touched_early}"
+    late_days = {d for d in after if d >= f"day={split_day}"}
+    assert late_days and all(d not in before for d in late_days)
