@@ -1574,3 +1574,39 @@ def q_session_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def q_cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL retention triangle (cohort day × days-since-first),
+    generalizing q_events_retention's d1/d7 columns to every offset:
+    each cell is how many (and what share) of a first-day cohort were
+    active exactly N days later — the canvas behind every retention
+    heatmap. Scale shape: distinct (user, day) activity (one partial
+    agg), per-user cohort day (second), one keyed join back, then the
+    (cohort, offset) cell reduction — no event-level self-join, no
+    window; cells are bounded by days², not data."""
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    user_days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    cohorts = user_days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    j = user_days.join(cohorts, "user_id").withColumn(
+        "day_n", F.datediff(F.col("day"), F.col("cohort_day"))
+    )
+    cells = j.groupBy("cohort_day", "day_n").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    sizes = cells.filter(F.col("day_n") == 0).select(
+        "cohort_day", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        cells.join(sizes, "cohort_day")
+        .select(
+            "cohort_day",
+            "day_n",
+            "n_active",
+            "cohort_size",
+            fround(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+        )
+        .orderBy("cohort_day", "day_n")
+    )

@@ -1706,3 +1706,27 @@ RELATIONAL_ORACLES["q_join_size_audit"] = " UNION ALL ".join(
         _join_audit_term("part_x_lineitem", "part", "p_partkey", "lineitem", "l_partkey"),
     ]
 ) + " ORDER BY join_name"
+
+
+EVENTS_ORACLES["q_cohort_retention_matrix"] = """
+    WITH user_days AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ),
+    cohorts AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM user_days GROUP BY 1
+    ),
+    cells AS (
+        SELECT cohort_day,
+               date_diff('day', cohort_day, day) AS day_n,
+               COUNT(DISTINCT u.user_id) AS n_active
+        FROM user_days u JOIN cohorts c ON u.user_id = c.user_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (
+        SELECT cohort_day, n_active AS cohort_size FROM cells WHERE day_n = 0
+    )
+    SELECT cells.cohort_day, CAST(day_n AS INTEGER) AS day_n, n_active, cohort_size,
+           ROUND(n_active / CAST(cohort_size AS DOUBLE), 6) AS retention
+    FROM cells JOIN sizes ON cells.cohort_day = sizes.cohort_day
+    ORDER BY 1, 2
+"""

@@ -275,6 +275,7 @@ _register(
         "q_events_intersect_except",
         "q_events_value_deciles",
         "q_events_retention",
+        "q_cohort_retention_matrix",
         "q_events_dau_wau",
         "q_events_transitions",
         "q_events_markov_stationary",
@@ -347,8 +348,10 @@ _ORACLES["pysource_stream_events"] = pysource_stream_oracle().strip()
 # whole write→read loop (timestamp micros, CSV quoting of embedded
 # JSON) with full value parity.
 from distributed_mapreduce_server_spark.sources.roundtrip import (  # noqa: E402
+    GZIP_TEXT_ORACLE,
     ROUNDTRIP_ORACLE,
     src_csv_roundtrip,
+    src_gzip_text_roundtrip,
     src_json_roundtrip,
     src_orc_roundtrip,
 )
@@ -360,6 +363,9 @@ for _rt_key, _rt_fn in (
 ):
     _QUERIES[_rt_key] = _rt_fn
     _ORACLES[_rt_key] = ROUNDTRIP_ORACLE.strip()
+
+_QUERIES["src_gzip_text_roundtrip"] = src_gzip_text_roundtrip
+_ORACLES["src_gzip_text_roundtrip"] = GZIP_TEXT_ORACLE.strip()
 
 # stream_sessionize emits exactly the sessions CLOSED during the run:
 # under availableNow a session closes when a later event starts the

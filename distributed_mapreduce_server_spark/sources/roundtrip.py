@@ -95,3 +95,36 @@ ROUNDTRIP_ORACLE = """
     FROM events
     ORDER BY event_id
 """
+
+
+def src_gzip_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → gzip-compressed line-oriented text files →
+    read back. The reference's native format (worker streams lines to
+    mapper executables) plus the compression every real text lake
+    applies; the oracle re-reads the documents table, so line
+    fidelity through the codec is value-checked end to end. Text is
+    single-column by construction — doc ids don't survive, which is
+    exactly why the parquet path is the hot path (sources/registry.py
+    scale notes) and this one is ingest/egress interop."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    path = os.path.join(
+        tempfile.gettempdir(), f"dmrs_rt_textgz_{uuid.uuid4().hex[:12]}"
+    )
+    write_sink(
+        docs.select(F.col("text").alias("value")),
+        path,
+        fmt="text",
+        mode="overwrite",
+        compression="gzip",
+    )
+    back = read_source(spark, path, fmt="text")
+    out = back.orderBy("value").localCheckpoint(eager=True)
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
+GZIP_TEXT_ORACLE = """
+    SELECT text AS value FROM documents ORDER BY 1
+"""

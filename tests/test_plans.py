@@ -168,6 +168,7 @@ EAGER_OPS = {
     "src_csv_roundtrip",  # write_sink action runs eagerly
     "src_json_roundtrip",  # write_sink action runs eagerly
     "src_orc_roundtrip",  # write_sink action runs eagerly
+    "src_gzip_text_roundtrip",  # write_sink action runs eagerly
     "stream_phrase_search",
     "q_graph_bfs_levels",  # iterative frontier loop runs eagerly
 }
