@@ -1610,3 +1610,48 @@ def q_cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day", "day_n")
     )
+
+
+ACF_LAGS = (1, 7)
+
+
+def q_events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the per-type daily volume series at lags 1
+    and 7 — the "is there day-to-day momentum / weekly seasonality"
+    readout that complements q_events_trend_fit (trend) and
+    q_seasonality_index (monthly shape). Pearson r between the series
+    and its lag-k shift, per (event_type, lag), from scalar moments.
+
+    Scale shape: the fact stream reduces to the (day × type) frame
+    first; the lag windows run over THAT bounded frame (calendar days
+    × type — the q_running_revenue bounded-frame precedent), and each
+    (type, lag) folds to six moments."""
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count("*").cast("double").alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    out = None
+    for lag in ACF_LAGS:
+        xy = daily.withColumn("x", F.lag("y", lag).over(w)).filter(
+            F.col("x").isNotNull()
+        )
+        m = xy.groupBy("event_type").agg(
+            F.lit(lag).alias("lag"),
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+        num = F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+        den = F.sqrt(
+            (F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy"))
+        )
+        r = m.select(
+            "event_type", "lag", "n_pairs", fround(num / den, 6).alias("acf")
+        )
+        out = r if out is None else out.unionAll(r)
+    return out.orderBy("event_type", "lag")

@@ -1839,3 +1839,43 @@ def q_join_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("join_name")
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: observed first-digit
+    distribution vs the Benford expectation log10(1 + 1/d), with the
+    per-digit chi-square contribution — the classic forensic /
+    data-quality screen for fabricated or truncated monetary data
+    (synthetic uniform-ish generators fail it loudly, which is itself
+    the point of auditing).
+
+    First digit extracted arithmetically — floor(x / 10^floor(log10 x))
+    — identical expression in both engines (no string formatting,
+    whose scientific-notation edge cases differ). One partial-agg
+    shuffle to 9 rows; the n-total joins back as a 1-row broadcast."""
+    orders = load_tables(spark, sf_dir, register_views=False)["orders"]
+    x = F.col("o_totalprice").cast("double")
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("int")
+    counts = (
+        orders.filter(x > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("tot"))
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    obs = F.col("n") / F.col("tot")
+    chi = (
+        (obs - expected) * (obs - expected) / expected * F.col("tot")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            fround(obs, 6).alias("observed_share"),
+            fround(expected, 6).alias("benford_share"),
+            fround(chi, 4).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

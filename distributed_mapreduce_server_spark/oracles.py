@@ -1730,3 +1730,49 @@ EVENTS_ORACLES["q_cohort_retention_matrix"] = """
     FROM cells JOIN sizes ON cells.cohort_day = sizes.cohort_day
     ORDER BY 1, 2
 """
+
+
+from distributed_mapreduce_server_spark.operators.events import ACF_LAGS  # noqa: E402
+
+_ACF_TERMS = []
+for _lag in ACF_LAGS:
+    _ACF_TERMS.append(f"""
+    SELECT event_type, {_lag} AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                 / sqrt((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+                        * (COUNT(*) * SUM(y * y) - SUM(y) * SUM(y))), 6) AS acf
+    FROM (
+        SELECT event_type, y,
+               LAG(y, {_lag}) OVER (PARTITION BY event_type ORDER BY day) AS x
+        FROM (
+            SELECT date_trunc('day', ts) AS day, event_type,
+                   CAST(COUNT(*) AS DOUBLE) AS y
+            FROM events GROUP BY 1, 2
+        )
+    )
+    WHERE x IS NOT NULL
+    GROUP BY 1
+""")
+EVENTS_ORACLES["q_events_autocorrelation"] = (
+    " UNION ALL ".join(_ACF_TERMS) + " ORDER BY event_type, lag"
+)
+
+RELATIONAL_ORACLES["q_benford_audit"] = """
+    WITH counts AS (
+        SELECT CAST(FLOOR(o_totalprice / POW(10.0, FLOOR(log10(o_totalprice))))
+                    AS INTEGER) AS digit,
+               COUNT(*) AS n
+        FROM orders WHERE o_totalprice > 0
+        GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS tot FROM counts)
+    SELECT digit, n,
+           ROUND(n / CAST(tot AS DOUBLE), 6) AS observed_share,
+           ROUND(log10(1.0 + 1.0 / digit), 6) AS benford_share,
+           ROUND((n / CAST(tot AS DOUBLE) - log10(1.0 + 1.0 / digit))
+                 * (n / CAST(tot AS DOUBLE) - log10(1.0 + 1.0 / digit))
+                 / log10(1.0 + 1.0 / digit) * tot, 4) AS chi2_term
+    FROM counts, tot
+    ORDER BY digit
+"""

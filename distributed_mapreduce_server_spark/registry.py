@@ -79,6 +79,7 @@ _register(
         "q_region_cube",
         "q_salted_skew_join",
         "q_join_size_audit",
+        "q_benford_audit",
         "q_stats_suite",
         "q_price_histogram",
         "q_order_gaps",
@@ -280,6 +281,7 @@ _register(
         "q_events_transitions",
         "q_events_markov_stationary",
         "q_events_trend_fit",
+        "q_events_autocorrelation",
         "q_ivm_join_delta",
         "q_sessions_bounce_rate",
         "q_session_overlap_join",

@@ -115,6 +115,7 @@ DELIBERATE_NESTED_LOOP = {
     "q_events_trend_fit",  # 1-row broadcast day-zero anchor cross-join
     "emb_norm_outliers",  # 1-row broadcast (mu, sigma) stats cross-join
     "q_ivm_join_delta",  # 1-row broadcast id-cutoff cross-join
+    "q_benford_audit",  # 1-row broadcast digit-total cross-join
 }
 
 # Streaming / iterative ops execute eagerly inside the callable; the
@@ -232,6 +233,7 @@ BOUNDED_FRAME_WINDOWS = {
     "q_shuffle_key_skew": "rank over the 10-row top-K frame",
     "q_time_bucket_gapfill": "per-type gap-fill over the time-bucket grid",
     "q_new_vs_returning": "cumulative over the per-DAY agg frame",
+    "q_events_autocorrelation": "lag over the (day x type) agg frame (calendar-bounded)",
 }
 
 
