@@ -1180,8 +1180,10 @@ def q_events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost ~nothing; the same cascade is how a streaming job would
     maintain these levels incrementally (merge new minute partials
     upward). The minute frame feeds both the hour rollup and the
-    output union — identical subtrees, so ReuseExchange dedupes the
-    shuffle (same trick as q_graph_triangles' edge build).
+    output union; ReuseExchange does not dedupe identical subtrees in
+    practice (the q_graph_triangles measurement — a lazy plan scans
+    the fact twice), so the minute frame persists eagerly and the
+    cascade materializes through the cache before release.
 
     Counts stay exact integers up the cascade. Sums are re-rounded to
     2 dp AT EACH LEVEL in both engines, so the cascade itself (not
@@ -1191,8 +1193,10 @@ def q_events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     minute = ev.groupBy(F.date_trunc("minute", "ts").alias("bucket_start")).agg(
         F.count("*").alias("n_events"),
         fround(F.sum("value"), 2).alias("total_value"),
-    )
-    return rollup_cascade(minute)
+    ).persist()
+    out = rollup_cascade(minute).localCheckpoint(eager=True)
+    minute.unpersist()
+    return out
 
 
 def rollup_cascade(minute: DataFrame) -> DataFrame:

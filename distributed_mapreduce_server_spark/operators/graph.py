@@ -259,9 +259,12 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every join is keyed (node / edge ids) — no cartesian anywhere; the
     final assembly cross-joins three 1-ROW aggregate frames
     (deliberate-broadcast pattern shared with text_corpus_report).
-    The identical `edges` subtree feeds degree, orientation, and the
-    closing join: Spark's ReuseExchange rule dedupes those shuffles in
-    the physical plan, so the edge build executes once.
+    The `edges` subtree feeds degree, orientation, the closing join,
+    and the edge count — four consumers. ReuseExchange does NOT
+    dedupe them (measured: 0 ReusedExchange, 14 redundant file scans
+    in the lazy plan), so the edge frame is persisted eagerly and the
+    1-row result materializes through the cache before release — the
+    q_pagerank discipline; measured 6.5 s → ~2 s at sf0.1.
 
     Each triangle is counted exactly once: any acyclic orientation of
     a triangle has exactly one node with out-degree 2 (the wedge
@@ -270,7 +273,8 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     same set. n_wedges = Σ C(deg, 2) over UNDIRECTED degrees;
     global_clustering = 3·triangles / wedges (ratio of exact integers
     → bit-identical across engines before the 6 dp rounding)."""
-    edges = _copurchase_edges(spark, sf_dir)
+    edges = _copurchase_edges(spark, sf_dir).persist()
+    edges.count()
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -304,7 +308,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge_stats = edges.agg(F.count("*").alias("n_edges"))
     from pyspark.sql.functions import broadcast
 
-    return (
+    out = (
         node_stats.crossJoin(broadcast(edge_stats))
         .crossJoin(broadcast(tri))
         .select(
@@ -316,7 +320,10 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
             ).alias("global_clustering"),
         )
+        .localCheckpoint(eager=True)
     )
+    edges.unpersist()
+    return out
 
 
 # common-neighbors similarity: parts bought by more than this many
@@ -343,9 +350,11 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     with buyers ≤ CN_DEG_CAP, so the candidate volume is
     O(n_parts · CAP²) and never the customer-pair cross product.
     Intersection sizes partial-aggregate per pair; union sizes come
-    from one per-customer count joined in twice. The identical
-    `capped` subtree feeds both the pair fan-out and the size frame —
-    ReuseExchange dedupes its shuffle. Final top-K is a TakeOrdered
+    from one per-customer count joined in twice. The `capped` subtree
+    feeds both the pair fan-out and the size frame; ReuseExchange does
+    not dedupe identical subtrees in practice (the q_graph_triangles
+    measurement), so cp and capped persist eagerly and the top-K
+    result materializes through the cache. Final top-K is a TakeOrdered
     (each partition ships only its own top K), tie-broken on
     (jaccard desc, cust_a, cust_b) for cross-engine determinism."""
     t = load_tables(spark, sf_dir, register_views=False)
@@ -355,8 +364,11 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
     )
+    cp = cp.persist()
     pdeg = cp.groupBy("p").agg(F.count("*").alias("d"))
-    capped = cp.join(pdeg.filter(F.col("d") <= CN_DEG_CAP).select("p"), "p")
+    capped = cp.join(pdeg.filter(F.col("d") <= CN_DEG_CAP).select("p"), "p").persist()
+    capped.count()
+    cp.unpersist()
     sizes = capped.groupBy("c").agg(F.count("*").alias("n_parts"))
     buyers = capped.groupBy("p").agg(F.collect_list("c").alias("cs"))
     pairs = (
@@ -379,7 +391,13 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
-    return j.orderBy(F.desc("jaccard"), "cust_a", "cust_b").limit(CN_TOP_K)
+    out = (
+        j.orderBy(F.desc("jaccard"), "cust_a", "cust_b")
+        .limit(CN_TOP_K)
+        .localCheckpoint(eager=True)
+    )
+    capped.unpersist()
+    return out
 
 
 BFS_MAX_ROUNDS = 8
@@ -445,8 +463,13 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     annotate each edge's endpoints, and the correlation reduces to
     six scalar moments (the text_zipf_fit OLS kernel, applied to a
     graph) — nothing beyond edge-frame scale is ever shuffled, and
-    only the 1-row moment frame leaves the executors."""
-    edges = _bipartite_edges(spark, sf_dir)
+    only the 1-row moment frame leaves the executors. Edges persist
+    eagerly (three consumers: degree + both endpoint joins;
+    ReuseExchange does not dedupe — the q_graph_triangles
+    measurement), and the 1-row result materializes through the
+    cache."""
+    edges = _bipartite_edges(spark, sf_dir).persist()
+    edges.count()
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     ann = (
         edges.join(deg.select(F.col("src"), F.col("d").alias("dx")), "src")
@@ -470,10 +493,12 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
         * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     )
-    return m.select(
+    out = m.select(
         F.col("n").cast("bigint").alias("n_edges"),
         fround(num / den, 6).alias("assortativity"),
-    )
+    ).localCheckpoint(eager=True)
+    edges.unpersist()
+    return out
 
 
 AA_TOP_K = 20
@@ -487,7 +512,9 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     strong evidence, sharing a best-seller is none. Same degree-capped
     per-part pair generation (fan-out ≤ C(CN_DEG_CAP, 2) per part);
     the 1/ln(d) weight attaches at explode time so the pair reduction
-    is a plain partial-agg SUM. Parts with a single buyer generate no
+    is a plain partial-agg SUM; cp/capped persist eagerly (the
+    ReuseExchange measurement) and the K-row result materializes
+    through the cache. Parts with a single buyer generate no
     pairs, so ln(d) ≥ ln 2 — no division-by-zero edge. Scores round
     to 6 dp BEFORE the top-K ordering (tie-broken on the pair ids)
     for cross-engine rank stability."""
@@ -498,10 +525,15 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
     )
+    cp = cp.persist()
     pdeg = cp.groupBy("p").agg(F.count("*").alias("d"))
-    capped = cp.join(
-        pdeg.filter(F.col("d") <= CN_DEG_CAP), "p"
-    ).select("c", "p", (F.lit(1.0) / F.log(F.col("d").cast("double"))).alias("w"))
+    capped = (
+        cp.join(pdeg.filter(F.col("d") <= CN_DEG_CAP), "p")
+        .select("c", "p", (F.lit(1.0) / F.log(F.col("d").cast("double"))).alias("w"))
+        .persist()
+    )
+    capped.count()
+    cp.unpersist()
     buyers = capped.groupBy("p", "w").agg(F.collect_list("c").alias("cs"))
     pairs = (
         buyers.select("w", F.explode("cs").alias("ca"), "cs")
@@ -511,7 +543,7 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pairs.groupBy("ca", "cb").agg(
         F.count("*").alias("n_shared"), fround(F.sum("w"), 6).alias("aa_score")
     )
-    return (
+    out = (
         scored.select(
             F.col("ca").alias("cust_a"),
             F.col("cb").alias("cust_b"),
@@ -520,4 +552,7 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("aa_score"), "cust_a", "cust_b")
         .limit(AA_TOP_K)
+        .localCheckpoint(eager=True)
     )
+    capped.unpersist()
+    return out

@@ -638,19 +638,20 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "media_type", "L", "k")
         .agg(F.sum("code").alias("csum"), F.count("*").alias("cn"))
     )
-    tot = chunked.groupBy(F.col("doc_id").alias("doc_tot")).agg(
-        F.sum("csum").alias("stot")
+    # per-doc byte total via a doc-keyed window over the 24-row/doc
+    # chunk frame — one shuffle, no second aggregation pass over the
+    # same subtree (ReuseExchange would not dedupe it; the
+    # q_graph_triangles measurement). Doc-keyed partitions are
+    # fact-safe: 24 rows each, cardinality scales with the corpus.
+    from pyspark.sql.window import Window as _W
+
+    chunked = chunked.withColumn(
+        "stot", F.sum("csum").over(_W.partitionBy("doc_id"))
     )
-    sig = (
-        chunked.join(tot, F.col("doc_id") == F.col("doc_tot"))
-        .groupBy("doc_id", "media_type")
-        .agg(
-            F.sum(
-                F.expr("shiftleft(CAST(csum / cn > stot / L AS INT), k)")
-            )
-            .cast("bigint")
-            .alias("sig")
-        )
+    sig = chunked.groupBy("doc_id", "media_type").agg(
+        F.sum(F.expr("shiftleft(CAST(csum / cn > stot / L AS INT), k)"))
+        .cast("bigint")
+        .alias("sig")
     )
     band_structs = F.array(
         *[

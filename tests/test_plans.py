@@ -111,7 +111,6 @@ DELIBERATE_NESTED_LOOP = {
     "emb_encode_backfill",  # 1-row broadcast tail-cutoff cross-join
     "q_time_bucket_gapfill",  # 1-row broadcast time-bounds cross-join
     "q_snapshot_diff",  # 1-row broadcast snapshot-cutoff cross-join
-    "q_graph_triangles",  # 1-row metric frames cross-joined
     "q_events_trend_fit",  # 1-row broadcast day-zero anchor cross-join
     "emb_norm_outliers",  # 1-row broadcast (mu, sigma) stats cross-join
     "q_ivm_join_delta",  # 1-row broadcast id-cutoff cross-join
@@ -172,6 +171,11 @@ EAGER_OPS = {
     "src_gzip_text_roundtrip",  # write_sink action runs eagerly
     "stream_phrase_search",
     "q_graph_bfs_levels",  # iterative frontier loop runs eagerly
+    "q_graph_triangles",  # persisted edge frame + checkpointed 1-row result
+    "q_graph_common_neighbors",  # persisted capped frame + checkpointed top-K
+    "q_graph_assortativity",  # persisted edge frame + checkpointed 1-row result
+    "q_graph_adamic_adar",  # persisted capped frame + checkpointed top-K
+    "q_events_hierarchical_rollup",  # persisted minute partials, checkpointed cascade
 }
 
 
