@@ -556,3 +556,60 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     capped.unpersist()
     return out
+
+
+PPR_TOP_K = 50
+
+
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a deterministic seed (the minimum
+    customer node): teleport mass returns to the SEED instead of
+    spreading uniformly, so the ranks measure proximity to that
+    customer — the standard graph-recommender primitive ("suppliers
+    and co-customers relevant to THIS account"), and the reason PPR
+    rather than global PageRank backs most production
+    who-to-recommend systems.
+
+    Same loop discipline as q_pagerank (persisted src-partitioned
+    edge frame, linear lineage, per-round fround(10) pinning both
+    engines to one grid); the only changes are the seed-concentrated
+    base term and pr₀ = 1 at the seed, 0 elsewhere. The seed id is a
+    1-row bounded collect. Output is the top-PPR_TOP_K nodes by
+    (rounded) rank — rank mass outside the seed's neighborhood decays
+    geometrically, so the top-K is the useful recommendation slate."""
+    edeg = _edges_with_outdeg(spark, sf_dir)
+    seed = edeg.agg(
+        F.min(F.when(F.col("src") % 2 == 0, F.col("src"))).alias("s")
+    ).collect()[0]["s"]
+    pr = (
+        edeg.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("pr", F.when(F.col("node") == seed, 1.0).otherwise(0.0))
+    )
+    for _ in range(PR_ITERATIONS):
+        pr = (
+            edeg.join(pr, edeg["src"] == pr["node"])
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(
+                fround(
+                    F.when(F.col("dst") == seed, F.lit(PR_BASE)).otherwise(F.lit(0.0))
+                    + F.lit(PR_DAMPING) * F.sum(F.col("pr") / F.col("out_deg")),
+                    10,
+                ).alias("pr")
+            )
+            .select(F.col("node2").alias("node"), "pr")
+        )
+    out = (
+        pr.select(
+            F.col("node").alias("node_id"),
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            "pr",
+        )
+        .orderBy(F.desc("pr"), "node_id")
+        .limit(PPR_TOP_K)
+        .localCheckpoint(eager=True)
+    )
+    edeg.unpersist()
+    return out

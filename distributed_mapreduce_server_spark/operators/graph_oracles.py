@@ -213,3 +213,59 @@ GRAPH_ORACLES["q_graph_adamic_adar"] = f"""
     ORDER BY aa_score DESC, cust_a, cust_b
     LIMIT {AA_TOP_K}
 """
+
+
+from distributed_mapreduce_server_spark.operators.graph import PPR_TOP_K  # noqa: E402
+
+
+# PPR needs the edge frames MATERIALIZED: every unrolled round
+# references edges+deg+seed, and DuckDB inlines CTEs per reference
+# site — the measured cost of the inlined form was 264 s at sf0.1 vs
+# ~2 s materialized (the cross-joined seed + two-key GROUP BY defeats
+# the dedup that keeps the global-PageRank oracle fast).
+_EDGES_MAT = _EDGES.replace(
+    "pairs AS (", "pairs AS MATERIALIZED ("
+).replace(
+    "edges AS (", "edges AS MATERIALIZED ("
+).replace(
+    "deg AS (", "deg AS MATERIALIZED ("
+)
+
+
+def _ppr_sql() -> str:
+    """Unrolled personalized-PageRank CTEs: teleport mass only at the
+    seed (min customer node); per-round ROUND(...,10) as in the
+    global PageRank oracle."""
+    steps = [
+        "seed AS (SELECT MIN(src) AS s FROM edges WHERE src % 2 = 0)",
+        """pr0 AS (
+        SELECT deg.src AS node,
+               CASE WHEN deg.src = seed.s THEN 1.0 ELSE 0.0 END AS pr
+        FROM deg, seed
+    )""",
+    ]
+    for i in range(1, PR_ITERATIONS + 1):
+        steps.append(
+            f"""pr{i} AS (
+        SELECT e.dst AS node,
+               ROUND(CASE WHEN e.dst = seed.s THEN {PR_BASE} ELSE 0.0 END
+                     + {PR_DAMPING} * SUM(p.pr / d.out_deg), 10) AS pr
+        FROM edges e
+        JOIN pr{i - 1} p ON e.src = p.node
+        JOIN deg d ON e.src = d.src, seed
+        GROUP BY e.dst, seed.s
+    )"""
+        )
+    return f"""
+    WITH {_EDGES_MAT},
+    {", ".join(steps)}
+    SELECT node AS node_id,
+           CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           pr
+    FROM pr{PR_ITERATIONS}
+    ORDER BY pr DESC, node_id
+    LIMIT {PPR_TOP_K}
+"""
+
+
+GRAPH_ORACLES["q_personalized_pagerank"] = _ppr_sql()

@@ -250,6 +250,7 @@ _register(
         "q_graph_bfs_levels",
         "q_graph_assortativity",
         "q_graph_adamic_adar",
+        "q_personalized_pagerank",
     ],
 )
 _register(

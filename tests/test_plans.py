@@ -176,6 +176,7 @@ EAGER_OPS = {
     "q_graph_assortativity",  # persisted edge frame + checkpointed 1-row result
     "q_graph_adamic_adar",  # persisted capped frame + checkpointed top-K
     "q_events_hierarchical_rollup",  # persisted minute partials, checkpointed cascade
+    "q_personalized_pagerank",  # seed collect + persisted edge loop runs eagerly
 }
 
 
