@@ -218,6 +218,13 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted file); a query touches nprobe/nlist of the data instead
     of all of it.
     """
+    return _ivf_topk(spark, sf_dir, N_PROBE)
+
+
+def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """sim_ivf_ann's body with the probe width as a parameter — shared
+    by the registry operator (nprobe = N_PROBE) and the
+    sim_ivf_nprobe_sweep tuning curve."""
     emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
     centroids = emb.filter(
         (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
@@ -228,7 +235,7 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_buckets = _centroid_assign(cand, centroids, 1).withColumnsRenamed(
         {"vec_id": "neighbor_id"}
     )
-    q_probes = _centroid_assign(q, centroids, N_PROBE).withColumnsRenamed({"vec_id": "query_id"})
+    q_probes = _centroid_assign(q, centroids, nprobe).withColumnsRenamed({"vec_id": "query_id"})
 
     qe = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
     ce = cand.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
@@ -1414,3 +1421,38 @@ def emb_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+IVF_SWEEP_PROBES = (1, 2, 4, 8)
+
+
+def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning curve: recall@k vs probe width for
+    IVF_SWEEP_PROBES — the table an ANN operator reads to pick nprobe
+    (latency grows ~linearly with probes; recall saturates), extending
+    sim_ann_eval's single-point IVF row to the whole dial. Every
+    point is the SAME deterministic IVF arm (_ivf_topk) at a
+    different width, so the sweep carries a full composed oracle —
+    the DuckDB side re-runs the IVF chain per width and intersects
+    with the exact top-k, like sim_ann_eval. Cost scales with
+    Σ probes × bucket size; the exact baseline is the bounded
+    broadcast-query-set scan."""
+    from distributed_mapreduce_server_spark.functions import fround_scalar
+
+    exact = sim_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id").persist()
+    n_exact = exact.count()
+    rows = []
+    for nprobe in IVF_SWEEP_PROBES:
+        got = (
+            _ivf_topk(spark, sf_dir, nprobe)
+            .select("query_id", "neighbor_id")
+            .persist()
+        )
+        n_ret = got.count()
+        n_hit = got.join(exact, ["query_id", "neighbor_id"], "left_semi").count()
+        got.unpersist()
+        rows.append((nprobe, n_ret, n_hit, fround_scalar(n_hit / n_exact, 4)))
+    exact.unpersist()
+    return spark.createDataFrame(
+        rows, "nprobe int, n_returned bigint, n_hits bigint, recall_at_k double"
+    ).orderBy("nprobe")

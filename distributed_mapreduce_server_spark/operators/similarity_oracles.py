@@ -815,3 +815,86 @@ SIMILARITY_ORACLES["emb_centroid_distances"] = """
     JOIN norms nb ON lb = nb.label
     ORDER BY 1, 2
 """
+
+
+from distributed_mapreduce_server_spark.operators.similarity import (  # noqa: E402
+    IVF_SWEEP_PROBES,
+)
+
+
+def _ivf_chain(nprobe: int, tag: str) -> str:
+    """The IVF candidate->top-k CTE chain at a given probe width
+    (clone of the sim_ivf_ann oracle with nprobe parametrized),
+    emitting CTE `{tag}` with (query_id, neighbor_id). Base frames
+    are MATERIALIZED per the unrolled-iterative-oracle gotcha."""
+    return f"""
+    {tag}_q_probes AS MATERIALIZED (
+        SELECT vec_id AS query_id, centroid_id FROM (
+            SELECT v.vec_id, k.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY ROUND({_DOT_VK} / ({_NORM_V} * {_NORM_K}), 4) DESC,
+                                k.centroid_id) AS crank
+            FROM embeddings v CROSS JOIN centroids k
+            WHERE v.vec_id < {N_QUERIES}
+        ) WHERE crank <= {nprobe}
+    ),
+    {tag}_pairs AS (
+        SELECT DISTINCT p.query_id, cb.neighbor_id,
+               ROUND({_DOT} / ({_NORM_Q} * {_NORM_C}), 4) AS cos_sim
+        FROM {tag}_q_probes p
+        JOIN cand_assign cb USING (centroid_id)
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN embeddings c ON c.vec_id = cb.neighbor_id
+    ),
+    {tag} AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM {tag}_pairs
+        ) WHERE rank <= {TOP_K}
+    )"""
+
+
+def _ivf_sweep_sql() -> str:
+    chains = ", ".join(_ivf_chain(p, f"ivf{p}") for p in IVF_SWEEP_PROBES)
+    terms = " UNION ALL ".join(
+        f"""
+        SELECT {p} AS nprobe,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ivf{p}) AS n_returned,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM ivf{p} JOIN exact USING (query_id, neighbor_id)) AS n_hits,
+               ROUND((SELECT COUNT(*) FROM ivf{p}
+                      JOIN exact USING (query_id, neighbor_id))
+                     / (SELECT CAST(COUNT(*) AS DOUBLE) FROM exact), 4)
+                   AS recall_at_k
+        """
+        for p in IVF_SWEEP_PROBES
+    )
+    return f"""
+    WITH centroids AS MATERIALIZED (
+        SELECT vec_id AS centroid_id, embedding FROM embeddings
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}
+    ),
+    cand_assign AS MATERIALIZED (
+        SELECT vec_id AS neighbor_id, centroid_id FROM (
+            SELECT v.vec_id, k.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY ROUND({_DOT_VK} / ({_NORM_V} * {_NORM_K}), 4) DESC,
+                                k.centroid_id) AS crank
+            FROM embeddings v CROSS JOIN centroids k
+            WHERE v.vec_id >= {N_QUERIES}
+        ) WHERE crank <= 1
+    ),
+    exact AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+{SIMILARITY_ORACLES["sim_cosine_topk"]}
+        )
+    ),
+    {chains}
+    {terms}
+    ORDER BY nprobe
+"""
+
+
+SIMILARITY_ORACLES["sim_ivf_nprobe_sweep"] = _ivf_sweep_sql()

@@ -182,6 +182,7 @@ _register(
         "sim_pq_adc_ann",
         "sim_ivfpq_ann",
         "sim_ann_eval",
+        "sim_ivf_nprobe_sweep",
         "sim_knn_join",
         "emb_encode_backfill",
         "sim_range_search",

@@ -154,6 +154,7 @@ EAGER_OPS = {
     # is a literal one-row projection with nothing to sweep
     "dedup_cluster_stats",  # rides the eager dedup_clusters loop
     "stream_ingest_partitioned",  # runs the ingest + sink readback eagerly
+    "sim_ivf_nprobe_sweep",  # runs the IVF arm per width eagerly; 4-row createDataFrame
     "sim_ann_eval",  # runs all five ANN arms + exact eagerly; final
     # frame is a 5-row createDataFrame with nothing to sweep
     "q_events_value_deciles",  # two-phase rank offsets collect eagerly
