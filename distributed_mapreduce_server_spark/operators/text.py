@@ -1650,3 +1650,58 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     tagged.unpersist()
     return out
+
+
+def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair contamination matrix: for every pair of corpus
+    sources, how many DISTINCT word trigrams they share and the
+    Jaccard of their trigram vocabularies — the corpus-forensics step
+    after text_contamination_check's train/test probe ("which feeds
+    are re-crawling each other" decides what to down-weight before
+    any per-document dedup sees the data).
+
+    Scale shape: trigrams assemble in the row form (posexplode +
+    window lead, per-doc partitions — the text_top_ngrams kernel),
+    reduce to DISTINCT (source, gram), and pairs generate PER GRAM
+    with fan-out bounded by C(|sources|, 2) — sources are a bounded
+    catalog dimension (like event types), so no cap is needed; the
+    gram-keyed grouping is the only corpus-scale shuffle. Output is
+    |sources|²-bounded."""
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"].repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    tok = docs.select("doc_id", "source", F.posexplode(tokens("text")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        tok.withColumn("t1", F.lead("tok", 1).over(w))
+        .withColumn("t2", F.lead("tok", 2).over(w))
+        .filter(F.col("t2").isNotNull())
+        .select("source", F.concat_ws(" ", "tok", "t1", "t2").alias("g"))
+        .distinct()
+    )
+    sizes = grams.groupBy("source").agg(F.count("*").alias("n_grams"))
+    by_gram = grams.groupBy("g").agg(F.collect_list("source").alias("ss"))
+    pairs = (
+        by_gram.select(F.explode("ss").alias("sa"), "ss")
+        .select("sa", F.explode("ss").alias("sb"))
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        pairs.join(sizes.select(F.col("source").alias("sa"), F.col("n_grams").alias("na")), "sa")
+        .join(sizes.select(F.col("source").alias("sb"), F.col("n_grams").alias("nb")), "sb")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "n_shared",
+            fround(
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

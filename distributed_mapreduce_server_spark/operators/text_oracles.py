@@ -904,3 +904,27 @@ TEXT_ORACLES["text_zipf_fit"] = f"""
                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
     FROM s
 """
+
+
+TEXT_ORACLES["text_source_overlap"] = f"""
+    WITH toks AS (SELECT source, {_TOKS} AS toks FROM documents),
+    grams AS MATERIALIZED (
+        SELECT DISTINCT source,
+               unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS g
+        FROM toks
+    ),
+    sizes AS MATERIALIZED (SELECT source, COUNT(*) AS n_grams FROM grams GROUP BY 1),
+    pairs AS (
+        SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_shared
+        FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT sa AS source_a, sb AS source_b, n_shared,
+           ROUND(CAST(n_shared AS DOUBLE)
+                 / (na.n_grams + nb.n_grams - n_shared), 6) AS jaccard
+    FROM pairs
+    JOIN sizes na ON sa = na.source
+    JOIN sizes nb ON sb = nb.source
+    ORDER BY 1, 2
+"""

@@ -238,6 +238,7 @@ _register(
         "text_model_quality_filter",
         "text_hashed_features",
         "text_zipf_fit",
+        "text_source_overlap",
     ],
 )
 _register(
