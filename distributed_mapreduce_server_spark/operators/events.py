@@ -1659,3 +1659,48 @@ def q_events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = r if out is None else out.unionAll(r)
     return out.orderBy("event_type", "lag")
+
+
+SLO_ERROR_RATE = 0.25
+
+
+def q_events_error_rate_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-budget / SLO table: per day, how many hours breached the
+    SLO_ERROR_RATE error-share threshold, the day's worst hourly rate
+    and when it happened — the on-call dashboard's burn-rate view.
+    Threshold sits at 0.25 so both SFs have breaches AND compliant
+    hours (204/720 and 36/720 breach hours — non-vacuous in both
+    directions, the verify-skill sizing rule).
+
+    Scale shape: one partial-agg shuffle to the hourly frame, a
+    day-keyed reduction over those ≤24·days rows, and the worst hour
+    resolves by equality-join on the day's max ROUNDED rate with a
+    min-hour tie-break (deterministic cross-engine; max_by is
+    tie-nondeterministic in both engines, so neither uses it)."""
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_err"),
+    ).select(
+        "hour",
+        "n",
+        fround(F.col("n_err") / F.col("n"), 6).alias("r"),
+    )
+    daily = hourly.groupBy(F.date_trunc("day", "hour").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_hours"),
+        F.sum((F.col("r") > SLO_ERROR_RATE).cast("long")).cast("bigint").alias(
+            "n_breach_hours"
+        ),
+        F.max("r").alias("max_error_rate"),
+    )
+    worst = (
+        hourly.select(F.date_trunc("day", "hour").alias("day"), "hour", "r")
+        .join(daily.select("day", F.col("max_error_rate").alias("r")), ["day", "r"])
+        .groupBy("day")
+        .agg(F.min("hour").alias("worst_hour"))
+    )
+    return (
+        daily.join(worst, "day")
+        .select("day", "n_hours", "n_breach_hours", "max_error_rate", "worst_hour")
+        .orderBy("day")
+    )

@@ -1776,3 +1776,32 @@ RELATIONAL_ORACLES["q_benford_audit"] = """
     FROM counts, tot
     ORDER BY digit
 """
+
+
+from distributed_mapreduce_server_spark.operators.events import SLO_ERROR_RATE  # noqa: E402
+
+EVENTS_ORACLES["q_events_error_rate_slo"] = f"""
+    WITH hourly AS MATERIALIZED (
+        SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+               ROUND(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS r
+        FROM events GROUP BY 1
+    ),
+    daily AS MATERIALIZED (
+        SELECT date_trunc('day', hour) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_hours,
+               CAST(SUM(CASE WHEN r > {SLO_ERROR_RATE} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_breach_hours,
+               MAX(r) AS max_error_rate
+        FROM hourly GROUP BY 1
+    ),
+    worst AS (
+        SELECT date_trunc('day', h.hour) AS day, MIN(h.hour) AS worst_hour
+        FROM hourly h JOIN daily d
+          ON date_trunc('day', h.hour) = d.day AND h.r = d.max_error_rate
+        GROUP BY 1
+    )
+    SELECT daily.day, n_hours, n_breach_hours, max_error_rate, worst_hour
+    FROM daily JOIN worst ON daily.day = worst.day
+    ORDER BY 1
+"""

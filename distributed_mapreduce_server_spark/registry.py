@@ -276,6 +276,7 @@ _register(
         "q_events_json_extract",
         "q_events_funnel",
         "q_events_anomaly",
+        "q_events_error_rate_slo",
         "q_events_intersect_except",
         "q_events_value_deciles",
         "q_events_retention",
