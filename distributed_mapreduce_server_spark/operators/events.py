@@ -1681,7 +1681,16 @@ def q_events_error_rate_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
         F.count("*").alias("n"),
         F.sum((F.col("event_type") == "error").cast("long")).alias("n_err"),
-    ).select(
+    )
+    return slo_from_hourly(hourly)
+
+
+def slo_from_hourly(counts: DataFrame) -> DataFrame:
+    """Daily SLO reduction over an (hour, n, n_err) frame — ONE
+    definition shared by the batch operator and
+    streaming.stream_error_rate_slo (which maintains the hourly
+    counts incrementally and carries the batch oracle)."""
+    hourly = counts.select(
         "hour",
         "n",
         fround(F.col("n_err") / F.col("n"), 6).alias("r"),

@@ -625,6 +625,10 @@ _ORACLES["stream_model_quality_filter"] = (
     + TEXT_ORACLES["text_model_quality_filter"]
     + "\n) WHERE keep ORDER BY doc_id"
 ).strip()
+# streaming SLO table: hourly (total, error) counts are the only
+# state; the daily reduction reuses the batch helper -> batch oracle.
+_QUERIES["stream_error_rate_slo"] = streaming_jobs.stream_error_rate_slo
+_ORACLES["stream_error_rate_slo"] = EVENTS_ORACLES["q_events_error_rate_slo"].strip()
 # ingest-door phrase alerting: per-row bigram match + complete-mode
 # count state; carries the batch phrase oracle minus the distinct-doc
 # column (distinct aggs are unsupported in streaming).

@@ -1008,3 +1008,23 @@ def stream_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(agg, "complete")
     return out.orderBy("phrase")
+
+
+def stream_error_rate_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SLO burn-rate table maintained ON THE STREAM: hourly
+    (total, error) counts are the only streaming state — mergeable
+    monoids under a complete-mode aggregation, so the table is
+    incrementally correct at any drain point — and the daily
+    reduction (breach hours, worst hour) runs over the drained
+    hourly frame through the SAME helper the batch operator uses
+    (operators/events.py slo_from_hourly), so the two cannot drift
+    and the job carries the batch oracle."""
+    from distributed_mapreduce_server_spark.operators.events import slo_from_hourly
+
+    ev = _events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_err"),
+    )
+    hourly = _run_to_memory(agg, "complete")
+    return slo_from_hourly(hourly)

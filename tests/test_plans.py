@@ -171,6 +171,7 @@ EAGER_OPS = {
     "src_orc_roundtrip",  # write_sink action runs eagerly
     "src_gzip_text_roundtrip",  # write_sink action runs eagerly
     "stream_phrase_search",
+    "stream_error_rate_slo",
     "q_graph_bfs_levels",  # iterative frontier loop runs eagerly
     "q_graph_triangles",  # persisted edge frame + checkpointed 1-row result
     "q_graph_common_neighbors",  # persisted capped frame + checkpointed top-K
