@@ -56,6 +56,39 @@ def refresh_tables() -> None:
     """Drop all cached table plans (the REFRESH TABLE analog) — call
     after rewriting files under an sf_dir within one application."""
     _plan_cache.clear()
+    _row_count_cache.clear()
+
+
+# (abs sf_dir, table) -> row count, read from parquet FOOTERS — no
+# Spark job at all (milliseconds vs a full count() stage). Operators
+# that only need a SIZING hint (the blocked grid's adaptive B) must
+# use this instead of DataFrame.count(): at 100 TB a count() is a
+# full scan action per invocation; the footer metadata is exactly the
+# statistic a lake catalog would serve. Same immutability contract as
+# _plan_cache (refresh_tables() clears both).
+_row_count_cache: dict[tuple[str, str], int] = {}
+
+
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count of ``<sf_dir>/<name>.parquet`` from parquet
+    footer metadata (file or directory-of-part-files), memoized."""
+    import pyarrow.parquet as pq
+
+    key = (os.path.abspath(sf_dir), name)
+    hit = _row_count_cache.get(key)
+    if hit is not None:
+        return hit
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        n = sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    else:
+        n = pq.ParquetFile(path).metadata.num_rows
+    _row_count_cache[key] = n
+    return n
 
 
 def load_tables(spark: SparkSession, sf_dir: str | None = None, register_views: bool = True) -> dict[str, DataFrame]:

@@ -49,6 +49,7 @@ def blocked_cosine_grid(
     out_schema: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Run ``cell_fn(diagonal, a_ids, b_ids, cos)`` over every
     unordered block pair of ``emb`` and union the emitted frames.
@@ -58,11 +59,14 @@ def blocked_cosine_grid(
     diagonal cell both blocks hold the same vectors. It must return a
     pandas DataFrame matching ``out_schema``.
 
-    ``n_blocks=None`` (the default callers use) sizes B adaptively
-    from a count of ``emb``: B = ceil(n / BLOCK_TARGET_ROWS). Results
-    are independent of B — every unordered pair lands in exactly one
-    cell and each cosine is computed from the full vectors — so B is
-    purely a latency/memory knob.
+    ``n_blocks=None`` (the default callers use) sizes B adaptively:
+    B = ceil(n / BLOCK_TARGET_ROWS), where n is ``n_hint`` when the
+    caller supplies one (catalog.table_row_count reads it from parquet
+    FOOTERS — no Spark action; an UPPER bound is fine since results
+    are independent of B: every unordered pair lands in exactly one
+    cell and each cosine is computed from the full vectors, so B is
+    purely a latency/memory knob) and otherwise a count() of ``emb``
+    — the slow path callers should avoid at scale.
     """
     import math
 
@@ -70,7 +74,8 @@ def blocked_cosine_grid(
     import pandas as pd
 
     if n_blocks is None:
-        n_blocks = max(1, math.ceil(emb.count() / BLOCK_TARGET_ROWS))
+        n = n_hint if n_hint is not None else emb.count()
+        n_blocks = max(1, math.ceil(n / BLOCK_TARGET_ROWS))
     B = n_blocks
     # Each vector replicates straight to its grid cells with an explode
     # — ONE shuffle (the grouped exchange), no broadcast-join pair and

@@ -583,11 +583,17 @@ def _embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     reassociates the 64-term sums, which moves values only ~1e-15
     relative — far below the 1e-4 rounding grid.
     """
+    from distributed_mapreduce_server_spark.catalog import table_row_count
+
     emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
-    return _blocked_cosine_pairs(spark, emb)
+    return _blocked_cosine_pairs(
+        spark, emb, n_hint=table_row_count(sf_dir, "embeddings")
+    )
 
 
-def _blocked_cosine_pairs(spark: SparkSession, emb: DataFrame) -> DataFrame:
+def _blocked_cosine_pairs(
+    spark: SparkSession, emb: DataFrame, n_hint: int | None = None
+) -> DataFrame:
     """The blocked pair-matmul kernel over any (vec_id, embedding)
     frame — _embedding_cosine_pairs runs it on the full table, the
     composed corpus pipelines on their surviving subset. The grid
@@ -617,7 +623,8 @@ def _blocked_cosine_pairs(spark: SparkSession, emb: DataFrame) -> DataFrame:
         return pd.DataFrame({"vec_a": va, "vec_b": vb, "cos_sim": cos[ai, bj]})
 
     return blocked_cosine_grid(
-        spark, emb, None, cell, "vec_a long, vec_b long, cos_sim double"
+        spark, emb, None, cell, "vec_a long, vec_b long, cos_sim double",
+        n_hint=n_hint,
     )
 
 

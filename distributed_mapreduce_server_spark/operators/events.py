@@ -1105,7 +1105,10 @@ def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LATENESS_JITTER_SEED = 17
-LATENESS_JITTER_MAX_S = 600
+# Above the top histogram-bucket edge (600 s) so bucket 4_gt_10m is
+# reachable: lateness ~ jitter on dense streams, and the repo's
+# non-vacuity sizing rule requires every bucket populated at test SFs.
+LATENESS_JITTER_MAX_S = 900
 
 
 def q_events_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -880,9 +880,7 @@ def q_balance_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_mapreduce_server_spark.operators.scale import two_phase_rank
 
     cust = load_tables(spark, sf_dir, register_views=False)["customer"]
-    # lazy form: the per-customer result streams straight off the
-    # still-persisted range-partition cache at the caller's action
-    ranked, _, _tagged = two_phase_rank(
+    ranked, _, tagged = two_phase_rank(
         spark,
         cust.select("c_custkey", "c_nationkey", "c_acctbal"),
         ["c_acctbal", "c_custkey"],
@@ -895,7 +893,7 @@ def q_balance_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # percent_rank = (rn-1)/(n-1), cume_dist = rn/n, computed
     # arithmetically from the two-phase rank (ANSI-safe n==1 guard)
     rn, n = F.col("rn"), F.col("n_nat")
-    return (
+    out = (
         ranked.select(
             "c_custkey",
             "c_nationkey",
@@ -907,6 +905,12 @@ def q_balance_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_custkey")
     )
+    # one pass through the tagged cache into the checkpoint, then
+    # release (two_phase_rank materialize=False contract: a lazy frame
+    # over a retired cache would re-sample __pid boundaries)
+    out = out.localCheckpoint(eager=True)
+    tagged.unpersist()
+    return out
 
 
 LATE_DAYS = 90
@@ -1661,15 +1665,15 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("rev")
     )
     # persist the part-sized revenue frame: the range partitioner's
-    # sample pass, the range shuffle itself, and the grand-total agg
-    # would otherwise each re-run the lineitem scan + aggregation
+    # sample pass and the range shuffle itself would otherwise each
+    # re-run the lineitem scan + aggregation (no explicit count — the
+    # kernel's first action populates the cache)
     rev = rev.persist()
-    rev.count()
     # cumulative revenue via the two-phase kernel (operators/scale.py):
     # an unpartitioned running-sum window sorts the whole part frame
     # in ONE task, and TPC-H parts scale with SF — range-partition on
     # (-rev, partkey) instead and add broadcast per-partition offsets
-    ranked, _, tagged = two_phase_rank(
+    ranked, totals, tagged = two_phase_rank(
         spark,
         rev,
         [F.desc("rev"), F.asc("l_partkey")],
@@ -1677,13 +1681,16 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         rn_col="rev_rank",
         materialize=False,
     )
-    total = rev.agg(F.sum("rev").alias("total_rev"))
+    # grand total: free data from the kernel's stats pass (sum of the
+    # same per-partition partial sums) — a second full agg + crossJoin
+    # here cost q_abc_analysis a measured 6-10x in round 5
+    total_rev = F.lit(totals.sums["rev"])
     classed = (
-        ranked.crossJoin(broadcast(total))
-        # rounded before the cut comparison: total_rev's distributed
-        # sum order can differ from DuckDB's by an ulp, and an exact
+        ranked
+        # rounded before the cut comparison: total_rev's partial-sum
+        # fold order can differ from DuckDB's by an ulp, and an exact
         # boundary hit must not classify differently across engines
-        .withColumn("cum_share", fround(F.col("cum_rev") / F.col("total_rev"), 10))
+        .withColumn("cum_share", fround(F.col("cum_rev") / total_rev, 10))
         .withColumn(
             "abc_class",
             F.when(F.col("cum_share") <= ABC_A_CUT, "A")
@@ -1696,7 +1703,7 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_parts"),
             fround(F.sum("rev"), 2).alias("class_revenue"),
-            fround(F.sum("rev") / F.max("total_rev"), 4).alias("revenue_share"),
+            fround(F.sum("rev") / total_rev, 4).alias("revenue_share"),
         )
         .orderBy("abc_class")
     )

@@ -38,18 +38,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-# Range-partition caches from kernel calls. Retired at the next kernel
-# invocation (single-threaded drive/bench use), so a long session holds
-# at most ONE kernel input cache at a time; a still-held lazy result
-# from a prior call stays correct and simply recomputes if re-collected
-# after retirement. Callers may also release explicitly.
-_kernel_caches: list[DataFrame] = []
+class TwoPhaseTotals(int):
+    """Grand totals the kernel's stats pass already paid for.
 
+    Subclasses ``int`` (value = overall input row count) so existing
+    consumers that used the old integer ``total_rows`` return slot —
+    including f-string interpolation into oracle-matching expressions —
+    keep working unchanged; ``sums[c]`` adds the global sum of each
+    ``sum_cols`` entry so share-of-total consumers (Pareto/ABC cuts)
+    never pay a second full aggregation."""
 
-def release_kernel_caches() -> None:
-    """Unpersist every registered kernel input cache."""
-    while _kernel_caches:
-        _kernel_caches.pop().unpersist()
+    def __new__(cls, rows: int, sums: dict):
+        obj = super().__new__(cls, rows)
+        obj.sums = sums
+        return obj
+
+    @property
+    def rows(self) -> int:
+        return int(self)
 
 
 def two_phase_rank(
@@ -81,22 +87,35 @@ def two_phase_rank(
     ``n_col``: adds the per-group total row count (for ntile /
     percent_rank / cume_dist denominators).
 
-    Returns ``(out_df, total_rows)`` with ``out_df`` persisted and
-    already materialised (the caller may unpersist when done) —
-    or, with ``materialize=False``, ``(out_df, total_rows, tagged)``
-    where ``out_df`` is LAZY over the still-persisted ``tagged``
-    range-partition cache: a caller that immediately folds the ranked
-    frame to a small result (then eagerly checkpoints it) saves one
-    full materialisation pass by reading the cache once and
-    unpersisting ``tagged`` itself. ``total_rows`` is the overall
-    input count either way.
+    Returns ``(out_df, totals)`` where ``out_df`` is eagerly
+    local-checkpointed — lineage is CUT, so the result can be
+    re-collected at any later time without recomputing the sampled
+    range shuffle (a recompute would re-sample boundaries, and the
+    collected per-partition offsets would then describe a DIFFERENT
+    ``__pid`` assignment: silently wrong ranks — fail-loud checkpoint
+    blocks beat silent recompute here). No cache outlives the call.
+
+    With ``materialize=False``: ``(out_df, totals, tagged)`` where
+    ``out_df`` is LAZY over the still-persisted ``tagged``
+    range-partition cache. CONTRACT: the caller must fold ``out_df``
+    to its final frame, materialise it eagerly
+    (``localCheckpoint(eager=True)``), and only THEN
+    ``tagged.unpersist()`` — any action on a non-checkpointed
+    descendant after the unpersist is INVALID (the recompute
+    re-samples ``__pid`` boundaries against stale offsets), not
+    merely slower. Every in-repo consumer follows this shape.
+
+    ``totals`` (:class:`TwoPhaseTotals`) carries the grand totals the
+    stats pass already paid for: ``rows`` (overall input count) and
+    ``sums[c]`` (global sum of each ``sum_cols`` entry) — consumers
+    that need a grand total (Pareto cuts, share-of-total) must NOT
+    pay a second full aggregation for it.
     """
     group_cols = list(group_cols)
     sum_cols = list(sum_cols)
     max_cols = list(max_cols)
     order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_cols]
 
-    release_kernel_caches()  # retire the previous call's input cache
     n_parts = spark.sparkContext.defaultParallelism
     tagged = (
         df.repartitionByRange(n_parts, *[F.col(g) for g in group_cols], *order_exprs)
@@ -118,12 +137,15 @@ def two_phase_rank(
         by_group.setdefault(key, []).append(r)
     offset_rows = []
     total_rows = 0
+    grand_sums = {c: 0.0 for c in sum_cols}
     for key, rows in by_group.items():
         rows.sort(key=lambda r: r["__pid"])
         rn_off, sum_off = 0, [0.0] * len(sum_cols)
         max_off: list = [None] * len(max_cols)
         g_total = sum(r["__cnt"] for r in rows)
         total_rows += g_total
+        for c in sum_cols:
+            grand_sums[c] += sum(r[f"__sum_{c}"] or 0.0 for r in rows)
         for r in rows:
             offset_rows.append(
                 tuple([r["__pid"], *key, rn_off, *sum_off, *max_off, g_total])
@@ -189,14 +211,16 @@ def two_phase_rank(
         *[f"__off_{c}" for c in sum_cols],
         *[f"__maxoff_{c}" for c in max_cols],
     )
+    totals = TwoPhaseTotals(rows=total_rows, sums=grand_sums)
     if not materialize:
-        _kernel_caches.append(tagged)
-        return out, total_rows, tagged
-    out = out.persist()
-    out.count()  # materialise through the cache BEFORE releasing input
+        return out, totals, tagged
+    # Eager localCheckpoint, not persist(): the checkpoint materialises
+    # through the tagged cache in the same single pass, then CUTS
+    # lineage — a later re-collection reads checkpoint blocks instead
+    # of re-running the sampled range shuffle against stale offsets.
+    out = out.localCheckpoint(eager=True)
     tagged.unpersist()
-    _kernel_caches.append(out)
-    return out, total_rows
+    return out, totals
 
 
 def two_phase_sliding(
@@ -273,6 +297,13 @@ def two_phase_sliding(
     out = rk.join(fd, cond).drop(
         F.col("__fd.__t"), *[F.col(f"__fd.{g}") for g in group_cols]
     )
+    # the rank kernel's materialize=False contract: checkpoint the
+    # result through the tagged cache (cuts lineage — both join sides
+    # reference the SAME cached __pid assignment; ReuseExchange would
+    # NOT dedupe a recompute and re-sampled boundaries would invalidate
+    # the collected offsets), then release the cache.
+    out = out.localCheckpoint(eager=True)
+    tagged.unpersist()
     return out
 
 

@@ -949,8 +949,11 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ignore_index=True,
         )
 
+    from distributed_mapreduce_server_spark.catalog import table_row_count
+
     cand = blocked_cosine_grid(
-        spark, emb, None, cell, "vec_id long, nbr_id long, cos_sim double"
+        spark, emb, None, cell, "vec_id long, nbr_id long, cos_sim double",
+        n_hint=table_row_count(sf_dir, "embeddings"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("nbr_id"))
     return (

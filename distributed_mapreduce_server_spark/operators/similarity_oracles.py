@@ -771,10 +771,15 @@ def _ann_eval_sql() -> str:
 SIMILARITY_ORACLES["sim_ann_eval"] = _ann_eval_sql()
 
 # norm outliers: same sequential list fold for the norm, same 1-row
-# (mu, sigma) stats, same 2.5-sigma cut (q_events_anomaly
-# precedent for the unrounded boundary compare; 2.5 keeps both SFs
-# non-vacuous).
-SIMILARITY_ORACLES["emb_norm_outliers"] = """
+# (mu, sigma) stats, same sigma cut (q_events_anomaly precedent for
+# the unrounded boundary compare; 2.5 keeps both SFs non-vacuous).
+# NORM_OUTLIER_SIGMA is interpolated so editing the operator constant
+# cannot silently desynchronize the oracle.
+from distributed_mapreduce_server_spark.operators.similarity import (  # noqa: E402
+    NORM_OUTLIER_SIGMA as _NORM_SIGMA,
+)
+
+SIMILARITY_ORACLES["emb_norm_outliers"] = f"""
     WITH norms AS (
         SELECT vec_id, label,
                sqrt(list_sum(list_transform(embedding,
@@ -786,7 +791,7 @@ SIMILARITY_ORACLES["emb_norm_outliers"] = """
            ROUND(norm, 4) AS norm,
            ROUND((norm - mu) / sigma, 4) AS z
     FROM norms, stats
-    WHERE ABS(norm - mu) > 2.5 * sigma
+    WHERE ABS(norm - mu) > {_NORM_SIGMA} * sigma
     ORDER BY vec_id
 """
 

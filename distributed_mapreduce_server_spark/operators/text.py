@@ -919,8 +919,15 @@ def text_corpus_pipeline_semantic(spark: SparkSession, sf_dir: str) -> DataFrame
     emb_s = tables["embeddings"].join(
         survivors.select(F.col("doc_id").alias("vec_id")), "vec_id"
     ).select("vec_id", "embedding")
-    # the blocked kernel already thresholds at COSINE_DEDUP_T
-    sem_pairs = _blocked_cosine_pairs(spark, emb_s)
+    # the blocked kernel already thresholds at COSINE_DEDUP_T; the
+    # full-table footer count is a valid UPPER-bound sizing hint for
+    # the survivor subset (grid results are independent of B) and
+    # saves a count() action over the join
+    from distributed_mapreduce_server_spark.catalog import table_row_count
+
+    sem_pairs = _blocked_cosine_pairs(
+        spark, emb_s, n_hint=table_row_count(sf_dir, "embeddings")
+    )
     sem_dropped = sem_pairs.select(F.col("vec_b").alias("doc_id")).distinct()
     final = survivors.join(sem_dropped, "doc_id", "left_anti")
 

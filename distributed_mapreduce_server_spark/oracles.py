@@ -1554,13 +1554,20 @@ def _markov_stationary_sql() -> str:
     {", ".join(steps)},
     emp AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
     te AS (SELECT SUM(n) AS s FROM emp)
-    SELECT emp.event_type,
-           pi{MARKOV_ROUNDS}.pi AS pi,
-           ROUND(emp.n / CAST(te.s AS DOUBLE), 10) AS emp_share,
-           ROUND(ABS(pi{MARKOV_ROUNDS}.pi
-                     - ROUND(emp.n / CAST(te.s AS DOUBLE), 10)), 10) AS gap
-    FROM emp JOIN pi{MARKOV_ROUNDS} ON emp.event_type = pi{MARKOV_ROUNDS}.t, te
-    ORDER BY emp.event_type
+    -- LEFT JOIN from types: a type that appears in pairs but never as
+    -- a next_type drops out of pi1..piN (no incoming transitions), yet
+    -- the Spark side keeps it with pi = 0.0 (the driver dict iterates
+    -- all types) — COALESCE mirrors that instead of dropping the row.
+    SELECT tt.t AS event_type,
+           COALESCE(pi{MARKOV_ROUNDS}.pi, 0.0) AS pi,
+           ROUND(COALESCE(emp.n, 0) / CAST(te.s AS DOUBLE), 10) AS emp_share,
+           ROUND(ABS(COALESCE(pi{MARKOV_ROUNDS}.pi, 0.0)
+                     - ROUND(COALESCE(emp.n, 0) / CAST(te.s AS DOUBLE), 10)),
+                 10) AS gap
+    FROM types tt
+    LEFT JOIN pi{MARKOV_ROUNDS} ON tt.t = pi{MARKOV_ROUNDS}.t
+    LEFT JOIN emp ON emp.event_type = tt.t, te
+    ORDER BY tt.t
 """
 
 

@@ -143,15 +143,29 @@ def test_grouped_rank_keeps_null_groups(spark):
 def test_two_phase_windows_partition_by_pid(spark):
     """The kernel's own windows must partition by the range pid —
     that's the whole point; pin it so a refactor can't quietly fall
-    back to the low-cardinality partition spec."""
-    from distributed_mapreduce_server_spark import registry
+    back to the low-cardinality partition spec. Inspected on the
+    kernel's LAZY frame (materialize=False): the eager path
+    localCheckpoints, which cuts lineage and hides the window."""
+    from distributed_mapreduce_server_spark.catalog import load_tables
     from distributed_mapreduce_server_spark.plans import window_partition_specs
 
-    df = registry.all_queries()["q_balance_percentiles"](spark, SF)
-    specs = window_partition_specs(df)
-    assert specs, "expected at least one window in the plan"
-    for cols in specs:
-        assert "__pid" in cols, f"window not pid-partitioned: {cols}"
+    cust = load_tables(spark, SF, register_views=False)["customer"]
+    ranked, _, tagged = two_phase_rank(
+        spark,
+        cust.select("c_custkey", "c_nationkey", "c_acctbal"),
+        ["c_acctbal", "c_custkey"],
+        group_cols=["c_nationkey"],
+        rn_col="rn",
+        n_col="n_nat",
+        materialize=False,
+    )
+    try:
+        specs = window_partition_specs(ranked)
+        assert specs, "expected at least one window in the plan"
+        for cols in specs:
+            assert "__pid" in cols, f"window not pid-partitioned: {cols}"
+    finally:
+        tagged.unpersist()
 
 
 @pytest.fixture(scope="module")
