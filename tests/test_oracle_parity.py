@@ -42,7 +42,6 @@ EXPECTED_ROWS_ONLY = {
     "q_approx_distinct",
     "q_approx_quantiles",  # sketch results are engine-specific
     "q_events_daily_sketch_rollup",  # HLL estimates are engine-specific
-    "emb_kmeans",  # iterative, float-accumulation-order dependent
     "emb_pca_project",  # eigenvector sign/order is LAPACK-specific
     "text_bpe_train",  # iterative training loop isn't one SQL statement
 }

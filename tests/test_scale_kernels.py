@@ -252,3 +252,35 @@ def test_grouped_rank_running_max_matches_window(spark, toy):
     got = {(r["g"], r["id"]): r["cummax_v"] for r in ranked.collect()}
     ranked.unpersist()
     assert got == want
+
+
+def test_two_phase_totals_sums_match_direct_agg(spark):
+    """TwoPhaseTotals.sums (grand sums accumulated driver-side from
+    the stats pass's per-partition partials) must equal a direct
+    aggregation — including NULL handling (`__sum_<c> or 0.0` must not
+    turn an all-NULL group into a crash or a wrong total) and DECIMAL
+    sum_cols (accumulated in double precision per the kernel's
+    documented contract)."""
+    from decimal import Decimal
+
+    rows = [
+        ("a", 1.5, Decimal("1.10"), 1),
+        ("a", None, Decimal("2.20"), 2),
+        ("b", 2.5, None, 3),
+        ("b", -4.0, Decimal("-0.30"), 4),
+        (None, None, None, 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, v double, d decimal(10,2), id int"
+    )
+    ranked, totals = two_phase_rank(
+        spark, df, ["id"], group_cols=["g"], rn_col="rn",
+        sum_cols=["v", "d"],
+    )
+    direct = df.groupBy().agg(
+        F.sum("v").alias("sv"), F.sum("d").alias("sd"), F.count("*").alias("n")
+    ).collect()[0]
+    ranked.unpersist()
+    assert totals.rows == int(totals) == direct["n"] == 5
+    assert abs(totals.sums["v"] - float(direct["sv"])) < 1e-9
+    assert abs(totals.sums["d"] - float(direct["sd"])) < 1e-9
