@@ -128,47 +128,146 @@ class JobQueue:
     queueing when busy and draining in arrival order; a failed job is
     recorded and the queue moves on).
 
+    Accept-while-running (round 7): the reference manager's TCP intake
+    keeps accepting submissions concurrently with the FIFO drain
+    (reference manager/__main__.py:115,240). ``start()`` spawns a
+    single daemon drain thread; ``submit()`` then returns immediately
+    with the job PENDING and ``state()`` reads live states while jobs
+    execute. Jobs still run strictly one at a time in arrival order —
+    the reference executes serially too — so outputs are byte-identical
+    to the synchronous drain. Without ``start()``, ``run_all()`` keeps
+    the original synchronous contract.
+
     Worker liveness, heartbeats, and task redistribution — the rest of
     the manager — are Spark scheduler responsibilities (task retry is
     exercised in tests/test_fault_tolerance.py); what remains of the
     manager surface is exactly this queue + job states + wrap-up."""
 
     def __init__(self, spark: SparkSession) -> None:
+        import threading
+
         self._spark = spark
         self._queue: list[tuple[int, JobSpec | ExecJobSpec]] = []
         self._states: dict[int, str] = {}
         self._errors: dict[int, str] = {}
         self._next_id = 0
+        self._cond = threading.Condition()
+        self._worker: threading.Thread | None = None
+        self._stop = False
 
     def submit(self, spec: JobSpec | ExecJobSpec) -> int:
-        """Enqueue; returns the job id (the reference's job-NN)."""
-        job_id = self._next_id
-        self._next_id += 1
-        self._queue.append((job_id, spec))
-        self._states[job_id] = JobState.PENDING
+        """Enqueue; returns the job id (the reference's job-NN).
+        Never blocks on a running job — with the drain thread started
+        this is the reference's accept-while-running intake."""
+        with self._cond:
+            job_id = self._next_id
+            self._next_id += 1
+            self._queue.append((job_id, spec))
+            self._states[job_id] = JobState.PENDING
+            self._cond.notify_all()
         return job_id
 
     def state(self, job_id: int) -> str:
-        return self._states[job_id]
+        with self._cond:
+            return self._states[job_id]
 
     def error(self, job_id: int) -> str | None:
-        return self._errors.get(job_id)
+        with self._cond:
+            return self._errors.get(job_id)
+
+    def _run_one(self, job_id: int, spec: JobSpec | ExecJobSpec) -> None:
+        """Execute one job and record its terminal state. Runs on the
+        caller's thread (sync drain) or the worker thread (async) —
+        Spark job submission is thread-safe, and only ONE of the two
+        paths ever executes jobs at a time by construction."""
+        try:
+            if isinstance(spec, ExecJobSpec):
+                submit_exec(self._spark, spec)
+            else:
+                submit(self._spark, spec)
+        except Exception as ex:  # noqa: BLE001 — any job failure is recorded
+            with self._cond:
+                self._states[job_id] = JobState.FAILED
+                self._errors[job_id] = str(ex)[:500]
+                self._cond.notify_all()
+        else:
+            with self._cond:
+                self._states[job_id] = JobState.FINISHED
+                self._cond.notify_all()
+
+    def _drain_loop(self) -> None:
+        while True:
+            with self._cond:
+                while not self._queue and not self._stop:
+                    self._cond.wait()
+                if self._stop and not self._queue:
+                    return
+                job_id, spec = self._queue.pop(0)
+                self._states[job_id] = JobState.RUNNING
+                self._cond.notify_all()
+            self._run_one(job_id, spec)
+
+    def start(self) -> None:
+        """Spawn the FIFO drain thread (idempotent). After this,
+        ``submit()`` is fire-and-forget and ``state()``/``wait()``
+        observe jobs move PENDING -> RUNNING -> FINISHED/FAILED live."""
+        import threading
+
+        with self._cond:
+            if self._worker is not None and self._worker.is_alive():
+                return
+            self._stop = False
+            self._worker = threading.Thread(
+                target=self._drain_loop, name="jobqueue-drain", daemon=True
+            )
+            self._worker.start()
+
+    def wait(self, job_id: int | None = None, timeout: float | None = None) -> dict[int, str]:
+        """Block until ``job_id`` (or EVERY submitted job) reaches a
+        terminal state; returns a states snapshot. Raises TimeoutError
+        on timeout so a wedged job cannot silently pass a test."""
+        import time as _time
+
+        deadline = None if timeout is None else _time.monotonic() + timeout
+        terminal = (JobState.FINISHED, JobState.FAILED)
+        with self._cond:
+            def done() -> bool:
+                if job_id is not None:
+                    return self._states[job_id] in terminal
+                return all(s in terminal for s in self._states.values())
+
+            while not done():
+                remaining = None if deadline is None else deadline - _time.monotonic()
+                if remaining is not None and remaining <= 0:
+                    raise TimeoutError(f"job(s) not terminal: {dict(self._states)}")
+                self._cond.wait(timeout=remaining)
+            return dict(self._states)
+
+    def shutdown(self, timeout: float | None = 60.0) -> None:
+        """Drain remaining jobs, then stop the worker thread."""
+        with self._cond:
+            if self._worker is None:
+                return
+            self._stop = True
+            self._cond.notify_all()
+            worker = self._worker
+        worker.join(timeout=timeout)
+        with self._cond:
+            self._worker = None
 
     def run_all(self) -> dict[int, str]:
         """Drain the queue FIFO; returns {job_id: final state}. A
         failing job is marked FAILED (error recorded) and does not
-        block later jobs."""
-        while self._queue:
-            job_id, spec = self._queue.pop(0)
-            self._states[job_id] = JobState.RUNNING
-            try:
-                if isinstance(spec, ExecJobSpec):
-                    submit_exec(self._spark, spec)
-                else:
-                    submit(self._spark, spec)
-            except Exception as ex:  # noqa: BLE001 — any job failure is recorded
-                self._states[job_id] = JobState.FAILED
-                self._errors[job_id] = str(ex)[:500]
-            else:
-                self._states[job_id] = JobState.FINISHED
-        return dict(self._states)
+        block later jobs. With the drain thread running this just
+        waits for quiescence (the thread owns execution)."""
+        with self._cond:
+            async_mode = self._worker is not None and self._worker.is_alive()
+        if async_mode:
+            return self.wait()
+        while True:
+            with self._cond:
+                if not self._queue:
+                    return dict(self._states)
+                job_id, spec = self._queue.pop(0)
+                self._states[job_id] = JobState.RUNNING
+            self._run_one(job_id, spec)
