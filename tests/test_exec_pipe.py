@@ -279,3 +279,107 @@ def test_rank_join_fallback_matches_broadcast(spark, tmp_path_factory, monkeypat
     monkeypatch.setattr(exec_job, "BROADCAST_KEY_LIMIT", 0)
     got = sorted(map(tuple, exec_job.run_executable_job(*args, num_reducers=2).collect()))
     assert got == want
+
+
+def test_job_queue_accepts_while_running(spark, corpus_dir, tmp_path_factory):
+    """Accept-while-running (reference manager/__main__.py:115,240: the
+    TCP intake keeps accepting submissions concurrently with the FIFO
+    drain). With the drain thread started, submit() returns while an
+    earlier job is still executing, state() observes the lifecycle
+    live, and the final outputs are byte-identical to a synchronous
+    drain of the same specs."""
+    import os
+    import time
+
+    from distributed_mapreduce_server_spark.mapreduce.submit import (
+        ExecJobSpec,
+        JobQueue,
+        JobState,
+    )
+
+    # a mapper slow enough that job A is observably RUNNING when B is
+    # submitted (sleeps per pipe invocation, then tok_map semantics)
+    slow_dir = tmp_path_factory.mktemp("slow_exec")
+    slow_map = slow_dir / "slow_tok_map.py"
+    slow_map.write_text(
+        "import sys, time\n"
+        "time.sleep(2.0)\n"
+        "for line in sys.stdin:\n"
+        "    for w in line.split():\n"
+        "        print(w.lower() + '\\t1')\n"
+    )
+
+    def spec(outdir: str, slow: bool) -> ExecJobSpec:
+        return ExecJobSpec(
+            input_directory=corpus_dir,
+            output_directory=outdir,
+            mapper_executable=f"{PY} {slow_map}" if slow else _cmd("tok_map.py"),
+            reducer_executable=_cmd("sum_reduce.py"),
+            num_reducers=2,
+        )
+
+    # --- async: drain thread owns execution, submits never block ---
+    out_a = str(tmp_path_factory.mktemp("jq_async_a"))
+    out_b = str(tmp_path_factory.mktemp("jq_async_b"))
+    q = JobQueue(spark)
+    q.start()
+    ja = q.submit(spec(out_a, slow=True))
+    deadline = time.monotonic() + 30
+    while q.state(ja) != JobState.RUNNING:
+        assert time.monotonic() < deadline, "job A never started"
+        time.sleep(0.02)
+    jb = q.submit(spec(out_b, slow=False))  # returns immediately
+    assert q.state(ja) == JobState.RUNNING  # A still executing
+    assert q.state(jb) == JobState.PENDING  # B queued behind it, live
+    final = q.wait(timeout=120)
+    assert final == {ja: JobState.FINISHED, jb: JobState.FINISHED}
+    q.shutdown()
+
+    # --- sync drain of the SAME specs ---
+    out_a2 = str(tmp_path_factory.mktemp("jq_sync_a"))
+    out_b2 = str(tmp_path_factory.mktemp("jq_sync_b"))
+    q2 = JobQueue(spark)
+    q2.submit(spec(out_a2, slow=True))
+    q2.submit(spec(out_b2, slow=False))
+    assert all(s == JobState.FINISHED for s in q2.run_all().values())
+
+    # --- byte-identical outputs, file for file ---
+    for got_dir, want_dir in [(out_a, out_a2), (out_b, out_b2)]:
+        got_files = sorted(os.listdir(got_dir))
+        assert got_files == sorted(os.listdir(want_dir)) == [
+            "outputfile01",
+            "outputfile02",
+        ]
+        for f in got_files:
+            got = open(os.path.join(got_dir, f), "rb").read()
+            want = open(os.path.join(want_dir, f), "rb").read()
+            assert got == want, f
+
+
+def test_job_queue_shutdown_drains_pending(spark, corpus_dir, tmp_path_factory):
+    """shutdown() finishes jobs already queued before stopping the
+    worker (the reference manager completes its queue on shutdown,
+    reference manager/__main__.py: shutdown forwards only after the
+    current job finishes)."""
+    from distributed_mapreduce_server_spark.mapreduce.submit import (
+        ExecJobSpec,
+        JobQueue,
+        JobState,
+    )
+
+    outdir = str(tmp_path_factory.mktemp("jq_shutdown"))
+    q = JobQueue(spark)
+    q.start()
+    j = q.submit(
+        ExecJobSpec(
+            input_directory=corpus_dir,
+            output_directory=outdir,
+            mapper_executable=_cmd("tok_map.py"),
+            reducer_executable=_cmd("sum_reduce.py"),
+        )
+    )
+    q.shutdown(timeout=120)
+    assert q.state(j) == JobState.FINISHED
+    import os
+
+    assert sorted(os.listdir(outdir)) == ["outputfile01"]
