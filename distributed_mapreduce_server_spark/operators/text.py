@@ -913,21 +913,20 @@ def text_corpus_pipeline_semantic(spark: SparkSession, sf_dir: str) -> DataFrame
     near_pairs, e = _minhash_pairs_from(spark, canon.select("doc_id", "text"))
     near_dropped = near_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     survivors = canon.join(near_dropped, "doc_id", "left_anti").persist()
-    survivors.count()
+    n_survivors = survivors.count()
     e.unpersist()
 
     emb_s = tables["embeddings"].join(
         survivors.select(F.col("doc_id").alias("vec_id")), "vec_id"
     ).select("vec_id", "embedding")
-    # the blocked kernel already thresholds at COSINE_DEDUP_T; the
-    # full-table footer count is a valid UPPER-bound sizing hint for
-    # the survivor subset (grid results are independent of B) and
-    # saves a count() action over the join
-    from distributed_mapreduce_server_spark.catalog import table_row_count
-
-    sem_pairs = _blocked_cosine_pairs(
-        spark, emb_s, n_hint=table_row_count(sf_dir, "embeddings")
-    )
+    # grid sizing hint = the survivor count the persist pass above
+    # already paid for: embeddings-join rows ≤ survivors, so this is a
+    # TIGHT upper bound — the full-table footer count would oversize
+    # the block grid (per-row cell fan-out is O(B)) whenever the cheap
+    # filters dropped most of the corpus, replicating survivors into
+    # empty cells for nothing (grid RESULTS are B-independent; cost
+    # is not)
+    sem_pairs = _blocked_cosine_pairs(spark, emb_s, n_hint=n_survivors)
     sem_dropped = sem_pairs.select(F.col("vec_b").alias("doc_id")).distinct()
     final = survivors.join(sem_dropped, "doc_id", "left_anti")
 
@@ -1122,10 +1121,13 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     BECAUSE the frame is vocabulary-sized — the corpus-sized path
     (word counting) stays codegen.
 
-    Deterministic (ties break on pair string), but the training loop
-    is not single-statement SQL — rows-only at the gate; invariant
-    tests pin round-1 parity with text_bpe_pair_counts, symbol-mass
-    conservation per round, and merge-table well-formedness.
+    Deterministic (ties break on pair string); full DuckDB oracle
+    since round 8 — text_oracles._bpe_train_sql unrolls the
+    BPE_TRAIN_MERGES rounds as MATERIALIZED CTEs with the greedy merge
+    expressed as sentinel-wrapped string replace(). Invariant tests
+    additionally pin round-1 parity with text_bpe_pair_counts,
+    symbol-mass conservation per round, and merge-table
+    well-formedness.
     """
     docs = load_tables(spark, sf_dir, register_views=False)["documents"]
     vocab = (

@@ -928,3 +928,81 @@ TEXT_ORACLES["text_source_overlap"] = f"""
     JOIN sizes nb ON sb = nb.source
     ORDER BY 1, 2
 """
+
+
+def _bpe_train_sql() -> str:
+    """Unrolled-BPE oracle for text_bpe_train (the emb_kmeans
+    unrolled-Lloyd recipe applied to greedy merges): BPE_TRAIN_MERGES
+    fixed rounds, each as a MATERIALIZED pair-count/argmax/rewrite CTE
+    triple. The symbol sequence is carried as a WRAPPED string —
+    chr(1)||sym||chr(2) per symbol — so the greedy left-to-right merge
+    application is exactly SQL ``replace()`` (non-overlapping,
+    left-to-right — the standard BPE trick; the sentinels make a pair
+    pattern unmatchable across symbol boundaries). Assumes corpus
+    tokens never contain chr(1)/chr(2) — true for the lower([a-z0-9])
+    token stream _TOKS produces. Tie-break matches the Spark loop:
+    (cnt DESC, a || ' ' || b). A COALESCE(chr(3)) guard keeps
+    exhausted rounds (no pairs left) as identity rewrites, mirroring
+    the Spark loop's break."""
+    from distributed_mapreduce_server_spark.operators.text import BPE_TRAIN_MERGES
+
+    parts = [
+        f"""v0 AS MATERIALIZED (
+            SELECT tok, COUNT(*) AS n
+            FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+            GROUP BY tok
+        )""",
+        """s0 AS MATERIALIZED (
+            SELECT tok, n,
+                   string_agg(chr(1) || substring(tok, CAST(i AS INTEGER), 1)
+                              || chr(2), '' ORDER BY i) AS s
+            FROM (SELECT tok, n, unnest(generate_series(1, length(tok))) AS i
+                  FROM v0)
+            GROUP BY tok, n
+        )""",
+    ]
+    for r in range(1, BPE_TRAIN_MERGES + 1):
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+            SELECT syms[CAST(i AS INTEGER)] AS a,
+                   syms[CAST(i + 1 AS INTEGER)] AS b,
+                   CAST(SUM(n) AS BIGINT) AS cnt
+            FROM (
+                SELECT n, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+                FROM (SELECT n, str_split(substring(s, 2, length(s) - 2),
+                                          chr(2) || chr(1)) AS syms
+                      FROM s{r - 1})
+            )
+            GROUP BY 1, 2
+        )"""
+        )
+        parts.append(
+            f"""m{r} AS MATERIALIZED (
+            SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a || ' ' || b LIMIT 1
+        )"""
+        )
+        parts.append(
+            f"""s{r} AS MATERIALIZED (
+            SELECT tok, n,
+                   replace(s,
+                       COALESCE((SELECT chr(1) || a || chr(2) || chr(1) || b
+                                 || chr(2) FROM m{r}), chr(3)),
+                       COALESCE((SELECT chr(1) || a || b || chr(2) FROM m{r}),
+                                chr(3))) AS s
+            FROM s{r - 1}
+        )"""
+        )
+    joined = ",\n    ".join(parts)
+    unions = "\n    UNION ALL ".join(
+        f"""SELECT CAST({r} AS INTEGER) AS merge_rank, a AS "left", b AS "right",
+               a || b AS merged, cnt AS weighted_count FROM m{r}"""
+        for r in range(1, BPE_TRAIN_MERGES + 1)
+    )
+    return f"""
+    WITH {joined}
+    SELECT * FROM ({unions})
+    ORDER BY merge_rank
+"""
+
+
+TEXT_ORACLES["text_bpe_train"] = _bpe_train_sql()

@@ -74,7 +74,13 @@ def shuffle_count(df: DataFrame) -> int:
 def cartesian_count(df: DataFrame) -> int:
     """Cartesian/broadcast-nested-loop joins — almost always a bug at
     scale unless one side is a deliberately tiny broadcast set."""
-    plan = physical_plan(df)
+    return cartesian_count_in(physical_plan(df))
+
+
+def cartesian_count_in(plan: str) -> int:
+    """String twin of :func:`cartesian_count` — runs on any plan text
+    (lazy ``executedPlan`` strings AND the status store's executed
+    plan descriptions), so eager operators get the same sweep."""
     return plan.count("CartesianProduct") + plan.count("BroadcastNestedLoopJoin")
 
 
@@ -86,7 +92,12 @@ def window_partition_specs(df: DataFrame) -> list[list[str]]:
     ``windowspecdefinition(part..., order ASC/DESC..., frame)``:
     partition columns are the leading args before the first sort
     marker."""
-    plan = physical_plan(df)
+    return window_partition_specs_in(physical_plan(df))
+
+
+def window_partition_specs_in(plan: str) -> list[list[str]]:
+    """String twin of :func:`window_partition_specs` for executed-plan
+    descriptions captured from the SQL status store."""
     specs = []
     marker = "windowspecdefinition("
     i = plan.find(marker)
@@ -127,3 +138,41 @@ def window_partition_specs(df: DataFrame) -> list[list[str]]:
         specs.append(cols)
         i = plan.find(marker, i + len(marker))
     return specs
+
+
+def latest_execution_id(spark) -> int:
+    """High-water SQL execution id in the session's status store (-1
+    when none) — snapshot before running an eager operator so
+    :func:`executed_plan_descriptions` returns only ITS executions."""
+    lst = spark._jsparkSession.sharedState().statusStore().executionsList()
+    n = lst.size()
+    return lst.apply(n - 1).executionId() if n > 0 else -1
+
+
+def executed_plan_descriptions(spark, since: int = -1) -> list[str]:
+    """Physical plan descriptions of every SQL execution the session
+    actually RAN with executionId > ``since``, read from the
+    SQLAppStatusStore (populated with or without the UI).
+
+    This closes the plan-audit blind spot for EAGER operators: ops
+    that execute at build time (streaming availableNow drains,
+    iterative loops, two-phase offset collects, write-then-read
+    round-trips) never expose a lazy frame to sweep, but every job
+    they submitted left its executed plan here — including AQE's
+    final (post-reoptimization) shape.
+
+    Flushes the async listener bus first: execution events are
+    delivered off-thread, so without the flush a plan recorded
+    microseconds ago could be missing."""
+    sc = spark.sparkContext._jsc.sc()
+    try:
+        sc.listenerBus().waitUntilEmpty()
+    except Exception:  # older signature takes a timeout in millis
+        sc.listenerBus().waitUntilEmpty(10000)
+    lst = spark._jsparkSession.sharedState().statusStore().executionsList()
+    out = []
+    for i in range(lst.size()):
+        e = lst.apply(i)
+        if e.executionId() > since:
+            out.append(e.physicalPlanDescription())
+    return out

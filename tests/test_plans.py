@@ -524,3 +524,135 @@ def test_registry_prefix_covers_all_families(queries):
     assert {
         "q", "mr", "dedup", "sim", "emb", "text", "mm", "stream", "pysource"
     } <= fams, fams
+
+
+# ---------------------------------------------------------------------------
+# Executed-plan audit: the EAGER_OPS blind spot, closed (round 8)
+# ---------------------------------------------------------------------------
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# Eager ops whose EXECUTED plans legitimately contain a broadcast
+# nested-loop element — the same bounded-broadcast patterns as
+# DELIBERATE_NESTED_LOOP, observed in the status-store audit and
+# justified per key (mention counts in plan descriptions are inflated
+# by union legs and InMemoryRelation subtree printing; each is ONE
+# bounded join shape):
+EXECUTED_NESTED_LOOP = {
+    "dedup_incremental_neardup_indexed": "1-row broadcast id-cutoff cross-join, repeated per band-union leg",
+    "emb_kmeans": "K-row broadcast centroid crossJoin per Lloyd assignment round",
+    "q_graph_triangles": "1-row broadcast edge-stats + triangle-count summary cross-joins (graph.py:312)",
+    "sim_ann_eval": "broadcast query-set crossJoins in the exact baseline + ANN arms it evaluates",
+    "sim_ivf_nprobe_sweep": "bounded broadcast query-set crossJoin inside each IVF arm",
+    "text_perplexity_filter": "1-row broadcast corpus-total cross-join (bigram logprob model)",
+}
+
+
+@pytest.fixture(scope="module")
+def eager_executed_plans(spark, queries):
+    """Every EAGER op run at sf0.001 with its actually-EXECUTED plans
+    captured from the SQL status store (plans/executed_plan_
+    descriptions). Eager ops never expose a lazy frame to the static
+    sweeps above — this is the post-hoc equivalent. Iterates
+    EAGER_OPS itself, so a new eager key is audited automatically the
+    moment it enters the allowlist."""
+    from distributed_mapreduce_server_spark.plans import (
+        executed_plan_descriptions,
+        latest_execution_id,
+    )
+
+    out = {}
+    for key in sorted(EAGER_OPS):
+        since = latest_execution_id(spark)
+        queries[key](spark, SF_SMOKE).collect()
+        out[key] = executed_plan_descriptions(spark, since=since)
+    return out
+
+
+def test_eager_ops_executed_plans_captured(eager_executed_plans):
+    """Every eager op must leave at least one executed plan in the
+    status store — zero captures would mean the sweep below is
+    vacuously green."""
+    empty = [k for k, plans in eager_executed_plans.items() if not plans]
+    assert not empty, f"no executed plans captured for: {empty}"
+
+
+def test_eager_ops_no_cartesians_in_executed_plans(eager_executed_plans):
+    """Cartesian sweep over what EAGER ops actually executed: no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere in any
+    execution, unless the key carries a bounded-broadcast
+    justification (EXECUTED_NESTED_LOOP / DELIBERATE_NESTED_LOOP)."""
+    from distributed_mapreduce_server_spark.plans import cartesian_count_in
+
+    offenders = []
+    for key, plans in eager_executed_plans.items():
+        if key in DELIBERATE_NESTED_LOOP or key in EXECUTED_NESTED_LOOP:
+            continue
+        if any(cartesian_count_in(p) > 0 for p in plans):
+            offenders.append(key)
+    assert not offenders, f"cartesian joins executed by: {offenders}"
+
+
+def test_eager_ops_no_fact_scale_low_card_windows_executed(eager_executed_plans):
+    """Window sweep over what EAGER ops actually executed — including
+    the running-max/frontier shapes (q_events_lateness,
+    q_moving_avg_events, the two-phase kernels): every executed window
+    must partition by at least one non-tiny column (the kernels'
+    __pid-partitioned windows pass by construction). No allowlist:
+    the audit found zero bounded exceptions among all 57 eager keys;
+    a new one must argue its way in here explicitly."""
+    from distributed_mapreduce_server_spark.plans import window_partition_specs_in
+
+    offenders = []
+    for key, plans in eager_executed_plans.items():
+        for p in plans:
+            for cols in window_partition_specs_in(p):
+                if (not cols) or set(cols) <= TINY_DIM_WINDOW_COLS:
+                    offenders.append((key, cols))
+    assert not offenders, (
+        f"low-cardinality-partition windows executed over unbounded frames: {offenders}"
+    )
+
+
+def test_executed_sweep_catches_synthetic_offenders(spark):
+    """The executed-plan sweep is LIVE, not vacuous: an eagerly-run
+    unpartitioned ordered window over the events fact and an eager
+    keyless fact-fact join must both be flagged post-hoc by the same
+    predicates the sweeps above use."""
+    from distributed_mapreduce_server_spark.catalog import load_tables
+    from distributed_mapreduce_server_spark.plans import (
+        cartesian_count_in,
+        executed_plan_descriptions,
+        latest_execution_id,
+        window_partition_specs_in,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, SF_SMOKE, register_views=False)["events"]
+
+    # offender 1: global ordered window (the single-task sort shape);
+    # the action must CONSUME the window column or column pruning
+    # deletes the Window node before execution
+    since = latest_execution_id(spark)
+    ev.withColumn("rn", F.row_number().over(Window.orderBy("ts"))).select(
+        F.max("rn")
+    ).collect()
+    plans = executed_plan_descriptions(spark, since=since)
+    flagged = [
+        cols
+        for p in plans
+        for cols in window_partition_specs_in(p)
+        if (not cols) or set(cols) <= TINY_DIM_WINDOW_COLS
+    ]
+    assert flagged, "sweep missed an executed unpartitioned window"
+
+    # offender 2: keyless join of two non-trivial sides
+    since = latest_execution_id(spark)
+    left = ev.select("event_id")
+    right = ev.select(F.col("event_id").alias("e2"))
+    left.crossJoin(right).count()
+    plans = executed_plan_descriptions(spark, since=since)
+    assert any(cartesian_count_in(p) > 0 for p in plans), (
+        "sweep missed an executed cartesian join"
+    )
