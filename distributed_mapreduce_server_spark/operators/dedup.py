@@ -1387,3 +1387,78 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _cc_min_label(edges)
     edges.unpersist()
     return out.withColumnsRenamed({"doc_id": "vec_id"}).orderBy("vec_id")
+
+
+def dedup_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span REMOVAL (round 8) — the surgery
+    dedup_exact_substr's detection feeds (Lee et al. 2022 remove the
+    duplicated spans and keep the remainder): every token covered by a
+    duplicated >= SUBSTR_L-token run is cut, the survivors are
+    re-joined in order, and the cleaned corpus ships as (doc_id,
+    n_tokens, n_removed, n_kept, clean_fp) with clean_fp = md5 of the
+    reconstructed token stream — value-exact parity on the actual
+    surgery, not just the counts.
+
+    Scale shape: identical to dedup_exact_substr up through the
+    covered-position set (row-form L-gram assembly, ONE df shuffle on
+    the gram hash, fan-out bounded by L x duplicated grams), plus one
+    keyed LEFT ANTI join (tok positions vs covered positions,
+    co-keyed on doc_id) and a per-doc fold whose collect_list is
+    bounded by document length — never corpus-sized. A fully covered
+    document still emits its row (n_kept = 0, clean_fp = md5(''))."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    tok = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    g = tok
+    parts = [F.col("tok")]
+    for k in range(1, SUBSTR_L):
+        g = g.withColumn(f"t{k}", F.lead("tok", k).over(w))
+        parts.append(F.col(f"t{k}"))
+    grams = g.filter(F.col(f"t{SUBSTR_L - 1}").isNotNull()).select(
+        "doc_id", "pos", md5_u60(F.concat_ws(" ", *parts)).alias("h")
+    )
+    grams = grams.persist()
+    grams.count()  # referenced twice (df agg + cover join)
+    dup_h = (
+        grams.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("h")
+    )
+    cov = (
+        grams.join(dup_h, "h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(SUBSTR_L - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = tok.join(cov, ["doc_id", "pos"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            )
+        ).alias("clean_fp"),
+    )
+    sizes = docs.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
+    out = sizes.join(clean, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce(F.col("clean_fp"), F.md5(F.lit(""))).alias("clean_fp"),
+    )
+    out = _cache_result(out)
+    grams.unpersist()
+    return out.orderBy("doc_id")

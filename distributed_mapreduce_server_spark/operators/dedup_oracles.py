@@ -467,3 +467,57 @@ DEDUP_ORACLES["dedup_semantic_clusters"] = f"""
     FROM reach GROUP BY src
     ORDER BY vec_id
 """
+
+
+def _span_clean_oracle() -> str:
+    from distributed_mapreduce_server_spark.operators.dedup import SUBSTR_L
+
+    L = SUBSTR_L
+    gram = _u60(f"array_to_string(t[i:i + {L - 1}], ' ')")
+    return f"""
+        WITH toks AS MATERIALIZED (SELECT doc_id, {_TOKS} AS t FROM documents),
+        grams AS MATERIALIZED (
+            SELECT doc_id, i AS pos, {gram} AS h
+            FROM (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, len(t) - {L - 1})) AS i
+                FROM toks
+            )
+        ),
+        dup AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) >= 2),
+        cover AS MATERIALIZED (
+            SELECT DISTINCT doc_id, pos + j AS cov
+            FROM (
+                SELECT g.doc_id, g.pos,
+                       unnest(generate_series(0, {L - 1})) AS j
+                FROM grams g JOIN dup ON g.h = dup.h
+            )
+        ),
+        tok_rows AS (
+            SELECT doc_id, i AS pos, t[CAST(i AS INTEGER)] AS tok
+            FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+                  FROM toks)
+        ),
+        kept AS (
+            SELECT tr.doc_id, tr.pos, tr.tok
+            FROM tok_rows tr
+            LEFT JOIN cover c ON tr.doc_id = c.doc_id AND tr.pos = c.cov
+            WHERE c.cov IS NULL
+        ),
+        clean AS (
+            SELECT doc_id, COUNT(*) AS n_kept,
+                   md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_fp
+            FROM kept GROUP BY doc_id
+        )
+        SELECT toks.doc_id,
+               CAST(len(toks.t) AS INTEGER) AS n_tokens,
+               CAST(len(toks.t) - COALESCE(clean.n_kept, 0) AS BIGINT)
+                   AS n_removed,
+               CAST(COALESCE(clean.n_kept, 0) AS BIGINT) AS n_kept,
+               COALESCE(clean.clean_fp, md5('')) AS clean_fp
+        FROM toks LEFT JOIN clean ON toks.doc_id = clean.doc_id
+        ORDER BY toks.doc_id
+    """
+
+
+DEDUP_ORACLES["dedup_span_clean"] = _span_clean_oracle()

@@ -1716,3 +1716,49 @@ def slo_from_hourly(counts: DataFrame) -> DataFrame:
         .select("day", "n_hours", "n_breach_hours", "max_error_rate", "worst_hour")
         .orderBy("day")
     )
+
+
+SEQ_PATTERN_TOP_K = 20
+
+
+def q_events_sequential_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent sequential patterns (round 8): the top event-type
+    TRIGRAMS by user support — the fraction of users whose stream
+    contains the three types as consecutive events. This is the
+    sequence-mining statistic q_events_transitions' first-order
+    Markov counts can't express (support counts USERS once, not
+    occurrences, so one bot session can't promote a pattern).
+
+    Scale shape: two lead() windows over the per-user keyed spec
+    (user_id is fact-cardinality — cluster-wide parallelism), a
+    composite-key distinct bounded by users x distinct-trigrams, a
+    partial-agg pattern count, and a 1-row broadcast user-total
+    cross-join for the support denominator; the top-K is a
+    TakeOrdered merge with (count desc, pattern) tie-break, never a
+    global sort."""
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    base = ev.select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        base.withColumn("t2", F.lead("event_type", 1).over(w))
+        .withColumn("t3", F.lead("event_type", 2).over(w))
+        .filter(F.col("t3").isNotNull())
+        .select(
+            "user_id",
+            F.concat_ws(" > ", "event_type", "t2", "t3").alias("pattern"),
+        )
+        .distinct()
+    )
+    n_users = base.agg(F.count_distinct("user_id").alias("__n_users"))
+    return (
+        tri.groupBy("pattern")
+        .agg(F.count("*").alias("n_users_with"))
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "pattern",
+            "n_users_with",
+            fround(F.col("n_users_with") / F.col("__n_users"), 4).alias("support"),
+        )
+        .orderBy(F.desc("n_users_with"), "pattern")
+        .limit(SEQ_PATTERN_TOP_K)
+    )

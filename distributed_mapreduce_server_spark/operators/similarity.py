@@ -1468,3 +1468,159 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "nprobe int, n_returned bigint, n_hits bigint, recall_at_k double"
     ).orderBy("nprobe")
+
+
+KNN_OUTLIER_SIGMA = 1.5
+
+
+def emb_outlier_knn_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN-distance outliers (round 8): vectors whose similarity to
+    their KNN_K-th nearest neighbor sits more than KNN_OUTLIER_SIGMA·σ
+    BELOW the corpus mean — the density-based isolation score
+    (Ramaswamy et al. 2000's k-distance, in cosine form) that catches
+    lone mis-embedded points emb_norm_outliers' norm gate cannot (a
+    bad vector with a perfectly calibrated norm still lands far from
+    everything). The contamination gate an embedding corpus runs
+    before semantic dedup trusts its neighborhoods.
+
+    Scale shape: rides sim_knn_join's blocked cogroup grid verbatim
+    (<= k·B rows per vector out of the kernel, never the n² matrix);
+    the k-th-neighbor slice is one filter on the merged rank, (μ, σ)
+    reduce to a 1-row broadcast joined back — the emb_norm_outliers
+    shape. knn_sim is rounded to the 1e-4 grid inside the join in
+    BOTH engines, so the stats see identical multisets; σ is
+    stddev_samp like the norm gate. KNN_OUTLIER_SIGMA = 1.5 keeps the
+    result non-vacuous at sf0.001/0.01/0.1 (this corpus's k-NN sims
+    concentrate tightly, so 2.5σ would select zero rows)."""
+    kth = (
+        sim_knn_join(spark, sf_dir)
+        .filter(F.col("rank") == KNN_K)
+        .select("vec_id", F.col("cos_sim").alias("knn_sim"))
+    )
+    stats = kth.agg(
+        F.avg("knn_sim").alias("__mu"), F.stddev_samp("knn_sim").alias("__sigma")
+    )
+    return (
+        kth.crossJoin(F.broadcast(stats))
+        .filter(F.col("knn_sim") < F.col("__mu") - KNN_OUTLIER_SIGMA * F.col("__sigma"))
+        .select(
+            "vec_id",
+            "knn_sim",
+            fround((F.col("knn_sim") - F.col("__mu")) / F.col("__sigma"), 4).alias("z"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def sim_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding (round 8) — FAISS's default
+    ``by_residual=True`` IVFPQ, completing sim_ivfpq_ann's
+    by_residual=False variant: PQ codes encode (vector − its coarse
+    centroid), and each query builds a PER-PROBED-LIST lookup table
+    from (query − that list's centroid). Residual encoding is why
+    production IVFPQ tolerates coarse routing — the PQ codebook only
+    has to cover the residual ball around each list center, not the
+    whole space.
+
+    Scale shape — one step closer to the serving index than the
+    parent: candidate codes are encoded ONCE into the inverted file
+    (neighbor_id, centroid_id, 8 4-bit codes) by an Arrow kernel, so
+    the probe join ships ~8 B codes per candidate instead of the
+    256 B float vector, and the scoring kernel is pure LUT lookups
+    (the |Q| x N_CENTROIDS x PQ_M x PQ_K table — bounded at any
+    corpus size — rides one broadcast). Probe fan-out is list size,
+    never the corpus. Deterministic end-to-end (rounded subspace
+    distances before every argmin, lowest-cid ties) -> FULL
+    value-parity oracle like both parents."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
+    centroids = emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+    )
+    cand = emb.filter(F.col("vec_id") >= N_QUERIES)
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    cand_buckets = _centroid_assign(cand, centroids, 1).withColumnsRenamed(
+        {"vec_id": "neighbor_id"}
+    )
+    q_probes = _centroid_assign(q, centroids, N_PROBE).withColumnsRenamed(
+        {"vec_id": "query_id"}
+    )
+
+    _, cb_mat = _pq_codebook(emb)
+    g_ids, g_mat = _collect_matrix(centroids)
+    gpos = {int(v): i for i, v in enumerate(g_ids)}
+    q_ids, q_mat = _collect_matrix(q)
+    qpos = {int(v): i for i, v in enumerate(q_ids)}
+    # LUT[qi, gi, m, cid] = round(|| (q - g)_m - cb_cid_m ||^2, 4)
+    lut = np.zeros((len(q_ids), len(g_ids), PQ_M, PQ_K))
+    for gi in range(len(g_ids)):
+        qres = q_mat - g_mat[gi][None, :]
+        for m in range(PQ_M):
+            lo, hi = m * PQ_SUB_DIM, (m + 1) * PQ_SUB_DIM
+            diff = qres[:, None, lo:hi] - cb_mat[None, :, lo:hi]
+            lut[:, gi, m, :] = fround_np((diff * diff).sum(axis=2))
+    bc = spark.sparkContext.broadcast((cb_mat, g_mat, gpos, qpos, lut))
+
+    enc_in = cand_buckets.join(
+        cand.select(F.col("vec_id").alias("neighbor_id"), "embedding"), "neighbor_id"
+    )
+
+    def encode(batches):
+        cb, g, gix, _, _ = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            gi = np.array([gix[int(v)] for v in pdf["centroid_id"]], dtype=np.int64)
+            r = x - g[gi]
+            codes = np.zeros((len(pdf), PQ_M), dtype=np.int32)
+            for m in range(PQ_M):
+                lo, hi = m * PQ_SUB_DIM, (m + 1) * PQ_SUB_DIM
+                diff = r[:, None, lo:hi] - cb[None, :, lo:hi]
+                d = fround_np((diff * diff).sum(axis=2))
+                codes[:, m] = np.argmin(d, axis=1)  # first min = lowest cid
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(dtype=np.int64),
+                    "centroid_id": pdf["centroid_id"].to_numpy(dtype=np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    inverted_file = enc_in.mapInPandas(
+        encode, "neighbor_id long, centroid_id long, codes array<int>"
+    )
+    pairs = broadcast(q_probes).join(inverted_file, "centroid_id")
+
+    def adc_blocks(batches):
+        _, _, gix, qix, tab = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qi = np.array([qix[int(v)] for v in pdf["query_id"]], dtype=np.int64)
+            gi = np.array([gix[int(v)] for v in pdf["centroid_id"]], dtype=np.int64)
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            adc = np.zeros(len(pdf))
+            for m in range(PQ_M):
+                adc += tab[qi, gi, m, codes[:, m]]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(dtype=np.int64),
+                    "adc_dist": fround_np(adc),
+                }
+            )
+
+    scored = pairs.mapInPandas(
+        adc_blocks, "query_id long, neighbor_id long, adc_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -968,3 +968,124 @@ def _kmeans_sql() -> str:
 
 
 SIMILARITY_ORACLES["emb_kmeans"] = _kmeans_sql()
+
+
+def _knn_outlier_sql() -> str:
+    from distributed_mapreduce_server_spark.operators.similarity import (
+        KNN_K,
+        KNN_OUTLIER_SIGMA,
+    )
+
+    return f"""
+    WITH knn AS MATERIALIZED ({SIMILARITY_ORACLES["sim_knn_join"]}),
+    kth AS MATERIALIZED (
+        SELECT vec_id, cos_sim AS knn_sim FROM knn WHERE rank = {KNN_K}
+    ),
+    st AS (SELECT AVG(knn_sim) AS mu, STDDEV_SAMP(knn_sim) AS sigma FROM kth)
+    SELECT vec_id, knn_sim, ROUND((knn_sim - mu) / sigma, 4) AS z
+    FROM kth, st
+    WHERE knn_sim < mu - {KNN_OUTLIER_SIGMA} * sigma
+    ORDER BY vec_id
+"""
+
+
+SIMILARITY_ORACLES["emb_outlier_knn_distance"] = _knn_outlier_sql()
+
+
+def _pq_subdist_res(vec: str, coarse: str, cen: str) -> str:
+    """Rounded squared distance between subspace m of the RESIDUAL
+    (``vec`` − ``coarse``) and ``cen`` — the by_residual=True twin of
+    _pq_subdist, shared by the residual encoder and its LUT."""
+    a = (
+        f"(CAST({vec}[sub.m * {PQ_SUB_DIM} + i] AS DOUBLE)"
+        f" - CAST({coarse}[sub.m * {PQ_SUB_DIM} + i] AS DOUBLE))"
+    )
+    b = f"CAST({cen}[sub.m * {PQ_SUB_DIM} + i] AS DOUBLE)"
+    return (
+        f"ROUND(list_sum(list_transform(range(1, {PQ_SUB_DIM} + 1), "
+        f"i -> ({a} - {b}) * ({a} - {b}))), 4)"
+    )
+
+
+# IVF-PQ by_residual=True: the same routing CTEs, but candidate codes
+# encode (x − its list centroid) and the LUT is per (query, probed
+# list) on (q − that centroid). Base CTEs MATERIALIZED per the
+# iterative-oracle gotcha (each is referenced 2-3 times downstream).
+SIMILARITY_ORACLES["sim_ivfpq_residual"] = f"""
+    WITH centroids AS MATERIALIZED (
+        SELECT vec_id AS centroid_id, embedding FROM embeddings
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}
+    ),
+    cand_assign AS MATERIALIZED (
+        SELECT vec_id AS neighbor_id, centroid_id FROM (
+            SELECT v.vec_id, k.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY ROUND({_DOT_VK} / ({_NORM_V} * {_NORM_K}), 4) DESC,
+                                k.centroid_id) AS crank
+            FROM embeddings v CROSS JOIN centroids k
+            WHERE v.vec_id >= {N_QUERIES}
+        ) WHERE crank <= 1
+    ),
+    q_probes AS MATERIALIZED (
+        SELECT vec_id AS query_id, centroid_id FROM (
+            SELECT v.vec_id, k.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY ROUND({_DOT_VK} / ({_NORM_V} * {_NORM_K}), 4) DESC,
+                                k.centroid_id) AS crank
+            FROM embeddings v CROSS JOIN centroids k
+            WHERE v.vec_id < {N_QUERIES}
+        ) WHERE crank <= {N_PROBE}
+    ),
+    cen AS MATERIALIZED (
+        SELECT vec_id AS cid, embedding AS c
+        FROM embeddings
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
+    ),
+    subs AS (SELECT unnest(range(0, {PQ_M})) AS m),
+    dres AS MATERIALIZED (
+        SELECT x.vec_id, sub.m, cen.cid,
+               {_pq_subdist_res('x.embedding', 'g.embedding', 'cen.c')} AS dist
+        FROM embeddings x
+        JOIN cand_assign ca ON x.vec_id = ca.neighbor_id
+        JOIN centroids g ON g.centroid_id = ca.centroid_id,
+        cen, subs sub
+    ),
+    codes AS MATERIALIZED (
+        SELECT vec_id, m, cid FROM (
+            SELECT vec_id, m, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dist, cid) AS rn
+            FROM dres
+        ) WHERE rn = 1
+    ),
+    lutres AS MATERIALIZED (
+        SELECT p.query_id, p.centroid_id, sub.m, cen.cid,
+               {_pq_subdist_res('q.embedding', 'g.embedding', 'cen.c')} AS ldist
+        FROM q_probes p
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN centroids g ON g.centroid_id = p.centroid_id,
+        cen, subs sub
+    ),
+    pairs AS (
+        SELECT p.query_id, p.centroid_id, ca.neighbor_id
+        FROM q_probes p JOIN cand_assign ca USING (centroid_id)
+    ),
+    adc AS (
+        SELECT pr.query_id, pr.neighbor_id,
+               ROUND(SUM(l.ldist), 4) AS adc_dist
+        FROM pairs pr
+        JOIN codes c ON c.vec_id = pr.neighbor_id
+        JOIN lutres l ON l.query_id = pr.query_id
+                     AND l.centroid_id = pr.centroid_id
+                     AND l.m = c.m AND l.cid = c.cid
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_dist, rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist, neighbor_id) AS rank
+        FROM adc
+    )
+    WHERE rank <= {_PQ_TOP_K}
+    ORDER BY query_id, rank
+"""

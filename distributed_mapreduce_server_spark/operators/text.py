@@ -1714,3 +1714,45 @@ def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def text_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution-shift audit (round 8): KL(P_source ||
+    P_corpus) over unigram token distributions — which sources' word
+    statistics drift from the corpus mix. The monitoring table a
+    mixture-weighted training build (text_mixture_sample /
+    text_source_mix) checks before trusting per-source sampling rates;
+    complements text_source_overlap (shared CONTENT) with shared
+    SHAPE.
+
+    Scale shape: one corpus-sized explode into a partial-agg
+    (source, token) count — the only fact-scale shuffle; the corpus
+    marginal re-aggregates THAT frame (vocab-sized input, never the
+    corpus), the KL join is keyed on token at vocab scale, and
+    per-source totals broadcast. Every source token is a corpus token
+    by construction, so no zero-denominator smoothing is needed. Both
+    engines sum the identical (p * ln(p/q)) terms; fround 6 absorbs
+    sum-order noise (~1e-15)."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    per_src = (
+        docs.select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("n_st"))
+    )
+    corpus = per_src.groupBy("tok").agg(F.sum("n_st").alias("n_t"))
+    src_tot = per_src.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    n_c = corpus.agg(F.sum("n_t").alias("__n_c"))
+    term = (F.col("n_st") / F.col("n_s")) * F.log(
+        (F.col("n_st") * F.col("__n_c")) / (F.col("n_s") * F.col("n_t"))
+    )
+    return (
+        per_src.join(corpus, "tok")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(n_c))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").cast("bigint").alias("n_tokens"),
+            fround(F.sum(term), 6).alias("kl_divergence"),
+        )
+        .orderBy("source")
+    )

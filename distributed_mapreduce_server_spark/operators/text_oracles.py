@@ -1006,3 +1006,24 @@ def _bpe_train_sql() -> str:
 
 
 TEXT_ORACLES["text_bpe_train"] = _bpe_train_sql()
+
+
+TEXT_ORACLES["text_source_kl_divergence"] = f"""
+    WITH tok AS (SELECT source, unnest({_TOKS}) AS tok FROM documents),
+    per_src AS MATERIALIZED (
+        SELECT source, tok, COUNT(*) AS n_st FROM tok GROUP BY 1, 2
+    ),
+    corpus AS MATERIALIZED (SELECT tok, SUM(n_st) AS n_t FROM per_src GROUP BY 1),
+    src_tot AS (SELECT source, SUM(n_st) AS n_s FROM per_src GROUP BY 1),
+    tot AS (SELECT SUM(n_t) AS n_c FROM corpus)
+    SELECT p.source,
+           CAST(MAX(s.n_s) AS BIGINT) AS n_tokens,
+           ROUND(SUM((p.n_st / CAST(s.n_s AS DOUBLE))
+                     * ln((p.n_st * t.n_c) / CAST(s.n_s * c.n_t AS DOUBLE))),
+                 6) AS kl_divergence
+    FROM per_src p
+    JOIN corpus c USING (tok)
+    JOIN src_tot s USING (source), tot t
+    GROUP BY p.source
+    ORDER BY p.source
+"""

@@ -1812,3 +1812,22 @@ EVENTS_ORACLES["q_events_error_rate_slo"] = f"""
     FROM daily JOIN worst ON daily.day = worst.day
     ORDER BY 1
 """
+
+EVENTS_ORACLES["q_events_sequential_pattern"] = """
+    WITH tri AS (
+        SELECT DISTINCT user_id,
+               event_type || ' > ' || lead(event_type, 1) OVER w
+                          || ' > ' || lead(event_type, 2) OVER w AS pattern
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT pattern,
+           COUNT(*) AS n_users_with,
+           ROUND(COUNT(*) / (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE)
+                             FROM events), 4) AS support
+    FROM tri
+    WHERE pattern IS NOT NULL
+    GROUP BY pattern
+    ORDER BY n_users_with DESC, pattern
+    LIMIT 20
+"""

@@ -161,6 +161,7 @@ _register(
         "dedup_containment",
         "dedup_lsh_eval",
         "dedup_cluster_stats",
+        "dedup_span_clean",
     ],
 )
 _register(
@@ -194,6 +195,8 @@ _register(
         "emb_cluster_purity",
         "emb_norm_outliers",
         "emb_centroid_distances",
+        "emb_outlier_knn_distance",
+        "sim_ivfpq_residual",
     ],
 )
 _register(
@@ -239,6 +242,7 @@ _register(
         "text_hashed_features",
         "text_zipf_fit",
         "text_source_overlap",
+        "text_source_kl_divergence",
     ],
 )
 _register(
@@ -307,6 +311,7 @@ _register(
         "q_time_weighted_avg",
         "q_window_funnel",
         "q_new_vs_returning",
+        "q_events_sequential_pattern",
     ],
 )
 

@@ -115,6 +115,9 @@ DELIBERATE_NESTED_LOOP = {
     "emb_norm_outliers",  # 1-row broadcast (mu, sigma) stats cross-join
     "q_ivm_join_delta",  # 1-row broadcast id-cutoff cross-join
     "q_benford_audit",  # 1-row broadcast digit-total cross-join
+    "q_events_sequential_pattern",  # 1-row broadcast user-total cross-join
+    "text_source_kl_divergence",  # 1-row broadcast corpus-total cross-join
+    "emb_outlier_knn_distance",  # 1-row broadcast (mu, sigma) stats cross-join
 }
 
 # Streaming / iterative ops execute eagerly inside the callable; the
@@ -179,6 +182,7 @@ EAGER_OPS = {
     "q_graph_adamic_adar",  # persisted capped frame + checkpointed top-K
     "q_events_hierarchical_rollup",  # persisted minute partials, checkpointed cascade
     "q_personalized_pagerank",  # seed collect + persisted edge loop runs eagerly
+    "dedup_span_clean",  # gram-index persist + cached result run eagerly
 }
 
 
