@@ -1,0 +1,112 @@
+"""Invariants for the round-8 wave (sequential patterns, span-clean
+dedup, KL drift audit, kNN-distance outliers, residual IVF-PQ).
+
+Oracle parity is covered by test_oracle_parity; these assert the
+cross-operator consistency and semantic properties parity can't see —
+the span surgery agrees with the detection pass it composes, KL obeys
+Gibbs' inequality, the residual index actually re-ranks differently
+from the raw-vector one.
+"""
+
+from __future__ import annotations
+
+from distributed_mapreduce_server_spark.operators.dedup import (
+    dedup_exact_substr,
+    dedup_span_clean,
+)
+from distributed_mapreduce_server_spark.operators.events import (
+    SEQ_PATTERN_TOP_K,
+    q_events_sequential_pattern,
+)
+from distributed_mapreduce_server_spark.operators.similarity import (
+    KNN_OUTLIER_SIGMA,
+    TOP_K,
+    emb_outlier_knn_distance,
+    sim_ivfpq_ann,
+    sim_ivfpq_residual,
+)
+from distributed_mapreduce_server_spark.operators.text import (
+    text_source_kl_divergence,
+)
+
+
+def test_span_clean_agrees_with_exact_substr(spark, sf_smoke):
+    """The surgery must remove EXACTLY the tokens the detection pass
+    reports as covered: n_removed == dedup_exact_substr.n_dup_covered
+    per doc, and the kept/removed split conserves the token count."""
+    detect = {
+        r["doc_id"]: r for r in dedup_exact_substr(spark, sf_smoke).collect()
+    }
+    cleaned = dedup_span_clean(spark, sf_smoke).collect()
+    assert len(cleaned) == len(detect)
+    for r in cleaned:
+        d = detect[r["doc_id"]]
+        assert r["n_removed"] == d["n_dup_covered"], r["doc_id"]
+        assert r["n_kept"] + r["n_removed"] == r["n_tokens"] == d["n_tokens"]
+    # non-vacuous both ways: some docs edited, some untouched
+    assert any(r["n_removed"] > 0 for r in cleaned)
+    assert any(r["n_removed"] == 0 for r in cleaned)
+    # an untouched doc's fingerprint differs from an edited doc's
+    fps = {r["clean_fp"] for r in cleaned}
+    assert len(fps) > 1
+
+
+def test_sequential_pattern_support_bounds(spark, sf_smoke):
+    rows = q_events_sequential_pattern(spark, sf_smoke).collect()
+    assert len(rows) == SEQ_PATTERN_TOP_K
+    counts = [r["n_users_with"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert 0.0 < r["support"] <= 1.0
+        assert r["pattern"].count(" > ") == 2
+
+
+def test_kl_divergence_nonnegative_and_nonvacuous(spark, sf_smoke):
+    """Gibbs' inequality: KL >= 0, and at least one source actually
+    drifts (strictly positive) — a uniformly-zero column would mean
+    the operator degenerated to comparing identical distributions."""
+    rows = text_source_kl_divergence(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r["kl_divergence"] >= 0.0, r
+        assert r["n_tokens"] > 0
+    assert any(r["kl_divergence"] > 0.0 for r in rows)
+
+
+def test_knn_outliers_sit_below_the_gate(spark, sf_smoke):
+    """Every flagged vector's z-score must clear the sigma gate, and
+    the gate must be non-vacuous (some vectors flagged, most not)."""
+    rows = emb_outlier_knn_distance(spark, sf_smoke).collect()
+    assert rows, "gate vacuous at smoke SF — retune KNN_OUTLIER_SIGMA"
+    for r in rows:
+        assert r["z"] < -KNN_OUTLIER_SIGMA + 1e-9
+    from distributed_mapreduce_server_spark.catalog import load_tables
+
+    n_vec = load_tables(spark, sf_smoke, register_views=False)[
+        "embeddings"
+    ].count()
+    assert len(rows) < n_vec / 4  # outliers, not a population split
+
+
+def test_residual_ivfpq_full_slate_and_distinct_ranking(spark, sf_smoke):
+    """Both IVFPQ arms emit a full TOP_K slate per query; the residual
+    encoding must actually change distances (identical ADC columns
+    would mean the residual subtraction is a no-op)."""
+    plain = sim_ivfpq_ann(spark, sf_smoke).collect()
+    res = sim_ivfpq_residual(spark, sf_smoke).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert len(rows) == TOP_K, q
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(
+            range(1, TOP_K + 1)
+        )
+        assert all(r["adc_dist"] >= 0.0 for r in rows)
+    assert {(r["query_id"], r["rank"]) for r in plain} == {
+        (r["query_id"], r["rank"]) for r in res
+    }
+    plain_d = {(r["query_id"], r["neighbor_id"]): r["adc_dist"] for r in plain}
+    res_d = {(r["query_id"], r["neighbor_id"]): r["adc_dist"] for r in res}
+    shared = set(plain_d) & set(res_d)
+    assert shared and any(abs(plain_d[k] - res_d[k]) > 1e-6 for k in shared)
