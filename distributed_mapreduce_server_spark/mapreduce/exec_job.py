@@ -105,28 +105,29 @@ def run_executable_job(
         mapped = lines.pipe(mapper_cmd, checkCode=True)
 
     keyed = mapped.map(lambda ln: (ln.split("\t", 1)[0], ln))
-    # rank of each key in global sorted order -> reducer id (mod R);
-    # key-cardinality sized, never the line count
-    ranks = (
-        keyed.keys()
-        .distinct()
-        .sortBy(lambda k: k)
-        .zipWithIndex()
-        .mapValues(lambda i: int(i) % num_reducers)
-    )
     # Assign reducer ids map-side when the key set is small: a full
     # RDD join re-shuffles EVERY mapped line against a table that is
     # usually tiny (wordcount: a vocabulary), and measured 2x slower
     # than the single-process baseline at 48 MB; with the broadcast
     # the only line shuffle left is the reducer partitioning itself.
     # Large key sets (grep emitting near-unique keys) fall back to
-    # the join — a driver-side dict of hundreds of millions of keys
-    # is the thing that does NOT scale. take(limit+1) is both the
-    # size check and the data: it early-exits on huge key sets and
-    # equals collect() on small ones — one job, not count+collect.
-    head = ranks.take(BROADCAST_KEY_LIMIT + 1)
+    # the distributed rank join — a driver-side dict of hundreds of
+    # millions of keys is the thing that does NOT scale. take(limit+1)
+    # is both the size check and the data: it early-exits on huge key
+    # sets and equals collect() on small ones — one job, not
+    # count+collect.
+    distinct_keys = keyed.keys().distinct()
+    head = distinct_keys.take(BROADCAST_KEY_LIMIT + 1)
     if len(head) <= BROADCAST_KEY_LIMIT:
-        rank_map = sc.broadcast(dict(head))
+        # sorted-rank assignment happens ON THE DRIVER for the
+        # bounded key set (exactly the reference manager's move —
+        # it, too, ranks the distinct keys in one process): skips the
+        # sortBy sample job + sort shuffle + zipWithIndex count job
+        # the distributed ranking needs, measured ~0.6 s off
+        # mr_exec_join at sf0.1.
+        rank_map = sc.broadcast(
+            {k: i % num_reducers for i, k in enumerate(sorted(head))}
+        )
         # .get + drop matches the join's inner semantics for a key
         # that appears in the line stream but not the rank table
         # (possible only with a non-deterministic mapper or an input
@@ -138,6 +139,16 @@ def run_executable_job(
             .map(lambda kv: ((kv[0], kv[1]), None))
         )
     else:
+        # rank of each key in global sorted order -> reducer id
+        # (mod R); key-cardinality sized, never the line count. The
+        # distinct shuffle above is REUSED (Spark skips recomputing
+        # materialized shuffle map stages), so the mapper pipe does
+        # not run an extra time for this branch.
+        ranks = (
+            distinct_keys.sortBy(lambda k: k)
+            .zipWithIndex()
+            .mapValues(lambda i: int(i) % num_reducers)
+        )
         by_rid = keyed.join(ranks).map(lambda kv: ((kv[1][1], kv[1][0]), None))
     part_sorted = by_rid.repartitionAndSortWithinPartitions(
         numPartitions=num_reducers, partitionFunc=lambda key: key[0]
