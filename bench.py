@@ -106,6 +106,12 @@ HEADLINE = [
     "q_events_ab_test",
     "text_zipf_fit",
     "mr_join",
+    # round-8 wave
+    "q_events_sequential_pattern",
+    "dedup_span_clean",
+    "text_source_kl_divergence",
+    "emb_outlier_knn_distance",
+    "sim_ivfpq_residual",
 ]
 
 

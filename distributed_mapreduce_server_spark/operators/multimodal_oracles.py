@@ -256,3 +256,47 @@ MULTIMODAL_ORACLES["mm_phash_neardup"] = f"""
     WHERE bit_count(xor(a.s, b.s)) <= {PHASH_MAX_HAMMING}
     ORDER BY 1, 2, 3
 """
+
+
+def _scene_segments_sql() -> str:
+    from distributed_mapreduce_server_spark.operators.multimodal import (
+        N_FRAMES,
+        SCENE_JUMP_T,
+    )
+
+    return f"""
+    WITH media AS (
+        SELECT doc_id, text, length(text) AS n
+        FROM documents WHERE doc_id % 3 = 2
+    ),
+    fm AS (
+        SELECT doc_id, i,
+               ROUND(list_sum(list_transform(
+                         range((n * i) // {N_FRAMES} + 1,
+                               (n * (i + 1)) // {N_FRAMES} + 1),
+                         j -> ascii(text[j])))
+                     / CAST(greatest((n * (i + 1)) // {N_FRAMES}
+                                     - (n * i) // {N_FRAMES}, 1) AS DOUBLE),
+                     4) AS m
+        FROM media, UNNEST(range(0, {N_FRAMES})) AS u(i)
+    ),
+    jumps AS (
+        SELECT doc_id, i,
+               ROUND(abs(m - lag(m) OVER (PARTITION BY doc_id ORDER BY i)),
+                     4) AS j
+        FROM fm
+    )
+    SELECT doc_id,
+           CAST({N_FRAMES} AS INTEGER) AS n_frames,
+           CAST(1 + COUNT(*) FILTER (j > {SCENE_JUMP_T}) AS INTEGER)
+               AS n_scenes,
+           COALESCE(string_agg(CAST(i AS VARCHAR), ',' ORDER BY i)
+                        FILTER (j > {SCENE_JUMP_T}), '') AS boundaries,
+           MAX(j) AS max_jump
+    FROM jumps
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
+MULTIMODAL_ORACLES["mm_scene_segments"] = _scene_segments_sql()

@@ -1624,3 +1624,47 @@ def sim_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "adc_dist", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def emb_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list BALANCE audit (round 8): per-centroid list
+    size, corpus share, and imbalance factor (list size / mean list
+    size) — the routing-skew report an IVF deployment reads before
+    trusting nprobe latency (one hot list = every probe of it scans a
+    disproportionate corpus slice; empty lists are wasted codebook
+    capacity, and they ARE emitted here, zero-size rows included).
+    Completes the IVF tooling arc: build (emb_kmeans/_centroid_assign)
+    -> recall (sim_ann_eval, sim_ivf_nprobe_sweep) -> skew (this).
+
+    Scale shape: one broadcast-codebook Arrow assignment pass over
+    the corpus into a partial-agg count — N_CENTROIDS result rows;
+    totals reduce to a 1-row broadcast. Nothing corpus-sized moves."""
+    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
+    centroids = emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+    )
+    cand = emb.filter(F.col("vec_id") >= N_QUERIES)
+    sizes = (
+        _centroid_assign(cand, centroids, 1)
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+    sizes = (
+        centroids.select(F.col("vec_id").alias("centroid_id"))
+        .join(sizes, "centroid_id", "left")
+        .select(
+            "centroid_id",
+            F.coalesce("n_vectors", F.lit(0)).cast("bigint").alias("n_vectors"),
+        )
+    )
+    tot = sizes.agg(F.sum("n_vectors").alias("__n"), F.avg("n_vectors").alias("__avg"))
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .select(
+            "centroid_id",
+            "n_vectors",
+            fround(F.col("n_vectors") / F.col("__n"), 6).alias("share"),
+            fround(F.col("n_vectors") / F.col("__avg"), 4).alias("imbalance"),
+        )
+        .orderBy("centroid_id")
+    )

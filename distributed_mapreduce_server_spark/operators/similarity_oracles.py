@@ -1089,3 +1089,34 @@ SIMILARITY_ORACLES["sim_ivfpq_residual"] = f"""
     WHERE rank <= {_PQ_TOP_K}
     ORDER BY query_id, rank
 """
+
+
+SIMILARITY_ORACLES["emb_ivf_balance"] = f"""
+    WITH centroids AS MATERIALIZED (
+        SELECT vec_id AS centroid_id, embedding FROM embeddings
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}
+    ),
+    cand_assign AS (
+        SELECT vec_id AS neighbor_id, centroid_id FROM (
+            SELECT v.vec_id, k.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY ROUND({_DOT_VK} / ({_NORM_V} * {_NORM_K}), 4) DESC,
+                                k.centroid_id) AS crank
+            FROM embeddings v CROSS JOIN centroids k
+            WHERE v.vec_id >= {N_QUERIES}
+        ) WHERE crank <= 1
+    ),
+    sizes AS (
+        SELECT c.centroid_id,
+               CAST(COALESCE(s.n, 0) AS BIGINT) AS n_vectors
+        FROM centroids c
+        LEFT JOIN (SELECT centroid_id, COUNT(*) AS n
+                   FROM cand_assign GROUP BY 1) s USING (centroid_id)
+    ),
+    tot AS (SELECT SUM(n_vectors) AS n, AVG(n_vectors) AS avg_n FROM sizes)
+    SELECT centroid_id, n_vectors,
+           ROUND(n_vectors / CAST(t.n AS DOUBLE), 6) AS share,
+           ROUND(n_vectors / t.avg_n, 4) AS imbalance
+    FROM sizes, tot t
+    ORDER BY centroid_id
+"""

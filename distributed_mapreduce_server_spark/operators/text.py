@@ -1739,6 +1739,14 @@ def text_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "tok")
         .agg(F.count("*").alias("n_st"))
     )
+    return kl_from_source_counts(per_src)
+
+
+def kl_from_source_counts(per_src: DataFrame) -> DataFrame:
+    """KL(P_source || P_corpus) from a (source, tok, n_st) count frame
+    — shared by the batch audit above and its streaming twin
+    (streaming/jobs.stream_kl_drift), so the two can never diverge on
+    the divergence. All inputs from per_src onward are vocab-scale."""
     corpus = per_src.groupBy("tok").agg(F.sum("n_st").alias("n_t"))
     src_tot = per_src.groupBy("source").agg(F.sum("n_st").alias("n_s"))
     n_c = corpus.agg(F.sum("n_t").alias("__n_c"))

@@ -197,6 +197,7 @@ _register(
         "emb_centroid_distances",
         "emb_outlier_knn_distance",
         "sim_ivfpq_residual",
+        "emb_ivf_balance",
     ],
 )
 _register(
@@ -333,6 +334,7 @@ _register(
         "mm_modality_mix",
         "mm_shard_manifest",
         "mm_quality_gate",
+        "mm_scene_segments",
     ],
 )
 # custom connector (Spark 4 Python Data Source API): partitioned
@@ -414,6 +416,8 @@ _ORACLES["stream_sessionize"] = """
 # stateful last-touch attribution (applyInPandasWithState) is
 # deterministic under availableNow (in-batch rows sorted into the
 # batch window order) -> carries the batch attribution oracle.
+_QUERIES["stream_kl_drift"] = streaming_jobs.stream_kl_drift
+_ORACLES["stream_kl_drift"] = TEXT_ORACLES["text_source_kl_divergence"].strip()
 _QUERIES["stream_attribution"] = streaming_jobs.stream_attribution
 _ORACLES["stream_attribution"] = EVENTS_ORACLES["q_events_attribution"].strip()
 # complete-mode windowed agg under availableNow is deterministic ->

@@ -1028,3 +1028,41 @@ def stream_error_rate_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hourly = _run_to_memory(agg, "complete")
     return slo_from_hourly(hourly)
+
+
+def stream_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift monitoring ON THE INGEST STREAM (round 8):
+    per-source unigram token counts maintained as streaming
+    aggregation state, with KL(P_source || P_corpus) computed from
+    the drained state — the live twin of
+    text_source_kl_divergence's batch audit ("is today's crawl of
+    source X starting to look unlike the corpus?").
+
+    Scale shape: the ONLY streaming state is the (source, token)
+    count table — vocabulary-bounded, never stream-length-bounded
+    (the state a counting drift monitor must carry anyway); the KL
+    fold over the drained counts is vocab-scale batch math shared
+    verbatim with the batch operator (operators/text.py
+    kl_from_source_counts). Complete-mode under availableNow drains
+    to exactly the batch counts -> carries the batch oracle with
+    full value parity."""
+    from distributed_mapreduce_server_spark.functions import tokens
+    from distributed_mapreduce_server_spark.operators.text import (
+        kl_from_source_counts,
+    )
+
+    docs = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    counts = (
+        docs.select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("n_st"))
+    )
+    per_src = _run_to_memory(counts, "complete")
+    return kl_from_source_counts(per_src)

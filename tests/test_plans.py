@@ -118,6 +118,7 @@ DELIBERATE_NESTED_LOOP = {
     "q_events_sequential_pattern",  # 1-row broadcast user-total cross-join
     "text_source_kl_divergence",  # 1-row broadcast corpus-total cross-join
     "emb_outlier_knn_distance",  # 1-row broadcast (mu, sigma) stats cross-join
+    "emb_ivf_balance",  # 1-row broadcast list-size totals cross-join
 }
 
 # Streaming / iterative ops execute eagerly inside the callable; the
@@ -183,6 +184,7 @@ EAGER_OPS = {
     "q_events_hierarchical_rollup",  # persisted minute partials, checkpointed cascade
     "q_personalized_pagerank",  # seed collect + persisted edge loop runs eagerly
     "dedup_span_clean",  # gram-index persist + cached result run eagerly
+    "stream_kl_drift",  # availableNow drain runs eagerly
 }
 
 

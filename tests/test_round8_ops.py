@@ -110,3 +110,54 @@ def test_residual_ivfpq_full_slate_and_distinct_ranking(spark, sf_smoke):
     res_d = {(r["query_id"], r["neighbor_id"]): r["adc_dist"] for r in res}
     shared = set(plain_d) & set(res_d)
     assert shared and any(abs(plain_d[k] - res_d[k]) > 1e-6 for k in shared)
+
+
+def test_stream_kl_drift_equals_batch(spark, sf_smoke):
+    """The streaming drift monitor's drained state must yield exactly
+    the batch audit's table (complete-mode availableNow == batch)."""
+    from distributed_mapreduce_server_spark.streaming.jobs import stream_kl_drift
+
+    stream = sorted(map(tuple, stream_kl_drift(spark, sf_smoke).collect()))
+    batch = sorted(map(tuple, text_source_kl_divergence(spark, sf_smoke).collect()))
+    assert stream == batch
+
+
+def test_scene_segments_nonvacuous_and_bounded(spark, sf_smoke):
+    """Both outcome classes occur (single-scene and multi-scene
+    videos); boundaries list length always equals n_scenes - 1 and
+    indices stay inside the frame range."""
+    from distributed_mapreduce_server_spark.operators.multimodal import (
+        N_FRAMES,
+        mm_scene_segments,
+    )
+
+    rows = mm_scene_segments(spark, sf_smoke).collect()
+    assert rows
+    assert any(r["n_scenes"] == 1 for r in rows)
+    assert any(r["n_scenes"] > 1 for r in rows)
+    for r in rows:
+        cuts = [int(x) for x in r["boundaries"].split(",") if x]
+        assert len(cuts) == r["n_scenes"] - 1
+        assert all(1 <= c < N_FRAMES for c in cuts)
+        assert r["max_jump"] >= 0.0
+
+
+def test_ivf_balance_accounts_for_whole_corpus(spark, sf_smoke):
+    """Shares sum to 1, sizes sum to the candidate count, mean
+    imbalance is 1 by construction — and the audit actually reports
+    skew (not all lists equal)."""
+    from distributed_mapreduce_server_spark.catalog import load_tables
+    from distributed_mapreduce_server_spark.operators.similarity import (
+        N_CENTROIDS,
+        N_QUERIES,
+        emb_ivf_balance,
+    )
+    from pyspark.sql import functions as F
+
+    rows = emb_ivf_balance(spark, sf_smoke).collect()
+    assert len(rows) == N_CENTROIDS
+    emb = load_tables(spark, sf_smoke, register_views=False)["embeddings"]
+    n_cand = emb.filter(F.col("vec_id") >= N_QUERIES).count()
+    assert sum(r["n_vectors"] for r in rows) == n_cand
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
+    assert len({r["n_vectors"] for r in rows}) > 1  # skew visible
