@@ -1762,3 +1762,56 @@ def q_events_sequential_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users_with"), "pattern")
         .limit(SEQ_PATTERN_TOP_K)
     )
+
+
+BURST_K = 1.3
+
+
+def q_events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection (round 8): maximal runs of consecutive HOURS
+    where an event type's hourly volume exceeds BURST_K x its own
+    average hourly rate — the classic gaps-and-islands formulation of
+    traffic-spike forensics (each output row is one burst: when it
+    started, when it ended, how tall it got). Complements
+    q_events_anomaly's pointwise z-scores with EPISODES.
+
+    Scale shape: the only fact-scale work is the partial-agg hourly
+    rollup; everything after runs on the (type x hour) frame, which
+    is calendar-bounded, not volume-bounded — the per-type threshold
+    is a broadcast |types|-row join, and the island window partitions
+    by event_type over that bounded frame (BOUNDED_FRAME_WINDOWS
+    class). Thresholding is deterministic: hourly counts are exact
+    integers in double, so AVG and BURST_K*mu are bit-identical
+    across engines."""
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    mc = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("m")
+    ).agg(F.count("*").alias("n"))
+    st = mc.groupBy("event_type").agg(F.avg("n").alias("mu"))
+    hot = mc.join(F.broadcast(st), "event_type").filter(
+        F.col("n") > BURST_K * F.col("mu")
+    )
+    w = Window.partitionBy("event_type").orderBy("m")
+    isl = hot.withColumn(
+        "grp",
+        (F.unix_timestamp("m") / 3600).cast("long") - F.row_number().over(w),
+    )
+    return (
+        isl.groupBy("event_type", "grp")
+        .agg(
+            F.min("m").alias("burst_start"),
+            F.max("m").alias("burst_end"),
+            F.count("*").cast("bigint").alias("n_hours"),
+            F.sum("n").cast("bigint").alias("total_events"),
+            F.max("n").cast("bigint").alias("peak_events"),
+        )
+        .select(
+            "event_type",
+            "burst_start",
+            "burst_end",
+            "n_hours",
+            "total_events",
+            "peak_events",
+        )
+        .orderBy("event_type", "burst_start")
+    )

@@ -1764,3 +1764,56 @@ def kl_from_source_counts(per_src: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NOVELTY scoring (round 8): the fraction of a doc's
+    distinct trigrams whose corpus-wide FIRST occurrence (lowest
+    doc_id — ingest order) is this doc. The redundancy-vs-novelty
+    curation signal: near-1 docs introduce new content, near-0 docs
+    restate what the corpus already has — the soft complement of hard
+    span-removal (dedup_span_clean) used to PRIORITIZE rather than
+    cut. Trigram definition shared with text_source_overlap.
+
+    Scale shape: one corpus-sized distinct over (doc, trigram) — the
+    only fact-scale shuffle; first-occurrence is a partial-agg min per
+    gram; the attribution join is keyed on the gram at gram-scale;
+    the per-doc fold partial-aggregates. Short docs (< 3 tokens)
+    emit n_grams = 0 / novelty 0.0 via the documents left join."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(t) - 2, 0)), "
+                "i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))"
+            )
+        ).alias("g"),
+    ).distinct()
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+            fround(
+                F.coalesce(F.col("n_novel"), F.lit(0))
+                / F.greatest(F.coalesce(F.col("n_grams"), F.lit(0)), F.lit(1)),
+                4,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

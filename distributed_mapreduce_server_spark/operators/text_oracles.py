@@ -1027,3 +1027,30 @@ TEXT_ORACLES["text_source_kl_divergence"] = f"""
     GROUP BY p.source
     ORDER BY p.source
 """
+
+
+TEXT_ORACLES["text_ngram_novelty"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    grams AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                   i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))) AS g
+        FROM toks
+    ),
+    first_occ AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g),
+    per_doc AS (
+        SELECT gr.doc_id, COUNT(*) AS n_grams,
+               SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                   AS n_novel
+        FROM grams gr JOIN first_occ f USING (g)
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
+           ROUND(COALESCE(p.n_novel, 0)
+                 / CAST(greatest(COALESCE(p.n_grams, 0), 1) AS DOUBLE), 4)
+               AS novelty
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY d.doc_id
+"""

@@ -1831,3 +1831,32 @@ EVENTS_ORACLES["q_events_sequential_pattern"] = """
     ORDER BY n_users_with DESC, pattern
     LIMIT 20
 """
+
+EVENTS_ORACLES["q_events_burst_detection"] = """
+    WITH mc AS (
+        SELECT event_type, date_trunc('hour', ts) AS m, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    st AS (SELECT event_type, AVG(n) AS mu FROM mc GROUP BY 1),
+    hot AS (
+        SELECT mc.event_type, mc.m, mc.n
+        FROM mc JOIN st USING (event_type)
+        WHERE mc.n > 1.3 * st.mu
+    ),
+    isl AS (
+        SELECT event_type, m, n,
+               CAST(epoch(m) / 3600 AS BIGINT)
+                   - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY m)
+                   AS grp
+        FROM hot
+    )
+    SELECT event_type,
+           MIN(m) AS burst_start,
+           MAX(m) AS burst_end,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(n) AS BIGINT) AS total_events,
+           CAST(MAX(n) AS BIGINT) AS peak_events
+    FROM isl
+    GROUP BY event_type, grp
+    ORDER BY event_type, burst_start
+"""

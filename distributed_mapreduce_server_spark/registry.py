@@ -244,6 +244,7 @@ _register(
         "text_zipf_fit",
         "text_source_overlap",
         "text_source_kl_divergence",
+        "text_ngram_novelty",
     ],
 )
 _register(
@@ -313,6 +314,7 @@ _register(
         "q_window_funnel",
         "q_new_vs_returning",
         "q_events_sequential_pattern",
+        "q_events_burst_detection",
     ],
 )
 

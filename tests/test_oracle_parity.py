@@ -43,7 +43,8 @@ EXPECTED_ROWS_ONLY = {
     "q_approx_quantiles",  # sketch results are engine-specific
     "q_events_daily_sketch_rollup",  # HLL estimates are engine-specific
     "emb_pca_project",  # eigenvector sign/order is LAPACK-specific
-    "text_bpe_train",  # iterative training loop isn't one SQL statement
+    # text_bpe_train graduated to a full oracle in round 8 (unrolled
+    # MATERIALIZED-CTE merges; greedy application == wrapped replace)
 }
 
 

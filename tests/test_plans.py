@@ -247,6 +247,7 @@ BOUNDED_FRAME_WINDOWS = {
     "q_time_bucket_gapfill": "per-type gap-fill over the time-bucket grid",
     "q_new_vs_returning": "cumulative over the per-DAY agg frame",
     "q_events_autocorrelation": "lag over the (day x type) agg frame (calendar-bounded)",
+    "q_events_burst_detection": "island window over the (type x hour) agg frame (calendar-bounded)",
 }
 
 
@@ -551,6 +552,7 @@ EXECUTED_NESTED_LOOP = {
     "sim_ann_eval": "broadcast query-set crossJoins in the exact baseline + ANN arms it evaluates",
     "sim_ivf_nprobe_sweep": "bounded broadcast query-set crossJoin inside each IVF arm",
     "text_perplexity_filter": "1-row broadcast corpus-total cross-join (bigram logprob model)",
+    "stream_kl_drift": "1-row broadcast corpus-total cross-join in the shared KL fold",
 }
 
 

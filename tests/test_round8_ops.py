@@ -161,3 +161,66 @@ def test_ivf_balance_accounts_for_whole_corpus(spark, sf_smoke):
     assert sum(r["n_vectors"] for r in rows) == n_cand
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
     assert len({r["n_vectors"] for r in rows}) > 1  # skew visible
+
+
+def test_ngram_novelty_bounds_and_first_doc(spark, sf_smoke):
+    """Novelty in [0, 1]; the earliest doc with any trigrams scores
+    exactly 1.0 (every one of its grams first-occurs in it); per-doc
+    novel-gram counts sum to the corpus's distinct-trigram total."""
+    from distributed_mapreduce_server_spark.operators.text import (
+        text_ngram_novelty,
+    )
+
+    rows = text_ngram_novelty(spark, sf_smoke).collect()
+    assert rows
+    with_grams = [r for r in rows if r["n_grams"] > 0]
+    assert with_grams
+    first = min(with_grams, key=lambda r: r["doc_id"])
+    assert first["novelty"] == 1.0
+    for r in rows:
+        assert 0.0 <= r["novelty"] <= 1.0
+        assert 0 <= r["n_novel"] <= r["n_grams"]
+    # every distinct trigram is novel in exactly one doc
+    from distributed_mapreduce_server_spark.catalog import load_tables
+    from distributed_mapreduce_server_spark.functions import tokens
+    from pyspark.sql import functions as F
+
+    docs = load_tables(spark, sf_smoke, register_views=False)["documents"]
+    total_grams = (
+        docs.select(tokens("text").alias("toks"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(toks) - 2, 0)), "
+                    "i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))"
+                )
+            ).alias("g")
+        )
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_novel"] for r in rows) == total_grams
+
+
+def test_burst_detection_islands_are_maximal(spark, sf_smoke):
+    """Bursts are well-formed episodes: end >= start, span == n_hours,
+    peak <= total, and two bursts of the same type never touch (a
+    shared boundary would mean the island split a maximal run)."""
+    from distributed_mapreduce_server_spark.operators.events import (
+        q_events_burst_detection,
+    )
+
+    rows = q_events_burst_detection(spark, sf_smoke).collect()
+    assert rows
+    by_type: dict = {}
+    for r in rows:
+        span_h = (r["burst_end"] - r["burst_start"]).total_seconds() / 3600
+        assert span_h == r["n_hours"] - 1
+        assert r["peak_events"] <= r["total_events"]
+        assert r["total_events"] >= r["n_hours"]  # >= 1 event per hot hour
+        by_type.setdefault(r["event_type"], []).append(r)
+    for rs in by_type.values():
+        rs.sort(key=lambda r: r["burst_start"])
+        for a, b in zip(rs, rs[1:]):
+            gap_h = (b["burst_start"] - a["burst_end"]).total_seconds() / 3600
+            assert gap_h >= 2, "adjacent hot hours must share one island"
