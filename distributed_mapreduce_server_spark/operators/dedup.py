@@ -1462,3 +1462,76 @@ def dedup_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _cache_result(out)
     grams.unpersist()
     return out.orderBy("doc_id")
+
+
+def dedup_minhash_est_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR-quality evaluation (round 8): over every LSH
+    candidate pair (band collision, NO jaccard threshold — the whole
+    similarity range the sketch is asked about), compare the sketch's
+    Jaccard estimate (fraction of the N_PERMS minhash coordinates that
+    agree — the textbook unbiased estimator) against the exact
+    shingle-set Jaccard: pair count, mean exact, mean estimate, MAE,
+    worst absolute error. Completes the trust suite next to
+    dedup_lsh_eval: that one measures CANDIDATE recall, this one
+    measures the VALUE the sketch reports (at K=16, per-pair std is
+    ~sqrt(j(1-j)/16) ≈ 0.12 — the report shows whether reality matches
+    the theory before anyone routes on estimated similarity).
+
+    Scale shape: identical to dedup_minhash_lsh's (banded candidates,
+    signature-frame joins keyed on doc_id, intersection verify only on
+    candidates); the signature frame carries the 16 coordinates the
+    estimate needs, so no extra pass over the corpus. 1-row output."""
+    docs = load_tables(spark, sf_dir, register_views=False).get("documents")
+    docs = docs.select("doc_id", "text")
+    e = _shingle_rows_from(spark, docs, 32).persist()
+    e.count()
+    sig, bands = _minhash_bands(e)
+    sig = sig.persist()
+    sig.count()
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = _pair_jaccard(e, cand, sizes=sig.select("doc_id", "n_sh")).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    siga = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"__a{i}") for i in range(N_PERMS)],
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"__b{i}") for i in range(N_PERMS)],
+    )
+    n_eq = None
+    for i in range(N_PERMS):
+        term = (F.col(f"__a{i}") == F.col(f"__b{i}")).cast("int")
+        n_eq = term if n_eq is None else n_eq + term
+    per_pair = (
+        exact.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .select(
+            "jaccard",
+            fround(n_eq / F.lit(N_PERMS), 4).alias("est_jaccard"),
+        )
+    )
+    out = per_pair.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        fround(F.avg("jaccard"), 4).alias("avg_exact"),
+        fround(F.avg("est_jaccard"), 4).alias("avg_est"),
+        fround(F.avg(F.abs(F.col("est_jaccard") - F.col("jaccard"))), 4).alias("mae"),
+        fround(F.max(F.abs(F.col("est_jaccard") - F.col("jaccard"))), 4).alias(
+            "max_abs_err"
+        ),
+    )
+    out = _cache_result(out)
+    e.unpersist()
+    sig.unpersist()
+    return out

@@ -521,3 +521,50 @@ def _span_clean_oracle() -> str:
 
 
 DEDUP_ORACLES["dedup_span_clean"] = _span_clean_oracle()
+
+
+def _minhash_est_eval_sql() -> str:
+    eq_terms = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+        for i in range(N_PERMS)
+    )
+    return f"""
+    WITH s AS ({_doc_shingles_sql("documents")}),
+    hashed AS MATERIALIZED (SELECT doc_id, sh, {_HS} AS hs FROM s),
+    sig AS MATERIALIZED (
+        SELECT doc_id,
+           {_MH_COLS}
+        FROM hashed
+    ),
+    bands AS (
+        SELECT doc_id, unnest([{_BAND_STRUCTS}], recursive := true)
+        FROM sig
+    ),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx
+                    AND a.band_sig = b.band_sig
+                    AND a.doc_id < b.doc_id
+    ),
+    per_pair AS (
+        SELECT ROUND(len(list_intersect(ha.hs, hb.hs))
+                     / (len(ha.hs) + len(hb.hs)
+                        - len(list_intersect(ha.hs, hb.hs))), 4) AS jaccard,
+               ROUND(({eq_terms}) / {N_PERMS}.0, 4) AS est_jaccard
+        FROM cand
+        JOIN hashed ha ON cand.doc_a = ha.doc_id
+        JOIN hashed hb ON cand.doc_b = hb.doc_id
+        JOIN sig sa ON cand.doc_a = sa.doc_id
+        JOIN sig sb ON cand.doc_b = sb.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(jaccard), 4) AS avg_exact,
+           ROUND(AVG(est_jaccard), 4) AS avg_est,
+           ROUND(AVG(abs(est_jaccard - jaccard)), 4) AS mae,
+           ROUND(MAX(abs(est_jaccard - jaccard)), 4) AS max_abs_err
+    FROM per_pair
+"""
+
+
+DEDUP_ORACLES["dedup_minhash_est_eval"] = _minhash_est_eval_sql()

@@ -1817,3 +1817,59 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY evaluation (round 8): symbols-per-word
+    under the trained BPE merge table, per source — the standard
+    tokenizer-quality metric (fertility ~1 = the vocabulary compresses
+    this source well; high fertility = the source pays more sequence
+    length per word, the signal that drives vocab retraining and
+    mixture re-weighting). Closes the tokenizer arc: pair stats ->
+    trainer -> encoder -> EVALUATION.
+
+    Scale shape: training is text_bpe_train's loop (corpus touched
+    once, vocab-sized rounds); the merge table collected here is
+    BPE_TRAIN_MERGES rows — bounded. Application is pure codegen: the
+    vocabulary's wrapped-symbol strings pass through 10 literal
+    replace()s (greedy left-to-right — same semantics as the training
+    fold, same sentinel trick as the oracle), then one weighted agg
+    over per-(source, word) counts. Nothing corpus-sized beyond the
+    two token scans."""
+    merges = [
+        (r["left"], r["right"], r["merged"])
+        for r in text_bpe_train(spark, sf_dir).collect()
+    ]
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    st = (
+        docs.select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    wrapped = F.array_join(
+        F.transform(
+            F.split("tok", ""),
+            lambda c: F.concat(F.lit("\x01"), c, F.lit("\x02")),
+        ),
+        "",
+    )
+    s = wrapped
+    for a, b, merged in merges:
+        s = F.replace(
+            s,
+            F.lit("\x01" + a + "\x02" + "\x01" + b + "\x02"),
+            F.lit("\x01" + merged + "\x02"),
+        )
+    n_syms = F.length(s) - F.length(F.replace(s, F.lit("\x01"), F.lit("")))
+    per = st.withColumn("n_syms", n_syms)
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_words"),
+            F.sum(F.col("n") * F.col("n_syms")).cast("bigint").alias("total_symbols"),
+            fround(
+                F.sum(F.col("n") * F.col("n_syms")) / F.sum("n"), 6
+            ).alias("fertility"),
+        )
+        .orderBy("source")
+    )

@@ -930,20 +930,21 @@ TEXT_ORACLES["text_source_overlap"] = f"""
 """
 
 
-def _bpe_train_sql() -> str:
-    """Unrolled-BPE oracle for text_bpe_train (the emb_kmeans
-    unrolled-Lloyd recipe applied to greedy merges): BPE_TRAIN_MERGES
-    fixed rounds, each as a MATERIALIZED pair-count/argmax/rewrite CTE
-    triple. The symbol sequence is carried as a WRAPPED string —
-    chr(1)||sym||chr(2) per symbol — so the greedy left-to-right merge
-    application is exactly SQL ``replace()`` (non-overlapping,
-    left-to-right — the standard BPE trick; the sentinels make a pair
-    pattern unmatchable across symbol boundaries). Assumes corpus
-    tokens never contain chr(1)/chr(2) — true for the lower([a-z0-9])
-    token stream _TOKS produces. Tie-break matches the Spark loop:
-    (cnt DESC, a || ' ' || b). A COALESCE(chr(3)) guard keeps
-    exhausted rounds (no pairs left) as identity rewrites, mirroring
-    the Spark loop's break."""
+def _bpe_chain_parts() -> "tuple[list[str], int]":
+    """The unrolled-BPE CTE chain (the emb_kmeans unrolled-Lloyd
+    recipe applied to greedy merges): BPE_TRAIN_MERGES fixed rounds,
+    each a MATERIALIZED pair-count/argmax/rewrite triple. The symbol
+    sequence is carried as a WRAPPED string — chr(1)||sym||chr(2) per
+    symbol — so the greedy left-to-right merge application is exactly
+    SQL ``replace()`` (non-overlapping, left-to-right — the standard
+    BPE trick; the sentinels make a pair pattern unmatchable across
+    symbol boundaries). Assumes corpus tokens never contain
+    chr(1)/chr(2) — true for the lower([a-z0-9]) token stream _TOKS
+    produces. Tie-break matches the Spark loop: (cnt DESC,
+    a || ' ' || b). A COALESCE(chr(3)) guard keeps exhausted rounds
+    (no pairs left) as identity rewrites, mirroring the Spark loop's
+    break. Shared by the text_bpe_train and text_bpe_fertility
+    oracles."""
     from distributed_mapreduce_server_spark.operators.text import BPE_TRAIN_MERGES
 
     parts = [
@@ -992,11 +993,16 @@ def _bpe_train_sql() -> str:
             FROM s{r - 1}
         )"""
         )
+    return parts, BPE_TRAIN_MERGES
+
+
+def _bpe_train_sql() -> str:
+    parts, n_merges = _bpe_chain_parts()
     joined = ",\n    ".join(parts)
     unions = "\n    UNION ALL ".join(
         f"""SELECT CAST({r} AS INTEGER) AS merge_rank, a AS "left", b AS "right",
                a || b AS merged, cnt AS weighted_count FROM m{r}"""
-        for r in range(1, BPE_TRAIN_MERGES + 1)
+        for r in range(1, n_merges + 1)
     )
     return f"""
     WITH {joined}
@@ -1006,6 +1012,39 @@ def _bpe_train_sql() -> str:
 
 
 TEXT_ORACLES["text_bpe_train"] = _bpe_train_sql()
+
+
+def _bpe_fertility_sql() -> str:
+    """Fertility oracle: symbols-per-word under the trained merge
+    table — the final symbol strings s{n} from the shared chain,
+    weighted by per-(source, token) occurrence counts. n_syms =
+    number of chr(1) sentinels in the wrapped string."""
+    parts, n_merges = _bpe_chain_parts()
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined},
+    syms AS (
+        SELECT tok,
+               length(s) - length(replace(s, chr(1), '')) AS n_syms
+        FROM s{n_merges}
+    ),
+    st AS (
+        SELECT source, tok, COUNT(*) AS n
+        FROM (SELECT source, unnest({_TOKS}) AS tok FROM documents)
+        GROUP BY 1, 2
+    )
+    SELECT st.source,
+           CAST(SUM(st.n) AS BIGINT) AS n_words,
+           CAST(SUM(st.n * syms.n_syms) AS BIGINT) AS total_symbols,
+           ROUND(SUM(st.n * syms.n_syms) / CAST(SUM(st.n) AS DOUBLE), 6)
+               AS fertility
+    FROM st JOIN syms USING (tok)
+    GROUP BY st.source
+    ORDER BY st.source
+"""
+
+
+TEXT_ORACLES["text_bpe_fertility"] = _bpe_fertility_sql()
 
 
 TEXT_ORACLES["text_source_kl_divergence"] = f"""

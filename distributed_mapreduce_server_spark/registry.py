@@ -162,6 +162,7 @@ _register(
         "dedup_lsh_eval",
         "dedup_cluster_stats",
         "dedup_span_clean",
+        "dedup_minhash_est_eval",
     ],
 )
 _register(
@@ -245,6 +246,7 @@ _register(
         "text_source_overlap",
         "text_source_kl_divergence",
         "text_ngram_novelty",
+        "text_bpe_fertility",
     ],
 )
 _register(

@@ -185,6 +185,8 @@ EAGER_OPS = {
     "q_personalized_pagerank",  # seed collect + persisted edge loop runs eagerly
     "dedup_span_clean",  # gram-index persist + cached result run eagerly
     "stream_kl_drift",  # availableNow drain runs eagerly
+    "dedup_minhash_est_eval",  # shingle/signature persist + cached 1-row result
+    "text_bpe_fertility",  # rides text_bpe_train's eager merge loop
 }
 
 

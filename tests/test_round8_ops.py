@@ -224,3 +224,45 @@ def test_burst_detection_islands_are_maximal(spark, sf_smoke):
         for a, b in zip(rs, rs[1:]):
             gap_h = (b["burst_start"] - a["burst_end"]).total_seconds() / 3600
             assert gap_h >= 2, "adjacent hot hours must share one island"
+
+
+def test_minhash_estimator_matches_theory(spark, sf_smoke):
+    """The K=16 estimator must be usable: a non-trivial pair count,
+    MAE well under the single-coordinate granularity (1/16), and the
+    estimate bounded to the [0, 1] grid."""
+    from distributed_mapreduce_server_spark.operators.dedup import (
+        dedup_minhash_est_eval,
+    )
+
+    (row,) = dedup_minhash_est_eval(spark, sf_smoke).collect()
+    assert row["n_pairs"] > 0
+    assert 0.0 <= row["avg_est"] <= 1.0 and 0.0 <= row["avg_exact"] <= 1.0
+    assert 0.0 <= row["mae"] <= row["max_abs_err"] <= 1.0
+    # K=16 binomial std at j~0.97 is ~0.04; MAE beyond 2 std of that
+    # would mean the estimator is broken, not just noisy
+    assert row["mae"] < 0.1
+
+
+def test_bpe_fertility_bounds(spark, sf_smoke):
+    """Fertility lies between 1 (every word a single symbol) and the
+    average word length in chars (no merges applied at all); 10
+    merges on this corpus must actually compress (fertility strictly
+    below the raw char count per word)."""
+    from distributed_mapreduce_server_spark.catalog import load_tables
+    from distributed_mapreduce_server_spark.functions import tokens
+    from distributed_mapreduce_server_spark.operators.text import (
+        text_bpe_fertility,
+    )
+    from pyspark.sql import functions as F
+
+    rows = text_bpe_fertility(spark, sf_smoke).collect()
+    assert rows
+    docs = load_tables(spark, sf_smoke, register_views=False)["documents"]
+    raw = (
+        docs.select(F.explode(tokens("text")).alias("t"))
+        .agg((F.sum(F.length("t")) / F.count("*")).alias("chars_per_word"))
+        .collect()[0]["chars_per_word"]
+    )
+    for r in rows:
+        assert 1.0 <= r["fertility"] < raw
+        assert r["total_symbols"] >= r["n_words"]
