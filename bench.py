@@ -112,6 +112,14 @@ HEADLINE = [
     "text_source_kl_divergence",
     "emb_outlier_knn_distance",
     "sim_ivfpq_residual",
+    "mm_scene_segments",
+    "emb_ivf_balance",
+    "text_ngram_novelty",
+    "q_events_burst_detection",
+    "dedup_minhash_est_eval",
+    "text_bpe_fertility",
+    "q_graph_clustering_coefficient",
+    "mm_payload_entropy",
 ]
 
 

@@ -1787,6 +1787,15 @@ def q_events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     mc = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("m")
     ).agg(F.count("*").alias("n"))
+    return bursts_from_hourly(mc)
+
+
+def bursts_from_hourly(mc: DataFrame) -> DataFrame:
+    """Burst episodes from an (event_type, hour m, count n) frame —
+    shared by the batch operator above and its streaming twin
+    (streaming/jobs.stream_burst_detection), which drains the same
+    hourly counts out of streaming aggregation state. Everything here
+    runs on the calendar-bounded (type x hour) frame."""
     st = mc.groupBy("event_type").agg(F.avg("n").alias("mu"))
     hot = mc.join(F.broadcast(st), "event_type").filter(
         F.col("n") > BURST_K * F.col("mu")

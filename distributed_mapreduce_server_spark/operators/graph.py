@@ -613,3 +613,81 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edeg.unpersist()
     return out
+
+
+def q_graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL clustering coefficient by degree (round 8): for every
+    node, cc = triangles_at_node / C(deg, 2), reported as the classic
+    cc-vs-degree curve (per-degree node count + mean local cc) — the
+    structure diagnostic next to q_graph_triangles' single global
+    number (hierarchical/community graphs show cc falling with
+    degree; random graphs show it flat).
+
+    Scale shape: triangles enumerate through the same degree-ordered
+    orientation as q_graph_triangles (wedge fan-out ≤ m·√m under any
+    skew); each closed triangle explodes to its THREE member nodes —
+    output bounded by 3·triangles — and per-node counts
+    partial-aggregate. Zero-triangle nodes enter through a left join
+    from the degree frame, so the curve's denominator is every node
+    with deg ≥ 2. Both cc and its mean are ratios of exact integers
+    (bit-identical across engines) rounded at 6 dp."""
+    edges = _copurchase_edges(spark, sf_dir).persist()
+    edges.count()
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    e = (
+        edges.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    lower_is_u = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(lower_is_u, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_is_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = (
+        o1.join(o2, F.col("o1.src") == F.col("o2.src"))
+        .filter(F.col("o1.dst") < F.col("o2.dst"))
+        .select(
+            F.col("o1.src").alias("apex"),
+            F.col("o1.dst").alias("u"),
+            F.col("o2.dst").alias("v"),
+        )
+    )
+    tri_nodes = (
+        wedges.join(edges, ["u", "v"])
+        .select(
+            F.explode(F.array(F.col("apex"), F.col("u"), F.col("v"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("t"))
+    )
+    per_node = (
+        deg.filter(F.col("d") >= 2)
+        .join(tri_nodes, "node", "left")
+        .select(
+            "d",
+            fround(
+                F.coalesce(F.col("t"), F.lit(0)) * 2
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("cc"),
+        )
+    )
+    out = (
+        per_node.groupBy("d")
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            fround(F.avg("cc"), 6).alias("avg_cc"),
+        )
+        .orderBy("d")
+    )
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    return out.orderBy("d")

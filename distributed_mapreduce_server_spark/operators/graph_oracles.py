@@ -269,3 +269,38 @@ def _ppr_sql() -> str:
 
 
 GRAPH_ORACLES["q_personalized_pagerank"] = _ppr_sql()
+
+
+GRAPH_ORACLES["q_graph_clustering_coefficient"] = f"""
+    WITH {_COPURCHASE},
+    tri AS MATERIALIZED (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM ce e1
+        JOIN ce e2 ON e2.u = e1.u AND e2.v > e1.v
+        JOIN ce e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    tn AS (
+        SELECT node, COUNT(*) AS t
+        FROM (SELECT a AS node FROM tri
+              UNION ALL SELECT b AS node FROM tri
+              UNION ALL SELECT c AS node FROM tri)
+        GROUP BY 1
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS d
+        FROM (SELECT u AS node FROM ce UNION ALL SELECT v AS node FROM ce)
+        GROUP BY 1
+    ),
+    per_node AS (
+        SELECT deg.d,
+               ROUND(COALESCE(tn.t, 0) * 2
+                     / CAST(deg.d * (deg.d - 1) AS DOUBLE), 6) AS cc
+        FROM deg LEFT JOIN tn USING (node)
+        WHERE deg.d >= 2
+    )
+    SELECT d, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           ROUND(AVG(cc), 6) AS avg_cc
+    FROM per_node
+    GROUP BY d
+    ORDER BY d
+"""

@@ -755,3 +755,71 @@ def mm_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(_scene_batches, schema=SCENE_SCHEMA)
         .orderBy("doc_id")
     )
+
+
+ENTROPY_LOW_T = 4.0
+
+
+def mm_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-entropy quality gate (round 8): Shannon entropy of each
+    payload's byte histogram, rolled up per media type (mean / min /
+    max entropy + the count of low-entropy payloads) — the classic
+    corruption/padding detector (all-zero buffers, truncated encodes
+    and repeated-block padding sit far below real media's entropy;
+    encrypted/noise blobs sit near 8 bits). Runs BEFORE any decode —
+    it's the gate that decides what is worth decoding.
+
+    Scale shape: pure JVM-side column math — one explode of payload
+    bytes into a partial-agg (doc, byte) count, an entropy fold over
+    the ≤256-row per-doc histogram (aggregate over collect_list,
+    bounded), and a media-type rollup. No Python boundary at all;
+    entropy is rounded 4 dp from exact integer counts so both engines
+    agree bit-for-bit."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    media = attach_media(docs).select(
+        "doc_id",
+        F.col("media_meta.media_type").alias("media_type"),
+        "payload",
+    )
+    # byte histogram: explode payload bytes (payload is the utf-8 text
+    # stub — ascii corpus, byte == char) into (doc, byte) counts
+    bytes_rows = media.select(
+        "doc_id",
+        "media_type",
+        F.explode(
+            F.transform(
+                F.split(F.col("payload").cast("string"), ""),
+                lambda c: F.ascii(c),
+            )
+        ).alias("b"),
+    )
+    hist = bytes_rows.groupBy("doc_id", "media_type", "b").agg(
+        F.count("*").alias("n")
+    )
+    tot = hist.groupBy("doc_id", "media_type").agg(F.sum("n").alias("tot"))
+    ent = (
+        hist.join(tot, ["doc_id", "media_type"])
+        .groupBy("doc_id", "media_type")
+        .agg(
+            fround(
+                -F.sum(
+                    (F.col("n") / F.col("tot"))
+                    * F.log2(F.col("n") / F.col("tot"))
+                ),
+                4,
+            ).alias("entropy")
+        )
+    )
+    return (
+        ent.groupBy("media_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            fround(F.avg("entropy"), 4).alias("avg_entropy"),
+            fround(F.min("entropy"), 4).alias("min_entropy"),
+            fround(F.max("entropy"), 4).alias("max_entropy"),
+            F.sum((F.col("entropy") < ENTROPY_LOW_T).cast("long"))
+            .cast("bigint")
+            .alias("n_low_entropy"),
+        )
+        .orderBy("media_type")
+    )

@@ -300,3 +300,51 @@ def _scene_segments_sql() -> str:
 
 
 MULTIMODAL_ORACLES["mm_scene_segments"] = _scene_segments_sql()
+
+
+def _payload_entropy_sql() -> str:
+    from distributed_mapreduce_server_spark.operators.multimodal import (
+        ENTROPY_LOW_T,
+    )
+
+    return f"""
+    WITH media AS (
+        SELECT doc_id, text,
+               (['image', 'audio', 'video'])[(doc_id % 3 + 1)] AS media_type
+        FROM documents
+    ),
+    bytes_rows AS (
+        SELECT doc_id, media_type,
+               unnest(list_transform(range(1, length(text) + 1),
+                                     i -> ascii(text[i]))) AS b
+        FROM media
+    ),
+    hist AS (
+        SELECT doc_id, media_type, b, COUNT(*) AS n
+        FROM bytes_rows GROUP BY 1, 2, 3
+    ),
+    tot AS (
+        SELECT doc_id, media_type, SUM(n) AS tot
+        FROM hist GROUP BY 1, 2
+    ),
+    ent AS (
+        SELECT h.doc_id, h.media_type,
+               ROUND(-SUM((h.n / CAST(t.tot AS DOUBLE))
+                          * log2(h.n / CAST(t.tot AS DOUBLE))), 4) AS entropy
+        FROM hist h JOIN tot t ON h.doc_id = t.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT media_type,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(AVG(entropy), 4) AS avg_entropy,
+           ROUND(MIN(entropy), 4) AS min_entropy,
+           ROUND(MAX(entropy), 4) AS max_entropy,
+           CAST(SUM(CASE WHEN entropy < {ENTROPY_LOW_T} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low_entropy
+    FROM ent
+    GROUP BY media_type
+    ORDER BY media_type
+"""
+
+
+MULTIMODAL_ORACLES["mm_payload_entropy"] = _payload_entropy_sql()

@@ -261,6 +261,7 @@ _register(
         "q_graph_assortativity",
         "q_graph_adamic_adar",
         "q_personalized_pagerank",
+        "q_graph_clustering_coefficient",
     ],
 )
 _register(
@@ -339,6 +340,7 @@ _register(
         "mm_shard_manifest",
         "mm_quality_gate",
         "mm_scene_segments",
+        "mm_payload_entropy",
     ],
 )
 # custom connector (Spark 4 Python Data Source API): partitioned
@@ -420,6 +422,8 @@ _ORACLES["stream_sessionize"] = """
 # stateful last-touch attribution (applyInPandasWithState) is
 # deterministic under availableNow (in-batch rows sorted into the
 # batch window order) -> carries the batch attribution oracle.
+_QUERIES["stream_burst_detection"] = streaming_jobs.stream_burst_detection
+_ORACLES["stream_burst_detection"] = EVENTS_ORACLES["q_events_burst_detection"].strip()
 _QUERIES["stream_kl_drift"] = streaming_jobs.stream_kl_drift
 _ORACLES["stream_kl_drift"] = TEXT_ORACLES["text_source_kl_divergence"].strip()
 _QUERIES["stream_attribution"] = streaming_jobs.stream_attribution

@@ -1066,3 +1066,36 @@ def stream_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_src = _run_to_memory(counts, "complete")
     return kl_from_source_counts(per_src)
+
+
+def stream_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst-episode detection ON THE STREAM (round 8): per-(type,
+    hour) counts maintained as streaming aggregation state, the
+    gaps-and-islands episode fold applied to the drained state — the
+    live twin of q_events_burst_detection ("which spikes are running
+    right now, and how long have they run").
+
+    Scale shape: streaming state = the (type x hour) count table —
+    calendar-bounded, not stream-length-bounded (with a watermark the
+    retained window would bound it further; availableNow drains the
+    whole history here); the island fold is the batch operator's own
+    (operators/events.bursts_from_hourly), so the two can never
+    diverge. Complete-mode under availableNow == batch counts ->
+    carries the full batch oracle."""
+    from distributed_mapreduce_server_spark.operators.events import (
+        bursts_from_hourly,
+    )
+
+    ev = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("m")
+    ).agg(F.count("*").alias("n"))
+    mc = _run_to_memory(hourly, "complete")
+    return bursts_from_hourly(mc)

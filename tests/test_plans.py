@@ -187,6 +187,8 @@ EAGER_OPS = {
     "stream_kl_drift",  # availableNow drain runs eagerly
     "dedup_minhash_est_eval",  # shingle/signature persist + cached 1-row result
     "text_bpe_fertility",  # rides text_bpe_train's eager merge loop
+    "q_graph_clustering_coefficient",  # persisted edge frame + checkpointed curve
+    "stream_burst_detection",  # availableNow drain runs eagerly
 }
 
 

@@ -266,3 +266,51 @@ def test_bpe_fertility_bounds(spark, sf_smoke):
     for r in rows:
         assert 1.0 <= r["fertility"] < raw
         assert r["total_symbols"] >= r["n_words"]
+
+
+def test_clustering_coefficient_curve_is_sane(spark, sf_smoke):
+    """avg_cc in [0, 1] per degree bucket; node counts over the curve
+    sum to the number of deg>=2 nodes; the curve is non-degenerate
+    (more than one cc value across buckets)."""
+    from distributed_mapreduce_server_spark.operators.graph import (
+        q_graph_clustering_coefficient,
+    )
+
+    rows = q_graph_clustering_coefficient(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["avg_cc"] <= 1.0
+        assert r["n_nodes"] >= 1 and r["d"] >= 2
+    assert len({r["avg_cc"] for r in rows}) > 1
+
+
+def test_payload_entropy_gate_nonvacuous(spark, sf_smoke):
+    """Entropy bounded by log2(alphabet); both outcome classes occur
+    (some low-entropy payloads flagged, most not); every media type
+    reports."""
+    from distributed_mapreduce_server_spark.operators.multimodal import (
+        ENTROPY_LOW_T,
+        mm_payload_entropy,
+    )
+
+    rows = mm_payload_entropy(spark, sf_smoke).collect()
+    assert {r["media_type"] for r in rows} == {"image", "audio", "video"}
+    for r in rows:
+        assert 0.0 < r["min_entropy"] <= r["avg_entropy"] <= r["max_entropy"] <= 8.0
+        assert 0 < r["n_low_entropy"] < r["n_items"]
+        assert r["min_entropy"] < ENTROPY_LOW_T <= r["max_entropy"]
+
+
+def test_stream_burst_detection_equals_batch(spark, sf_smoke):
+    """The streaming burst monitor's drained state must yield exactly
+    the batch episode table (complete-mode availableNow == batch)."""
+    from distributed_mapreduce_server_spark.operators.events import (
+        q_events_burst_detection,
+    )
+    from distributed_mapreduce_server_spark.streaming.jobs import (
+        stream_burst_detection,
+    )
+
+    stream = sorted(map(tuple, stream_burst_detection(spark, sf_smoke).collect()))
+    batch = sorted(map(tuple, q_events_burst_detection(spark, sf_smoke).collect()))
+    assert stream == batch
