@@ -252,6 +252,7 @@ BOUNDED_FRAME_WINDOWS = {
     "q_new_vs_returning": "cumulative over the per-DAY agg frame",
     "q_events_autocorrelation": "lag over the (day x type) agg frame (calendar-bounded)",
     "q_events_burst_detection": "island window over the (type x hour) agg frame (calendar-bounded)",
+    "stream_burst_detection": "same island window, over the DRAINED (type x hour) state table",
 }
 
 
@@ -610,13 +611,17 @@ def test_eager_ops_no_fact_scale_low_card_windows_executed(eager_executed_plans)
     the running-max/frontier shapes (q_events_lateness,
     q_moving_avg_events, the two-phase kernels): every executed window
     must partition by at least one non-tiny column (the kernels'
-    __pid-partitioned windows pass by construction). No allowlist:
-    the audit found zero bounded exceptions among all 57 eager keys;
-    a new one must argue its way in here explicitly."""
+    __pid-partitioned windows pass by construction). Exemptions share
+    the lazy sweep's BOUNDED_FRAME_WINDOWS list — a tiny-dim window is
+    acceptable ONLY with a per-key bounded-input justification there
+    (currently one eager key: stream_burst_detection's island window
+    over the drained calendar-bounded hourly state)."""
     from distributed_mapreduce_server_spark.plans import window_partition_specs_in
 
     offenders = []
     for key, plans in eager_executed_plans.items():
+        if key in BOUNDED_FRAME_WINDOWS:
+            continue
         for p in plans:
             for cols in window_partition_specs_in(p):
                 if (not cols) or set(cols) <= TINY_DIM_WINDOW_COLS:
