@@ -314,3 +314,15 @@ def test_stream_burst_detection_equals_batch(spark, sf_smoke):
     stream = sorted(map(tuple, stream_burst_detection(spark, sf_smoke).collect()))
     batch = sorted(map(tuple, q_events_burst_detection(spark, sf_smoke).collect()))
     assert stream == batch
+
+
+def test_bpe_train_distributed_path_matches_driver_path(spark, sf_smoke, monkeypatch):
+    """The bounded-vocab driver trainer and the distributed merge loop
+    must be result-identical — forced by dropping the vocab limit
+    (the exec-job BROADCAST_KEY_LIMIT fallback-test pattern)."""
+    from distributed_mapreduce_server_spark.operators import text as text_mod
+
+    fast = [tuple(r) for r in text_mod.text_bpe_train(spark, sf_smoke).collect()]
+    monkeypatch.setattr(text_mod, "BPE_DRIVER_VOCAB_LIMIT", 0)
+    slow = [tuple(r) for r in text_mod.text_bpe_train(spark, sf_smoke).collect()]
+    assert fast == slow
