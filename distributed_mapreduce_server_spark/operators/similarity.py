@@ -1492,15 +1492,22 @@ def emb_outlier_knn_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     stddev_samp like the norm gate. KNN_OUTLIER_SIGMA = 1.5 keeps the
     result non-vacuous at sf0.001/0.01/0.1 (this corpus's k-NN sims
     concentrate tightly, so 2.5σ would select zero rows)."""
+    # the k-th-NN slice feeds BOTH the stats aggregate and the filter
+    # spine; without the eager persist the blocked-grid Arrow pass
+    # would run twice (ReuseExchange does not dedupe repeated
+    # subtrees) — persist, materialize the small outlier result
+    # through the cache, then release
     kth = (
         sim_knn_join(spark, sf_dir)
         .filter(F.col("rank") == KNN_K)
         .select("vec_id", F.col("cos_sim").alias("knn_sim"))
+        .persist()
     )
+    kth.count()
     stats = kth.agg(
         F.avg("knn_sim").alias("__mu"), F.stddev_samp("knn_sim").alias("__sigma")
     )
-    return (
+    out = (
         kth.crossJoin(F.broadcast(stats))
         .filter(F.col("knn_sim") < F.col("__mu") - KNN_OUTLIER_SIGMA * F.col("__sigma"))
         .select(
@@ -1508,8 +1515,10 @@ def emb_outlier_knn_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "knn_sim",
             fround((F.col("knn_sim") - F.col("__mu")) / F.col("__sigma"), 4).alias("z"),
         )
-        .orderBy("vec_id")
+        .localCheckpoint(eager=True)
     )
+    kth.unpersist()
+    return out.orderBy("vec_id")
 
 
 def sim_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1657,14 +1666,18 @@ def emb_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_vectors", F.lit(0)).cast("bigint").alias("n_vectors"),
         )
     )
-    tot = sizes.agg(F.sum("n_vectors").alias("__n"), F.avg("n_vectors").alias("__avg"))
-    return (
-        sizes.crossJoin(F.broadcast(tot))
-        .select(
-            "centroid_id",
-            "n_vectors",
-            fround(F.col("n_vectors") / F.col("__n"), 6).alias("share"),
-            fround(F.col("n_vectors") / F.col("__avg"), 4).alias("imbalance"),
-        )
-        .orderBy("centroid_id")
-    )
+    # totals come from the parquet FOOTER, not a second aggregation of
+    # the assignment subtree: every candidate lands in exactly one
+    # list, so sum(n_vectors) == n_candidates by construction — a
+    # tot-agg cross-join would re-run the corpus assignment pass
+    # (ReuseExchange does not dedupe repeated subtrees)
+    from distributed_mapreduce_server_spark.catalog import table_row_count
+
+    n_cand = table_row_count(sf_dir, "embeddings") - N_QUERIES
+    avg = n_cand / N_CENTROIDS
+    return sizes.select(
+        "centroid_id",
+        "n_vectors",
+        fround(F.col("n_vectors") / F.lit(float(n_cand)), 6).alias("share"),
+        fround(F.col("n_vectors") / F.lit(float(avg)), 4).alias("imbalance"),
+    ).orderBy("centroid_id")

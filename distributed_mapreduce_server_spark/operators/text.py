@@ -1798,14 +1798,23 @@ def kl_from_source_counts(per_src: DataFrame) -> DataFrame:
     """KL(P_source || P_corpus) from a (source, tok, n_st) count frame
     — shared by the batch audit above and its streaming twin
     (streaming/jobs.stream_kl_drift), so the two can never diverge on
-    the divergence. All inputs from per_src onward are vocab-scale."""
+    the divergence. All inputs from per_src onward are vocab-scale.
+
+    per_src feeds FOUR consumers (the join spine, the corpus
+    marginal, the per-source totals, the grand total) and
+    ReuseExchange does not dedupe repeated subtrees (the measured
+    q_pagerank fact) — so it persists eagerly for the build (one
+    corpus pass instead of four), and the |sources|-row result
+    materializes through the cache before release."""
+    per_src = per_src.persist()
+    per_src.count()
     corpus = per_src.groupBy("tok").agg(F.sum("n_st").alias("n_t"))
     src_tot = per_src.groupBy("source").agg(F.sum("n_st").alias("n_s"))
     n_c = corpus.agg(F.sum("n_t").alias("__n_c"))
     term = (F.col("n_st") / F.col("n_s")) * F.log(
         (F.col("n_st") * F.col("__n_c")) / (F.col("n_s") * F.col("n_t"))
     )
-    return (
+    out = (
         per_src.join(corpus, "tok")
         .join(F.broadcast(src_tot), "source")
         .crossJoin(F.broadcast(n_c))
@@ -1814,8 +1823,10 @@ def kl_from_source_counts(per_src: DataFrame) -> DataFrame:
             F.max("n_s").cast("bigint").alias("n_tokens"),
             fround(F.sum(term), 6).alias("kl_divergence"),
         )
-        .orderBy("source")
+        .localCheckpoint(eager=True)
     )
+    per_src.unpersist()
+    return out.orderBy("source")
 
 
 def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1827,11 +1838,16 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     span-removal (dedup_span_clean) used to PRIORITIZE rather than
     cut. Trigram definition shared with text_source_overlap.
 
-    Scale shape: one corpus-sized distinct over (doc, trigram) — the
-    only fact-scale shuffle; first-occurrence is a partial-agg min per
-    gram; the attribution join is keyed on the gram at gram-scale;
-    the per-doc fold partial-aggregates. Short docs (< 3 tokens)
-    emit n_grams = 0 / novelty 0.0 via the documents left join."""
+    Scale shape: one corpus-sized distinct over (doc, trigram), then
+    first-occurrence attribution as a min() WINDOW over the gram key
+    (gram cardinality — cluster-wide parallelism) on the SAME rows —
+    single subtree, one scan (a groupBy + self-join formulation would
+    execute the corpus-sized distinct twice: ReuseExchange does not
+    dedupe repeated subtrees, the measured q_pagerank fact), and a
+    partial-agg per-doc fold. Short docs (< 3 tokens) emit
+    n_grams = 0 / novelty 0.0 via the documents left join."""
+    from pyspark.sql.window import Window
+
     docs = load_tables(spark, sf_dir, register_views=False)["documents"]
     toks = docs.select("doc_id", tokens("text").alias("t"))
     grams = toks.select(
@@ -1843,16 +1859,14 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     ).distinct()
-    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
-    per_doc = (
-        grams.join(first, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
-                "n_novel"
-            ),
-        )
+    attributed = grams.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("g"))
+    )
+    per_doc = attributed.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+            "n_novel"
+        ),
     )
     return (
         docs.select("doc_id")

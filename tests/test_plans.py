@@ -118,7 +118,6 @@ DELIBERATE_NESTED_LOOP = {
     "q_events_sequential_pattern",  # 1-row broadcast user-total cross-join
     "text_source_kl_divergence",  # 1-row broadcast corpus-total cross-join
     "emb_outlier_knn_distance",  # 1-row broadcast (mu, sigma) stats cross-join
-    "emb_ivf_balance",  # 1-row broadcast list-size totals cross-join
 }
 
 # Streaming / iterative ops execute eagerly inside the callable; the
@@ -189,6 +188,8 @@ EAGER_OPS = {
     "text_bpe_fertility",  # rides text_bpe_train's eager merge loop
     "q_graph_clustering_coefficient",  # persisted edge frame + checkpointed curve
     "stream_burst_detection",  # availableNow drain runs eagerly
+    "text_source_kl_divergence",  # per_src persist + checkpointed result
+    "emb_outlier_knn_distance",  # kth-NN slice persist + checkpointed outliers
 }
 
 
