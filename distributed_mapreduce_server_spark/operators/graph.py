@@ -228,12 +228,12 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     bipartite purchase graph in graph.py is triangle-free by
     construction, so the triangle/clustering queries run on this
     one-mode projection instead."""
-    li = (
-        load_tables(spark, sf_dir, register_views=False)["lineitem"]
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    li = load_tables(spark, sf_dir, register_views=False)["lineitem"].select(
+        "l_orderkey", "l_partkey"
     )
-    baskets = li.groupBy("l_orderkey").agg(F.collect_list("l_partkey").alias("parts"))
+    # collect_set dedups within the partial aggregation — one shuffle
+    # to baskets instead of distinct() + collect_list (two).
+    baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("parts"))
     return (
         baskets.select(F.explode("parts").alias("u"), "parts")
         .select("u", F.explode("parts").alias("v"))
@@ -275,11 +275,17 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     → bit-identical across engines before the 6 dp rounding)."""
     edges = _copurchase_edges(spark, sf_dir).persist()
     edges.count()
+    # deg (|V| rows) feeds the orientation joins AND node_stats;
+    # oriented (|E| rows) feeds BOTH sides of the wedge self-join.
+    # Neither subtree is deduped by ReuseExchange (measured — see
+    # above), so both are persisted: without this the deg shuffle
+    # re-runs 3x and the orientation joins 2x.
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("d"))
+        .persist()
     )
     e = (
         edges.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
@@ -291,7 +297,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented = e.select(
         F.when(lower_is_u, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lower_is_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    )
+    ).persist()
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     # wedge endpoints normalized to (u < v) so the closing join hits
     # the undirected (u < v) edge set directly.
@@ -323,6 +329,8 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     edges.unpersist()
+    deg.unpersist()
+    oriented.unpersist()
     return out
 
 
@@ -633,11 +641,15 @@ def q_graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFram
     (bit-identical across engines) rounded at 6 dp."""
     edges = _copurchase_edges(spark, sf_dir).persist()
     edges.count()
+    # Same persist discipline as q_graph_triangles: deg feeds the
+    # orientation joins and the final left join; oriented feeds both
+    # sides of the wedge self-join. ReuseExchange dedupes neither.
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("d"))
+        .persist()
     )
     e = (
         edges.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
@@ -649,7 +661,7 @@ def q_graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFram
     oriented = e.select(
         F.when(lower_is_u, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lower_is_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    )
+    ).persist()
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedges = (
         o1.join(o2, F.col("o1.src") == F.col("o2.src"))
@@ -690,4 +702,6 @@ def q_graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFram
     )
     out = out.localCheckpoint(eager=True)
     edges.unpersist()
+    deg.unpersist()
+    oriented.unpersist()
     return out.orderBy("d")
