@@ -592,13 +592,17 @@ def _embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _blocked_cosine_pairs(
-    spark: SparkSession, emb: DataFrame, n_hint: int | None = None
+    spark: SparkSession,
+    emb: DataFrame,
+    n_hint: int | None = None,
+    threshold: float = COSINE_DEDUP_T,
 ) -> DataFrame:
     """The blocked pair-matmul kernel over any (vec_id, embedding)
     frame — _embedding_cosine_pairs runs it on the full table, the
-    composed corpus pipelines on their surviving subset. The grid
-    scaffold (replication frames, cell cogroup, engine-stable
-    rounding) is shared with sim_knn_join via blocked.py."""
+    composed corpus pipelines on their surviving subset, and
+    dedup_threshold_sweep at a lower cut. The grid scaffold
+    (replication frames, cell cogroup, engine-stable rounding) is
+    shared with sim_knn_join via blocked.py."""
     import numpy as np
     import pandas as pd
 
@@ -607,7 +611,7 @@ def _blocked_cosine_pairs(
     )
 
     def cell(diagonal, a_ids, b_ids, cos):
-        thresh = cos >= COSINE_DEDUP_T
+        thresh = cos >= threshold
         if diagonal:
             # both blocks are the same vectors: a<b counts each
             # unordered pair exactly once
@@ -1535,3 +1539,54 @@ def dedup_minhash_est_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     e.unpersist()
     sig.unpersist()
     return out
+
+
+# Threshold tuning grid for dedup_threshold_sweep: spans the corpus'
+# cosine mass so every step is non-vacuous at both SFs (pair counts
+# 990→1 at sf0.01, 14922→14 at sf0.1 across the grid — measured);
+# the standard dedup cut COSINE_DEDUP_T (0.45) is an interior point.
+SWEEP_THRESHOLDS = (0.30, 0.35, 0.40, 0.45, 0.50)
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold tuning curve: for each cosine cut in
+    SWEEP_THRESHOLDS, how many pairs qualify and how many distinct
+    documents are touched — the table a data engineer reads to pick
+    the dedup threshold (too low: mass deletion; too high: misses) —
+    the semantic-dedup analog of sim_ivf_nprobe_sweep's recall curve.
+
+    Scale shape: ONE blocked pair-matmul at the loosest cut (the
+    n²-flop work happens once; the grid's per-task memory contract is
+    unchanged — only the emitted pair list grows, and it is bounded
+    by the 0.30-threshold pair count), then each grid step folds from
+    the same persisted pair frame with conditional partial aggs. Pair
+    cosines are pre-rounded to the 1e-4 grid by the kernel, so the
+    ≥-comparisons are engine-stable at 2-dp thresholds."""
+    from distributed_mapreduce_server_spark.catalog import table_row_count
+
+    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
+    pairs = _blocked_cosine_pairs(
+        spark,
+        emb,
+        n_hint=table_row_count(sf_dir, "embeddings"),
+        threshold=min(SWEEP_THRESHOLDS),
+    ).persist()
+    pairs.count()
+    out = None
+    for t in SWEEP_THRESHOLDS:
+        sel = pairs.filter(F.col("cos_sim") >= t)
+        docs = (
+            sel.select(F.col("vec_a").alias("v"))
+            .unionAll(sel.select(F.col("vec_b").alias("v")))
+            .distinct()
+        )
+        row = sel.agg(
+            F.lit(t).alias("threshold"),
+            F.count("*").cast("bigint").alias("n_pairs"),
+        ).crossJoin(
+            F.broadcast(docs.agg(F.count("*").cast("bigint").alias("n_docs_affected")))
+        )
+        out = row if out is None else out.unionAll(row)
+    out = out.localCheckpoint(eager=True)
+    pairs.unpersist()
+    return out.orderBy("threshold")

@@ -1824,3 +1824,118 @@ def bursts_from_hourly(mc: DataFrame) -> DataFrame:
         )
         .orderBy("event_type", "burst_start")
     )
+
+
+# Per-user event-type entropy histogram bucket width. The frozen
+# corpora concentrate H in [1.44, 1.61] nats (5 near-uniform types →
+# H ≈ ln 5), so a coarse 0.25-wide bucket would collapse every user
+# into one row; 0.02 spreads both SFs across ~9 buckets with
+# populated AND empty buckets between min and max (verify-skill
+# non-vacuous sizing rule).
+ENTROPY_BUCKET_W = 0.02
+
+
+def q_events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity audit: Shannon entropy (nats) of each
+    user's event-type distribution, reported as a histogram over
+    ENTROPY_BUCKET_W-wide buckets (bucket floor, user count, mean
+    event volume). Low-entropy users do one thing over and over —
+    the complementary signal to q_events_bot_flags' cadence
+    regularity for spotting scripted traffic.
+
+    Scale shape: one partial-agg shuffle to the (user, type) count
+    frame (bounded by |users|·|types|), a user-keyed reduction that
+    folds Σ n·ln n and Σ n into H = ln N − (Σ n·ln n)/N per user
+    (one pass — no second join against a totals frame), then a
+    bucket-keyed reduction to ≤ ⌈H_max/W⌉ rows. Entropy is computed
+    from exact integer counts, rounded once at 6 dp; the bucket id
+    derives from the ROUNDED value so the histogram is engine-stable
+    even when H sits within float noise of a bucket edge."""
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    per_user = per_type.groupBy("user_id").agg(
+        F.sum("n").alias("n_events"),
+        F.sum(F.col("n") * F.log(F.col("n"))).alias("s_nlogn"),
+    )
+    h = per_user.select(
+        "user_id",
+        "n_events",
+        fround(
+            F.log(F.col("n_events")) - F.col("s_nlogn") / F.col("n_events"), 6
+        ).alias("entropy"),
+    )
+    return (
+        h.select(
+            (F.floor(F.col("entropy") / ENTROPY_BUCKET_W) * ENTROPY_BUCKET_W)
+            .cast("decimal(10,2)")
+            .cast("double")
+            .alias("entropy_bucket"),
+            "n_events",
+        )
+        .groupBy("entropy_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            fround(F.avg("n_events"), 4).alias("avg_events"),
+        )
+        .orderBy("entropy_bucket")
+    )
+
+
+# Bot-cadence gate: flag users whose inter-event gap coefficient of
+# variation sits below BOT_CV_T with at least BOT_MIN_GAPS observed
+# gaps. Human traffic on the frozen corpora spans cv ∈ [0.66, 1.53]
+# with the 5th percentile ≈ 0.82 at both SFs, so 0.85 flags a real
+# non-empty minority (≈7 users at sf0.01, ≈80 at sf0.1) while most
+# users pass — non-vacuous in both directions at both SFs.
+BOT_CV_T = 0.85
+BOT_MIN_GAPS = 20
+
+
+def q_events_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cadence-regularity bot screen: users whose inter-event timing
+    is suspiciously metronomic — coefficient of variation (population
+    stddev / mean) of consecutive-event gaps below BOT_CV_T over at
+    least BOT_MIN_GAPS gaps. A scripted poller fires on a timer
+    (cv → 0); organic sessions are bursty (cv ≥ 1 for memoryless
+    arrivals). Returns the flagged users with their gap statistics.
+
+    Scale shape: the lag window partitions by user_id — a
+    high-cardinality fact key, so the sort parallelizes across the
+    cluster (the q_events_sessionize precedent, NOT a tiny-dim
+    window); everything after is a user-keyed partial aggregation.
+    CV is derived from exact moment sums (n, Σg, Σg²) and rounded
+    once; the filter compares the ROUNDED cv so the flag set is
+    engine-stable at the threshold boundary."""
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            (
+                F.col("ts").cast("double")
+                - F.lag(F.col("ts").cast("double")).over(w)
+            ).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    stats = gaps.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.sum("gap").alias("sg"),
+        F.sum(F.col("gap") * F.col("gap")).alias("sgg"),
+    )
+    mean = F.col("sg") / F.col("n_gaps")
+    var = F.col("sgg") / F.col("n_gaps") - mean * mean
+    out = stats.select(
+        "user_id",
+        "n_gaps",
+        fround(mean, 4).alias("mean_gap_s"),
+        fround(F.sqrt(F.greatest(var, F.lit(0.0))) / mean, 6).alias("gap_cv"),
+    )
+    return (
+        out.filter(
+            (F.col("n_gaps") >= BOT_MIN_GAPS) & (F.col("gap_cv") < BOT_CV_T)
+        )
+        .orderBy("user_id")
+    )

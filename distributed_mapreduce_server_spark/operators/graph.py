@@ -705,3 +705,56 @@ def q_graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFram
     deg.unpersist()
     oriented.unpersist()
     return out.orderBy("d")
+
+
+# k-core peel: K sits just below the copurchase median degree
+# (~115/119 at the two SFs) so the peel has a real multi-round
+# cascade — K=100 leaves 2 live rounds at sf0.01 and 3 at sf0.1
+# before the graph collapses (measured; larger K collapses round 2,
+# smaller K converges without cascading).
+KCORE_K = 100
+KCORE_ROUNDS = 4
+
+
+def q_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition profile: KCORE_ROUNDS rounds of "drop
+    every node with degree < KCORE_K, restrict edges to survivors",
+    reporting nodes/edges remaining after each round — the dense-core
+    extraction a recommender runs to find the product communities
+    worth modeling, and the fixed-round profile exposes the cascade
+    speed (how fast the periphery unravels), not just the fixed
+    point.
+
+    Scale shape: each round is one degree reduction (partial agg over
+    the current edge frame) plus two semi-joins — all keyed, no
+    window, no cartesian. The surviving edge frame is cut to a leaf
+    with eager localCheckpoint per round (the dedup_clusters_bigstar
+    discipline: persist alone leaves geometric lineage and Catalyst
+    analysis time explodes), and per-round sizes are read off the
+    checkpointed frame. Rounds are FIXED, so the DuckDB oracle
+    unrolls the same peel as MATERIALIZED CTEs."""
+    rows = []
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    for r in range(1, KCORE_ROUNDS + 1):
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= KCORE_K).select("node").localCheckpoint(
+            eager=True
+        )
+        n_nodes = keep.count()
+        nxt = (
+            edges.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
+            .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n_edges = nxt.count()
+        rows.append((r, KCORE_K, n_nodes, n_edges))
+        edges = nxt
+    return spark.createDataFrame(
+        rows, "round int, k int, n_nodes bigint, n_edges bigint"
+    ).orderBy("round")

@@ -1886,3 +1886,275 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# Repeat-purchase survival grid (days). Inter-order gaps on the
+# frozen corpora span 0..~2300 days with median ~150, so the grid
+# has populated buckets at every step and strictly-decreasing
+# survival at both SFs.
+SURVIVAL_GRID_DAYS = (7, 30, 60, 90, 180, 365, 730)
+
+
+def q_repeat_purchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase survival curve: over every consecutive-order
+    gap (days between a customer's order N and N+1), the fraction
+    that reaches at least each SURVIVAL_GRID_DAYS horizon — the
+    "how long until the customer comes back, if ever" curve a
+    retention team reads before setting re-engagement windows.
+
+    Scale shape: the lag window partitions by o_custkey (fact-scale
+    key — parallel sort, the q_order_gaps precedent), then ONE
+    aggregation folds every grid threshold as a conditional partial
+    sum (no per-threshold pass, no explode of the gap frame), and the
+    1-row moment frame explodes to |grid| output rows driver-free.
+    Survival is a ratio of exact integer counts, rounded at 6 dp."""
+    from pyspark.sql.window import Window
+
+    orders = load_tables(spark, sf_dir, register_views=False)["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select(
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    agg = gaps.agg(
+        F.count("*").alias("n_gaps"),
+        *[
+            F.sum((F.col("gap_days") >= g).cast("long")).alias(f"ge_{g}")
+            for g in SURVIVAL_GRID_DAYS
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(g).alias("horizon_days"),
+                F.col(f"ge_{g}").alias("n_surviving"),
+            )
+            for g in SURVIVAL_GRID_DAYS
+        ]
+    )
+    return (
+        agg.select("n_gaps", F.explode(pairs).alias("p"))
+        .select(
+            F.col("p.horizon_days").alias("horizon_days"),
+            "n_gaps",
+            F.col("p.n_surviving").alias("n_surviving"),
+            fround(F.col("p.n_surviving") / F.col("n_gaps"), 6).alias(
+                "survival"
+            ),
+        )
+        .orderBy("horizon_days")
+    )
+
+
+def q_chi2_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit of market segment × order
+    priority: the full contingency table with expected counts and
+    per-cell chi² contributions, plus the table-wide statistic on
+    every row — the "is priority mix actually different across
+    segments" readout (large cells of the answer, not just one
+    number).
+
+    Scale shape: the fact join reduces to a |segments|×|priorities|
+    cell frame in one partial-agg shuffle (25 cells here; bounded by
+    dim-attribute cardinalities at any SF); marginals and the total
+    are windows over that TINY frame — the q_seasonality_index
+    bounded-frame precedent, never a fact-scale window. chi² terms
+    derive from exact integer counts; each output double is rounded
+    once."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    cells = (
+        t["orders"]
+        .join(broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("observed"))
+    )
+    w_seg = Window.partitionBy("c_mktsegment")
+    w_pri = Window.partitionBy("o_orderpriority")
+    w_all = Window.partitionBy()
+    expected = (
+        F.sum("observed").over(w_seg)
+        * F.sum("observed").over(w_pri)
+        / F.sum("observed").over(w_all)
+    )
+    term = F.pow(F.col("observed") - expected, 2) / expected
+    return (
+        cells.select(
+            "c_mktsegment",
+            "o_orderpriority",
+            "observed",
+            fround(expected, 4).alias("expected"),
+            fround(term, 6).alias("chi2_term"),
+            fround(F.sum(term).over(w_all), 4).alias("chi2_total"),
+        )
+        .orderBy("c_mktsegment", "o_orderpriority")
+    )
+
+
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration (customers
+    with ≥1 order): G = 2·Σ(rank·x) / (n·Σx) − (n+1)/n over revenues
+    ranked ascending — the one-number inequality audit next to
+    q_abc_analysis' banded view.
+
+    Scale shape: revenue aggregates per customer (one fact shuffle);
+    the ascending global rank comes from the two-phase range-partition
+    kernel (operators/scale.py) because customers scale with SF — an
+    unpartitioned row_number window would sort the whole customer
+    frame in ONE task at sf100k. Σx and n are free from the kernel's
+    stats pass (the q_abc_analysis discipline); Σ(rank·x) is one agg
+    over the ranked frame. Ties in revenue are rank-order-safe: equal
+    x contribute the same Σ rank·x under any permutation of their
+    consecutive ranks, so the (rev, custkey) total order is only for
+    determinism of the intermediate frame. Revenue is rounded at 2 dp
+    BEFORE ranking so both engines rank identical values."""
+    from distributed_mapreduce_server_spark.operators.scale import two_phase_rank
+
+    orders = load_tables(spark, sf_dir, register_views=False)["orders"]
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(fround(F.sum("o_totalprice"), 2).alias("rev"))
+        .persist()
+    )
+    ranked, totals, tagged = two_phase_rank(
+        spark,
+        rev,
+        [F.asc("rev"), F.asc("o_custkey")],
+        rn_col="rk",
+        materialize=False,
+    )
+    n = totals.rows
+    srx = ranked.agg(F.sum(F.col("rk") * F.col("rev")).alias("srx"))
+    # Σx comes from the kernel's stats pass; re-rounded at 2 dp so the
+    # exposed total matches the oracle's SUM of already-rounded revs.
+    total = F.col("total_revenue")
+    out = (
+        srx.crossJoin(broadcast(rev.agg(fround(F.sum("rev"), 2).alias("total_revenue"))))
+        .select(
+            F.lit(n).cast("bigint").alias("n_customers"),
+            "total_revenue",
+            fround(
+                F.lit(2.0) * F.col("srx") / (F.lit(float(n)) * total)
+                - (F.lit(float(n + 1)) / F.lit(float(n))),
+                6,
+            ).alias("gini"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tagged.unpersist()
+    rev.unpersist()
+    return out
+
+
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman supplier-concentration index per nation:
+    each supplier's share of its nation's lineitem revenue, squared
+    and summed — the antitrust-style "is this market dominated by a
+    few suppliers" number, with supplier count and nation revenue
+    alongside.
+
+    Scale shape: one fact shuffle to the (supplier) revenue frame
+    (suppliers scale with SF but the per-supplier reduction is a
+    partial agg); supplier→nation is a broadcast dim join; the HHI
+    fold is a nation-keyed reduction over the supplier frame —
+    bounded fan-in per nation, no window over fact rows. Supplier
+    revenue rounds at 2 dp first so shares are ratios of identical
+    numbers in both engines."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    sup_rev = (
+        t["lineitem"]
+        .groupBy("l_suppkey")
+        .agg(
+            fround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("srev")
+        )
+        .join(
+            broadcast(
+                t["supplier"].select("s_suppkey", "s_nationkey")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name", "l_suppkey", "srev")
+    )
+    per_nation = sup_rev.groupBy("n_name").agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.sum("srev").alias("nrev"),
+        F.sum(F.col("srev") * F.col("srev")).alias("s2"),
+    )
+    return (
+        per_nation.select(
+            "n_name",
+            "n_suppliers",
+            fround(F.col("nrev"), 2).alias("nation_revenue"),
+            fround(F.col("s2") / (F.col("nrev") * F.col("nrev")), 6).alias(
+                "hhi"
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
+# lineitem measure columns for the correlation matrix — every
+# unordered pair is reported once (col_a < col_b lexicographically).
+CORR_COLS = ("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of the lineitem measures —
+    the EDA primitive that tells a modeler which raw features are
+    redundant before training. All C(4,2) pairs from ONE full-scan
+    aggregation: n, Σx, Σx² per column and Σxy per pair fold in a
+    single partial-agg pass (14 scalar moments), then the 1-row
+    moment frame explodes to the 6 output rows — no per-pair scan,
+    no driver-side loop over data.
+
+    corr = (n·Σxy − Σx·Σy) / √((n·Σx²−(Σx)²)(n·Σy²−(Σy)²)), exact
+    moments, rounded once at 6 dp."""
+    li = load_tables(spark, sf_dir, register_views=False)["lineitem"]
+    pairs = [
+        (a, b)
+        for i, a in enumerate(CORR_COLS)
+        for b in CORR_COLS[i + 1 :]
+    ]
+    aggs = [F.count("*").cast("double").alias("n")]
+    for c in CORR_COLS:
+        aggs.append(F.sum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    for a, b in pairs:
+        aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    m = li.agg(*aggs)
+
+    def corr(a, b):
+        num = F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        den = F.sqrt(
+            (F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+            * (F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+        )
+        return num / den
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                fround(corr(a, b), 6).alias("corr"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return (
+        m.select(F.col("n").cast("bigint").alias("n_rows"), F.explode(rows).alias("p"))
+        .select("p.col_a", "p.col_b", "n_rows", "p.corr")
+        .orderBy("col_a", "col_b")
+    )
