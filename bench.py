@@ -120,6 +120,18 @@ HEADLINE = [
     "text_bpe_fertility",
     "q_graph_clustering_coefficient",
     "mm_payload_entropy",
+    # round-9 wave (the nine registered this round)
+    "q_repeat_purchase_survival",
+    "q_chi2_segment_priority",
+    "q_gini_revenue",
+    "q_supplier_hhi",
+    "q_corr_matrix",
+    "q_events_user_entropy",
+    "q_events_bot_flags",
+    "q_graph_kcore_peel",
+    "dedup_threshold_sweep",
+    "dedup_semantic_routed",
+    "dedup_routed_eval",
 ]
 
 
@@ -155,6 +167,30 @@ def host_calibration() -> dict[str, float]:
     }
 
 
+def quick_probe() -> float:
+    """Cheap load probe (median-of-3 single-thread 512³ matmul, ms) —
+    interleaved THROUGH the run, unlike host_calibration()'s start-of-
+    run point sample: r7's driver bench recorded a light-load probe yet
+    18x per-query spreads, because the load spiked after the probes
+    ran. A probe every PROBE_EVERY queries brackets each sample."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.random((512, 512))
+    b = rng.random((512, 512))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (a @ b).sum()
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return round(ts[1] * 1e3, 3)
+
+
+PROBE_EVERY = 10
+LOAD_FLAG_FACTOR = 1.5
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -179,7 +215,15 @@ def main() -> None:
 
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    for name in names:
+    # probe_series[k] = probe taken before query index k*PROBE_EVERY
+    # (plus one final probe after the last query) — each query sample
+    # is bracketed by the probes around its block.
+    probe_series: list[list] = [[0, quick_probe()]]
+    query_probe_block: dict[str, int] = {}
+    for qi, name in enumerate(names):
+        if qi and qi % PROBE_EVERY == 0:
+            probe_series.append([qi, quick_probe()])
+        query_probe_block[name] = len(probe_series) - 1
         # 3 runs, report the MEDIAN plus [min, max] spread: host-load
         # variance on this box is ~±25%, so a single sample measures
         # the noise as much as the query, and best-of-N hides
@@ -205,6 +249,22 @@ def main() -> None:
         # anything the explicit retire above will catch next iteration.
         df = None
         gc.collect()
+    probe_series.append([len(names), quick_probe()])
+    # Per-query load factor: worst bracketing probe over the run's
+    # best probe (the lightest observed load is the reference — an
+    # absolute baseline would re-measure the host, not the run).
+    # Factor > LOAD_FLAG_FACTOR means the sample may be load-inflated;
+    # judges should read those against the spread minima.
+    best_probe = min(p for _, p in probe_series)
+    load_factor: dict[str, float] = {}
+    for name, blk in query_probe_block.items():
+        bracket = [probe_series[blk][1]]
+        if blk + 1 < len(probe_series):
+            bracket.append(probe_series[blk + 1][1])
+        load_factor[name] = round(max(bracket) / best_probe, 2)
+    load_flagged = sorted(
+        n for n, f in load_factor.items() if f > LOAD_FLAG_FACTOR
+    )
     total = round(sum(times.values()), 3)
     payload = json.dumps(
         {
@@ -215,6 +275,9 @@ def main() -> None:
             "spread": spread,
             "protocol": "median_of_3",
             "calibration": host_calibration(),
+            "probe_series": probe_series,
+            "load_factor": load_factor,
+            "load_flagged": load_flagged,
             "sf": sf,
         }
     )

@@ -568,3 +568,114 @@ def _minhash_est_eval_sql() -> str:
 
 
 DEDUP_ORACLES["dedup_minhash_est_eval"] = _minhash_est_eval_sql()
+
+
+from distributed_mapreduce_server_spark.operators.dedup import (  # noqa: E402
+    SWEEP_THRESHOLDS,
+)
+
+
+def _threshold_sweep_sql() -> str:
+    """Mirrors dedup_threshold_sweep: one materialized pair frame at
+    the loosest cut, then each grid step counts pairs and distinct
+    touched docs from it (cosines pre-rounded to the 1e-4 grid, so
+    the >= comparisons are engine-stable at 2-dp thresholds)."""
+    rows = " UNION ALL ".join(
+        f"""SELECT CAST({t} AS DOUBLE) AS threshold,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM pairs WHERE cs >= {t}) AS n_pairs,
+               (SELECT CAST(COUNT(DISTINCT v) AS BIGINT)
+                FROM (SELECT va AS v FROM pairs WHERE cs >= {t}
+                      UNION ALL SELECT vb FROM pairs WHERE cs >= {t})
+               ) AS n_docs_affected"""
+        for t in SWEEP_THRESHOLDS
+    )
+    return f"""
+    WITH pairs AS MATERIALIZED (
+        SELECT a.vec_id AS va, b.vec_id AS vb, {_COS_AB} AS cs
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_COS_AB} >= {min(SWEEP_THRESHOLDS)}
+    )
+    SELECT * FROM ({rows})
+    ORDER BY threshold
+"""
+
+
+DEDUP_ORACLES["dedup_threshold_sweep"] = _threshold_sweep_sql()
+
+
+from distributed_mapreduce_server_spark.operators.dedup import (  # noqa: E402
+    ROUTE_PROBES,
+    ROUTE_STRIDE,
+)
+
+# vector↔centroid cosine for the routing oracle (v = embeddings row,
+# k = centroids row) — mirrors _centroid_assign's rounded matmul.
+_COS_VK = """ROUND(list_sum(list_transform(range(1, len(v.embedding) + 1),
+                 i -> CAST(v.embedding[i] AS DOUBLE) * CAST(k.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(k.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             4)"""
+
+_ROUTED_ASSIGN = f"""
+    centroids AS MATERIALIZED (
+        SELECT vec_id AS centroid_id, embedding FROM embeddings
+        WHERE vec_id % {ROUTE_STRIDE} = 0
+    ),
+    assign AS MATERIALIZED (
+        SELECT vec_id, centroid_id FROM (
+            SELECT v.vec_id, k.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY {_COS_VK} DESC, k.centroid_id) AS crank
+            FROM embeddings v CROSS JOIN centroids k
+        ) WHERE crank <= {ROUTE_PROBES}
+    )
+"""
+
+_ROUTED_PAIRS = f"""
+    cand AS MATERIALIZED (
+        SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+        FROM assign x JOIN assign y
+          ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+    ),
+    routed AS MATERIALIZED (
+        SELECT va AS vec_a, vb AS vec_b, {_COS_AB} AS cos_sim
+        FROM cand
+        JOIN embeddings a ON va = a.vec_id
+        JOIN embeddings b ON vb = b.vec_id
+        WHERE {_COS_AB} >= {COSINE_DEDUP_T}
+    )
+"""
+
+DEDUP_ORACLES["dedup_semantic_routed"] = f"""
+    WITH {_ROUTED_ASSIGN},
+    {_ROUTED_PAIRS}
+    SELECT vec_a, vec_b, cos_sim FROM routed
+    ORDER BY vec_a, vec_b
+"""
+
+DEDUP_ORACLES["dedup_routed_eval"] = f"""
+    WITH {_ROUTED_ASSIGN},
+    {_ROUTED_PAIRS},
+    exact AS MATERIALIZED (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_COS_AB} >= {COSINE_DEDUP_T}
+    ),
+    m AS (
+        SELECT (SELECT COUNT(*) FROM exact) AS ne,
+               (SELECT COUNT(*) FROM routed) AS nr,
+               (SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT)
+                FROM (SELECT COUNT(*) AS c FROM assign GROUP BY centroid_id)
+               ) AS nc,
+               (SELECT COUNT(*) * (COUNT(*) - 1) // 2 FROM embeddings) AS nb
+    )
+    SELECT CAST(ne AS BIGINT) AS n_exact_pairs,
+           CAST(nr AS BIGINT) AS n_routed_pairs,
+           CAST(ne - nr AS BIGINT) AS n_missed,
+           ROUND(CAST(nr AS DOUBLE) / ne, 4) AS recall,
+           nc AS n_candidates,
+           CAST(nb AS BIGINT) AS n_brute_pairs,
+           ROUND(CAST(nb AS DOUBLE) / nc, 2) AS candidate_reduction
+    FROM m
+"""

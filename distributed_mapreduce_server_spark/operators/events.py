@@ -1866,12 +1866,16 @@ def q_events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(F.col("n_events")) - F.col("s_nlogn") / F.col("n_events"), 6
         ).alias("entropy"),
     )
+    # Grid-exact bucketing: entropy is already on the 1e-6 grid, so
+    # round(H*1e6) recovers the exact integer micro-nats and the
+    # bucket id is integer division by 20 000 (0.02 in micro-nats).
+    # Dividing the double directly (floor(H/0.02)) misbuckets exact
+    # edges — 1.44/0.02 = 71.999999999999986 floors to bucket 1.42.
+    micro = F.round(F.col("entropy") * F.lit(1e6)).cast("long")
+    bucket = (F.floor(micro / F.lit(20000)) * 2).cast("double") / F.lit(100.0)
     return (
         h.select(
-            (F.floor(F.col("entropy") / ENTROPY_BUCKET_W) * ENTROPY_BUCKET_W)
-            .cast("decimal(10,2)")
-            .cast("double")
-            .alias("entropy_bucket"),
+            bucket.alias("entropy_bucket"),
             "n_events",
         )
         .groupBy("entropy_bucket")
@@ -1907,7 +1911,9 @@ def q_events_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     window); everything after is a user-keyed partial aggregation.
     CV is derived from exact moment sums (n, Σg, Σg²) and rounded
     once; the filter compares the ROUNDED cv so the flag set is
-    engine-stable at the threshold boundary."""
+    engine-stable at the threshold boundary. Zero-mean users (every
+    gap exactly 0 s) pin cv = 0.0 explicitly — 0/0 would NULL-drop
+    the strongest bots."""
     ev = load_tables(spark, sf_dir, register_views=False)["events"]
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = (
@@ -1927,11 +1933,18 @@ def q_events_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean = F.col("sg") / F.col("n_gaps")
     var = F.col("sgg") / F.col("n_gaps") - mean * mean
+    # mean == 0 (every gap exactly zero — perfectly metronomic, the
+    # STRONGEST bot signal) would make cv = 0/0 → NULL and the filter
+    # would silently drop exactly the user it should flag; pin cv to
+    # 0.0 explicitly so the edge case is deterministic in both engines.
+    cv = F.when(F.col("sg") == 0, F.lit(0.0)).otherwise(
+        fround(F.sqrt(F.greatest(var, F.lit(0.0))) / mean, 6)
+    )
     out = stats.select(
         "user_id",
         "n_gaps",
         fround(mean, 4).alias("mean_gap_s"),
-        fround(F.sqrt(F.greatest(var, F.lit(0.0))) / mean, 6).alias("gap_cv"),
+        cv.alias("gap_cv"),
     )
     return (
         out.filter(

@@ -637,8 +637,9 @@ def q_graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFram
     output bounded by 3·triangles — and per-node counts
     partial-aggregate. Zero-triangle nodes enter through a left join
     from the degree frame, so the curve's denominator is every node
-    with deg ≥ 2. Both cc and its mean are ratios of exact integers
-    (bit-identical across engines) rounded at 6 dp."""
+    with deg ≥ 2. avg_cc is computed per degree group as the single
+    exact-integer ratio 2·SUM(t)/(n_nodes·d·(d−1)) — one rounding at
+    6 dp, bit-identical across engines."""
     edges = _copurchase_edges(spark, sf_dir).persist()
     edges.count()
     # Same persist discipline as q_graph_triangles: deg feeds the
@@ -680,23 +681,29 @@ def q_graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("node")
         .agg(F.count("*").alias("t"))
     )
-    per_node = (
+    # Every node in a degree group shares the denominator d*(d-1)/2,
+    # so the group mean collapses to one exact-integer ratio:
+    # avg_cc(d) = 2*SUM(t) / (n_nodes*d*(d-1)). Averaging per-node
+    # ccs pre-rounded at 6 dp instead lands on .5e-6 float ties
+    # whenever (sum*1e6) mod n == n/2, and the float64 summation
+    # order (distributed vs sequential) decides the side — the exact
+    # form has a single rounding and is bit-identical across engines.
+    out = (
         deg.filter(F.col("d") >= 2)
         .join(tri_nodes, "node", "left")
-        .select(
-            "d",
-            fround(
-                F.coalesce(F.col("t"), F.lit(0)) * 2
-                / (F.col("d") * (F.col("d") - 1)),
-                6,
-            ).alias("cc"),
-        )
-    )
-    out = (
-        per_node.groupBy("d")
+        .groupBy("d")
         .agg(
             F.count("*").cast("bigint").alias("n_nodes"),
-            fround(F.avg("cc"), 6).alias("avg_cc"),
+            F.sum(F.coalesce(F.col("t"), F.lit(0))).cast("bigint").alias("sum_t"),
+        )
+        .select(
+            "d",
+            "n_nodes",
+            fround(
+                F.col("sum_t") * 2
+                / (F.col("n_nodes") * F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("avg_cc"),
         )
         .orderBy("d")
     )
@@ -731,10 +738,21 @@ def q_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     with eager localCheckpoint per round (the dedup_clusters_bigstar
     discipline: persist alone leaves geometric lineage and Catalyst
     analysis time explodes), and per-round sizes are read off the
-    checkpointed frame. Rounds are FIXED, so the DuckDB oracle
-    unrolls the same peel as MATERIALIZED CTEs."""
+    checkpointed frame. Superseded rounds' checkpoint blocks are
+    retired as soon as the next round's counts materialize (id-diff
+    snapshots around each checkpoint) — without that, every round's
+    edge frame stays in executor storage for the life of the session.
+    Rounds are FIXED, so the DuckDB oracle unrolls the same peel as
+    MATERIALIZED CTEs."""
+    from distributed_mapreduce_server_spark.session import (
+        persistent_rdd_ids,
+        unpersist_rdd_ids,
+    )
+
     rows = []
+    before = persistent_rdd_ids(spark)
     edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edge_ids = persistent_rdd_ids(spark) - before
     for r in range(1, KCORE_ROUNDS + 1):
         deg = (
             edges.select(F.col("u").alias("node"))
@@ -742,19 +760,27 @@ def q_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.count("*").alias("d"))
         )
+        before = persistent_rdd_ids(spark)
         keep = deg.filter(F.col("d") >= KCORE_K).select("node").localCheckpoint(
             eager=True
         )
+        keep_ids = persistent_rdd_ids(spark) - before
         n_nodes = keep.count()
+        before = persistent_rdd_ids(spark)
         nxt = (
             edges.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
             .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
+        nxt_ids = persistent_rdd_ids(spark) - before
         n_edges = nxt.count()
         rows.append((r, KCORE_K, n_nodes, n_edges))
-        edges = nxt
+        # This round's counts are materialized — the previous edge
+        # frame and this round's keep frame are dead; free their blocks.
+        unpersist_rdd_ids(spark, edge_ids | keep_ids)
+        edges, edge_ids = nxt, nxt_ids
+    unpersist_rdd_ids(spark, edge_ids)
     return spark.createDataFrame(
         rows, "round int, k int, n_nodes bigint, n_edges bigint"
     ).orderBy("round")

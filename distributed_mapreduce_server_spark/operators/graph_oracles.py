@@ -291,16 +291,72 @@ GRAPH_ORACLES["q_graph_clustering_coefficient"] = f"""
         FROM (SELECT u AS node FROM ce UNION ALL SELECT v AS node FROM ce)
         GROUP BY 1
     ),
-    per_node AS (
+    per_deg AS (
         SELECT deg.d,
-               ROUND(COALESCE(tn.t, 0) * 2
-                     / CAST(deg.d * (deg.d - 1) AS DOUBLE), 6) AS cc
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(COALESCE(tn.t, 0)) AS BIGINT) AS sum_t
         FROM deg LEFT JOIN tn USING (node)
         WHERE deg.d >= 2
+        GROUP BY deg.d
     )
-    SELECT d, CAST(COUNT(*) AS BIGINT) AS n_nodes,
-           ROUND(AVG(cc), 6) AS avg_cc
-    FROM per_node
-    GROUP BY d
+    -- Exact-integer group ratio (mirrors graph.py): one double
+    -- division + one ROUND, no pre-rounded per-node ccs to tie on.
+    SELECT d, n_nodes,
+           ROUND(sum_t * 2 / CAST(n_nodes * d * (d - 1) AS DOUBLE), 6) AS avg_cc
+    FROM per_deg
     ORDER BY d
 """
+
+
+from distributed_mapreduce_server_spark.operators.graph import (  # noqa: E402
+    KCORE_K,
+    KCORE_ROUNDS,
+)
+
+_COPURCHASE_MAT = _COPURCHASE.replace("ce AS (", "ce AS MATERIALIZED (")
+
+
+def _kcore_sql() -> str:
+    """Unrolled fixed-round k-core peel (mirrors q_graph_kcore_peel):
+    round r drops nodes with degree < KCORE_K from the round-(r-1)
+    edge frame and restricts edges to survivors. Every CTE is
+    MATERIALIZED — each round references the previous twice (degree
+    union + edge restriction) and DuckDB inlines per reference site,
+    which would make the peel exponential in rounds."""
+    steps = ["e0 AS MATERIALIZED (SELECT u, v FROM ce)"]
+    for r in range(1, KCORE_ROUNDS + 1):
+        steps.append(
+            f"""d{r} AS MATERIALIZED (
+        SELECT node, COUNT(*) AS d
+        FROM (SELECT u AS node FROM e{r - 1}
+              UNION ALL SELECT v AS node FROM e{r - 1})
+        GROUP BY 1
+    )"""
+        )
+        steps.append(
+            f"""k{r} AS MATERIALIZED (
+        SELECT node FROM d{r} WHERE d >= {KCORE_K}
+    )"""
+        )
+        steps.append(
+            f"""e{r} AS MATERIALIZED (
+        SELECT u, v FROM e{r - 1}
+        WHERE u IN (SELECT node FROM k{r})
+          AND v IN (SELECT node FROM k{r})
+    )"""
+        )
+    rows = " UNION ALL ".join(
+        f"""SELECT {r} AS round, {KCORE_K} AS k,
+               (SELECT COUNT(*) FROM k{r}) AS n_nodes,
+               (SELECT COUNT(*) FROM e{r}) AS n_edges"""
+        for r in range(1, KCORE_ROUNDS + 1)
+    )
+    return f"""
+    WITH {_COPURCHASE_MAT},
+    {", ".join(steps)}
+    SELECT * FROM ({rows})
+    ORDER BY round
+"""
+
+
+GRAPH_ORACLES["q_graph_kcore_peel"] = _kcore_sql()

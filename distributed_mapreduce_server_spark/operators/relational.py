@@ -2017,30 +2017,35 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_mapreduce_server_spark.operators.scale import two_phase_rank
 
     orders = load_tables(spark, sf_dir, register_views=False)["orders"]
-    rev = (
-        orders.groupBy("o_custkey")
-        .agg(fround(F.sum("o_totalprice"), 2).alias("rev"))
-        .persist()
+    # rev_c = revenue in integer CENTS rides along so the grand total
+    # comes out of the kernel's stats pass EXACTLY: long partials sum
+    # without float rounding (< 2^53 through sf1000), where a double
+    # sum of the 2-dp revs is only ~1e-4-accurate at sf0.1 — close
+    # enough to a 0.01 grid edge to flip the rounded total per engine.
+    rev = orders.groupBy("o_custkey").agg(
+        fround(F.sum("o_totalprice"), 2).alias("rev")
+    ).select(
+        "o_custkey", "rev", F.round(F.col("rev") * 100).cast("long").alias("rev_c")
     )
     ranked, totals, tagged = two_phase_rank(
         spark,
         rev,
         [F.asc("rev"), F.asc("o_custkey")],
         rn_col="rk",
+        sum_cols=["rev_c"],
         materialize=False,
     )
     n = totals.rows
+    # Σx comes FREE from the kernel's stats pass (totals.sums) — no
+    # second aggregation over the revenue frame.
+    total = totals.sums["rev_c"] / 100.0
     srx = ranked.agg(F.sum(F.col("rk") * F.col("rev")).alias("srx"))
-    # Σx comes from the kernel's stats pass; re-rounded at 2 dp so the
-    # exposed total matches the oracle's SUM of already-rounded revs.
-    total = F.col("total_revenue")
     out = (
-        srx.crossJoin(broadcast(rev.agg(fround(F.sum("rev"), 2).alias("total_revenue"))))
-        .select(
+        srx.select(
             F.lit(n).cast("bigint").alias("n_customers"),
-            "total_revenue",
+            F.lit(total).alias("total_revenue"),
             fround(
-                F.lit(2.0) * F.col("srx") / (F.lit(float(n)) * total)
+                F.lit(2.0) * F.col("srx") / (F.lit(float(n)) * F.lit(total))
                 - (F.lit(float(n + 1)) / F.lit(float(n))),
                 6,
             ).alias("gini"),
@@ -2048,7 +2053,6 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     tagged.unpersist()
-    rev.unpersist()
     return out
 
 

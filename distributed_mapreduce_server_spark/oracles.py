@@ -1860,3 +1860,198 @@ EVENTS_ORACLES["q_events_burst_detection"] = """
     GROUP BY event_type, grp
     ORDER BY event_type, burst_start
 """
+
+
+from distributed_mapreduce_server_spark.operators.relational import (  # noqa: E402
+    CORR_COLS,
+    SURVIVAL_GRID_DAYS,
+)
+
+_SURV_GE = ", ".join(
+    f"CAST(SUM(CASE WHEN gap_days >= {d} THEN 1 ELSE 0 END) AS BIGINT) AS ge_{d}"
+    for d in SURVIVAL_GRID_DAYS
+)
+_SURV_ROWS = " UNION ALL ".join(
+    f"""SELECT {d} AS horizon_days, n_gaps, ge_{d} AS n_surviving,
+               ROUND(ge_{d} / n_gaps, 6) AS survival FROM agg"""
+    for d in SURVIVAL_GRID_DAYS
+)
+
+RELATIONAL_ORACLES["q_repeat_purchase_survival"] = f"""
+    WITH gaps AS (
+        SELECT date_diff('day',
+                   CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS DATE),
+                   CAST(o_orderdate AS DATE)) AS gap_days
+        FROM orders
+    ),
+    g AS MATERIALIZED (SELECT gap_days FROM gaps WHERE gap_days IS NOT NULL),
+    agg AS MATERIALIZED (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps, {_SURV_GE}
+        FROM g
+    )
+    SELECT * FROM ({_SURV_ROWS})
+    ORDER BY horizon_days
+"""
+
+RELATIONAL_ORACLES["q_chi2_segment_priority"] = """
+    WITH cells AS MATERIALIZED (
+        SELECT c_mktsegment, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS observed
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ),
+    enriched AS (
+        SELECT c_mktsegment, o_orderpriority, observed,
+               SUM(observed) OVER (PARTITION BY c_mktsegment)
+                   * SUM(observed) OVER (PARTITION BY o_orderpriority)
+                   / SUM(observed) OVER () AS expected
+        FROM cells
+    ),
+    t AS (
+        SELECT *, POWER(observed - expected, 2) / expected AS term
+        FROM enriched
+    )
+    SELECT c_mktsegment, o_orderpriority, observed,
+           ROUND(expected, 4) AS expected,
+           ROUND(term, 6) AS chi2_term,
+           ROUND(SUM(term) OVER (), 4) AS chi2_total
+    FROM t
+    ORDER BY c_mktsegment, o_orderpriority
+"""
+
+RELATIONAL_ORACLES["q_gini_revenue"] = """
+    WITH rev AS (
+        SELECT o_custkey,
+               ROUND(SUM(o_totalprice), 2) AS rev,
+               CAST(ROUND(ROUND(SUM(o_totalprice), 2) * 100) AS BIGINT) AS rev_c
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS rk FROM rev
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               (SELECT SUM(rev_c) FROM rev) / 100.0 AS total,
+               SUM(rk * rev) AS srx
+        FROM ranked
+    )
+    SELECT n AS n_customers,
+           total AS total_revenue,
+           ROUND(2.0 * srx / (n * total) - (n + 1.0) / n, 6) AS gini
+    FROM m
+"""
+
+RELATIONAL_ORACLES["q_supplier_hhi"] = """
+    WITH sup AS (
+        SELECT n_name, l_suppkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS srev
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ),
+    per_nation AS (
+        SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               SUM(srev) AS nrev, SUM(srev * srev) AS s2
+        FROM sup GROUP BY 1
+    )
+    SELECT n_name, n_suppliers,
+           ROUND(nrev, 2) AS nation_revenue,
+           ROUND(s2 / (nrev * nrev), 6) AS hhi
+    FROM per_nation
+    ORDER BY n_name
+"""
+
+_CORR_PAIRS = [
+    (a, b) for i, a in enumerate(CORR_COLS) for b in CORR_COLS[i + 1 :]
+]
+_CORR_ROWS = " UNION ALL ".join(
+    f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+               CAST(n AS BIGINT) AS n_rows,
+               ROUND((n * sp_{a}_{b} - s_{a} * s_{b})
+                     / SQRT((n * ss_{a} - s_{a} * s_{a})
+                            * (n * ss_{b} - s_{b} * s_{b})), 6) AS corr
+        FROM m"""
+    for a, b in _CORR_PAIRS
+)
+
+RELATIONAL_ORACLES["q_corr_matrix"] = f"""
+    WITH m AS MATERIALIZED (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               {", ".join(f"SUM({c}) AS s_{c}, SUM({c} * {c}) AS ss_{c}" for c in CORR_COLS)},
+               {", ".join(f"SUM({a} * {b}) AS sp_{a}_{b}" for a, b in _CORR_PAIRS)}
+        FROM lineitem
+    )
+    SELECT * FROM ({_CORR_ROWS})
+    ORDER BY col_a, col_b
+"""
+
+from distributed_mapreduce_server_spark.operators.events import (  # noqa: E402
+    BOT_CV_T,
+    BOT_MIN_GAPS,
+    ENTROPY_BUCKET_W,
+)
+
+assert ENTROPY_BUCKET_W == 0.02  # the 20 000-micro-nat divisor below
+
+EVENTS_ORACLES["q_events_user_entropy"] = """
+    WITH per_type AS (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    per_user AS (
+        SELECT user_id, SUM(n) AS n_events,
+               SUM(n * ln(n)) AS s_nlogn
+        FROM per_type GROUP BY 1
+    ),
+    h AS (
+        SELECT n_events,
+               ROUND(ln(n_events) - s_nlogn / n_events, 6) AS entropy
+        FROM per_user
+    ),
+    b AS (
+        -- grid-exact bucket id: micro-nats // 20000 (mirrors events.py;
+        -- floor(H/0.02) on doubles misbuckets exact edges)
+        SELECT CAST((CAST(ROUND(entropy * 1000000) AS BIGINT) // 20000) * 2
+                    AS DOUBLE) / 100.0 AS entropy_bucket,
+               n_events
+        FROM h
+    )
+    SELECT entropy_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(AVG(n_events), 4) AS avg_events
+    FROM b
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+EVENTS_ORACLES["q_events_bot_flags"] = f"""
+    WITH gaps AS (
+        SELECT user_id,
+               epoch_us(ts) / 1000000.0
+                   - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)) / 1000000.0
+                   AS gap
+        FROM events
+    ),
+    stats AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               SUM(gap) AS sg, SUM(gap * gap) AS sgg
+        FROM gaps WHERE gap IS NOT NULL
+        GROUP BY 1
+    ),
+    cv AS (
+        SELECT user_id, n_gaps,
+               ROUND(sg / n_gaps, 4) AS mean_gap_s,
+               CASE WHEN sg = 0 THEN 0.0
+                    ELSE ROUND(SQRT(GREATEST(sgg / n_gaps
+                                             - (sg / n_gaps) * (sg / n_gaps),
+                                             0.0)) / (sg / n_gaps), 6)
+               END AS gap_cv
+        FROM stats
+    )
+    SELECT user_id, n_gaps, mean_gap_s, gap_cv
+    FROM cv
+    WHERE n_gaps >= {BOT_MIN_GAPS} AND gap_cv < {BOT_CV_T}
+    ORDER BY user_id
+"""

@@ -106,6 +106,11 @@ _register(
         "q_abc_analysis",
         "q_seasonality_index",
         "q_open_order_backlog",
+        "q_repeat_purchase_survival",
+        "q_chi2_segment_priority",
+        "q_gini_revenue",
+        "q_supplier_hhi",
+        "q_corr_matrix",
     ],
 )
 _register(
@@ -163,6 +168,9 @@ _register(
         "dedup_cluster_stats",
         "dedup_span_clean",
         "dedup_minhash_est_eval",
+        "dedup_threshold_sweep",
+        "dedup_semantic_routed",
+        "dedup_routed_eval",
     ],
 )
 _register(
@@ -253,6 +261,11 @@ _register(
     graph,
     GRAPH_ORACLES,
     [
+        # clustering_coefficient and kcore_peel lead the family so the
+        # driver's 50-key prefix exercises round 8's fix and new op
+        # (VERDICT r7 tasks 1+7); the rest keep registration order.
+        "q_graph_clustering_coefficient",
+        "q_graph_kcore_peel",
         "q_pagerank",
         "q_graph_degree_distribution",
         "q_graph_triangles",
@@ -261,7 +274,6 @@ _register(
         "q_graph_assortativity",
         "q_graph_adamic_adar",
         "q_personalized_pagerank",
-        "q_graph_clustering_coefficient",
     ],
 )
 _register(
@@ -318,6 +330,8 @@ _register(
         "q_new_vs_returning",
         "q_events_sequential_pattern",
         "q_events_burst_detection",
+        "q_events_user_entropy",
+        "q_events_bot_flags",
     ],
 )
 
@@ -703,12 +717,39 @@ _TEMPORAL_KEYS = frozenset(
 )
 _RETRIEVAL_KEYS = frozenset({"sim_hybrid_search", "text_phrase_search"})
 
+# Graph and window/sessionization keys sat deep inside the big
+# relational block for seven rounds — the driver's 50-key prefix
+# never drew one, and round 7's only correctness bug sat exactly
+# there (VERDICT r7 task 7). Dedicated families guarantee every
+# prefix hits them within the first round-robin row.
+_GRAPH_KEYS = frozenset({"q_pagerank", "q_personalized_pagerank"})
+_WINDOW_KEYS = frozenset(
+    {
+        "q_running_revenue",
+        "q_moving_avg_events",
+        "q_rolling_revenue_30d",
+        "q_ewma_revenue",
+        "q_window_suite",
+        "q_window_funnel",
+        "q_events_sessionize",
+        "q_concurrent_sessions",
+        "q_events_windowed",
+        "q_sessions_bounce_rate",
+        "q_session_overlap_join",
+        "q_time_weighted_avg",
+    }
+)
+
 
 def _family(key: str) -> str:
     if key in _TEMPORAL_KEYS:
         return "tempjoin"
     if key in _RETRIEVAL_KEYS:
         return "retrieval"
+    if key in _GRAPH_KEYS or key.startswith("q_graph"):
+        return "graph"
+    if key in _WINDOW_KEYS:
+        return "window"
     head = key.split("_", 1)[0]
     # q1/q22/q_x are all the relational family
     return "q" if head.startswith("q") else head

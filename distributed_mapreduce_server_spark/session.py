@@ -96,3 +96,29 @@ def retire_persistent_rdds(spark: SparkSession) -> int:
         it.next().unpersist(False)
         n += 1
     return n
+
+
+def persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    """Snapshot the ids of every currently-persisted RDD (cache AND
+    localCheckpoint blocks). Diffing two snapshots around a
+    ``localCheckpoint(eager=True)`` isolates exactly that frame's
+    block set, so iterative operators can retire superseded rounds
+    with :func:`unpersist_rdd_ids` instead of leaking every round's
+    checkpoint for the life of the session."""
+    return {int(i) for i in spark.sparkContext._jsc.getPersistentRDDs().keySet()}
+
+
+def unpersist_rdd_ids(spark: SparkSession, ids: set[int]) -> int:
+    """Release the storage blocks of the given persistent RDD ids
+    (non-blocking); returns how many were still live. Safe on ids
+    already cleaned by the ContextCleaner. Same fail-loud contract as
+    :func:`retire_persistent_rdds`: a localCheckpointed frame whose
+    blocks are released cannot be acted on again (lineage is cut) —
+    only retire frames genuinely superseded."""
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    n = 0
+    for i in ids:
+        if m.containsKey(i):
+            m.get(i).unpersist(False)
+            n += 1
+    return n

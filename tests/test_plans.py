@@ -254,6 +254,7 @@ BOUNDED_FRAME_WINDOWS = {
     "q_events_autocorrelation": "lag over the (day x type) agg frame (calendar-bounded)",
     "q_events_burst_detection": "island window over the (type x hour) agg frame (calendar-bounded)",
     "stream_burst_detection": "same island window, over the DRAINED (type x hour) state table",
+    "q_chi2_segment_priority": "marginal/total windows over the (segment x priority) cell frame (25 rows, dim-bounded)",
 }
 
 

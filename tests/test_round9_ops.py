@@ -1,0 +1,213 @@
+"""Invariants for the round-9 wave — the nine operators that shipped
+as WIP in the round-7 snapshot, now registered with full DuckDB
+oracles (test_oracle_parity) plus these semantic checks parity can't
+see: monotone survival/peel/sweep curves, chi²/HHI/Gini bounds,
+entropy-bucket grid exactness, and cross-operator agreement between
+the threshold sweep and the standalone cosine dedup.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_server_spark.catalog import load_tables
+from distributed_mapreduce_server_spark.operators.dedup import (
+    COSINE_DEDUP_T,
+    SWEEP_THRESHOLDS,
+    dedup_embedding_cosine,
+    dedup_threshold_sweep,
+)
+from distributed_mapreduce_server_spark.operators.events import (
+    BOT_CV_T,
+    BOT_MIN_GAPS,
+    q_events_bot_flags,
+    q_events_user_entropy,
+)
+from distributed_mapreduce_server_spark.operators.graph import (
+    KCORE_K,
+    KCORE_ROUNDS,
+    q_graph_kcore_peel,
+)
+from distributed_mapreduce_server_spark.operators.relational import (
+    CORR_COLS,
+    SURVIVAL_GRID_DAYS,
+    q_chi2_segment_priority,
+    q_corr_matrix,
+    q_gini_revenue,
+    q_repeat_purchase_survival,
+    q_supplier_hhi,
+)
+
+
+def test_survival_curve_monotone_and_bounded(spark, sf_smoke):
+    rows = q_repeat_purchase_survival(spark, sf_smoke).collect()
+    assert [r["horizon_days"] for r in rows] == list(SURVIVAL_GRID_DAYS)
+    n_gaps = {r["n_gaps"] for r in rows}
+    assert len(n_gaps) == 1 and n_gaps.pop() > 0
+    surv = [r["survival"] for r in rows]
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    assert surv == sorted(surv, reverse=True)
+    for r in rows:
+        assert r["n_surviving"] <= r["n_gaps"]
+    # non-vacuous: the curve actually decays inside (0, 1)
+    assert any(0.0 < s < 1.0 for s in surv)
+    assert surv[0] > surv[-1]
+
+
+def test_chi2_cells_conserve_counts_and_total(spark, sf_smoke):
+    rows = q_chi2_segment_priority(spark, sf_smoke).collect()
+    orders = load_tables(spark, sf_smoke, register_views=False)["orders"]
+    assert sum(r["observed"] for r in rows) == orders.count()
+    # expected margins reproduce observed margins per segment
+    by_seg: dict = {}
+    for r in rows:
+        by_seg.setdefault(r["c_mktsegment"], [0, 0.0])
+        by_seg[r["c_mktsegment"]][0] += r["observed"]
+        by_seg[r["c_mktsegment"]][1] += r["expected"]
+    for seg, (obs, exp) in by_seg.items():
+        assert math.isclose(obs, exp, rel_tol=1e-6), seg
+    totals = {r["chi2_total"] for r in rows}
+    assert len(totals) == 1
+    total = totals.pop()
+    assert math.isclose(
+        total, sum(r["chi2_term"] for r in rows), abs_tol=len(rows) * 1e-6 + 1e-4
+    )
+    assert all(r["chi2_term"] >= 0.0 for r in rows)
+
+
+def test_gini_bounds_and_population(spark, sf_smoke):
+    rows = q_gini_revenue(spark, sf_smoke).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert 0.0 <= r["gini"] < 1.0
+    orders = load_tables(spark, sf_smoke, register_views=False)["orders"]
+    assert r["n_customers"] == orders.select("o_custkey").distinct().count()
+    exact_total = orders.agg(F.sum("o_totalprice")).collect()[0][0]
+    # per-customer 2-dp rounding moves the total < 1 cent per customer
+    assert abs(r["total_revenue"] - exact_total) < 0.005 * r["n_customers"] + 0.01
+
+
+def test_hhi_within_concentration_bounds(spark, sf_dir):
+    # sf0.01 — the smoke corpus has one supplier per nation (HHI ≡ 1),
+    # which makes the unequal-shares check vacuous
+    rows = q_supplier_hhi(spark, sf_dir).collect()
+    assert rows and len(rows) <= 25
+    for r in rows:
+        assert r["n_suppliers"] >= 1
+        # HHI is bounded below by the equal-shares floor 1/n and above by 1
+        assert 1.0 / r["n_suppliers"] - 1e-6 <= r["hhi"] <= 1.0 + 1e-6, r
+        assert r["nation_revenue"] > 0
+    # non-vacuous: shares are not all equal somewhere
+    assert any(r["hhi"] > 1.0 / r["n_suppliers"] + 1e-6 for r in rows)
+
+
+def test_corr_matrix_shape_and_bounds(spark, sf_smoke):
+    rows = q_corr_matrix(spark, sf_smoke).collect()
+    n_pairs = len(CORR_COLS) * (len(CORR_COLS) - 1) // 2
+    assert len(rows) == n_pairs
+    li = load_tables(spark, sf_smoke, register_views=False)["lineitem"]
+    n = li.count()
+    for r in rows:
+        assert r["n_rows"] == n
+        assert -1.0 - 1e-9 <= r["corr"] <= 1.0 + 1e-9
+        assert r["col_a"] < r["col_b"]
+    # independent uniform draws shouldn't be perfectly correlated
+    assert all(abs(r["corr"]) < 0.999 for r in rows)
+
+
+def test_entropy_histogram_on_grid_and_conserves_users(spark, sf_smoke):
+    rows = q_events_user_entropy(spark, sf_smoke).collect()
+    ev = load_tables(spark, sf_smoke, register_views=False)["events"]
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_users"] for r in rows) == n_users
+    for r in rows:
+        # bucket floors sit EXACTLY on the 0.02 grid (the fp-division
+        # misbucketing fixed this round would land off-grid values)
+        cents = r["entropy_bucket"] * 100
+        assert math.isclose(cents, round(cents), abs_tol=1e-9)
+        assert round(cents) % 2 == 0
+        assert r["entropy_bucket"] >= 0.0
+        assert r["n_users"] > 0 and r["avg_events"] >= 1.0
+    assert len(rows) > 1  # the 0.02 width spreads users across buckets
+
+
+def test_bot_flags_respect_gates(spark, sf_dir):
+    # sf0.01 — the smoke corpus has too few per-user events to flag
+    rows = q_events_bot_flags(spark, sf_dir).collect()
+    assert rows, "threshold sized to flag a non-empty minority at sf0.01"
+    for r in rows:
+        assert r["n_gaps"] >= BOT_MIN_GAPS
+        assert 0.0 <= r["gap_cv"] < BOT_CV_T
+        assert r["mean_gap_s"] >= 0.0
+    # a minority, not the population
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    assert len(rows) < ev.select("user_id").distinct().count() / 2
+
+
+def test_kcore_peel_monotone(spark, sf_smoke):
+    rows = q_graph_kcore_peel(spark, sf_smoke).collect()
+    assert [r["round"] for r in rows] == list(range(1, KCORE_ROUNDS + 1))
+    assert all(r["k"] == KCORE_K for r in rows)
+    nodes = [r["n_nodes"] for r in rows]
+    edges = [r["n_edges"] for r in rows]
+    assert nodes == sorted(nodes, reverse=True)
+    assert edges == sorted(edges, reverse=True)
+    for r in rows:
+        assert r["n_edges"] <= r["n_nodes"] * (r["n_nodes"] - 1) // 2
+    # the peel actually peels at least once
+    assert nodes[0] > nodes[-1] or edges[0] > edges[-1]
+
+
+def test_kcore_peel_releases_its_checkpoints(spark, sf_smoke):
+    from distributed_mapreduce_server_spark.session import persistent_rdd_ids
+
+    before = persistent_rdd_ids(spark)
+    q_graph_kcore_peel(spark, sf_smoke).collect()
+    leaked = persistent_rdd_ids(spark) - before
+    assert not leaked, f"kcore leaked checkpoint blocks: {leaked}"
+
+
+def test_threshold_sweep_monotone_and_agrees_with_cosine_dedup(spark, sf_smoke):
+    rows = dedup_threshold_sweep(spark, sf_smoke).collect()
+    assert [r["threshold"] for r in rows] == sorted(SWEEP_THRESHOLDS)
+    pairs = [r["n_pairs"] for r in rows]
+    docs = [r["n_docs_affected"] for r in rows]
+    assert pairs == sorted(pairs, reverse=True)
+    assert docs == sorted(docs, reverse=True)
+    for r in rows:
+        assert r["n_docs_affected"] <= 2 * r["n_pairs"]
+    # cross-operator: the sweep's row at the standard dedup cut counts
+    # exactly the pairs the standalone operator emits
+    at_t = {r["threshold"]: r["n_pairs"] for r in rows}[COSINE_DEDUP_T]
+    assert at_t == dedup_embedding_cosine(spark, sf_smoke).count()
+
+
+def test_routed_pairs_are_subset_of_exact_and_eval_consistent(spark, sf_smoke):
+    """Routing only limits WHICH pairs are scored — every routed pair
+    must appear in the exact baseline with the identical rounded
+    cosine (precision 1 by construction), and the eval row's counts
+    must agree with the frames it summarizes."""
+    from distributed_mapreduce_server_spark.operators.dedup import (
+        dedup_routed_eval,
+        dedup_semantic_routed,
+    )
+
+    routed = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in dedup_semantic_routed(spark, sf_smoke).collect()
+    }
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in dedup_embedding_cosine(spark, sf_smoke).collect()
+    }
+    assert set(routed) <= set(exact)
+    for k, v in routed.items():
+        assert v == exact[k], k
+    ev = dedup_routed_eval(spark, sf_smoke).collect()[0]
+    assert ev["n_routed_pairs"] == len(routed)
+    assert ev["n_exact_pairs"] == len(exact)
+    assert ev["n_missed"] == len(exact) - len(routed)
+    assert 0.0 < ev["recall"] <= 1.0
+    assert ev["n_candidates"] < ev["n_brute_pairs"] or ev["candidate_reduction"] <= 1.0
