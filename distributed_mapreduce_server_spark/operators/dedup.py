@@ -1715,3 +1715,119 @@ def dedup_routed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_brute).cast("bigint").alias("n_brute_pairs"),
         fround(F.lit(n_brute) / F.col("n_candidates"), 2).alias("candidate_reduction"),
     )
+
+
+def dedup_routed_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-width tuning curve for the routed near-dup path: for
+    every P in 1..ROUTE_PROBES, the candidate-pair budget and the
+    recall vs the exact baseline — the sim_ivf_nprobe_sweep analog
+    that picks dedup_semantic_routed's dial per corpus (the measured
+    recall/cost trade-off in the module banner came from exactly this
+    curve).
+
+    One assignment pass at the WIDEST width folds every P: a pair is
+    caught at width P iff some shared centroid has rank <= P on BOTH
+    sides, i.e. pair_min_p = MIN over shared centroids of
+    MAX(rank_a, rank_b) — so recall at P is one conditional count
+    over the (tiny) exact-pair frame annotated with pair_min_p, and
+    the candidate budget at P folds from the (centroid, rank) count
+    histogram: sum_c C(n_c(P), 2). No per-P corpus pass, no per-P
+    pair enumeration.
+
+    Scale shape: assignment = one Arrow matmul pass (codebook
+    broadcast); the histogram is K x P rows; the recall join
+    broadcasts the exact pairs (bounded: the near-dup pair list) onto
+    the P-fold assignment frame keyed by vec_id then centroid —
+    nothing corpus-squared anywhere beyond the exact baseline itself,
+    which this curve exists to retire."""
+    from distributed_mapreduce_server_spark.catalog import table_row_count
+    from distributed_mapreduce_server_spark.operators.similarity import (
+        _centroid_assign,
+    )
+
+    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
+    n = table_row_count(sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % ROUTE_STRIDE == 0)
+    assign = _centroid_assign(emb, cents, ROUTE_PROBES, with_rank=True).persist()
+
+    # (centroid, rank) histogram -> cumulative bucket size per P ->
+    # candidate budget per P (all bounded frames: K x P rows)
+    hist = assign.groupBy("centroid_id", "crank").agg(F.count("*").alias("cnt"))
+    budgets = None
+    for p in range(1, ROUTE_PROBES + 1):
+        b = (
+            hist.filter(F.col("crank") <= p)
+            .groupBy("centroid_id")
+            .agg(F.sum("cnt").alias("c"))
+            .agg(
+                F.lit(p).alias("probes"),
+                F.sum(F.col("c") * (F.col("c") - 1) / 2)
+                .cast("bigint")
+                .alias("n_candidates"),
+            )
+        )
+        budgets = b if budgets is None else budgets.unionAll(b)
+
+    # exact pairs annotated with the minimal width that catches them
+    exact = (
+        _blocked_cosine_pairs(spark, emb, n_hint=n)
+        .select("vec_a", "vec_b")
+        .persist()
+    )
+    n_exact = exact.count()
+    aa = assign.select(
+        F.col("vec_id").alias("vec_a"),
+        "centroid_id",
+        F.col("crank").alias("ra"),
+    )
+    ab = assign.select(
+        F.col("vec_id").alias("vec_b"),
+        "centroid_id",
+        F.col("crank").alias("rb"),
+    )
+    pair_min_p = (
+        broadcast(exact)
+        .join(aa, "vec_a")
+        .join(ab, ["vec_b", "centroid_id"])
+        .groupBy("vec_a", "vec_b")
+        .agg(F.min(F.greatest(F.col("ra"), F.col("rb"))).alias("min_p"))
+    )
+    caught = pair_min_p.agg(
+        *[
+            F.sum((F.col("min_p") <= p).cast("long")).alias(f"c_{p}")
+            for p in range(1, ROUTE_PROBES + 1)
+        ]
+    )
+    curve = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("probes"),
+                F.col(f"c_{p}").alias("n_routed_pairs"),
+            )
+            for p in range(1, ROUTE_PROBES + 1)
+        ]
+    )
+    recalls = caught.select(F.explode(curve).alias("r")).select(
+        F.col("r.probes").alias("probes"),
+        F.coalesce(F.col("r.n_routed_pairs"), F.lit(0)).alias("n_routed_pairs"),
+    )
+    out = (
+        budgets.join(recalls, "probes")
+        .select(
+            "probes",
+            "n_candidates",
+            F.col("n_routed_pairs").cast("bigint").alias("n_routed_pairs"),
+            F.lit(n_exact).cast("bigint").alias("n_exact_pairs"),
+            # max(ne, 1): an empty exact baseline pins recall at 0.0
+            # deterministically instead of NULL (GREATEST(ne, 1) in
+            # the oracle)
+            fround(F.col("n_routed_pairs") / F.lit(max(n_exact, 1)), 4).alias(
+                "recall"
+            ),
+        )
+        .orderBy("probes")
+        .localCheckpoint(eager=True)
+    )
+    assign.unpersist()
+    exact.unpersist()
+    return out.orderBy("probes")

@@ -679,3 +679,58 @@ DEDUP_ORACLES["dedup_routed_eval"] = f"""
            ROUND(CAST(nb AS DOUBLE) / nc, 2) AS candidate_reduction
     FROM m
 """
+
+
+_ROUTED_ASSIGN_RANKED = f"""
+    centroids AS MATERIALIZED (
+        SELECT vec_id AS centroid_id, embedding FROM embeddings
+        WHERE vec_id % {ROUTE_STRIDE} = 0
+    ),
+    assign AS MATERIALIZED (
+        SELECT vec_id, centroid_id, crank FROM (
+            SELECT v.vec_id, k.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY {_COS_VK} DESC, k.centroid_id) AS crank
+            FROM embeddings v CROSS JOIN centroids k
+        ) WHERE crank <= {ROUTE_PROBES}
+    )
+"""
+
+
+def _probe_sweep_sql() -> str:
+    """Mirrors dedup_routed_probe_sweep: one ranked assignment at the
+    widest width, per-P candidate budgets from the (centroid, rank)
+    histogram, per-P recall from the exact pairs' minimal catching
+    width."""
+    rows = " UNION ALL ".join(
+        f"""SELECT {p} AS probes,
+               (SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT)
+                FROM (SELECT centroid_id, COUNT(*) AS c FROM assign
+                      WHERE crank <= {p} GROUP BY 1)) AS n_candidates,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM minp WHERE min_p <= {p}) AS n_routed_pairs"""
+        for p in range(1, ROUTE_PROBES + 1)
+    )
+    return f"""
+    WITH {_ROUTED_ASSIGN_RANKED},
+    exact AS MATERIALIZED (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_COS_AB} >= {COSINE_DEDUP_T}
+    ),
+    minp AS MATERIALIZED (
+        SELECT e.va, e.vb, MIN(GREATEST(x.crank, y.crank)) AS min_p
+        FROM exact e
+        JOIN assign x ON x.vec_id = e.va
+        JOIN assign y ON y.vec_id = e.vb AND y.centroid_id = x.centroid_id
+        GROUP BY 1, 2
+    ),
+    ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs FROM exact)
+    SELECT probes, n_candidates, n_routed_pairs, ne.n_exact_pairs,
+           ROUND(n_routed_pairs / GREATEST(ne.n_exact_pairs, 1), 4) AS recall
+    FROM ({rows}) CROSS JOIN ne
+    ORDER BY probes
+"""
+
+
+DEDUP_ORACLES["dedup_routed_probe_sweep"] = _probe_sweep_sql()

@@ -163,10 +163,15 @@ N_CENTROIDS = 16
 N_PROBE = 4
 
 
-def _centroid_assign(emb: DataFrame, centroids: DataFrame, n_best: int) -> DataFrame:
+def _centroid_assign(
+    emb: DataFrame, centroids: DataFrame, n_best: int, with_rank: bool = False
+) -> DataFrame:
     """(vec_id, centroid_id) for each vector's ``n_best`` nearest
     centroids by cosine (rounded, centroid_id tie-break — deterministic
-    across engines).
+    across engines). ``with_rank=True`` adds the 1-based ``crank``
+    column (the probe width at which this centroid enters the
+    vector's probe set — dedup_routed_probe_sweep folds every width
+    from one assignment pass).
 
     Vectorized like dedup's pair kernel: the (tiny) codebook matrix is
     broadcast, each Arrow batch of vectors scores all centroids in one
@@ -194,17 +199,22 @@ def _centroid_assign(emb: DataFrame, centroids: DataFrame, n_best: int) -> DataF
             # DuckDB ROUND semantics (scaled half-away-from-zero);
             # np.round is banker's at scaled .5 ties
             cos = fround_np(raw)
-            out_vec, out_cen = [], []
+            out_vec, out_cen, out_rank = [], [], []
             for i in range(len(a_ids)):
                 # row_number() over (cos desc, centroid_id asc)
                 top = np.lexsort((ids_b, -cos[i]))[:n_best]
                 out_vec.extend([a_ids[i]] * len(top))
                 out_cen.extend(ids_b[top])
-            yield pd.DataFrame({"vec_id": out_vec, "centroid_id": out_cen})
+                out_rank.extend(range(1, len(top) + 1))
+            out = {"vec_id": out_vec, "centroid_id": out_cen}
+            if with_rank:
+                out["crank"] = out_rank
+            yield pd.DataFrame(out)
 
-    return emb.select("vec_id", "embedding").mapInPandas(
-        blocks, "vec_id long, centroid_id long"
+    schema = "vec_id long, centroid_id long" + (
+        ", crank long" if with_rank else ""
     )
+    return emb.select("vec_id", "embedding").mapInPandas(blocks, schema)
 
 
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:

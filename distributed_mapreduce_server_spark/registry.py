@@ -171,6 +171,7 @@ _register(
         "dedup_threshold_sweep",
         "dedup_semantic_routed",
         "dedup_routed_eval",
+        "dedup_routed_probe_sweep",
     ],
 )
 _register(

@@ -190,6 +190,11 @@ EAGER_OPS = {
     "stream_burst_detection",  # availableNow drain runs eagerly
     "text_source_kl_divergence",  # per_src persist + checkpointed result
     "emb_outlier_knn_distance",  # kth-NN slice persist + checkpointed outliers
+    # round-9 wave
+    "q_gini_revenue",  # two-phase rank offsets collect eagerly + checkpointed 1-row result
+    "dedup_threshold_sweep",  # persisted pair frame + checkpointed grid
+    "q_graph_kcore_peel",  # iterative peel rounds run eagerly (createDataFrame result)
+    "dedup_routed_eval",  # runs routed + exact pair generators eagerly; 1-row literal result
 }
 
 
@@ -560,6 +565,7 @@ EXECUTED_NESTED_LOOP = {
     "sim_ivf_nprobe_sweep": "bounded broadcast query-set crossJoin inside each IVF arm",
     "text_perplexity_filter": "1-row broadcast corpus-total cross-join (bigram logprob model)",
     "stream_kl_drift": "1-row broadcast corpus-total cross-join in the shared KL fold",
+    "dedup_threshold_sweep": "1-row broadcast docs-affected count cross-joined per grid step",
 }
 
 
