@@ -132,6 +132,7 @@ HEADLINE = [
     "dedup_threshold_sweep",
     "dedup_semantic_routed",
     "dedup_routed_eval",
+    "dedup_routed_probe_sweep",
 ]
 
 

@@ -1710,7 +1710,9 @@ def dedup_routed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_exact).cast("bigint").alias("n_exact_pairs"),
         F.lit(n_routed).cast("bigint").alias("n_routed_pairs"),
         F.lit(n_exact - n_routed).cast("bigint").alias("n_missed"),
-        fround(F.lit(n_routed / n_exact) if n_exact else F.lit(1.0), 4).alias("recall"),
+        # max(ne, 1): empty exact baseline pins recall 0.0 (same
+        # convention as dedup_routed_probe_sweep / GREATEST in oracle)
+        fround(F.lit(n_routed / max(n_exact, 1)), 4).alias("recall"),
         F.col("n_candidates"),
         F.lit(n_brute).cast("bigint").alias("n_brute_pairs"),
         fround(F.lit(n_brute) / F.col("n_candidates"), 2).alias("candidate_reduction"),
@@ -1786,7 +1788,7 @@ def dedup_routed_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("crank").alias("rb"),
     )
     pair_min_p = (
-        broadcast(exact)
+        F.broadcast(exact)
         .join(aa, "vec_a")
         .join(ab, ["vec_b", "centroid_id"])
         .groupBy("vec_a", "vec_b")

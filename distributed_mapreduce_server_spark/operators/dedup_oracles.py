@@ -673,7 +673,7 @@ DEDUP_ORACLES["dedup_routed_eval"] = f"""
     SELECT CAST(ne AS BIGINT) AS n_exact_pairs,
            CAST(nr AS BIGINT) AS n_routed_pairs,
            CAST(ne - nr AS BIGINT) AS n_missed,
-           ROUND(CAST(nr AS DOUBLE) / ne, 4) AS recall,
+           ROUND(CAST(nr AS DOUBLE) / GREATEST(ne, 1), 4) AS recall,
            nc AS n_candidates,
            CAST(nb AS BIGINT) AS n_brute_pairs,
            ROUND(CAST(nb AS DOUBLE) / nc, 2) AS candidate_reduction

@@ -211,3 +211,41 @@ def test_routed_pairs_are_subset_of_exact_and_eval_consistent(spark, sf_smoke):
     assert ev["n_missed"] == len(exact) - len(routed)
     assert 0.0 < ev["recall"] <= 1.0
     assert ev["n_candidates"] < ev["n_brute_pairs"] or ev["candidate_reduction"] <= 1.0
+
+
+def test_probe_sweep_monotone_and_agrees_with_routed_eval(spark, sf_smoke):
+    """The tuning curve must be internally consistent: widening the
+    probe width can only ADD candidates and catch MORE exact pairs,
+    and the curve's widest row (P = ROUTE_PROBES) must describe the
+    same configuration dedup_routed_eval runs — same exact-pair total,
+    same routed count, same recall, same candidate budget. The two
+    counts agree because the sweep annotates pairs FROM the exact
+    frame with their minimal catching width (so co-bucketed implies
+    cosine >= T already) while the routed operator verifies the same
+    threshold inside each bucket — catchable == caught."""
+    from distributed_mapreduce_server_spark.operators.dedup import (
+        ROUTE_PROBES,
+        dedup_routed_eval,
+        dedup_routed_probe_sweep,
+    )
+
+    rows = dedup_routed_probe_sweep(spark, sf_smoke).collect()
+    assert [r["probes"] for r in rows] == list(range(1, ROUTE_PROBES + 1))
+    cands = [r["n_candidates"] for r in rows]
+    routed = [r["n_routed_pairs"] for r in rows]
+    recalls = [r["recall"] for r in rows]
+    assert cands == sorted(cands)
+    assert routed == sorted(routed)
+    assert recalls == sorted(recalls)
+    n_exact = {r["n_exact_pairs"] for r in rows}
+    assert len(n_exact) == 1
+    for r in rows:
+        assert r["n_routed_pairs"] <= r["n_exact_pairs"]
+        assert 0.0 <= r["recall"] <= 1.0
+    ev = dedup_routed_eval(spark, sf_smoke).collect()[0]
+    widest = rows[-1]
+    assert widest["n_exact_pairs"] == ev["n_exact_pairs"]
+    assert widest["n_routed_pairs"] == ev["n_routed_pairs"]
+    assert widest["recall"] == ev["recall"]
+    # the eval's candidate budget is the widest-width histogram fold
+    assert widest["n_candidates"] == ev["n_candidates"]
