@@ -1598,40 +1598,170 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # right at the test SFs, quadratic at corpus scale. Routing assigns
 # every vector to its ROUTE_PROBES nearest coarse centroids (the IVF
 # multi-probe shape, _centroid_assign) and runs the pair-matmul only
-# WITHIN each centroid bucket. Codebook = the deterministic stride
-# sample vec_id % ROUTE_STRIDE == 0, so K grows ~n/STRIDE and the
-# expected bucket stays ~STRIDE·PROBES rows: candidate pairs grow
-# LINEARLY in n (buckets × C(bucket, 2)) while brute pairs grow
-# quadratically — candidate pairs ≈ n·P²·STRIDE/2, reduction factor
-# ≈ K/P² (→ ~1e6 at n = 1e9 with these dials).
+# WITHIN each centroid bucket.
+#
+# Codebook (round 9): FIXED-K, trained by ROUTE_ITERS rounds of
+# cosine Lloyd (spherical k-means with the quantization discipline
+# of similarity._kmeans_fit: cosines rounded to the 1e-4 grid before
+# the argmax, means to 1e-6 after every update — a fixed-point
+# iteration both engines reproduce exactly). The r8 codebook was a
+# stride sample (K = n/32): its driver collect and its n·K·d
+# assignment both grew with the corpus — at n = 1e9 that is a ~15 GB
+# driver object and n²d/32 FLOPs, the quadratic routing exists to
+# retire. With K fixed the codebook is a bounded driver object
+# (K·d·8 B = 32 KiB) at ANY corpus size, assignment is one linear
+# O(n·K·d) Arrow matmul pass, and training is ROUTE_ITERS such
+# passes with K·d-row partial-sum shuffles (map-side combined).
+# Candidate pairs are Σ_c C(n_c, 2) ≈ n²·P²/(2K) — the 1/K-of-brute
+# budget a single-level IVF buys; for the next 100× the same
+# machinery nests (coarse route → per-cell fine codebook), which
+# multiplies the K's without growing any single collect.
 #
 # Recall vs the exact baseline is MEASURED, not assumed —
-# dedup_routed_eval is the trust row (the discipline that rejected
-# LSH at this threshold). Measured on the frozen corpora at
-# COSINE_DEDUP_T = 0.45: recall 1.0 at sf0.001/sf0.01 and 0.91 at
-# sf0.1 with P = 6 (P = 5: 0.85, P = 4: 0.79 at sf0.1). The sf0.1
-# gap is GEOMETRY, not a tunable miss: the corpus is near-isotropic
-# in 64-dim (median nearest-centroid cosine 0.287 ≈ 73° at stride 32
-# — measured), so the assignment radius EXCEEDS the 63° pair angle
-# and no coarse partition can certify recall at this cut — the same
-# reason LSH was rejected here and the exact blocked path stays the
-# default. At production semantic-dedup thresholds (cos ≥ 0.8, ≤
-# 37°) the radius argument flips and routing recall approaches 1;
-# the eval key is the per-corpus dial that proves it before a
-# switch.
-ROUTE_STRIDE = 32
+# dedup_routed_eval is the trust row and dedup_routed_probe_sweep
+# the tuning curve (the discipline that rejected LSH at this
+# threshold). At COSINE_DEDUP_T = 0.45 the corpus is near-isotropic
+# in 64-dim (the pair angle 63° exceeds any coarse assignment
+# radius), so no partition certifies recall at this cut and the
+# exact blocked path stays the default; at production semantic-dedup
+# thresholds (cos ≥ 0.8, ≤ 37°) the radius argument flips and
+# routing recall approaches 1. The probe-sweep key re-certifies the
+# dial per corpus; measured numbers for the trained fixed-K codebook
+# are committed in the SURVEY §2.3 rows.
+ROUTE_K = 64
+ROUTE_ITERS = 2
 ROUTE_PROBES = 6
+# Driver fast path bound for codebook training (the BPE-trainer
+# take(limit+1) pattern): 65536 x 64-dim doubles = 32 MiB. Above it
+# the distributed per-round loop runs; below it the whole corpus
+# trains in numpy on the driver (2 rounds of a 65k x 64 matmul, ~ms)
+# — result-identical on the 1e-4/1e-6 grids, pinned by a
+# forced-fallback test.
+ROUTE_TRAIN_LIMIT = 65536
 
 
-def _routed_assignments(spark: SparkSession, sf_dir: str):
-    """(embeddings frame, multi-probe (vec_id, centroid_id) frame)."""
+def _lloyd_rounds_np(ids, mat, corpus):
+    """Driver-side twin of the distributed training loop: ROUTE_ITERS
+    rounds of (1e-4-rounded cosine argmax, 1e-6-rounded mean update)
+    over the full in-memory corpus. Shares the exact quantization
+    grid with the mapInPandas kernel, so both paths land on the same
+    fixed points."""
+    import numpy as np
+
+    corpus_norms = np.sqrt((corpus * corpus).sum(axis=1))
+    for _ in range(ROUTE_ITERS):
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        cos = fround_np((corpus @ mat.T) / np.outer(corpus_norms, norms))
+        best = cos.argmax(axis=1)  # first-max == smallest-cid tie-break
+        k, d = mat.shape
+        sums = np.zeros((k, d))
+        counts = np.zeros(k, dtype=np.int64)
+        np.add.at(sums, best, corpus)
+        np.add.at(counts, best, 1)
+        live = np.nonzero(counts)[0]
+        ids = ids[live]
+        mat = fround_np(sums[live] / counts[live, None], 6)
+    return ids, mat
+
+
+def _route_codebook(
+    spark: SparkSession, sf_dir: str, force_distributed: bool = False
+):
+    """Train the fixed-K routing codebook: ROUTE_ITERS rounds of
+    cosine Lloyd over the embeddings, returning the bounded
+    (ids, matrix) numpy pair `_centroid_assign` broadcasts.
+
+    Deterministic end to end: init = the first ROUTE_K vectors by
+    vec_id; per round each Arrow batch scores all K centroids in one
+    numpy matmul, rounds cosines to the 1e-4 grid (fround_np — ties
+    break to the smallest cid, argmax-first = ROW_NUMBER cid ASC in
+    the oracle), and emits K×d partial (sum, count) rows; means are
+    fround(·, 6) so the update lands on a grid ~9 orders above the
+    engines' sum-order noise. Clusters that win no vectors drop out
+    (both engines: the group simply has no rows).
+
+    Scale shape: per round ONE corpus scan (no vector shuffle — the
+    shuffle carries ≤ K·d partial rows per task), one K·d-row
+    driver collect. Nothing grows with n. Corpora ≤ ROUTE_TRAIN_LIMIT
+    vectors instead train on the driver in one numpy loop
+    (take(limit+1) is the size check AND the data — the BPE-trainer
+    pattern); ``force_distributed`` pins the two paths
+    result-identical in tests."""
+    import numpy as np
+
+    from distributed_mapreduce_server_spark.operators.similarity import (
+        _collect_matrix,
+    )
+
+    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    if not force_distributed:
+        head = emb.take(ROUTE_TRAIN_LIMIT + 1)
+        if len(head) <= ROUTE_TRAIN_LIMIT:
+            head.sort(key=lambda r: r["vec_id"])
+            corpus_ids = np.array([r["vec_id"] for r in head], dtype=np.int64)
+            corpus = np.array([r["embedding"] for r in head], dtype=np.float64)
+            init = corpus_ids < ROUTE_K
+            return _lloyd_rounds_np(corpus_ids[init], corpus[init], corpus)
+    ids, mat = _collect_matrix(emb.filter(F.col("vec_id") < ROUTE_K))
+    dim = mat.shape[1]
+    for _ in range(ROUTE_ITERS):
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+        def partials(batches):
+            import pandas as pd
+
+            ids_b, mat_b, norms_b = bc.value
+            k, d = mat_b.shape
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                an = np.sqrt((a * a).sum(axis=1))
+                cos = fround_np((a @ mat_b.T) / np.outer(an, norms_b))
+                # ids_b is sorted ascending, so argmax's first-max
+                # convention == smallest-cid tie-break
+                best = cos.argmax(axis=1)
+                sums = np.zeros((k, d))
+                counts = np.zeros(k, dtype=np.int64)
+                np.add.at(sums, best, a)
+                np.add.at(counts, best, 1)
+                live = np.nonzero(counts)[0]
+                yield pd.DataFrame(
+                    {
+                        "cid": np.repeat(ids_b[live], d),
+                        "pos": np.tile(np.arange(d, dtype=np.int64), len(live)),
+                        "s": sums[live].ravel(),
+                        "c": np.repeat(counts[live], d),
+                    }
+                )
+
+        rows = (
+            emb.mapInPandas(partials, "cid long, pos long, s double, c long")
+            .groupBy("cid", "pos")
+            .agg(fround(F.sum("s") / F.sum("c"), 6).alias("m"))
+            .collect()
+        )
+        by_cid: dict = {}
+        for r in rows:
+            by_cid.setdefault(r["cid"], [0.0] * dim)[r["pos"]] = r["m"]
+        ids = np.array(sorted(by_cid), dtype=np.int64)
+        mat = np.array([by_cid[c] for c in sorted(by_cid)], dtype=np.float64)
+    return ids, mat
+
+
+def _routed_assignments(spark: SparkSession, sf_dir: str, with_rank: bool = False):
+    """(embeddings frame, multi-probe (vec_id, centroid_id[, crank])
+    frame) under the trained fixed-K codebook."""
     from distributed_mapreduce_server_spark.operators.similarity import (
         _centroid_assign,
     )
 
     emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
-    cents = emb.filter(F.col("vec_id") % ROUTE_STRIDE == 0)
-    assign = _centroid_assign(emb, cents, ROUTE_PROBES)
+    codebook = _route_codebook(spark, sf_dir)
+    assign = _centroid_assign(emb, codebook, ROUTE_PROBES, with_rank=with_rank)
     return emb, assign
 
 
@@ -1642,8 +1772,9 @@ def dedup_semantic_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs found by the router; dedup_routed_eval reports its recall
     against the exact blocked baseline.
 
-    Scale shape: the codebook is a bounded driver collect (K ~
-    n/ROUTE_STRIDE rows of 64 floats); assignment is one Arrow
+    Scale shape: the codebook is a FIXED-K trained object (ROUTE_K
+    rows of 64 floats — bounded at any corpus size, see
+    _route_codebook); assignment is one Arrow
     mapInPandas matmul per batch (no crossJoin); the bucket grouping
     is ONE keyed shuffle partitioned by centroid_id (the inverted
     file); per-task work is one bucket's C(size, 2) cosine matmul on
@@ -1651,11 +1782,21 @@ def dedup_semantic_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored, never how). Multi-probe duplicates collapse in a distinct
     over pairs whose cosines are bit-identical (same full-vector
     kernel, 1e-4 grid rounding)."""
+    emb, assign = _routed_assignments(spark, sf_dir)
+    return _routed_pairs_from(emb, assign).orderBy("vec_a", "vec_b")
+
+
+def _routed_pairs_from(emb: DataFrame, assign: DataFrame) -> DataFrame:
+    """Qualifying (vec_a, vec_b, cos_sim) pairs within each centroid
+    bucket of ``assign`` — the exact-verify kernel shared by
+    dedup_semantic_routed and dedup_routed_eval (the eval reuses ITS
+    assignment frame so the codebook trains once per operator)."""
     import numpy as np
     import pandas as pd
 
-    emb, assign = _routed_assignments(spark, sf_dir)
-    bucketed = assign.join(emb.select("vec_id", "embedding"), "vec_id")
+    bucketed = assign.select("vec_id", "centroid_id").join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
@@ -1669,7 +1810,7 @@ def dedup_semantic_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"vec_a": ids[ai], "vec_b": ids[bj], "cos_sim": cos[ai, bj]}
         )
 
-    pairs = (
+    return (
         bucketed.groupBy("centroid_id")
         .applyInPandas(
             lambda _, pdf: bucket_pairs(pdf),
@@ -1677,7 +1818,6 @@ def dedup_semantic_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return pairs.orderBy("vec_a", "vec_b")
 
 
 def dedup_routed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1694,28 +1834,31 @@ def dedup_routed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_mapreduce_server_spark.catalog import table_row_count
 
     emb, assign = _routed_assignments(spark, sf_dir)
+    assign = assign.persist()
     n = table_row_count(sf_dir, "embeddings")
     cand = (
         assign.groupBy("centroid_id")
         .agg(F.count("*").alias("c"))
         .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("bigint").alias("n_candidates"))
     )
-    routed = dedup_semantic_routed(spark, sf_dir).select("vec_a", "vec_b")
+    routed = _routed_pairs_from(emb, assign).select("vec_a", "vec_b")
     exact = _blocked_cosine_pairs(spark, emb, n_hint=n).select("vec_a", "vec_b")
     n_routed = routed.count()
     n_exact = exact.count()
+    n_cand = cand.collect()[0]["n_candidates"]
+    assign.unpersist()
     # routed ⊆ exact (same kernel, same threshold) — missed = difference
     n_brute = n * (n - 1) // 2
-    return cand.select(
+    return spark.range(1).select(
         F.lit(n_exact).cast("bigint").alias("n_exact_pairs"),
         F.lit(n_routed).cast("bigint").alias("n_routed_pairs"),
         F.lit(n_exact - n_routed).cast("bigint").alias("n_missed"),
         # max(ne, 1): empty exact baseline pins recall 0.0 (same
         # convention as dedup_routed_probe_sweep / GREATEST in oracle)
         fround(F.lit(n_routed / max(n_exact, 1)), 4).alias("recall"),
-        F.col("n_candidates"),
+        F.lit(n_cand).cast("bigint").alias("n_candidates"),
         F.lit(n_brute).cast("bigint").alias("n_brute_pairs"),
-        fround(F.lit(n_brute) / F.col("n_candidates"), 2).alias("candidate_reduction"),
+        fround(F.lit(n_brute) / F.lit(n_cand), 2).alias("candidate_reduction"),
     )
 
 
@@ -1743,32 +1886,31 @@ def dedup_routed_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing corpus-squared anywhere beyond the exact baseline itself,
     which this curve exists to retire."""
     from distributed_mapreduce_server_spark.catalog import table_row_count
-    from distributed_mapreduce_server_spark.operators.similarity import (
-        _centroid_assign,
-    )
 
-    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
     n = table_row_count(sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") % ROUTE_STRIDE == 0)
-    assign = _centroid_assign(emb, cents, ROUTE_PROBES, with_rank=True).persist()
+    emb, assign = _routed_assignments(spark, sf_dir, with_rank=True)
+    assign = assign.persist()
 
     # (centroid, rank) histogram -> cumulative bucket size per P ->
-    # candidate budget per P (all bounded frames: K x P rows)
+    # candidate budget per P, all in ONE pass over the K x P-row
+    # frame: a rank-r row belongs to every width P >= r, so explode
+    # each histogram row onto its widths and fold.
     hist = assign.groupBy("centroid_id", "crank").agg(F.count("*").alias("cnt"))
-    budgets = None
-    for p in range(1, ROUTE_PROBES + 1):
-        b = (
-            hist.filter(F.col("crank") <= p)
-            .groupBy("centroid_id")
-            .agg(F.sum("cnt").alias("c"))
-            .agg(
-                F.lit(p).alias("probes"),
-                F.sum(F.col("c") * (F.col("c") - 1) / 2)
-                .cast("bigint")
-                .alias("n_candidates"),
-            )
+    widths = F.array(*[F.lit(p) for p in range(1, ROUTE_PROBES + 1)])
+    budgets = (
+        hist.withColumn(
+            "probes",
+            F.explode(F.filter(widths, lambda p: p >= F.col("crank"))),
         )
-        budgets = b if budgets is None else budgets.unionAll(b)
+        .groupBy("probes", "centroid_id")
+        .agg(F.sum("cnt").alias("c"))
+        .groupBy("probes")
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1) / 2)
+            .cast("bigint")
+            .alias("n_candidates")
+        )
+    )
 
     # exact pairs annotated with the minimal width that catches them
     exact = (

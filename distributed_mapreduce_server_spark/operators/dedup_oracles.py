@@ -605,8 +605,9 @@ DEDUP_ORACLES["dedup_threshold_sweep"] = _threshold_sweep_sql()
 
 
 from distributed_mapreduce_server_spark.operators.dedup import (  # noqa: E402
+    ROUTE_ITERS,
+    ROUTE_K,
     ROUTE_PROBES,
-    ROUTE_STRIDE,
 )
 
 # vector↔centroid cosine for the routing oracle (v = embeddings row,
@@ -617,11 +618,67 @@ _COS_VK = """ROUND(list_sum(list_transform(range(1, len(v.embedding) + 1),
                 * sqrt(list_sum(list_transform(k.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
              4)"""
 
+
+def _route_codebook_ctes() -> str:
+    """Unrolled cosine-Lloyd trainer mirroring dedup._route_codebook
+    (the similarity._kmeans_sql recipe on the cosine metric): init =
+    first ROUTE_K vectors, per round a 1e-4-rounded cosine argmax
+    assignment (cid ASC tie-break == numpy argmax-first over the
+    sorted id axis) and a 1e-6-rounded per-(cid, dim) mean update.
+    Ends with `centroids(centroid_id, embedding)` in list form so the
+    downstream assignment SQL is codebook-source-agnostic."""
+    parts = [
+        """re AS MATERIALIZED (
+            SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings, generate_series(1, 64) AS s(i)
+        )""",
+        """rnv AS MATERIALIZED (
+            SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM re GROUP BY 1
+        )""",
+        f"""rc0 AS MATERIALIZED (
+            SELECT CAST(vec_id AS BIGINT) AS cid, pos, x AS m
+            FROM re WHERE vec_id < {ROUTE_K}
+        )""",
+    ]
+    for i in range(ROUTE_ITERS):
+        parts += [
+            f"""rkn{i} AS MATERIALIZED (
+            SELECT cid, sqrt(SUM(m * m)) AS knrm FROM rc{i} GROUP BY 1
+        )""",
+            f"""rs{i} AS MATERIALIZED (
+            SELECT v.vec_id, c.cid,
+                   ROUND(SUM(v.x * c.m) / (MIN(n.nrm) * MIN(k.knrm)), 4) AS cs
+            FROM re v
+            JOIN rc{i} c ON v.pos = c.pos
+            JOIN rnv n ON n.vec_id = v.vec_id
+            JOIN rkn{i} k ON k.cid = c.cid
+            GROUP BY 1, 2
+        )""",
+            f"""ra{i} AS MATERIALIZED (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY cs DESC, cid) AS rk
+                FROM rs{i}
+            ) WHERE rk = 1
+        )""",
+            f"""rc{i + 1} AS MATERIALIZED (
+            SELECT a.cid, e.pos, ROUND(AVG(e.x), 6) AS m
+            FROM ra{i} a JOIN re e USING (vec_id)
+            GROUP BY 1, 2
+        )""",
+        ]
+    parts.append(
+        f"""centroids AS MATERIALIZED (
+            SELECT cid AS centroid_id, list(m ORDER BY pos) AS embedding
+            FROM rc{ROUTE_ITERS} GROUP BY cid
+        )"""
+    )
+    return ",\n    ".join(parts)
+
+
 _ROUTED_ASSIGN = f"""
-    centroids AS MATERIALIZED (
-        SELECT vec_id AS centroid_id, embedding FROM embeddings
-        WHERE vec_id % {ROUTE_STRIDE} = 0
-    ),
+    {_route_codebook_ctes()},
     assign AS MATERIALIZED (
         SELECT vec_id, centroid_id FROM (
             SELECT v.vec_id, k.centroid_id,
@@ -682,10 +739,7 @@ DEDUP_ORACLES["dedup_routed_eval"] = f"""
 
 
 _ROUTED_ASSIGN_RANKED = f"""
-    centroids AS MATERIALIZED (
-        SELECT vec_id AS centroid_id, embedding FROM embeddings
-        WHERE vec_id % {ROUTE_STRIDE} = 0
-    ),
+    {_route_codebook_ctes()},
     assign AS MATERIALIZED (
         SELECT vec_id, centroid_id, crank FROM (
             SELECT v.vec_id, k.centroid_id,

@@ -164,11 +164,14 @@ N_PROBE = 4
 
 
 def _centroid_assign(
-    emb: DataFrame, centroids: DataFrame, n_best: int, with_rank: bool = False
+    emb: DataFrame, centroids, n_best: int, with_rank: bool = False
 ) -> DataFrame:
     """(vec_id, centroid_id) for each vector's ``n_best`` nearest
     centroids by cosine (rounded, centroid_id tie-break — deterministic
-    across engines). ``with_rank=True`` adds the 1-based ``crank``
+    across engines). ``centroids`` is either a (vec_id, embedding)
+    DataFrame or an already-collected ``(ids, matrix)`` numpy pair
+    (dedup's trained routing codebook arrives pre-collected).
+    ``with_rank=True`` adds the 1-based ``crank``
     column (the probe width at which this centroid enters the
     vector's probe set — dedup_routed_probe_sweep folds every width
     from one assignment pass).
@@ -182,7 +185,10 @@ def _centroid_assign(
     import numpy as np
     import pandas as pd
 
-    cen_ids, cen_mat = _collect_matrix(centroids)
+    if isinstance(centroids, tuple):
+        cen_ids, cen_mat = centroids
+    else:
+        cen_ids, cen_mat = _collect_matrix(centroids)
     cen_norms = np.sqrt((cen_mat * cen_mat).sum(axis=1))
     # broadcast lifetime = the returned plan's; ContextCleaner reclaims it.
     bc = emb.sparkSession.sparkContext.broadcast((cen_ids, cen_mat, cen_norms))
