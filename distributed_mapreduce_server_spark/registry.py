@@ -756,18 +756,43 @@ def _family(key: str) -> str:
     return "q" if head.startswith("q") else head
 
 
+# Driver-sample rotation (VERDICT r8 task 6): keys that have never
+# had a driver CORRECTNESS row lead their family, so the driver's
+# first-50-key prefix picks them up this round. Rotate per round:
+# once a key has a green driver row, retire it from this list and
+# promote the next uncovered ones. Current wave = the round-8
+# relational/events batch plus the round-8/9 routed-dedup arc.
+_SAMPLE_FIRST = [
+    "q_gini_revenue",
+    "q_chi2_segment_priority",
+    "q_repeat_purchase_survival",
+    "q_events_user_entropy",
+    "q_events_bot_flags",
+    "q_corr_matrix",
+    "q_supplier_hhi",
+    "dedup_threshold_sweep",
+    "dedup_routed_eval",
+    "dedup_routed_probe_sweep",
+    "dedup_semantic_routed",
+]
+_SAMPLE_RANK = {k: i for i, k in enumerate(_SAMPLE_FIRST)}
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry keys ROUND-ROBIN-INTERLEAVED across operator families
     (q/mr/dedup/sim/emb/text/mm/stream/pysource): any prefix sample of
     this dict — e.g. a driver that verifies the first N keys — covers
     every family roughly proportionally, instead of exhausting the
     relational block first. Deterministic: family order = first
-    appearance, intra-family order = registration order."""
+    appearance, intra-family order = _SAMPLE_FIRST members first
+    (rotation, see above) then registration order."""
     from itertools import zip_longest
 
     fams: dict[str, list[str]] = {}
     for k in _QUERIES:
         fams.setdefault(_family(k), []).append(k)
+    for keys in fams.values():
+        keys.sort(key=lambda k: _SAMPLE_RANK.get(k, len(_SAMPLE_FIRST)))
     out: dict[str, QueryFn] = {}
     for row in zip_longest(*fams.values()):
         for k in row:
