@@ -2018,10 +2018,12 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_tables(spark, sf_dir, register_views=False)["orders"]
     # rev_c = revenue in integer CENTS rides along so the grand total
-    # comes out of the kernel's stats pass EXACTLY: long partials sum
-    # without float rounding (< 2^53 through sf1000), where a double
-    # sum of the 2-dp revs is only ~1e-4-accurate at sf0.1 — close
-    # enough to a 0.01 grid edge to flip the rounded total per engine.
+    # comes out of the kernel's stats pass EXACTLY: long partials fold
+    # into an arbitrary-precision Python int on the driver (exact at
+    # any sf — the r8 all-float fold lapsed past 2^53 cents ≈ sf300),
+    # where a double sum of the 2-dp revs is only ~1e-4-accurate at
+    # sf0.1 — close enough to a 0.01 grid edge to flip the rounded
+    # total per engine.
     rev = orders.groupBy("o_custkey").agg(
         fround(F.sum("o_totalprice"), 2).alias("rev")
     ).select(

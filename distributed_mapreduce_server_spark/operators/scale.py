@@ -137,7 +137,7 @@ def two_phase_rank(
         by_group.setdefault(key, []).append(r)
     offset_rows = []
     total_rows = 0
-    grand_sums = {c: 0.0 for c in sum_cols}
+    grand_sums: dict = {c: 0 for c in sum_cols}
     for key, rows in by_group.items():
         rows.sort(key=lambda r: r["__pid"])
         rn_off, sum_off = 0, [0.0] * len(sum_cols)
@@ -145,12 +145,21 @@ def two_phase_rank(
         g_total = sum(r["__cnt"] for r in rows)
         total_rows += g_total
         for c in sum_cols:
-            # float() coercion: per-group partials may come back as
-            # Decimal (DECIMAL sum_cols) — the kernel accumulates sums
-            # in DOUBLE precision throughout (the offset columns are
-            # DoubleType), so exact Decimal semantics are not preserved;
-            # use a double/long column when exactness matters.
-            grand_sums[c] += float(sum(float(r[f"__sum_{c}"] or 0.0) for r in rows))
+            # Integral partials (LONG sum_cols) fold in arbitrary-
+            # precision Python ints, so grand totals of integer
+            # columns are EXACT at any sf (ADVICE r8: the previous
+            # all-float fold silently lapsed past 2^53 ≈ sf300 in
+            # cents). Non-integer partials (double/Decimal) fold in
+            # DOUBLE precision — the offset columns are DoubleType
+            # throughout, so exact Decimal semantics are not
+            # preserved; use a long column when exactness matters.
+            vals = [r[f"__sum_{c}"] for r in rows if r[f"__sum_{c}"] is not None]
+            if all(isinstance(v, int) for v in vals):
+                grand_sums[c] += sum(vals)
+            else:
+                grand_sums[c] = float(grand_sums[c]) + float(
+                    sum(float(v) for v in vals)
+                )
         for r in rows:
             offset_rows.append(
                 tuple([r["__pid"], *key, rn_off, *sum_off, *max_off, g_total])

@@ -104,7 +104,17 @@ def persistent_rdd_ids(spark: SparkSession) -> set[int]:
     ``localCheckpoint(eager=True)`` isolates exactly that frame's
     block set, so iterative operators can retire superseded rounds
     with :func:`unpersist_rdd_ids` instead of leaking every round's
-    checkpoint for the life of the session."""
+    checkpoint for the life of the session.
+
+    SINGLE-THREADED-SESSION ASSUMPTION (ADVICE r8): the diff captures
+    ANY RDD persisted in the window — if another query runs
+    concurrently in the same SparkSession, its cache/checkpoint
+    blocks can land in the diff and be unpersisted by the caller;
+    for a localCheckpointed frame (lineage cut) that is an
+    unrecoverable job failure, not a recompute. Callers (the driver,
+    bench, tests) run queries sequentially; a concurrent-session
+    harness must switch retirement to per-frame rdd-id lookups
+    (df.rdd.id()-based) instead of snapshot diffs."""
     return {int(i) for i in spark.sparkContext._jsc.getPersistentRDDs().keySet()}
 
 
