@@ -133,6 +133,8 @@ HEADLINE = [
     "dedup_semantic_routed",
     "dedup_routed_eval",
     "dedup_routed_probe_sweep",
+    "text_unigram_train",
+    "text_unigram_fertility",
 ]
 
 

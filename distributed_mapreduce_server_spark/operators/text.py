@@ -1939,3 +1939,277 @@ def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (round 9) — the SentencePiece-style counterpart
+# to the BPE arc (Kudo 2018): a FIXED seed vocabulary (all single
+# chars + the top UNI_SEED_VOCAB substrings of length 2..4 by
+# corpus-weighted position count) is re-estimated by UNI_EM_ROUNDS of
+# Viterbi (hard) EM. Everything is integer-exact: piece costs are
+# -round(ln(p_Laplace) * 1e6) micro-nats (the q_events_user_entropy
+# integer-grid trick), so the Viterbi DP minimizes an INTEGER sum —
+# no float comparison anywhere in the inner loop — and ties break on
+# the zero-padded piece-id path string, which composes under the
+# backward DP (fixed-width components make suffix order == full-path
+# order for a shared prefix). Both engines therefore pick identical
+# segmentations, giving the full value-parity oracle that production
+# unigram trainers (lattice forward-backward, float marginals) can't.
+# Differences from Kudo 2018 are deliberate and documented: hard EM
+# instead of soft (determinism), fixed vocab instead of pruning
+# rounds (the prune schedule adds nothing at this vocab size), +1
+# Laplace smoothing so unused pieces keep finite cost.
+# ---------------------------------------------------------------------------
+
+UNI_PIECE_MAX_LEN = 4
+UNI_SEED_VOCAB = 48
+UNI_EM_ROUNDS = 3
+# word-frequency tables up to this size train on the driver (the
+# text_bpe_train take(limit+1) pattern); larger vocabularies run the
+# distributed per-round Viterbi kernel below — result-identical,
+# pinned by a forced-fallback test.
+UNI_DRIVER_VOCAB_LIMIT = 1_000_000
+
+
+def _unigram_seed(vocab: "list[tuple[str, int]]"):
+    """Seed piece set + initial counts from a (word, freq) table:
+    every start position of every substring of length 1..MAX_LEN
+    contributes the word's corpus frequency. Single chars are always
+    kept (segmentation coverage); multi-char pieces cap at
+    UNI_SEED_VOCAB by (count DESC, piece ASC)."""
+    sub_counts: dict = {}
+    for tok, n in vocab:
+        ln = len(tok)
+        for piece_len in range(1, UNI_PIECE_MAX_LEN + 1):
+            for i in range(ln - piece_len + 1):
+                p = tok[i : i + piece_len]
+                sub_counts[p] = sub_counts.get(p, 0) + n
+    chars = [p for p in sub_counts if len(p) == 1]
+    multi = sorted(
+        (p for p in sub_counts if len(p) >= 2),
+        key=lambda p: (-sub_counts[p], p),
+    )[:UNI_SEED_VOCAB]
+    pieces = sorted(chars + multi)
+    return pieces, {p: sub_counts[p] for p in pieces}
+
+
+def _unigram_costs(counts: dict) -> dict:
+    """Integer micro-nat piece costs from raw counts: p = (c + 1) /
+    (T + |V|) Laplace-smoothed, cost = -round(ln(p) * 1e6) on the
+    half-away grid (fround_scalar == DuckDB ROUND; Python round is
+    banker's at .5)."""
+    import math
+
+    from distributed_mapreduce_server_spark.functions import fround_scalar
+
+    total = sum(counts.values())
+    nv = len(counts)
+    return {
+        p: -int(fround_scalar(math.log((c + 1.0) / (total + nv)) * 1e6, 0))
+        for p, c in counts.items()
+    }
+
+
+def _unigram_viterbi(tok: str, cost: dict, pid: dict):
+    """Min-cost segmentation of ``tok`` into vocab pieces — backward
+    DP over suffixes keeping (integer cost, zero-padded piece-id path
+    string); the string tie-break composes because candidates sharing
+    a first piece share its fixed-width prefix. Returns the piece
+    tuple. Every word is segmentable (single chars are in-vocab)."""
+    ln = len(tok)
+    best: list = [None] * (ln + 1)
+    best[ln] = (0, "", ())
+    for j in range(ln - 1, -1, -1):
+        cand = None
+        for piece_len in range(1, min(UNI_PIECE_MAX_LEN, ln - j) + 1):
+            p = tok[j : j + piece_len]
+            c = cost.get(p)
+            if c is None:
+                continue
+            nxt = best[j + piece_len]
+            key = (c + nxt[0], "|%03d" % pid[p] + nxt[1])
+            if cand is None or key < (cand[0], cand[1]):
+                cand = (key[0], key[1], (p,) + nxt[2])
+        best[j] = cand
+    return best[0][2]
+
+
+def _unigram_train_local(vocab: "list[tuple[str, int]]"):
+    """Driver-side EM rounds over a bounded (word, freq) table —
+    identical semantics to the distributed loop (same seed, same
+    integer costs, same Viterbi tie-break) so the two paths are
+    result-identical and share one oracle. Returns (pieces, pid,
+    seed_counts, final_counts, final_costs)."""
+    pieces, counts = _unigram_seed(vocab)
+    pid = {p: i + 1 for i, p in enumerate(pieces)}
+    seed = dict(counts)
+    for _ in range(UNI_EM_ROUNDS):
+        cost = _unigram_costs(counts)
+        new_counts = {p: 0 for p in pieces}
+        for tok, n in vocab:
+            for p in _unigram_viterbi(tok, cost, pid):
+                new_counts[p] += n
+        counts = new_counts
+    return pieces, pid, seed, counts, _unigram_costs(counts)
+
+
+def _unigram_word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    return (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _unigram_fit(spark: SparkSession, sf_dir: str, force_distributed: bool = False):
+    """(pieces, pid, seed_counts, final_counts, final_costs) — driver
+    fast path when the word-frequency table is bounded, else the
+    distributed per-round loop: the corpus is touched ONCE (the
+    wordcount shuffle); seeding explodes substring positions on the
+    vocab-sized frame in codegen; each EM round is one Arrow
+    mapInPandas Viterbi pass over the word table (costs broadcast,
+    vocab-sized (piece, weighted_count) partials shuffled) and a
+    bounded driver collect for the M-step. Nothing corpus-sized after
+    the first aggregation."""
+    vocab_counts = _unigram_word_freqs(spark, sf_dir)
+    if not force_distributed:
+        head = vocab_counts.take(UNI_DRIVER_VOCAB_LIMIT + 1)
+        if len(head) <= UNI_DRIVER_VOCAB_LIMIT:
+            return _unigram_train_local([(r["tok"], r["n"]) for r in head])
+
+    import pandas as pd
+
+    words = vocab_counts.persist()
+    words.count()
+    # seed: substring-position explode, all in codegen on the
+    # vocab-sized frame (text_bpe_pair_counts' shape generalized to
+    # lengths 1..MAX)
+    subs = (
+        words.select(
+            "n",
+            "tok",
+            F.explode(F.sequence(F.lit(1), F.lit(UNI_PIECE_MAX_LEN))).alias("l"),
+        )
+        .filter(F.length("tok") >= F.col("l"))
+        .select(
+            "n",
+            "l",
+            F.explode(
+                F.sequence(F.lit(1), F.length("tok") - F.col("l") + 1)
+            ).alias("i"),
+            F.expr("substring(tok, i, l)").alias("piece"),
+        )
+        .groupBy("piece", "l")
+        .agg(F.sum("n").alias("cnt"))
+        .persist()
+    )
+    chars = subs.filter(F.col("l") == 1).select("piece", "cnt")
+    multi = (
+        subs.filter(F.col("l") >= 2)
+        .orderBy(F.desc("cnt"), "piece")
+        .limit(UNI_SEED_VOCAB)
+        .select("piece", "cnt")
+    )
+    rows = chars.unionAll(multi).collect()
+    subs.unpersist()
+    pieces = sorted(r["piece"] for r in rows)
+    pid = {p: i + 1 for i, p in enumerate(pieces)}
+    seed = {r["piece"]: r["cnt"] for r in rows}
+    counts = dict(seed)
+    for _ in range(UNI_EM_ROUNDS):
+        cost = _unigram_costs(counts)
+        bc = spark.sparkContext.broadcast((cost, pid))
+
+        def viterbi_counts(batches):
+            cost_b, pid_b = bc.value
+            for pdf in batches:
+                out: dict = {}
+                for tok, n in zip(pdf["tok"], pdf["n"]):
+                    for p in _unigram_viterbi(tok, cost_b, pid_b):
+                        out[p] = out.get(p, 0) + int(n)
+                yield pd.DataFrame(
+                    {"piece": list(out), "c": list(out.values())}
+                )
+
+        got = (
+            words.mapInPandas(viterbi_counts, "piece string, c long")
+            .groupBy("piece")
+            .agg(F.sum("c").alias("c"))
+            .collect()
+        )
+        counts = {p: 0 for p in pieces}
+        counts.update({r["piece"]: r["c"] for r in got})
+    words.unpersist()
+    return pieces, pid, seed, counts, _unigram_costs(counts)
+
+
+def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer TRAINING (Kudo 2018, deterministic
+    Viterbi-EM variant — see the section banner): emits the trained
+    piece table (piece, piece_len, seed_count, em_count, cost_micro)
+    — the artifact a SentencePiece-style tokenizer ships, next to
+    text_bpe_train's merge table. seed_count is the substring-
+    position statistic the vocab was seeded from; em_count the
+    weighted piece usage in the final round's best segmentations;
+    cost_micro the shipped integer micro-nat cost.
+
+    Scale shape: one corpus wordcount shuffle, then everything is
+    vocab-sized (driver fast path under UNI_DRIVER_VOCAB_LIMIT;
+    distributed rounds = one Arrow Viterbi pass each, costs
+    broadcast). Full value-parity DuckDB oracle: the fixed vocab and
+    integer costs make every EM round an exact integer program the
+    oracle unrolls — segmentations enumerate ONCE as MATERIALIZED
+    CTEs (piece structure is round-independent), each round re-costs
+    the paths and takes the same (cost, padded-id path) argmin."""
+    pieces, _, seed, counts, cost = _unigram_fit(spark, sf_dir)
+    return spark.createDataFrame(
+        [(p, len(p), int(seed[p]), int(counts[p]), int(cost[p])) for p in pieces],
+        "piece string, piece_len int, seed_count bigint, em_count bigint, "
+        "cost_micro bigint",
+    ).orderBy("piece")
+
+
+def text_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-tokenizer FERTILITY evaluation: pieces-per-word under
+    the trained unigram vocabulary, per source — text_bpe_fertility's
+    twin, so the two tokenizer families are comparable on the same
+    metric before choosing one for a corpus.
+
+    Scale shape: training as in text_unigram_train; evaluation is one
+    Arrow Viterbi pass over the per-(source, word) frequency table
+    (vocab-sized costs broadcast, frame bounded by sources x
+    vocabulary) and one weighted agg."""
+    import pandas as pd
+
+    pieces, pid, _, _, cost = _unigram_fit(spark, sf_dir)
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    st = (
+        docs.select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    bc = spark.sparkContext.broadcast((cost, pid))
+
+    def n_pieces(batches):
+        cost_b, pid_b = bc.value
+        for pdf in batches:
+            pdf = pdf.assign(
+                n_pieces=[
+                    len(_unigram_viterbi(t, cost_b, pid_b)) for t in pdf["tok"]
+                ]
+            )
+            yield pdf[["source", "n", "n_pieces"]]
+
+    per = st.mapInPandas(n_pieces, "source string, n long, n_pieces long")
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_words"),
+            F.sum(F.col("n") * F.col("n_pieces")).cast("bigint").alias("total_pieces"),
+            fround(F.sum(F.col("n") * F.col("n_pieces")) / F.sum("n"), 6).alias(
+                "fertility"
+            ),
+        )
+        .orderBy("source")
+    )

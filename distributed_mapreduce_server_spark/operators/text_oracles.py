@@ -1093,3 +1093,151 @@ TEXT_ORACLES["text_ngram_novelty"] = f"""
     FROM documents d LEFT JOIN per_doc p USING (doc_id)
     ORDER BY d.doc_id
 """
+
+
+def _unigram_ctes() -> str:
+    """Shared CTE chain for the unigram-LM tokenizer oracles
+    (text.py round-9 banner): word freqs -> substring-position seed
+    counts -> fixed vocab with piece ids -> ONE recursive enumeration
+    of every segmentation (piece structure is round-independent) ->
+    UNI_EM_ROUNDS unrolled Viterbi-EM rounds, each a re-costing of
+    the enumerated paths + the (cost, padded-id path) argmin the
+    Spark DP reproduces, ending with cost{R} (the shipped costs) and
+    best{R} (the final-cost segmentation the fertility eval uses).
+    All integer arithmetic except the ln() cost map, which lands on
+    the 1-micro-nat grid in both engines."""
+    from distributed_mapreduce_server_spark.operators.text import (
+        UNI_EM_ROUNDS,
+        UNI_PIECE_MAX_LEN,
+        UNI_SEED_VOCAB,
+    )
+
+    parts = [
+        f"""w AS MATERIALIZED (
+            SELECT tok, COUNT(*) AS n
+            FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+            GROUP BY 1
+        )""",
+        f"""sub AS MATERIALIZED (
+            SELECT piece, l, SUM(n) AS cnt FROM (
+                SELECT substr(tok, CAST(i AS INTEGER), l) AS piece, l, n FROM (
+                    SELECT tok, n, l,
+                           unnest(generate_series(1, length(tok) - l + 1)) AS i
+                    FROM w, (SELECT unnest(range(1, {UNI_PIECE_MAX_LEN + 1})) AS l) ls
+                    WHERE length(tok) >= l
+                )
+            ) GROUP BY 1, 2
+        )""",
+        f"""vraw AS (
+            SELECT piece, cnt FROM sub WHERE l = 1
+            UNION ALL
+            SELECT piece, cnt FROM (
+                SELECT piece, cnt,
+                       ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk
+                FROM sub WHERE l >= 2
+            ) WHERE rk <= {UNI_SEED_VOCAB}
+        )""",
+        """v AS MATERIALIZED (
+            SELECT piece, cnt AS c_seed,
+                   ROW_NUMBER() OVER (ORDER BY piece) AS pid
+            FROM vraw
+        )""",
+        """s AS (
+            SELECT tok, n, 0 AS pos, CAST('' AS VARCHAR) AS path,
+                   CAST([] AS BIGINT[]) AS pids
+            FROM w
+            UNION ALL
+            SELECT s.tok, s.n, s.pos + length(v.piece),
+                   s.path || '|' || lpad(CAST(v.pid AS VARCHAR), 3, '0'),
+                   list_append(s.pids, v.pid)
+            FROM s JOIN v
+              ON s.pos + length(v.piece) <= length(s.tok)
+             AND substr(s.tok, s.pos + 1, length(v.piece)) = v.piece
+        )""",
+        """segs AS MATERIALIZED (
+            SELECT tok, n, path, pids FROM s WHERE pos = length(tok)
+        )""",
+        "c0 AS MATERIALIZED (SELECT pid, piece, c_seed AS c FROM v)",
+    ]
+    for r in range(UNI_EM_ROUNDS + 1):
+        parts.append(
+            f"""cost{r} AS MATERIALIZED (
+            SELECT pid, piece,
+                   CAST(-round(ln((c + 1.0) / (t.total + t.nv)) * 1000000)
+                        AS BIGINT) AS cost
+            FROM c{r}, (SELECT SUM(c) AS total, COUNT(*) AS nv FROM c{r}) t
+        )"""
+        )
+        parts.append(
+            f"""pc{r} AS MATERIALIZED (
+            SELECT u.tok, u.path, SUM(k.cost) AS cost_total
+            FROM (SELECT tok, path, unnest(pids) AS pid FROM segs) u
+            JOIN cost{r} k USING (pid)
+            GROUP BY 1, 2
+        )"""
+        )
+        parts.append(
+            f"""best{r} AS MATERIALIZED (
+            SELECT g.tok, g.n, g.pids FROM segs g
+            JOIN (SELECT tok, path FROM (
+                    SELECT tok, path,
+                           ROW_NUMBER() OVER (PARTITION BY tok
+                               ORDER BY cost_total, path) AS rk
+                    FROM pc{r}) WHERE rk = 1) b
+              ON g.tok = b.tok AND g.path = b.path
+        )"""
+        )
+        if r < UNI_EM_ROUNDS:
+            parts.append(
+                f"""c{r + 1} AS MATERIALIZED (
+            SELECT v.pid, v.piece, COALESCE(x.c, 0) AS c
+            FROM v LEFT JOIN (
+                SELECT pid, SUM(n) AS c
+                FROM (SELECT n, unnest(pids) AS pid FROM best{r})
+                GROUP BY 1) x USING (pid)
+        )"""
+            )
+    return ",\n    ".join(parts)
+
+
+def _unigram_train_sql() -> str:
+    from distributed_mapreduce_server_spark.operators.text import UNI_EM_ROUNDS
+
+    return f"""
+    WITH RECURSIVE {_unigram_ctes()}
+    SELECT v.piece,
+           CAST(length(v.piece) AS INTEGER) AS piece_len,
+           CAST(v.c_seed AS BIGINT) AS seed_count,
+           CAST(cf.c AS BIGINT) AS em_count,
+           kf.cost AS cost_micro
+    FROM v
+    JOIN c{UNI_EM_ROUNDS} cf USING (pid)
+    JOIN cost{UNI_EM_ROUNDS} kf USING (pid)
+    ORDER BY v.piece
+"""
+
+
+def _unigram_fertility_sql() -> str:
+    from distributed_mapreduce_server_spark.operators.text import UNI_EM_ROUNDS
+
+    return f"""
+    WITH RECURSIVE {_unigram_ctes()},
+    st AS (
+        SELECT source, tok, COUNT(*) AS n
+        FROM (SELECT source, unnest({_TOKS}) AS tok FROM documents)
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT tok, len(pids) AS n_pieces FROM best{UNI_EM_ROUNDS})
+    SELECT source,
+           CAST(SUM(st.n) AS BIGINT) AS n_words,
+           CAST(SUM(st.n * sizes.n_pieces) AS BIGINT) AS total_pieces,
+           ROUND(CAST(SUM(st.n * sizes.n_pieces) AS DOUBLE)
+                 / SUM(st.n), 6) AS fertility
+    FROM st JOIN sizes USING (tok)
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
+TEXT_ORACLES["text_unigram_train"] = _unigram_train_sql()
+TEXT_ORACLES["text_unigram_fertility"] = _unigram_fertility_sql()

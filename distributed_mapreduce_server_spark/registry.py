@@ -256,6 +256,8 @@ _register(
         "text_source_kl_divergence",
         "text_ngram_novelty",
         "text_bpe_fertility",
+        "text_unigram_train",
+        "text_unigram_fertility",
     ],
 )
 _register(
@@ -774,6 +776,8 @@ _SAMPLE_FIRST = [
     "dedup_routed_eval",
     "dedup_routed_probe_sweep",
     "dedup_semantic_routed",
+    "text_unigram_train",
+    "text_unigram_fertility",
 ]
 _SAMPLE_RANK = {k: i for i, k in enumerate(_SAMPLE_FIRST)}
 

@@ -195,6 +195,10 @@ EAGER_OPS = {
     "dedup_threshold_sweep",  # persisted pair frame + checkpointed grid
     "q_graph_kcore_peel",  # iterative peel rounds run eagerly (createDataFrame result)
     "dedup_routed_eval",  # runs routed + exact pair generators eagerly; 1-row literal result
+    "dedup_routed_probe_sweep",  # ranked assign + exact baseline persist; checkpointed curve
+    "dedup_semantic_routed",  # codebook Lloyd training collects eagerly at plan build
+    "text_unigram_train",  # EM rounds run eagerly (createDataFrame result)
+    "text_unigram_fertility",  # rides the eager EM; Viterbi kernel plan is lazy but tiny
 }
 
 

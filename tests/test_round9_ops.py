@@ -213,6 +213,75 @@ def test_routed_pairs_are_subset_of_exact_and_eval_consistent(spark, sf_smoke):
     assert ev["n_candidates"] < ev["n_brute_pairs"] or ev["candidate_reduction"] <= 1.0
 
 
+def test_unigram_train_invariants(spark, sf_smoke):
+    """Semantic checks oracle parity can't see: vocab composition
+    (every char + at most UNI_SEED_VOCAB multi-char pieces), cost
+    ordering (the Laplace cost is strictly decreasing in count, so
+    sorting by count must sort costs the other way), and that EM
+    actually moved mass off the raw substring statistic."""
+    from distributed_mapreduce_server_spark.operators.text import (
+        UNI_PIECE_MAX_LEN,
+        UNI_SEED_VOCAB,
+        text_unigram_train,
+    )
+
+    rows = text_unigram_train(spark, sf_smoke).collect()
+    assert rows
+    chars = [r for r in rows if r["piece_len"] == 1]
+    multis = [r for r in rows if r["piece_len"] >= 2]
+    assert len(multis) <= UNI_SEED_VOCAB
+    assert all(1 <= r["piece_len"] <= UNI_PIECE_MAX_LEN for r in rows)
+    assert all(r["seed_count"] > 0 for r in rows)
+    assert all(r["em_count"] >= 0 for r in rows)
+    # chars always survive in vocab (coverage guarantee)
+    assert {r["piece"] for r in chars}
+    # Laplace cost is a strictly decreasing function of count: sort by
+    # em_count desc must sort cost_micro asc (ties in count = ties in cost)
+    by_count = sorted(rows, key=lambda r: -r["em_count"])
+    costs = [r["cost_micro"] for r in by_count]
+    assert costs == sorted(costs)
+    # EM re-concentrated mass away from the raw substring statistic
+    assert any(r["em_count"] != r["seed_count"] for r in rows)
+    # unused pieces share the single max (count-0 Laplace) cost
+    zero_costs = {r["cost_micro"] for r in rows if r["em_count"] == 0}
+    assert len(zero_costs) <= 1
+
+
+def test_unigram_fertility_consistent_with_train(spark, sf_smoke):
+    """Fertility bounds: pieces-per-word lies in [1, max word length]
+    (em_count can't be balanced against total_pieces directly — the
+    eval re-encodes with the POST-final-round costs, one Viterbi pass
+    past the counts the train table reports), and the vocabulary
+    compresses at least one source below the chars-per-word ceiling."""
+    from distributed_mapreduce_server_spark.operators.text import (
+        text_unigram_fertility,
+    )
+
+    rows = text_unigram_fertility(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r["n_words"] > 0
+        assert r["n_words"] <= r["total_pieces"]
+        assert 1.0 <= r["fertility"] <= 8.0  # corpus max word length
+    # the unigram vocab compresses at least somewhere (some multi-char
+    # piece in use => fertility strictly below chars-per-word)
+    assert any(r["fertility"] < 5.0 for r in rows)
+
+
+def test_unigram_driver_and_distributed_paths_identical(spark, sf_smoke):
+    """text_bpe_train's forced-fallback discipline for the unigram
+    trainer: the driver numpy/dict loop and the distributed Arrow-
+    Viterbi rounds must produce the identical fit."""
+    from distributed_mapreduce_server_spark.operators.text import _unigram_fit
+
+    a = _unigram_fit(spark, sf_smoke)
+    b = _unigram_fit(spark, sf_smoke, force_distributed=True)
+    assert a[0] == b[0]  # pieces
+    assert a[2] == b[2]  # seed counts
+    assert a[3] == b[3]  # EM counts
+    assert a[4] == b[4]  # final costs
+
+
 def test_route_codebook_driver_and_distributed_paths_identical(spark, sf_smoke):
     """The driver numpy fast path and the distributed per-round loop
     must land on the SAME codebook (both quantize cosines to 1e-4 and
