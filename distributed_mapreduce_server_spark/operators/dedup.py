@@ -1173,6 +1173,50 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 SUBSTR_L = 10
 
 
+def _substr_covered(spark: SparkSession, sf_dir: str):
+    """Shared construction behind the ExactSubstr family
+    (dedup_exact_substr / dedup_span_clean / dedup_substr_spans):
+    row-form L-gram assembly (posexplode + L-1 window leads —
+    codegen, like the 3-gram shingler), md5 the gram, ONE
+    df-aggregation over the gram hash, then each duplicated gram at
+    position p explodes into its L covered positions. Returns (docs,
+    tok, cov, grams) where cov = DISTINCT (doc_id, pos) covered by
+    some duplicated >= SUBSTR_L-token run; fan-out is L x duplicated
+    grams only, never the corpus x L. Caller must unpersist the
+    returned grams handle after materializing its result."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    tok = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    g = tok
+    parts = [F.col("tok")]
+    for k in range(1, SUBSTR_L):
+        g = g.withColumn(f"t{k}", F.lead("tok", k).over(w))
+        parts.append(F.col(f"t{k}"))
+    grams = g.filter(F.col(f"t{SUBSTR_L - 1}").isNotNull()).select(
+        "doc_id", "pos", md5_u60(F.concat_ws(" ", *parts)).alias("h")
+    )
+    grams = grams.persist()
+    grams.count()  # referenced twice (df agg + cover join)
+    dup_h = (
+        grams.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("h")
+    )
+    cov = (
+        grams.join(dup_h, "h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(SUBSTR_L - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    return docs, tok, cov, grams
+
+
 def dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style duplicate-SPAN detection (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): find
@@ -1184,51 +1228,13 @@ def dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark realization (the suffix-array algorithm is replaced by an
     equivalent fixed-L formulation: a token is in a duplicated run of
-    length >= L iff some L-gram containing it is duplicated):
-    row-form L-gram assembly (posexplode + 9 window leads — codegen,
-    like the 3-gram shingler), md5 the gram, ONE df-aggregation over
-    the gram hash, then each duplicated gram at position p explodes
-    into its L covered positions and a distinct count per doc folds
-    the overlapping intervals. Shuffles: gram df (key-partitioned on
-    hash) + per-doc cover distinct — both partial-agg; fan-out is
-    L x duplicated grams only, never the corpus x L.
+    length >= L iff some L-gram containing it is duplicated): the
+    shared _substr_covered construction, then a per-doc count of the
+    distinct covered positions. Shuffles: gram df (key-partitioned on
+    hash) + per-doc cover distinct — both partial-agg.
     """
-    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    tok = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    g = tok
-    parts = [F.col("tok")]
-    for k in range(1, SUBSTR_L):
-        g = g.withColumn(f"t{k}", F.lead("tok", k).over(w))
-        parts.append(F.col(f"t{k}"))
-    grams = (
-        g.filter(F.col(f"t{SUBSTR_L - 1}").isNotNull())
-        .select(
-            "doc_id",
-            "pos",
-            md5_u60(F.concat_ws(" ", *parts)).alias("h"),
-        )
-    )
-    grams = grams.persist()
-    grams.count()  # referenced twice (df agg + cover join)
-    dup_h = (
-        grams.groupBy("h")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") >= 2)
-        .select("h")
-    )
-    covered = (
-        grams.join(dup_h, "h")
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(SUBSTR_L - 1))
-            ).alias("cov"),
-        )
-        .groupBy("doc_id")
-        .agg(F.count_distinct("cov").alias("n_dup_covered"))
-    )
+    docs, _, cov, grams = _substr_covered(spark, sf_dir)
+    covered = cov.groupBy("doc_id").agg(F.count("*").alias("n_dup_covered"))
     sizes = docs.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
     out = (
         sizes.join(covered, "doc_id", "left")
@@ -1242,6 +1248,50 @@ def dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("dup_frac"),
         )
+    )
+    out = _cache_result(out)
+    grams.unpersist()
+    return out.orderBy("doc_id")
+
+
+def dedup_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-SPAN structure per document (round 9) — the
+    span-level report Lee et al.'s suffix-array pipeline produces
+    before deciding what to cut: where dedup_exact_substr reports
+    coverage (how many tokens) this reports SHAPE (how many maximal
+    runs, how long the longest is), which separates a doc with one
+    500-token boilerplate block from one with 50 scattered 10-token
+    clichés — different curation actions (cut the block vs drop the
+    doc).
+
+    Spans = gaps-and-islands over each doc's covered-position set
+    (pos − row_number is constant within a maximal run — the
+    q_events_burst_detection kernel on positions instead of hours);
+    the island window partitions by doc_id, so per-task work is
+    bounded by document length, never corpus-sized."""
+    docs, _, cov, grams = _substr_covered(spark, sf_dir)
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        cov.withColumn("grp", F.col("pos") - F.row_number().over(wd))
+        .groupBy("doc_id", "grp")
+        .agg(F.count("*").alias("span_len"))
+    )
+    per = spans.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.max("span_len").cast("bigint").alias("max_span_tokens"),
+        F.sum("span_len").cast("bigint").alias("n_dup_covered"),
+    )
+    sizes = docs.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
+    out = sizes.join(per, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce(F.col("max_span_tokens"), F.lit(0))
+        .cast("bigint")
+        .alias("max_span_tokens"),
+        F.coalesce(F.col("n_dup_covered"), F.lit(0))
+        .cast("bigint")
+        .alias("n_dup_covered"),
     )
     out = _cache_result(out)
     grams.unpersist()
@@ -1404,43 +1454,14 @@ def dedup_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstructed token stream — value-exact parity on the actual
     surgery, not just the counts.
 
-    Scale shape: identical to dedup_exact_substr up through the
-    covered-position set (row-form L-gram assembly, ONE df shuffle on
-    the gram hash, fan-out bounded by L x duplicated grams), plus one
+    Scale shape: the shared _substr_covered construction (row-form
+    L-gram assembly, ONE df shuffle on the gram hash, fan-out bounded
+    by L x duplicated grams), plus one
     keyed LEFT ANTI join (tok positions vs covered positions,
     co-keyed on doc_id) and a per-doc fold whose collect_list is
     bounded by document length — never corpus-sized. A fully covered
     document still emits its row (n_kept = 0, clean_fp = md5(''))."""
-    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    tok = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    g = tok
-    parts = [F.col("tok")]
-    for k in range(1, SUBSTR_L):
-        g = g.withColumn(f"t{k}", F.lead("tok", k).over(w))
-        parts.append(F.col(f"t{k}"))
-    grams = g.filter(F.col(f"t{SUBSTR_L - 1}").isNotNull()).select(
-        "doc_id", "pos", md5_u60(F.concat_ws(" ", *parts)).alias("h")
-    )
-    grams = grams.persist()
-    grams.count()  # referenced twice (df agg + cover join)
-    dup_h = (
-        grams.groupBy("h")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") >= 2)
-        .select("h")
-    )
-    cov = (
-        grams.join(dup_h, "h")
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(SUBSTR_L - 1))
-            ).alias("pos"),
-        )
-        .distinct()
-    )
+    docs, tok, cov, grams = _substr_covered(spark, sf_dir)
     kept = tok.join(cov, ["doc_id", "pos"], "left_anti")
     clean = kept.groupBy("doc_id").agg(
         F.count("*").alias("n_kept"),

@@ -392,6 +392,63 @@ def _exact_substr_oracle() -> str:
 DEDUP_ORACLES["dedup_exact_substr"] = _exact_substr_oracle()
 
 
+def _substr_spans_oracle() -> str:
+    """Mirrors dedup_substr_spans: the exact-substr cover set, then
+    gaps-and-islands (cov − ROW_NUMBER constant within a maximal run)
+    per document."""
+    from distributed_mapreduce_server_spark.operators.dedup import SUBSTR_L
+
+    L = SUBSTR_L
+    gram = _u60(f"array_to_string(t[i:i + {L - 1}], ' ')")
+    return f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        grams AS (
+            SELECT doc_id, i AS pos, {gram} AS h
+            FROM (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, len(t) - {L - 1})) AS i
+                FROM toks
+            )
+        ),
+        dup AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) >= 2),
+        cover AS (
+            SELECT DISTINCT doc_id, pos + j AS cov
+            FROM (
+                SELECT g.doc_id, g.pos,
+                       unnest(generate_series(0, {L - 1})) AS j
+                FROM grams g JOIN dup ON g.h = dup.h
+            )
+        ),
+        isl AS (
+            SELECT doc_id, cov,
+                   cov - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cov)
+                       AS grp
+            FROM cover
+        ),
+        spans AS (
+            SELECT doc_id, grp, COUNT(*) AS span_len
+            FROM isl GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(MAX(span_len) AS BIGINT) AS max_span_tokens,
+                   CAST(SUM(span_len) AS BIGINT) AS n_dup_covered
+            FROM spans GROUP BY 1
+        )
+        SELECT toks.doc_id,
+               CAST(len(toks.t) AS INTEGER) AS n_tokens,
+               COALESCE(agg.n_spans, 0) AS n_spans,
+               COALESCE(agg.max_span_tokens, 0) AS max_span_tokens,
+               COALESCE(agg.n_dup_covered, 0) AS n_dup_covered
+        FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id
+        ORDER BY toks.doc_id
+    """
+
+
+DEDUP_ORACLES["dedup_substr_spans"] = _substr_spans_oracle()
+
+
 from distributed_mapreduce_server_spark.operators.dedup import (  # noqa: E402
     CONTAINMENT_T_DEN,
     CONTAINMENT_T_NUM,

@@ -167,6 +167,7 @@ _register(
         "dedup_lsh_eval",
         "dedup_cluster_stats",
         "dedup_span_clean",
+        "dedup_substr_spans",
         "dedup_minhash_est_eval",
         "dedup_threshold_sweep",
         "dedup_semantic_routed",
@@ -778,6 +779,7 @@ _SAMPLE_FIRST = [
     "dedup_semantic_routed",
     "text_unigram_train",
     "text_unigram_fertility",
+    "dedup_substr_spans",
 ]
 _SAMPLE_RANK = {k: i for i, k in enumerate(_SAMPLE_FIRST)}
 

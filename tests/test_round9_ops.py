@@ -213,6 +213,37 @@ def test_routed_pairs_are_subset_of_exact_and_eval_consistent(spark, sf_smoke):
     assert ev["n_candidates"] < ev["n_brute_pairs"] or ev["candidate_reduction"] <= 1.0
 
 
+def test_substr_spans_consistent_with_coverage(spark, sf_smoke):
+    """The span report must tile exactly the coverage report: per doc,
+    Σ span lengths == dedup_exact_substr's n_dup_covered, every span
+    is at least SUBSTR_L tokens (a duplicated run shorter than L
+    cannot be covered), the longest span fits the doc, and span count
+    is consistent with the pigeonhole bound n_spans <=
+    n_dup_covered // SUBSTR_L."""
+    from distributed_mapreduce_server_spark.operators.dedup import (
+        SUBSTR_L,
+        dedup_exact_substr,
+        dedup_substr_spans,
+    )
+
+    cov = {
+        r["doc_id"]: r["n_dup_covered"]
+        for r in dedup_exact_substr(spark, sf_smoke).collect()
+    }
+    rows = dedup_substr_spans(spark, sf_smoke).collect()
+    assert {r["doc_id"] for r in rows} == set(cov)
+    assert any(r["n_spans"] > 0 for r in rows)
+    for r in rows:
+        assert r["n_dup_covered"] == cov[r["doc_id"]]
+        assert r["max_span_tokens"] <= r["n_tokens"]
+        if r["n_spans"] == 0:
+            assert r["max_span_tokens"] == 0 and r["n_dup_covered"] == 0
+        else:
+            assert r["max_span_tokens"] >= SUBSTR_L
+            assert r["n_spans"] <= r["n_dup_covered"] // SUBSTR_L
+            assert r["max_span_tokens"] <= r["n_dup_covered"]
+
+
 def test_unigram_train_invariants(spark, sf_smoke):
     """Semantic checks oracle parity can't see: vocab composition
     (every char + at most UNI_SEED_VOCAB multi-char pieces), cost
