@@ -270,6 +270,12 @@ def main() -> None:
         n for n, f in load_factor.items() if f > LOAD_FLAG_FACTOR
     )
     total = round(sum(times.values()), 3)
+    # Record-quality gate (round 9): a headline record with > 10% of
+    # queries load-flagged is NOT a trustworthy cross-round comparison
+    # point (r8's working-tree re-record ran at 6-12x load, 96/106
+    # flagged, and had to be discarded). clean_record says whether
+    # this run clears the bar — re-run on a quiet host if it doesn't.
+    clean_record = len(load_flagged) <= max(1, len(names) // 10)
     payload = json.dumps(
         {
             "metric": "headline_queries_total",
@@ -282,6 +288,7 @@ def main() -> None:
             "probe_series": probe_series,
             "load_factor": load_factor,
             "load_flagged": load_flagged,
+            "clean_record": clean_record,
             "sf": sf,
         }
     )

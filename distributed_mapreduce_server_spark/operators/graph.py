@@ -242,6 +242,60 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _oriented_wedges(spark: SparkSession, sf_dir: str):
+    """Degree-ordered orientation machinery shared by
+    q_graph_triangles and q_graph_clustering_coefficient (one copy
+    since round 9 — the two ops previously duplicated it line for
+    line): returns (edges, deg, oriented, wedges) where wedges =
+    (apex, u, v) with u < v, ready for the closing join against the
+    undirected edge set.
+
+    edges (|E|), deg (|V|) and oriented (|E|) are PERSISTED — each
+    feeds 2-4 consumers and ReuseExchange dedupes none of them
+    (measured: 0 ReusedExchange, 14 redundant scans in the lazy
+    triangle plan). The caller must materialize its result through
+    the cache (eager localCheckpoint) and then unpersist all three.
+
+    The orientation bounds every node's out-degree by O(√m)
+    regardless of raw-degree skew (hubs lose the (degree, id)
+    comparison on every edge), so the wedge fan-out Σ C(out_deg, 2)
+    ≤ m·√m survives a 100× scale-up where naive Σ C(deg, 2) does
+    not."""
+    edges = _copurchase_edges(spark, sf_dir).persist()
+    edges.count()
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+        .persist()
+    )
+    e = (
+        edges.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    lower_is_u = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(lower_is_u, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_is_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    ).persist()
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    # wedge endpoints normalized to (u < v) so the closing join hits
+    # the undirected (u < v) edge set directly.
+    wedges = (
+        o1.join(o2, F.col("o1.src") == F.col("o2.src"))
+        .filter(F.col("o1.dst") < F.col("o2.dst"))
+        .select(
+            F.col("o1.src").alias("apex"),
+            F.col("o1.dst").alias("u"),
+            F.col("o2.dst").alias("v"),
+        )
+    )
+    return edges, deg, oriented, wedges
+
+
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global triangle count + clustering coefficient of the
     co-purchase graph, via DEGREE-ORDERED edge orientation (the
@@ -273,39 +327,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     same set. n_wedges = Σ C(deg, 2) over UNDIRECTED degrees;
     global_clustering = 3·triangles / wedges (ratio of exact integers
     → bit-identical across engines before the 6 dp rounding)."""
-    edges = _copurchase_edges(spark, sf_dir).persist()
-    edges.count()
-    # deg (|V| rows) feeds the orientation joins AND node_stats;
-    # oriented (|E| rows) feeds BOTH sides of the wedge self-join.
-    # Neither subtree is deduped by ReuseExchange (measured — see
-    # above), so both are persisted: without this the deg shuffle
-    # re-runs 3x and the orientation joins 2x.
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("d"))
-        .persist()
-    )
-    e = (
-        edges.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
-        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
-    )
-    lower_is_u = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = e.select(
-        F.when(lower_is_u, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(lower_is_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    ).persist()
-    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
-    # wedge endpoints normalized to (u < v) so the closing join hits
-    # the undirected (u < v) edge set directly.
-    wedges = (
-        o1.join(o2, F.col("o1.src") == F.col("o2.src"))
-        .filter(F.col("o1.dst") < F.col("o2.dst"))
-        .select(F.col("o1.dst").alias("u"), F.col("o2.dst").alias("v"))
-    )
+    edges, deg, oriented, wedges = _oriented_wedges(spark, sf_dir)
     tri = wedges.join(edges, ["u", "v"]).agg(F.count("*").alias("n_triangles"))
     node_stats = deg.agg(
         F.count("*").alias("n_nodes"),
@@ -640,39 +662,7 @@ def q_graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFram
     with deg ≥ 2. avg_cc is computed per degree group as the single
     exact-integer ratio 2·SUM(t)/(n_nodes·d·(d−1)) — one rounding at
     6 dp, bit-identical across engines."""
-    edges = _copurchase_edges(spark, sf_dir).persist()
-    edges.count()
-    # Same persist discipline as q_graph_triangles: deg feeds the
-    # orientation joins and the final left join; oriented feeds both
-    # sides of the wedge self-join. ReuseExchange dedupes neither.
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("d"))
-        .persist()
-    )
-    e = (
-        edges.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
-        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
-    )
-    lower_is_u = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = e.select(
-        F.when(lower_is_u, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(lower_is_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    ).persist()
-    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
-    wedges = (
-        o1.join(o2, F.col("o1.src") == F.col("o2.src"))
-        .filter(F.col("o1.dst") < F.col("o2.dst"))
-        .select(
-            F.col("o1.src").alias("apex"),
-            F.col("o1.dst").alias("u"),
-            F.col("o2.dst").alias("v"),
-        )
-    )
+    edges, deg, oriented, wedges = _oriented_wedges(spark, sf_dir)
     tri_nodes = (
         wedges.join(edges, ["u", "v"])
         .select(
