@@ -135,6 +135,7 @@ HEADLINE = [
     "dedup_routed_probe_sweep",
     "text_unigram_train",
     "text_unigram_fertility",
+    "text_unigram_tokenize",
     "dedup_substr_spans",
 ]
 

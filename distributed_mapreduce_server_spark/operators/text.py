@@ -2213,3 +2213,67 @@ def text_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ENCODING under the trained unigram vocabulary — the
+    text_tokenize_to_ids step for the unigram family, completing its
+    arc (train → ENCODE → evaluate) the way the BPE family has pair
+    stats → train → encode → fertility. Per document: word count,
+    total piece count, and the first TOKENIZE_PREFIX piece ids of the
+    flattened best-segmentation stream, comma-joined (the full id
+    sequence in production; a bounded prefix here so the oracle
+    compares a scalar, not a blob).
+
+    Scale shape: the corpus token stream never crosses the Python
+    boundary — Viterbi runs once per DISTINCT word (one Arrow pass
+    over the vocab-sized word set), and the resulting
+    (word → piece ids) map BROADCAST-joins against the corpus stream
+    JVM-side; the per-doc prefix assembly sorts bounded structs.
+    Piece ids are the trained vocab's 1-based rank by piece string —
+    the same ids the train table's sort order implies."""
+    import pandas as pd
+
+    pieces, pid, _, _, cost = _unigram_fit(spark, sf_dir)
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    tok_rows = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    words = tok_rows.select("tok").distinct()
+    bc = spark.sparkContext.broadcast((cost, pid))
+
+    def encode(batches):
+        cost_b, pid_b = bc.value
+        for pdf in batches:
+            segs = [_unigram_viterbi(t, cost_b, pid_b) for t in pdf["tok"]]
+            yield pd.DataFrame(
+                {
+                    "tok": pdf["tok"],
+                    "ids": [[pid_b[p] for p in s] for s in segs],
+                    "np": [len(s) for s in segs],
+                }
+            )
+
+    wmap = words.mapInPandas(encode, "tok string, ids array<long>, np long")
+    joined = tok_rows.join(F.broadcast(wmap), "tok")
+    flat = F.slice(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ids"))),
+                lambda s: s["ids"],
+            )
+        ),
+        1,
+        TOKENIZE_PREFIX,
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("np").cast("bigint").alias("n_pieces"),
+            F.array_join(
+                F.transform(flat, lambda x: x.cast("string")), ","
+            ).alias("first_piece_ids"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1241,3 +1241,34 @@ def _unigram_fertility_sql() -> str:
 
 TEXT_ORACLES["text_unigram_train"] = _unigram_train_sql()
 TEXT_ORACLES["text_unigram_fertility"] = _unigram_fertility_sql()
+
+
+def _unigram_tokenize_sql() -> str:
+    from distributed_mapreduce_server_spark.operators.text import (
+        TOKENIZE_PREFIX,
+        UNI_EM_ROUNDS,
+    )
+
+    return f"""
+    WITH RECURSIVE {_unigram_ctes()},
+    wp AS (SELECT tok, pids, len(pids) AS np FROM best{UNI_EM_ROUNDS}),
+    dtok AS (
+        SELECT doc_id, pos, toks[pos] AS tok FROM (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks))) AS pos
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        )
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(wp.np) AS BIGINT) AS n_pieces,
+           array_to_string(
+               list_slice(flatten(list(wp.pids ORDER BY pos)),
+                          1, {TOKENIZE_PREFIX}), ',') AS first_piece_ids
+    FROM dtok JOIN wp USING (tok)
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
+TEXT_ORACLES["text_unigram_tokenize"] = _unigram_tokenize_sql()

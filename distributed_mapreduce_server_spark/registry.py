@@ -259,6 +259,7 @@ _register(
         "text_bpe_fertility",
         "text_unigram_train",
         "text_unigram_fertility",
+        "text_unigram_tokenize",
     ],
 )
 _register(
@@ -779,6 +780,7 @@ _SAMPLE_FIRST = [
     "dedup_semantic_routed",
     "text_unigram_train",
     "text_unigram_fertility",
+    "text_unigram_tokenize",
     "dedup_substr_spans",
 ]
 _SAMPLE_RANK = {k: i for i, k in enumerate(_SAMPLE_FIRST)}

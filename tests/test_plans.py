@@ -199,6 +199,7 @@ EAGER_OPS = {
     "dedup_semantic_routed",  # codebook Lloyd training collects eagerly at plan build
     "text_unigram_train",  # EM rounds run eagerly (createDataFrame result)
     "text_unigram_fertility",  # rides the eager EM; Viterbi kernel plan is lazy but tiny
+    "text_unigram_tokenize",  # rides the eager EM; encode join plan is lazy
 }
 
 

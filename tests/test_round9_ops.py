@@ -299,6 +299,31 @@ def test_unigram_fertility_consistent_with_train(spark, sf_smoke):
     assert any(r["fertility"] < 5.0 for r in rows)
 
 
+def test_unigram_tokenize_mass_balance(spark, sf_smoke):
+    """The encode step must agree with the eval step on the corpus
+    totals: Σ n_pieces over docs == Σ total_pieces over sources (both
+    count every word occurrence's best-segmentation length under the
+    final costs), every doc has n_pieces >= n_words, and the id
+    prefix is well-formed (1-based ids within vocab size)."""
+    from distributed_mapreduce_server_spark.operators.text import (
+        text_unigram_fertility,
+        text_unigram_tokenize,
+        text_unigram_train,
+    )
+
+    docs = text_unigram_tokenize(spark, sf_smoke).collect()
+    srcs = text_unigram_fertility(spark, sf_smoke).collect()
+    assert sum(r["n_pieces"] for r in docs) == sum(
+        r["total_pieces"] for r in srcs
+    )
+    assert sum(r["n_words"] for r in docs) == sum(r["n_words"] for r in srcs)
+    nv = text_unigram_train(spark, sf_smoke).count()
+    for r in docs:
+        assert r["n_pieces"] >= r["n_words"]
+        ids = [int(x) for x in r["first_piece_ids"].split(",") if x]
+        assert ids and all(1 <= i <= nv for i in ids)
+
+
 def test_unigram_driver_and_distributed_paths_identical(spark, sf_smoke):
     """text_bpe_train's forced-fallback discipline for the unigram
     trainer: the driver numpy/dict loop and the distributed Arrow-
