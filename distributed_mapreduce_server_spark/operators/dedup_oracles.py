@@ -632,35 +632,6 @@ from distributed_mapreduce_server_spark.operators.dedup import (  # noqa: E402
 )
 
 
-def _threshold_sweep_sql() -> str:
-    """Mirrors dedup_threshold_sweep: one materialized pair frame at
-    the loosest cut, then each grid step counts pairs and distinct
-    touched docs from it (cosines pre-rounded to the 1e-4 grid, so
-    the >= comparisons are engine-stable at 2-dp thresholds)."""
-    rows = " UNION ALL ".join(
-        f"""SELECT CAST({t} AS DOUBLE) AS threshold,
-               (SELECT CAST(COUNT(*) AS BIGINT)
-                FROM pairs WHERE cs >= {t}) AS n_pairs,
-               (SELECT CAST(COUNT(DISTINCT v) AS BIGINT)
-                FROM (SELECT va AS v FROM pairs WHERE cs >= {t}
-                      UNION ALL SELECT vb FROM pairs WHERE cs >= {t})
-               ) AS n_docs_affected"""
-        for t in SWEEP_THRESHOLDS
-    )
-    return f"""
-    WITH pairs AS MATERIALIZED (
-        SELECT a.vec_id AS va, b.vec_id AS vb, {_COS_AB} AS cs
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE {_COS_AB} >= {min(SWEEP_THRESHOLDS)}
-    )
-    SELECT * FROM ({rows})
-    ORDER BY threshold
-"""
-
-
-DEDUP_ORACLES["dedup_threshold_sweep"] = _threshold_sweep_sql()
-
-
 from distributed_mapreduce_server_spark.operators.dedup import (  # noqa: E402
     ROUTE_ITERS,
     ROUTE_K,
@@ -767,6 +738,45 @@ DEDUP_ORACLES["dedup_semantic_routed"] = f"""
     SELECT vec_a, vec_b, cos_sim FROM routed
     ORDER BY vec_a, vec_b
 """
+
+
+def _threshold_sweep_sql() -> str:
+    """Mirrors dedup_threshold_sweep (ROUTED pair source since round
+    10): the trained-codebook assignment CTEs feed one materialized
+    within-bucket pair frame at the loosest cut, then each grid step
+    counts pairs and distinct touched docs from it (cosines
+    pre-rounded to the 1e-4 grid, so the >= comparisons are
+    engine-stable at 2-dp thresholds)."""
+    rows = " UNION ALL ".join(
+        f"""SELECT CAST({t} AS DOUBLE) AS threshold,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM pairs WHERE cs >= {t}) AS n_pairs,
+               (SELECT CAST(COUNT(DISTINCT v) AS BIGINT)
+                FROM (SELECT va AS v FROM pairs WHERE cs >= {t}
+                      UNION ALL SELECT vb FROM pairs WHERE cs >= {t})
+               ) AS n_docs_affected"""
+        for t in SWEEP_THRESHOLDS
+    )
+    return f"""
+    WITH {_ROUTED_ASSIGN},
+    cand AS MATERIALIZED (
+        SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+        FROM assign x JOIN assign y
+          ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+    ),
+    pairs AS MATERIALIZED (
+        SELECT va, vb, {_COS_AB} AS cs
+        FROM cand
+        JOIN embeddings a ON va = a.vec_id
+        JOIN embeddings b ON vb = b.vec_id
+        WHERE {_COS_AB} >= {min(SWEEP_THRESHOLDS)}
+    )
+    SELECT * FROM ({rows})
+    ORDER BY threshold
+"""
+
+
+DEDUP_ORACLES["dedup_threshold_sweep"] = _threshold_sweep_sql()
 
 DEDUP_ORACLES["dedup_routed_eval"] = f"""
     WITH {_ROUTED_ASSIGN},

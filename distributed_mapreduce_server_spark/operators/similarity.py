@@ -223,13 +223,152 @@ def _centroid_assign(
     return emb.select("vec_id", "embedding").mapInPandas(blocks, schema)
 
 
+# Driver fast path bound for codebook training (the BPE-trainer
+# take(limit+1) pattern, same figure as dedup.ROUTE_TRAIN_LIMIT):
+# 65536 x 64-dim doubles = 32 MiB. Below it the whole corpus trains
+# in numpy on the driver; above it the distributed per-round loop
+# runs — result-identical on the 1e-4/1e-6 grids.
+CODEBOOK_TRAIN_LIMIT = 65536
+
+
+def _lloyd_rounds_np(ids, mat, corpus, iters: int):
+    """Driver-side cosine-Lloyd rounds: (1e-4-rounded cosine argmax,
+    1e-6-rounded mean update) over the full in-memory corpus. Shares
+    the exact quantization grid with the distributed mapInPandas
+    kernel, so both paths land on the same fixed points. Clusters
+    that win no vectors drop out (both engines: the group simply has
+    no rows)."""
+    import numpy as np
+
+    corpus_norms = np.sqrt((corpus * corpus).sum(axis=1))
+    for _ in range(iters):
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        cos = fround_np((corpus @ mat.T) / np.outer(corpus_norms, norms))
+        best = cos.argmax(axis=1)  # first-max == smallest-cid tie-break
+        k, d = mat.shape
+        sums = np.zeros((k, d))
+        counts = np.zeros(k, dtype=np.int64)
+        np.add.at(sums, best, corpus)
+        np.add.at(counts, best, 1)
+        live = np.nonzero(counts)[0]
+        ids = ids[live]
+        mat = fround_np(sums[live] / counts[live, None], 6)
+    return ids, mat
+
+
+def _train_cosine_codebook(
+    spark: SparkSession,
+    emb: DataFrame,
+    init_max_id: int,
+    iters: int,
+    train_limit: int = CODEBOOK_TRAIN_LIMIT,
+    force_distributed: bool = False,
+):
+    """Train a fixed-K cosine-Lloyd codebook over the (vec_id,
+    embedding) frame ``emb``, returning the bounded (ids, matrix)
+    numpy pair `_centroid_assign` broadcasts. Init = the corpus rows
+    with vec_id < ``init_max_id``; K is fixed (dead clusters drop).
+
+    Deterministic end to end: per round each Arrow batch scores all
+    K centroids in one numpy matmul, rounds cosines to the 1e-4 grid
+    (fround_np — ties break to the smallest cid, argmax-first =
+    ROW_NUMBER cid ASC in the oracle), and emits K·d partial
+    (sum, count) rows; means are fround(·, 6) so the update lands on
+    a grid ~9 orders above the engines' sum-order noise.
+
+    Scale shape: per round ONE corpus scan (no vector shuffle — the
+    shuffle carries ≤ K·d partial rows per task), one K·d-row driver
+    collect. Nothing grows with n. Corpora ≤ ``train_limit`` vectors
+    train on the driver in one numpy loop (take(limit+1) is the size
+    check AND the data — the BPE-trainer pattern);
+    ``force_distributed`` pins the two paths result-identical in
+    tests. Shared by dedup's routing codebook (dedup._route_codebook)
+    and the IVF coarse quantizer (_ivf_codebook)."""
+    import numpy as np
+
+    if not force_distributed:
+        head = emb.take(train_limit + 1)
+        if len(head) <= train_limit:
+            head.sort(key=lambda r: r["vec_id"])
+            corpus_ids = np.array([r["vec_id"] for r in head], dtype=np.int64)
+            corpus = np.array([r["embedding"] for r in head], dtype=np.float64)
+            init = corpus_ids < init_max_id
+            return _lloyd_rounds_np(corpus_ids[init], corpus[init], corpus, iters)
+    ids, mat = _collect_matrix(emb.filter(F.col("vec_id") < init_max_id))
+    dim = mat.shape[1]
+    for _ in range(iters):
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+        def partials(batches):
+            import pandas as pd
+
+            ids_b, mat_b, norms_b = bc.value
+            k, d = mat_b.shape
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                an = np.sqrt((a * a).sum(axis=1))
+                cos = fround_np((a @ mat_b.T) / np.outer(an, norms_b))
+                # ids_b is sorted ascending, so argmax's first-max
+                # convention == smallest-cid tie-break
+                best = cos.argmax(axis=1)
+                sums = np.zeros((k, d))
+                counts = np.zeros(k, dtype=np.int64)
+                np.add.at(sums, best, a)
+                np.add.at(counts, best, 1)
+                live = np.nonzero(counts)[0]
+                yield pd.DataFrame(
+                    {
+                        "cid": np.repeat(ids_b[live], d),
+                        "pos": np.tile(np.arange(d, dtype=np.int64), len(live)),
+                        "s": sums[live].ravel(),
+                        "c": np.repeat(counts[live], d),
+                    }
+                )
+
+        rows = (
+            emb.mapInPandas(partials, "cid long, pos long, s double, c long")
+            .groupBy("cid", "pos")
+            .agg(fround(F.sum("s") / F.sum("c"), 6).alias("m"))
+            .collect()
+        )
+        by_cid: dict = {}
+        for r in rows:
+            by_cid.setdefault(r["cid"], [0.0] * dim)[r["pos"]] = r["m"]
+        ids = np.array(sorted(by_cid), dtype=np.int64)
+        mat = np.array([by_cid[c] for c in sorted(by_cid)], dtype=np.float64)
+    return ids, mat
+
+
+IVF_TRAIN_ITERS = 2
+
+
+def _ivf_codebook(spark: SparkSession, sf_dir: str):
+    """The TRAINED coarse quantizer every IVF-family operator routes
+    on (round 10 — previously a fixed vec_id 5..20 stand-in): Lloyd
+    over the candidate corpus (vec_id >= N_QUERIES) seeded from the
+    former stand-in rows, via the shared quantized-grid trainer. The
+    DuckDB twin is similarity_oracles._ivf_codebook_ctes (the
+    dedup_semantic_routed unrolled-Lloyd composition)."""
+    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    cand = emb.filter(F.col("vec_id") >= N_QUERIES)
+    return _train_cosine_codebook(
+        spark, cand, N_QUERIES + N_CENTROIDS, IVF_TRAIN_ITERS
+    )
+
+
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: inverted-file buckets by nearest centroid, probe
     the query's 4 nearest lists, exact rerank inside them.
 
-    Centroids are a fixed deterministic subset (vec_id 5..20) standing
-    in for a k-means codebook, so the whole operator is reproducible
-    and has a full value-parity DuckDB oracle — unusual for ANN. At
+    The codebook is TRAINED (cosine Lloyd, _ivf_codebook) yet fully
+    deterministic — quantized-grid rounds make the fit reproducible,
+    so the operator keeps a full value-parity DuckDB oracle (the
+    oracle unrolls the training rounds as CTEs) — unusual for ANN. At
     100 TB the candidate side is partitioned BY centroid_id (the
     inverted file); a query touches nprobe/nlist of the data instead
     of all of it.
@@ -237,14 +376,16 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk(spark, sf_dir, N_PROBE)
 
 
-def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+def _ivf_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int, centroids=None
+) -> DataFrame:
     """sim_ivf_ann's body with the probe width as a parameter — shared
     by the registry operator (nprobe = N_PROBE) and the
-    sim_ivf_nprobe_sweep tuning curve."""
+    sim_ivf_nprobe_sweep tuning curve (which trains the codebook once
+    and passes it to every width)."""
     emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
-    centroids = emb.filter(
-        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
-    )
+    if centroids is None:
+        centroids = _ivf_codebook(spark, sf_dir)
     cand = emb.filter(F.col("vec_id") >= N_QUERIES)
     q = emb.filter(F.col("vec_id") < N_QUERIES)
 
@@ -624,16 +765,127 @@ PQ_M = 8  # subspaces (64 dims -> 8 x 8)
 PQ_SUB_DIM = EMB_DIM // PQ_M
 
 
-def _pq_codebook(emb: DataFrame):
-    """The deterministic PQ codebook rows — ONE definition shared by
-    the encoder (emb_pq_quantize) and the ADC serving scan
-    (sim_pq_adc_ann), so the two can never disagree on which vectors
-    form the codebook or their order."""
-    return _collect_matrix(
-        emb.filter(
+PQ_TRAIN_ITERS = 2
+
+
+def _pq_lloyd_np(ids, mat, corpus, iters: int):
+    """Driver-side per-subspace L2 Lloyd: per round and subspace m,
+    assignment = argmin over 1e-4-rounded squared sub-distance (ties
+    to the lowest cid — ids sorted ascending, argmin-first), update =
+    1e-6-rounded sub-vector mean; a sub-cluster that wins no vectors
+    KEEPS its previous centroid (K stays fixed so the stitched
+    (PQ_K x EMB_DIM) matrix shape — block m holds subspace m's
+    codebook — survives training)."""
+    import numpy as np
+
+    for _ in range(iters):
+        new = mat.copy()
+        for m in range(PQ_M):
+            lo, hi = m * PQ_SUB_DIM, (m + 1) * PQ_SUB_DIM
+            diff = corpus[:, None, lo:hi] - mat[None, :, lo:hi]
+            d = fround_np((diff * diff).sum(axis=2))
+            best = d.argmin(axis=1)
+            sums = np.zeros((len(ids), PQ_SUB_DIM))
+            counts = np.zeros(len(ids), dtype=np.int64)
+            np.add.at(sums, best, corpus[:, lo:hi])
+            np.add.at(counts, best, 1)
+            live = counts > 0
+            new[live, lo:hi] = fround_np(sums[live] / counts[live, None], 6)
+        mat = new
+    return ids, mat
+
+
+def _pq_codebook(emb: DataFrame, force_distributed: bool = False):
+    """The TRAINED per-subspace PQ codebook (round 10 — previously the
+    fixed vec_id 5..20 stand-in): PQ_TRAIN_ITERS rounds of L2 Lloyd
+    per subspace over the FULL corpus (the encoder encodes every
+    vector), seeded from the former stand-in rows. ONE definition
+    shared by the encoder (emb_pq_quantize) and every ADC serving
+    scan, so they can never disagree on the codebook.
+
+    Returns the same (ids, stitched matrix) pair as before — block m
+    of each row is subspace m's centroid — so every downstream
+    lo:hi-slicing kernel is untouched. Deterministic via the
+    quantized-grid discipline (1e-4 distances before argmin, 1e-6
+    means, keep-previous on empty) -> the oracles unroll the rounds
+    as CTEs (similarity_oracles._pq_codebook_ctes).
+
+    Scale shape mirrors _train_cosine_codebook: driver numpy loop
+    under CODEBOOK_TRAIN_LIMIT (take(limit+1) = size check AND data);
+    above it, per round ONE corpus scan emitting ≤ PQ_K·EMB_DIM
+    partial (sum, count) rows per task and a bounded driver collect.
+    """
+    import numpy as np
+
+    spark = emb.sparkSession
+    base = emb.select("vec_id", "embedding")
+    if not force_distributed:
+        head = base.take(CODEBOOK_TRAIN_LIMIT + 1)
+        if len(head) <= CODEBOOK_TRAIN_LIMIT:
+            head.sort(key=lambda r: r["vec_id"])
+            corpus_ids = np.array([r["vec_id"] for r in head], dtype=np.int64)
+            corpus = np.array([r["embedding"] for r in head], dtype=np.float64)
+            init = (corpus_ids >= N_QUERIES) & (corpus_ids < N_QUERIES + PQ_K)
+            return _pq_lloyd_np(
+                corpus_ids[init], corpus[init], corpus, PQ_TRAIN_ITERS
+            )
+    ids, mat = _collect_matrix(
+        base.filter(
             (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_K)
         )
     )
+    for _ in range(PQ_TRAIN_ITERS):
+        bc = spark.sparkContext.broadcast(mat)
+
+        def partials(batches):
+            import pandas as pd
+
+            mat_b = bc.value
+            k = mat_b.shape[0]
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                out_pos, out_ci, out_s, out_c = [], [], [], []
+                for m in range(PQ_M):
+                    lo, hi = m * PQ_SUB_DIM, (m + 1) * PQ_SUB_DIM
+                    diff = x[:, None, lo:hi] - mat_b[None, :, lo:hi]
+                    d = fround_np((diff * diff).sum(axis=2))
+                    best = d.argmin(axis=1)
+                    sums = np.zeros((k, PQ_SUB_DIM))
+                    counts = np.zeros(k, dtype=np.int64)
+                    np.add.at(sums, best, x[:, lo:hi])
+                    np.add.at(counts, best, 1)
+                    live = np.nonzero(counts)[0]
+                    out_ci.append(np.repeat(live, PQ_SUB_DIM))
+                    out_pos.append(
+                        np.tile(np.arange(lo, hi, dtype=np.int64), len(live))
+                    )
+                    out_s.append(sums[live].ravel())
+                    out_c.append(np.repeat(counts[live], PQ_SUB_DIM))
+                if out_ci:
+                    yield pd.DataFrame(
+                        {
+                            "ci": np.concatenate(out_ci),
+                            "pos": np.concatenate(out_pos),
+                            "s": np.concatenate(out_s),
+                            "c": np.concatenate(out_c),
+                        }
+                    )
+
+        rows = (
+            base.mapInPandas(partials, "ci long, pos long, s double, c long")
+            .groupBy("ci", "pos")
+            .agg(fround(F.sum("s") / F.sum("c"), 6).alias("m"))
+            .collect()
+        )
+        new = mat.copy()  # keep-previous on empty sub-clusters
+        for r in rows:
+            new[r["ci"], r["pos"]] = r["m"]
+        mat = new
+    return ids, mat
+
+
 PQ_K = 16  # centroids per sub-codebook -> 4-bit codes
 
 
@@ -645,11 +897,11 @@ def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the PQ code word plus the reconstruction error — the quantization
     audit a serving index is sized against.
 
-    Like sim_ivf_ann, the codebook is a fixed deterministic subset of
-    the corpus (vec_id 5..20, restricted per subspace) standing in
-    for the trained k-means codebook (emb_kmeans builds real ones),
-    which makes the whole operator reproducible -> FULL value parity,
-    rare for a quantizer. Scale shape: the codebook is broadcast
+    Like sim_ivf_ann, the codebook is TRAINED (per-subspace L2 Lloyd,
+    _pq_codebook, round 10) yet fully deterministic via the
+    quantized-grid discipline, which keeps the whole operator
+    reproducible -> FULL value parity (the oracle unrolls the
+    training rounds), rare for a quantizer. Scale shape: the codebook is broadcast
     (PQ_K x EMB_DIM — fixed at any corpus size), each Arrow batch
     scores all subspaces with numpy broadcasting, nothing corpus-
     sized on the driver. Distances are rounded to the 1e-4 grid
@@ -714,13 +966,13 @@ def sim_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan reads codes-only state at serving time in a real index.
 
     Recall caveat (measured, not hidden): on this corpus's
-    near-random vectors, 4-bit codes from an untrained stand-in
-    codebook are quantization-limited — ADC top-10 overlaps the exact
-    cosine top-10 only ~0.2/0.04 at sf0.01/0.1, which is what PQ
-    does to unstructured data. A production index trains the
-    sub-codebooks per subspace (emb_kmeans is the builder) and ranks
-    within IVF probe lists (sim_ivf_ann); the operator here verifies
-    the ADC machinery itself, exactly."""
+    near-random vectors, 4-bit codes are quantization-limited even
+    with the TRAINED per-subspace codebook (round 10) — 64 dims of
+    noise cannot be summarized by 8x4 bits, which is what PQ does to
+    unstructured data. Trained recalls are committed in SURVEY §2.4;
+    a production index additionally ranks within IVF probe lists
+    (sim_ivfpq_ann); the operator here verifies the ADC machinery
+    itself, exactly."""
     import numpy as np
     import pandas as pd
 
@@ -798,9 +1050,7 @@ def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
-    centroids = emb.filter(
-        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
-    )
+    centroids = _ivf_codebook(spark, sf_dir)
     cand = emb.filter(F.col("vec_id") >= N_QUERIES)
     q = emb.filter(F.col("vec_id") < N_QUERIES)
 
@@ -1469,10 +1719,11 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     exact = sim_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id").persist()
     n_exact = exact.count()
+    codebook = _ivf_codebook(spark, sf_dir)
     rows = []
     for nprobe in IVF_SWEEP_PROBES:
         got = (
-            _ivf_topk(spark, sf_dir, nprobe)
+            _ivf_topk(spark, sf_dir, nprobe, centroids=codebook)
             .select("query_id", "neighbor_id")
             .persist()
         )
@@ -1561,9 +1812,7 @@ def sim_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
-    centroids = emb.filter(
-        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
-    )
+    centroids = _ivf_codebook(spark, sf_dir)
     cand = emb.filter(F.col("vec_id") >= N_QUERIES)
     q = emb.filter(F.col("vec_id") < N_QUERIES)
 
@@ -1575,7 +1824,7 @@ def sim_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _, cb_mat = _pq_codebook(emb)
-    g_ids, g_mat = _collect_matrix(centroids)
+    g_ids, g_mat = centroids
     gpos = {int(v): i for i, v in enumerate(g_ids)}
     q_ids, q_mat = _collect_matrix(q)
     qpos = {int(v): i for i, v in enumerate(q_ids)}
@@ -1665,18 +1914,21 @@ def emb_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus into a partial-agg count — N_CENTROIDS result rows;
     totals reduce to a 1-row broadcast. Nothing corpus-sized moves."""
     emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
-    centroids = emb.filter(
-        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
-    )
+    centroids = _ivf_codebook(spark, sf_dir)
     cand = emb.filter(F.col("vec_id") >= N_QUERIES)
     sizes = (
         _centroid_assign(cand, centroids, 1)
         .groupBy("centroid_id")
         .agg(F.count("*").alias("n_vectors"))
     )
+    # the codebook is a bounded driver-side (ids, matrix) pair; its id
+    # column seeds the zero-size rows (dead-at-train clusters dropped,
+    # so the live K can be < N_CENTROIDS)
+    cen_ids = spark.createDataFrame(
+        [(int(i),) for i in centroids[0]], "centroid_id long"
+    )
     sizes = (
-        centroids.select(F.col("vec_id").alias("centroid_id"))
-        .join(sizes, "centroid_id", "left")
+        cen_ids.join(sizes, "centroid_id", "left")
         .select(
             "centroid_id",
             F.coalesce("n_vectors", F.lit(0)).cast("bigint").alias("n_vectors"),
@@ -1690,7 +1942,7 @@ def emb_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_mapreduce_server_spark.catalog import table_row_count
 
     n_cand = table_row_count(sf_dir, "embeddings") - N_QUERIES
-    avg = n_cand / N_CENTROIDS
+    avg = n_cand / len(centroids[0])
     return sizes.select(
         "centroid_id",
         "n_vectors",

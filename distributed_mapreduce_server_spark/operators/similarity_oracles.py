@@ -48,11 +48,78 @@ _DOT_VK = (
 _NORM_V = "sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 _NORM_K = "sqrt(list_sum(list_transform(k.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
+from distributed_mapreduce_server_spark.operators.similarity import (  # noqa: E402
+    EMB_DIM,
+    IVF_TRAIN_ITERS,
+)
+
+
+def _ivf_codebook_ctes() -> str:
+    """Unrolled cosine-Lloyd trainer mirroring similarity's
+    _ivf_codebook (round 10; the dedup_semantic_routed recipe with
+    the IVF corpus/init): corpus = candidates (vec_id >= N_QUERIES),
+    init = the former stand-in rows (vec_id < N_QUERIES +
+    N_CENTROIDS), per round a 1e-4-rounded cosine argmax assignment
+    (cid ASC tie-break == numpy argmax-first over the sorted id
+    axis) and a 1e-6-rounded per-(cid, dim) mean update; dead
+    clusters drop. Ends with `centroids(centroid_id, embedding)` in
+    list form so every downstream assignment CTE is codebook-source-
+    agnostic (they predate the trained codebook unchanged)."""
+    parts = [
+        f"""ie AS MATERIALIZED (
+            SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings, generate_series(1, {EMB_DIM}) AS s(i)
+            WHERE vec_id >= {N_QUERIES}
+        )""",
+        """inv AS MATERIALIZED (
+            SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM ie GROUP BY 1
+        )""",
+        f"""ic0 AS MATERIALIZED (
+            SELECT CAST(vec_id AS BIGINT) AS cid, pos, x AS m
+            FROM ie WHERE vec_id < {N_QUERIES + N_CENTROIDS}
+        )""",
+    ]
+    for i in range(IVF_TRAIN_ITERS):
+        parts += [
+            f"""ikn{i} AS MATERIALIZED (
+            SELECT cid, sqrt(SUM(m * m)) AS knrm FROM ic{i} GROUP BY 1
+        )""",
+            f"""is{i} AS MATERIALIZED (
+            SELECT v.vec_id, c.cid,
+                   ROUND(SUM(v.x * c.m) / (MIN(n.nrm) * MIN(k.knrm)), 4) AS cs
+            FROM ie v
+            JOIN ic{i} c ON v.pos = c.pos
+            JOIN inv n ON n.vec_id = v.vec_id
+            JOIN ikn{i} k ON k.cid = c.cid
+            GROUP BY 1, 2
+        )""",
+            f"""ia{i} AS MATERIALIZED (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY cs DESC, cid) AS rk
+                FROM is{i}
+            ) WHERE rk = 1
+        )""",
+            f"""ic{i + 1} AS MATERIALIZED (
+            SELECT a.cid, e.pos, ROUND(AVG(e.x), 6) AS m
+            FROM ia{i} a JOIN ie e USING (vec_id)
+            GROUP BY 1, 2
+        )""",
+        ]
+    parts.append(
+        f"""centroids AS MATERIALIZED (
+            SELECT cid AS centroid_id, list(m ORDER BY pos) AS embedding
+            FROM ic{IVF_TRAIN_ITERS} GROUP BY cid
+        )"""
+    )
+    return ",\n    ".join(parts)
+
+
+_IVF_CB = _ivf_codebook_ctes()
+
 SIMILARITY_ORACLES["sim_ivf_ann"] = f"""
-    WITH centroids AS (
-        SELECT vec_id AS centroid_id, embedding FROM embeddings
-        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}
-    ),
+    WITH {_IVF_CB},
     cand_assign AS (
         SELECT vec_id AS neighbor_id, centroid_id FROM (
             SELECT v.vec_id, k.centroid_id,
@@ -190,17 +257,74 @@ from distributed_mapreduce_server_spark.operators.similarity import (  # noqa: E
     PQ_K,
     PQ_M,
     PQ_SUB_DIM,
+    PQ_TRAIN_ITERS,
 )
+
+
+def _pq_codebook_ctes() -> str:
+    """Unrolled per-subspace L2-Lloyd trainer mirroring similarity's
+    _pq_codebook (round 10): corpus = ALL embeddings, init = the
+    former stand-in rows (vec_id N_QUERIES..N_QUERIES+PQ_K-1), per
+    round and subspace a 1e-4-rounded squared-distance argmin
+    (cid ASC tie-break) and a 1e-6-rounded sub-vector mean; an empty
+    sub-cluster KEEPS its previous centroid (COALESCE), so K stays
+    fixed. Ends with `cen(cid, c)` — stitched 64-dim lists, block m
+    = subspace m's codebook — so every downstream encode/LUT CTE is
+    codebook-source-agnostic."""
+    parts = [
+        f"""pe AS MATERIALIZED (
+            SELECT vec_id, i AS pos, (CAST(i - 1 AS BIGINT) // {PQ_SUB_DIM}) AS sub,
+                   CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings, generate_series(1, {EMB_DIM}) AS s(i)
+        )""",
+        f"""pc0 AS MATERIALIZED (
+            SELECT CAST(vec_id AS BIGINT) AS cid, sub, pos, x AS m
+            FROM pe
+            WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
+        )""",
+    ]
+    for i in range(PQ_TRAIN_ITERS):
+        parts += [
+            f"""pd{i} AS MATERIALIZED (
+            SELECT v.vec_id, v.sub, c.cid,
+                   ROUND(SUM((v.x - c.m) * (v.x - c.m)), 4) AS dist
+            FROM pe v JOIN pc{i} c ON v.pos = c.pos
+            GROUP BY 1, 2, 3
+        )""",
+            f"""pa{i} AS MATERIALIZED (
+            SELECT vec_id, sub, cid FROM (
+                SELECT vec_id, sub, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                           ORDER BY dist, cid) AS rk
+                FROM pd{i}
+            ) WHERE rk = 1
+        )""",
+            f"""pc{i + 1} AS MATERIALIZED (
+            SELECT p.cid, p.sub, p.pos, COALESCE(u.m2, p.m) AS m
+            FROM pc{i} p LEFT JOIN (
+                SELECT a.cid, e.sub, e.pos, ROUND(AVG(e.x), 6) AS m2
+                FROM pa{i} a
+                JOIN pe e ON a.vec_id = e.vec_id AND a.sub = e.sub
+                GROUP BY 1, 2, 3
+            ) u ON u.cid = p.cid AND u.sub = p.sub AND u.pos = p.pos
+        )""",
+        ]
+    parts.append(
+        f"""cen AS MATERIALIZED (
+            SELECT cid, list(m ORDER BY pos) AS c
+            FROM pc{PQ_TRAIN_ITERS} GROUP BY cid
+        )"""
+    )
+    return ",\n    ".join(parts)
+
+
+_PQ_CB = _pq_codebook_ctes()
 
 _PQ_CODE_COLS = ",\n           ".join(
     f"MAX(CASE WHEN m = {m} THEN cid END) AS code{m}" for m in range(PQ_M)
 )
 SIMILARITY_ORACLES["emb_pq_quantize"] = f"""
-    WITH cen AS (
-        SELECT vec_id AS cid, embedding AS c
-        FROM embeddings
-        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
-    ),
+    WITH {_PQ_CB},
     d AS (
         SELECT x.vec_id, sub.m, cen.cid,
                ROUND(list_sum(list_transform(range(1, {PQ_SUB_DIM} + 1),
@@ -243,11 +367,7 @@ def _pq_subdist(vec: str, cen: str) -> str:
 
 
 SIMILARITY_ORACLES["sim_pq_adc_ann"] = f"""
-    WITH cen AS (
-        SELECT vec_id AS cid, embedding AS c
-        FROM embeddings
-        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
-    ),
+    WITH {_PQ_CB},
     subs AS (SELECT unnest(range(0, {PQ_M})) AS m),
     d AS (
         SELECT x.vec_id, sub.m, cen.cid,
@@ -288,10 +408,7 @@ SIMILARITY_ORACLES["sim_pq_adc_ann"] = f"""
 # IVF-PQ = the IVF routing CTEs + the PQ encode/LUT CTEs, with ADC
 # summed only over (query, candidate) pairs that share a probed list.
 SIMILARITY_ORACLES["sim_ivfpq_ann"] = f"""
-    WITH centroids AS (
-        SELECT vec_id AS centroid_id, embedding FROM embeddings
-        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}
-    ),
+    WITH {_IVF_CB},
     cand_assign AS (
         SELECT vec_id AS neighbor_id, centroid_id FROM (
             SELECT v.vec_id, k.centroid_id,
@@ -312,11 +429,7 @@ SIMILARITY_ORACLES["sim_ivfpq_ann"] = f"""
             WHERE v.vec_id < {N_QUERIES}
         ) WHERE crank <= {N_PROBE}
     ),
-    cen AS (
-        SELECT vec_id AS cid, embedding AS c
-        FROM embeddings
-        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
-    ),
+    {_PQ_CB},
     subs AS (SELECT unnest(range(0, {PQ_M})) AS m),
     d AS (
         SELECT x.vec_id, sub.m, cen.cid,
@@ -877,10 +990,7 @@ def _ivf_sweep_sql() -> str:
         for p in IVF_SWEEP_PROBES
     )
     return f"""
-    WITH centroids AS MATERIALIZED (
-        SELECT vec_id AS centroid_id, embedding FROM embeddings
-        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}
-    ),
+    WITH {_IVF_CB},
     cand_assign AS MATERIALIZED (
         SELECT vec_id AS neighbor_id, centroid_id FROM (
             SELECT v.vec_id, k.centroid_id,
@@ -1012,10 +1122,7 @@ def _pq_subdist_res(vec: str, coarse: str, cen: str) -> str:
 # list) on (q − that centroid). Base CTEs MATERIALIZED per the
 # iterative-oracle gotcha (each is referenced 2-3 times downstream).
 SIMILARITY_ORACLES["sim_ivfpq_residual"] = f"""
-    WITH centroids AS MATERIALIZED (
-        SELECT vec_id AS centroid_id, embedding FROM embeddings
-        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}
-    ),
+    WITH {_IVF_CB},
     cand_assign AS MATERIALIZED (
         SELECT vec_id AS neighbor_id, centroid_id FROM (
             SELECT v.vec_id, k.centroid_id,
@@ -1036,11 +1143,7 @@ SIMILARITY_ORACLES["sim_ivfpq_residual"] = f"""
             WHERE v.vec_id < {N_QUERIES}
         ) WHERE crank <= {N_PROBE}
     ),
-    cen AS MATERIALIZED (
-        SELECT vec_id AS cid, embedding AS c
-        FROM embeddings
-        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
-    ),
+    {_PQ_CB},
     subs AS (SELECT unnest(range(0, {PQ_M})) AS m),
     dres AS MATERIALIZED (
         SELECT x.vec_id, sub.m, cen.cid,
@@ -1092,10 +1195,7 @@ SIMILARITY_ORACLES["sim_ivfpq_residual"] = f"""
 
 
 SIMILARITY_ORACLES["emb_ivf_balance"] = f"""
-    WITH centroids AS MATERIALIZED (
-        SELECT vec_id AS centroid_id, embedding FROM embeddings
-        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}
-    ),
+    WITH {_IVF_CB},
     cand_assign AS (
         SELECT vec_id AS neighbor_id, centroid_id FROM (
             SELECT v.vec_id, k.centroid_id,

@@ -1594,6 +1594,162 @@ def model_quality_frame(docs: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# TRAINED quality classifier (round 10, VERDICT r9 task 6): completes
+# the model-based-filtering arc from the fixed-weight scorer above to
+# a logistic regression TRAINED on the corpus — full-batch gradient
+# descent where each round is ONE partial-agg aggregation over the
+# persisted feature frame (the emb_kmeans / BPE driver-coordinated
+# round discipline), with fround-pinned updates so the trajectory is
+# engine-reproducible and the DuckDB oracle unrolls the rounds.
+# Labels are the heuristic quality gate (quality >= QUALITY_KEEP_T) —
+# the standard weak-supervision bootstrap: the trained model imitates
+# (then generalizes past) the hand rules, the FastText-classifier
+# recipe of the DCLM / FineWeb pipelines.
+# ---------------------------------------------------------------------------
+
+LR_TRAIN_ROUNDS = 6
+LR_RATE = 0.1
+# sigmoid outputs are clamped into [LR_CLAMP, 1 - LR_CLAMP] before the
+# log-loss (a 6-dp-rounded s can be exactly 0 or 1 -> ln(0))
+LR_CLAMP = 1e-6
+
+
+def _lr_feature_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, x1..x4, y) — the classifier's design matrix: the four
+    model_quality_frame features, each ROUNDED TO 6 DP so both
+    engines train on the identical matrix, plus the heuristic label.
+    One codegen projection; nothing leaves the executor."""
+    q = _quality_exprs()
+    toks = q["toks"]
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    dr = F.size(F.array_distinct(toks)) / n_tok
+    sr = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n_tok
+    atl = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)
+    ) / n_tok
+    return docs.select(
+        "doc_id",
+        fround(dr, 6).alias("x1"),
+        fround(F.least(sr * 8, F.lit(1.0)), 6).alias("x2"),
+        fround(F.log(F.lit(1.0) + F.size(toks)), 6).alias("x3"),
+        fround(atl, 6).alias("x4"),
+        (fround(q["quality"], 4) >= QUALITY_KEEP_T).cast("double").alias("y"),
+    )
+
+
+def _lr_train(spark: SparkSession, sf_dir: str):
+    """Full-batch GD on the logistic loss: returns (history, weights)
+    where history[r] = (round, loss(w_r), *w_r) for r = 0..ROUNDS and
+    weights = w_ROUNDS.
+
+    Determinism grid: per row the logit is fround(·, 6) before the
+    sigmoid and the sigmoid fround(·, 6) before anything sums; the
+    mean gradient and mean loss are fround(·, 6) after the n-fold
+    sum (sum-order noise ~1e-12 relative, 6 orders below the grid);
+    each weight update is fround(w - LR_RATE·g, 6). The DuckDB twin
+    (text_oracles._lr_ctes) applies the identical grid per round.
+
+    Scale shape: the feature frame is built once and persisted
+    (corpus-sized, executor-resident); each round is ONE map-side-
+    combined aggregation to a 1-row (5 gradient sums + loss sum)
+    collect — driver state is 5 floats, rounds are O(scan), nothing
+    grows with n."""
+    from distributed_mapreduce_server_spark.functions import fround_scalar
+
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    feat = _lr_feature_frame(docs).persist()
+    n = feat.count()
+    w = [0.0] * 5
+    hist = []
+    for r in range(LR_TRAIN_ROUNDS + 1):
+        z = fround(
+            F.lit(w[0])
+            + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2")
+            + F.lit(w[3]) * F.col("x3")
+            + F.lit(w[4]) * F.col("x4"),
+            6,
+        )
+        scored = feat.select(
+            "x1", "x2", "x3", "x4", "y", z.alias("z")
+        ).select(
+            "x1",
+            "x2",
+            "x3",
+            "x4",
+            "y",
+            fround(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6).alias("s"),
+        )
+        sc = F.least(
+            F.greatest(F.col("s"), F.lit(LR_CLAMP)), F.lit(1.0 - LR_CLAMP)
+        )
+        e = F.col("s") - F.col("y")
+        row = scored.agg(
+            F.sum(e).alias("g0"),
+            F.sum(e * F.col("x1")).alias("g1"),
+            F.sum(e * F.col("x2")).alias("g2"),
+            F.sum(e * F.col("x3")).alias("g3"),
+            F.sum(e * F.col("x4")).alias("g4"),
+            F.sum(
+                -(F.col("y") * F.log(sc) + (1 - F.col("y")) * F.log(1 - sc))
+            ).alias("l"),
+        ).collect()[0]
+        hist.append((r, fround_scalar(row["l"] / n, 6), *w))
+        if r == LR_TRAIN_ROUNDS:
+            break
+        g = [fround_scalar(row[f"g{j}"] / n, 6) for j in range(5)]
+        w = [fround_scalar(w[j] - LR_RATE * g[j], 6) for j in range(5)]
+    feat.unpersist()
+    return hist, w
+
+
+def text_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training trajectory table: per GD round, the mean logistic
+    loss at the round's INCOMING weights and those weights — the
+    audit a pipeline reads to confirm the classifier converged before
+    trusting its keep decisions (loss monotone nonincreasing is the
+    invariant test). Full value parity: the oracle unrolls the rounds
+    as CTEs on the identical fround grid."""
+    hist, _ = _lr_train(spark, sf_dir)
+    return spark.createDataFrame(
+        hist,
+        "round int, loss double, w_intercept double, w_distinct_ratio double,"
+        " w_stop_signal double, w_log_tokens double, w_avg_tok_len double",
+    ).orderBy("round")
+
+
+def text_quality_trained_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus scored under the TRAINED weights — the serving step the
+    fixed-weight text_model_quality_filter stands in for, now closed
+    end-to-end: train (one pass of GD rounds) then score every doc
+    (one codegen projection, weights as literals — exactly how a
+    learned model broadcasts). Emits the heuristic label beside the
+    model's keep so the imitation quality is visible per doc."""
+    _, w = _lr_train(spark, sf_dir)
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    feat = _lr_feature_frame(docs)
+    z = fround(
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+        + F.lit(w[4]) * F.col("x4"),
+        6,
+    )
+    score = fround(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6)
+    return (
+        feat.select("doc_id", "y", z.alias("z"))
+        .select(
+            "doc_id",
+            score.alias("model_score"),
+            (score >= MODEL_QF_THRESHOLD).alias("keep"),
+            (F.col("y") >= 1.0).alias("heuristic_label"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # hashing-trick featurization: fixed output dimensionality regardless
 # of vocabulary size — the FastText/Vowpal-Wabbit input representation
 HASH_FEAT_DIM = 256
@@ -1969,6 +2125,13 @@ UNI_EM_ROUNDS = 3
 # distributed per-round Viterbi kernel below — result-identical,
 # pinned by a forced-fallback test.
 UNI_DRIVER_VOCAB_LIMIT = 1_000_000
+# text_unigram_tokenize broadcasts its (distinct word -> piece ids)
+# map only under this many distinct words: the map is Heaps-law-sized
+# (~n^0.5-0.6 of corpus tokens), so an unconditional broadcast ships
+# GBs to every executor at 100 TB. 250k words x (~8B word + ~8x8B id
+# array) keeps the exchange well under typical 100-200 MB broadcast
+# comfort; past it the join shuffles on tok.
+UNI_WORDMAP_BROADCAST_LIMIT = 250_000
 
 
 def _unigram_seed(vocab: "list[tuple[str, int]]"):
@@ -1990,6 +2153,18 @@ def _unigram_seed(vocab: "list[tuple[str, int]]"):
         key=lambda p: (-sub_counts[p], p),
     )[:UNI_SEED_VOCAB]
     pieces = sorted(chars + multi)
+    # The Viterbi tie-break pads piece ids to a FIXED width of 3
+    # ('|%03d' here, lpad(pid, 3, '0') in the DuckDB oracle). Python's
+    # %03d WIDENS past 999 while lpad TRUNCATES — cross-engine parity
+    # silently breaks, and the oracle's path-argmin join collides
+    # distinct paths. Today tokens() limits the alphabet to [a-z0-9]
+    # (≤36 single chars + UNI_SEED_VOCAB multi pieces), but that
+    # invariant is implicit; enforce it so a vocab-size or tokenizer
+    # change fails loudly instead (ADVICE r9).
+    assert len(pieces) <= 999, (
+        f"unigram vocab {len(pieces)} > 999: widen the fixed piece-id "
+        "pad width in BOTH _unigram_viterbi and the text_oracles CTEs"
+    )
     return pieces, {p: sub_counts[p] for p in pieces}
 
 
@@ -2228,10 +2403,15 @@ def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the corpus token stream never crosses the Python
     boundary — Viterbi runs once per DISTINCT word (one Arrow pass
     over the vocab-sized word set), and the resulting
-    (word → piece ids) map BROADCAST-joins against the corpus stream
-    JVM-side; the per-doc prefix assembly sorts bounded structs.
-    Piece ids are the trained vocab's 1-based rank by piece string —
-    the same ids the train table's sort order implies."""
+    (word → piece ids) map joins against the corpus stream JVM-side;
+    the per-doc prefix assembly sorts bounded structs. The word map
+    is Heaps-law-sized (distinct words grow ~n^0.5-0.6 with the
+    corpus), so the broadcast hint is applied only under a bounded
+    distinct-word count — past UNI_WORDMAP_BROADCAST_LIMIT it
+    shuffle-joins on ``tok``, the key the stream side already
+    groups by. Piece ids are the trained vocab's 1-based rank by
+    piece string — the same ids the train table's sort order
+    implies."""
     import pandas as pd
 
     pieces, pid, _, _, cost = _unigram_fit(spark, sf_dir)
@@ -2255,7 +2435,16 @@ def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     wmap = words.mapInPandas(encode, "tok string, ids array<long>, np long")
-    joined = tok_rows.join(F.broadcast(wmap), "tok")
+    # Bounded size check: count at most LIMIT+1 distinct words (no
+    # driver collect of the map itself). Under the bound a broadcast
+    # skips the corpus-side shuffle; over it, broadcasting a GB-scale
+    # Heaps frame to every executor is the failure mode, so let the
+    # planner shuffle-join on tok.
+    small = (
+        words.limit(UNI_WORDMAP_BROADCAST_LIMIT + 1).count()
+        <= UNI_WORDMAP_BROADCAST_LIMIT
+    )
+    joined = tok_rows.join(F.broadcast(wmap) if small else wmap, "tok")
     flat = F.slice(
         F.flatten(
             F.transform(

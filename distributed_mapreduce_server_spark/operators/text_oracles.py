@@ -830,6 +830,116 @@ TEXT_ORACLES["text_model_quality_filter"] = f"""
     ORDER BY doc_id
 """
 
+from distributed_mapreduce_server_spark.operators.text import (  # noqa: E402
+    LR_RATE,
+    LR_TRAIN_ROUNDS,
+)
+
+
+def _lr_ctes() -> str:
+    """Unrolled full-batch-GD trainer mirroring text._lr_train: the
+    6-dp-rounded feature matrix + heuristic label, then per round a
+    (rounded logit -> rounded sigmoid) pass, mean gradient / mean
+    loss rounded to 6 dp, and a rounded weight update. Ends with
+    lw{{R}} (the trained weights) and per-round lg{{r}} (loss rows).
+    Sigmoids are clamped into [1e-6, 1 - 1e-6] before the log-loss in
+    BOTH engines (a rounded s can be exactly 0 or 1)."""
+    clamp = "least(greatest(s, 0.000001), 0.999999)"
+    parts = [
+        f"""lrm AS (
+            SELECT doc_id, toks, text,
+                   CAST(len(list_distinct(toks)) AS DOUBLE)
+                       / greatest(len(toks), 1) AS dr,
+                   CAST(len(list_filter(toks, t -> list_contains(
+                        ['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
+                       / greatest(len(toks), 1) AS sr,
+                   CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                       / greatest(length(text), 1) AS pd,
+                   CASE WHEN length(text) >= 100 AND length(text) <= 20000
+                        THEN 1.0 ELSE 0.5 END AS ls,
+                   CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS DOUBLE)
+                       / greatest(len(toks), 1) AS atl
+            FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+        )""",
+        """lrf AS MATERIALIZED (
+            SELECT doc_id,
+                   ROUND(dr, 6) AS x1,
+                   ROUND(least(sr * 8, 1.0), 6) AS x2,
+                   ROUND(ln(1.0 + len(toks)), 6) AS x3,
+                   ROUND(atl, 6) AS x4,
+                   CASE WHEN ROUND(0.4 * dr + 0.3 * least(sr * 4, 1.0)
+                             + 0.2 * ls + 0.1 * (1 - least(pd * 10, 1.0)), 4)
+                             >= 0.5
+                        THEN 1.0 ELSE 0.0 END AS y
+            FROM lrm
+        )""",
+        "lw0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)",
+    ]
+    for r in range(LR_TRAIN_ROUNDS + 1):
+        parts.append(
+            f"""lp{r} AS MATERIALIZED (
+            SELECT f.y, f.x1, f.x2, f.x3, f.x4,
+                   ROUND(1.0 / (1.0 + exp(-ROUND(w.w0 + w.w1 * f.x1
+                       + w.w2 * f.x2 + w.w3 * f.x3 + w.w4 * f.x4, 6))), 6) AS s
+            FROM lrf f, lw{r} w
+        )"""
+        )
+        parts.append(
+            f"""lg{r} AS MATERIALIZED (
+            SELECT ROUND(SUM(s - y) / COUNT(*), 6) AS g0,
+                   ROUND(SUM((s - y) * x1) / COUNT(*), 6) AS g1,
+                   ROUND(SUM((s - y) * x2) / COUNT(*), 6) AS g2,
+                   ROUND(SUM((s - y) * x3) / COUNT(*), 6) AS g3,
+                   ROUND(SUM((s - y) * x4) / COUNT(*), 6) AS g4,
+                   ROUND(SUM(-(y * ln({clamp})
+                       + (1 - y) * ln(1 - {clamp}))) / COUNT(*), 6) AS loss
+            FROM lp{r}
+        )"""
+        )
+        if r < LR_TRAIN_ROUNDS:
+            parts.append(
+                f"""lw{r + 1} AS (
+            SELECT ROUND(w.w0 - {LR_RATE} * g.g0, 6) AS w0,
+                   ROUND(w.w1 - {LR_RATE} * g.g1, 6) AS w1,
+                   ROUND(w.w2 - {LR_RATE} * g.g2, 6) AS w2,
+                   ROUND(w.w3 - {LR_RATE} * g.g3, 6) AS w3,
+                   ROUND(w.w4 - {LR_RATE} * g.g4, 6) AS w4
+            FROM lw{r} w, lg{r} g
+        )"""
+            )
+    return ",\n    ".join(parts)
+
+
+_LR_CB = _lr_ctes()
+
+_LR_TRAJ = "\nUNION ALL\n".join(
+    f"""SELECT CAST({r} AS INTEGER) AS round,
+           (SELECT loss FROM lg{r}) AS loss,
+           w0 AS w_intercept, w1 AS w_distinct_ratio, w2 AS w_stop_signal,
+           w3 AS w_log_tokens, w4 AS w_avg_tok_len
+    FROM lw{r}"""
+    for r in range(LR_TRAIN_ROUNDS + 1)
+)
+
+TEXT_ORACLES["text_quality_train"] = f"""
+    WITH {_LR_CB}
+    SELECT * FROM ({_LR_TRAJ})
+    ORDER BY round
+"""
+
+TEXT_ORACLES["text_quality_trained_filter"] = f"""
+    WITH {_LR_CB}
+    SELECT f.doc_id,
+           ROUND(1.0 / (1.0 + exp(-ROUND(w.w0 + w.w1 * f.x1 + w.w2 * f.x2
+               + w.w3 * f.x3 + w.w4 * f.x4, 6))), 6) AS model_score,
+           ROUND(1.0 / (1.0 + exp(-ROUND(w.w0 + w.w1 * f.x1 + w.w2 * f.x2
+               + w.w3 * f.x3 + w.w4 * f.x4, 6))), 6) >= 0.5 AS keep,
+           f.y = 1.0 AS heuristic_label
+    FROM lrf f, lw{LR_TRAIN_ROUNDS} w
+    ORDER BY f.doc_id
+"""
+
+
 from distributed_mapreduce_server_spark.operators.text import HASH_FEAT_DIM  # noqa: E402
 
 _H60 = "CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT)"
@@ -1112,9 +1222,20 @@ def _unigram_ctes() -> str:
         UNI_SEED_VOCAB,
     )
 
+    # TRACTABILITY BOUND (ADVICE r9): the recursive CTE `s` below
+    # enumerates EVERY segmentation of every word — ~1.93^len paths
+    # when all single chars are in vocab. It is tractable only
+    # because corpus tokens are short (≤8 chars today); the guard
+    # makes a longer-token corpus fail LOUDLY (DuckDB error()) instead
+    # of silently hanging the parity sweep.
     parts = [
         f"""w AS MATERIALIZED (
-            SELECT tok, COUNT(*) AS n
+            SELECT CASE WHEN length(tok) > 20 THEN error(
+                       'unigram oracle: token > 20 chars — the ' ||
+                       'all-segmentations recursive CTE grows ' ||
+                       '~1.93^len; cap token length or rewrite')
+                   ELSE tok END AS tok,
+                   COUNT(*) AS n
             FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
             GROUP BY 1
         )""",

@@ -260,6 +260,8 @@ _register(
         "text_unigram_train",
         "text_unigram_fertility",
         "text_unigram_tokenize",
+        "text_quality_train",
+        "text_quality_trained_filter",
     ],
 )
 _register(
@@ -760,52 +762,177 @@ def _family(key: str) -> str:
     return "q" if head.startswith("q") else head
 
 
-# Driver-sample rotation (VERDICT r8 task 6): keys that have never
-# had a driver CORRECTNESS row lead their family, so the driver's
-# first-50-key prefix picks them up this round. Rotate per round:
-# once a key has a green driver row, retire it from this list and
-# promote the next uncovered ones. Current wave = the round-8
-# relational/events batch plus the round-8/9 routed-dedup arc.
-_SAMPLE_FIRST = [
-    "q_gini_revenue",
-    "q_chi2_segment_priority",
-    "q_repeat_purchase_survival",
-    "q_events_user_entropy",
-    "q_events_bot_flags",
-    "q_corr_matrix",
-    "q_supplier_hhi",
-    "dedup_threshold_sweep",
-    "dedup_routed_eval",
-    "dedup_routed_probe_sweep",
-    "dedup_semantic_routed",
-    "text_unigram_train",
-    "text_unigram_fertility",
-    "text_unigram_tokenize",
-    "dedup_substr_spans",
-]
-_SAMPLE_RANK = {k: i for i, k in enumerate(_SAMPLE_FIRST)}
+# Driver-sample rotation, tier form (VERDICT r9 task 2): the driver
+# verifies the FIRST 50 keys of all_queries() each round, so keys
+# that already have a green driver CORRECTNESS row (union of
+# CORRECTNESS_r01..r09 keys, 121 of 274) are demoted to a second
+# tier and every never-sampled key is emitted first. With this set
+# frozen, rounds 10-12 walk the remaining 153 keys at ~49/round.
+# Maintenance: after each driver round, add that round's sampled
+# keys here (scripts/update_sampled.py regenerates the block from
+# the CORRECTNESS_r*.json files).
+_DRIVER_SAMPLED = frozenset(
+    {
+        "dedup_clusters",
+        "dedup_embedding_cosine",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_routed_eval",
+        "dedup_routed_probe_sweep",
+        "dedup_semantic_routed",
+        "dedup_simhash",
+        "dedup_threshold_sweep",
+        "emb_centroids",
+        "emb_dim_stats",
+        "emb_kmeans",
+        "emb_label_coherence",
+        "emb_quantize",
+        "mm_audio_features",
+        "mm_decode_meta",
+        "mm_frame_sample",
+        "mm_payload_dedup",
+        "mm_resize_stats",
+        "mr_distinct",
+        "mr_distributed_sort",
+        "mr_exec_grep",
+        "mr_exec_wordcount",
+        "mr_grep",
+        "mr_grep_count",
+        "mr_inverted_index",
+        "mr_secondary_sort",
+        "mr_wordcount",
+        "pysource_range_events",
+        "pysource_stream_events",
+        "q10_returned_items",
+        "q11_important_parts",
+        "q12_late_shipments",
+        "q13_order_count_distribution",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q16_supplier_part_variety",
+        "q17_small_qty_revenue",
+        "q18_large_orders",
+        "q19_disjunctive_filter",
+        "q1_pricing_summary",
+        "q20_promo_suppliers",
+        "q21_late_suppliers",
+        "q22_idle_customers",
+        "q2_min_cost_supplier",
+        "q3_shipping_priority",
+        "q5_local_supplier",
+        "q6_revenue_forecast",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q_approx_distinct",
+        "q_approx_quantiles",
+        "q_asof_last_purchase",
+        "q_asof_next_purchase",
+        "q_asof_tolerance",
+        "q_association_rules",
+        "q_balance_percentiles",
+        "q_chi2_segment_priority",
+        "q_customer_rfm",
+        "q_customers_no_orders",
+        "q_data_quality_audit",
+        "q_events_user_entropy",
+        "q_ewma_revenue",
+        "q_full_outer_balance",
+        "q_gini_revenue",
+        "q_graph_clustering_coefficient",
+        "q_graph_degree_distribution",
+        "q_graph_kcore_peel",
+        "q_grouping_sets",
+        "q_market_segment_sales",
+        "q_moving_avg_events",
+        "q_nation_rollup",
+        "q_order_gaps",
+        "q_order_priority",
+        "q_orders_yoy",
+        "q_pagerank",
+        "q_part_pairs",
+        "q_percentiles",
+        "q_price_histogram",
+        "q_range_join_keyless",
+        "q_range_join_views_before_purchase",
+        "q_region_cube",
+        "q_repeat_purchase_survival",
+        "q_rolling_revenue_30d",
+        "q_running_revenue",
+        "q_salted_skew_join",
+        "q_skyline_parts",
+        "q_sql_interface",
+        "q_stats_suite",
+        "q_top_customer_per_nation",
+        "q_unpivot_balance",
+        "q_window_suite",
+        "sim_ann_eval",
+        "sim_cosine_topk",
+        "sim_hybrid_search",
+        "sim_ivf_ann",
+        "sim_ivfpq_ann",
+        "sim_lsh_ann",
+        "sim_pq_adc_ann",
+        "src_csv_roundtrip",
+        "src_gzip_text_roundtrip",
+        "src_json_roundtrip",
+        "src_orc_roundtrip",
+        "stream_attribution",
+        "stream_burst_detection",
+        "stream_dedup_exact",
+        "stream_events_windowed",
+        "stream_kl_drift",
+        "stream_sessionize",
+        "stream_static_join_windowed",
+        "text_fingerprint",
+        "text_langid",
+        "text_phrase_search",
+        "text_quality_score",
+        "text_token_stats",
+        "text_top_ngrams",
+        "text_unigram_fertility",
+        "text_unigram_tokenize",
+        "text_unigram_train",
+    }
+)
+
+# test_registry_prefix_covers_all_families pins a pysource key into
+# every 50-prefix, but BOTH pysource keys already have green driver
+# rows — one is pinned into tier 0 so the lint's family-coverage
+# guarantee and the rotation coexist (the prefix is then 49 never-
+# sampled keys + this one; 50/50 is impossible under the lint).
+_TIER0_PINNED = frozenset({"pysource_range_events"})
+
+
+def _tier(key: str) -> int:
+    if key in _TIER0_PINNED:
+        return 0
+    return 1 if key in _DRIVER_SAMPLED else 0
 
 
 def all_queries() -> dict[str, QueryFn]:
     """Registry keys ROUND-ROBIN-INTERLEAVED across operator families
-    (q/mr/dedup/sim/emb/text/mm/stream/pysource): any prefix sample of
-    this dict — e.g. a driver that verifies the first N keys — covers
-    every family roughly proportionally, instead of exhausting the
-    relational block first. Deterministic: family order = first
-    appearance, intra-family order = _SAMPLE_FIRST members first
-    (rotation, see above) then registration order."""
+    (q/mr/dedup/sim/emb/text/mm/stream/pysource) in two tiers: tier 0
+    (no driver CORRECTNESS row yet) is fully emitted before tier 1
+    (already green in some driver round), each tier itself family-
+    interleaved. Any prefix sample — e.g. the driver verifying the
+    first 50 keys — covers every family with tier-0 members roughly
+    proportionally AND is drawn from the never-sampled set first.
+    Deterministic: family order = first appearance, intra-family
+    order = registration order."""
     from itertools import zip_longest
 
     fams: dict[str, list[str]] = {}
     for k in _QUERIES:
         fams.setdefault(_family(k), []).append(k)
-    for keys in fams.values():
-        keys.sort(key=lambda k: _SAMPLE_RANK.get(k, len(_SAMPLE_FIRST)))
     out: dict[str, QueryFn] = {}
-    for row in zip_longest(*fams.values()):
-        for k in row:
-            if k is not None:
-                out[k] = _QUERIES[k]
+    for t in (0, 1):
+        cols = [[k for k in ks if _tier(k) == t] for ks in fams.values()]
+        for row in zip_longest(*cols):
+            for k in row:
+                if k is not None:
+                    out[k] = _QUERIES[k]
     return out
 
 

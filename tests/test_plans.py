@@ -200,6 +200,17 @@ EAGER_OPS = {
     "text_unigram_train",  # EM rounds run eagerly (createDataFrame result)
     "text_unigram_fertility",  # rides the eager EM; Viterbi kernel plan is lazy but tiny
     "text_unigram_tokenize",  # rides the eager EM; encode join plan is lazy
+    # round-10 wave: trained ANN codebooks — the Lloyd trainers
+    # collect eagerly at plan build (take(limit+1) fast path / per-
+    # round partial-agg collect), like dedup_semantic_routed
+    "text_quality_train",  # GD rounds run eagerly (createDataFrame result)
+    "text_quality_trained_filter",  # rides the eager GD; scoring plan is lazy
+    "sim_ivf_ann",  # coarse codebook trains eagerly; serving plan is lazy
+    "sim_ivfpq_ann",  # coarse + PQ codebooks train eagerly
+    "sim_ivfpq_residual",  # coarse + PQ codebooks train eagerly
+    "sim_pq_adc_ann",  # PQ codebook trains eagerly
+    "emb_pq_quantize",  # PQ codebook trains eagerly
+    "emb_ivf_balance",  # coarse codebook trains eagerly; footer count collect
 }
 
 
@@ -548,6 +559,23 @@ def test_registry_prefix_covers_all_families(queries):
     assert {
         "q", "mr", "dedup", "sim", "emb", "text", "mm", "stream", "pysource"
     } <= fams, fams
+
+
+def test_registry_prefix_rotates_onto_never_sampled_keys(queries):
+    """Driver-sample rotation (VERDICT r9 task 2): while keys without
+    a driver CORRECTNESS row remain, the 50-key prefix must be drawn
+    from them — except the single pinned pysource key the family-
+    coverage lint above requires (both pysource keys already have
+    green driver rows, so 50/50 is impossible under that lint)."""
+    from distributed_mapreduce_server_spark import registry
+
+    never_total = sum(
+        1 for k in registry._QUERIES if k not in registry._DRIVER_SAMPLED
+    )
+    prefix = list(queries)[:50]
+    sampled_in_prefix = [k for k in prefix if k in registry._DRIVER_SAMPLED]
+    budget = len(registry._TIER0_PINNED) if never_total >= 49 else 50
+    assert len(sampled_in_prefix) <= budget, sampled_in_prefix
 
 
 # ---------------------------------------------------------------------------

@@ -155,7 +155,9 @@ def test_ivf_balance_accounts_for_whole_corpus(spark, sf_smoke):
     from pyspark.sql import functions as F
 
     rows = emb_ivf_balance(spark, sf_smoke).collect()
-    assert len(rows) == N_CENTROIDS
+    # trained coarse codebook (round 10): dead-at-train clusters drop,
+    # so live K can be below N_CENTROIDS — never above
+    assert 1 < len(rows) <= N_CENTROIDS
     emb = load_tables(spark, sf_smoke, register_views=False)["embeddings"]
     n_cand = emb.filter(F.col("vec_id") >= N_QUERIES).count()
     assert sum(r["n_vectors"] for r in rows) == n_cand

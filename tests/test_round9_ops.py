@@ -178,10 +178,40 @@ def test_threshold_sweep_monotone_and_agrees_with_cosine_dedup(spark, sf_smoke):
     assert docs == sorted(docs, reverse=True)
     for r in rows:
         assert r["n_docs_affected"] <= 2 * r["n_pairs"]
-    # cross-operator: the sweep's row at the standard dedup cut counts
-    # exactly the pairs the standalone operator emits
+    # cross-operator: the sweep's pair source is ROUTED (round 10), so
+    # its row at the standard dedup cut counts exactly the pairs the
+    # routed dedup operator emits
+    from distributed_mapreduce_server_spark.operators.dedup import (
+        dedup_semantic_routed,
+    )
+
     at_t = {r["threshold"]: r["n_pairs"] for r in rows}[COSINE_DEDUP_T]
-    assert at_t == dedup_embedding_cosine(spark, sf_smoke).count()
+    assert at_t == dedup_semantic_routed(spark, sf_smoke).count()
+
+
+def test_threshold_sweep_routed_bounded_by_exact(spark, sf_smoke):
+    """The routed pair source may only ever DROP pairs relative to
+    the exact kernel — per grid cut, routed n_pairs/n_docs_affected
+    <= exact, and the exact arm stays available (VERDICT r9 task 5:
+    the tuning table must not pay the n²-flop kernel, but the brute
+    audit path remains for small corpora)."""
+    from distributed_mapreduce_server_spark.operators.dedup import (
+        _threshold_sweep,
+    )
+
+    routed = {
+        r["threshold"]: (r["n_pairs"], r["n_docs_affected"])
+        for r in _threshold_sweep(spark, sf_smoke, "routed").collect()
+    }
+    exact = {
+        r["threshold"]: (r["n_pairs"], r["n_docs_affected"])
+        for r in _threshold_sweep(spark, sf_smoke, "exact").collect()
+    }
+    assert set(routed) == set(exact) == set(SWEEP_THRESHOLDS)
+    for t in routed:
+        assert routed[t][0] <= exact[t][0], t
+        assert routed[t][1] <= exact[t][1], t
+    assert any(v[0] > 0 for v in routed.values())  # non-vacuous
 
 
 def test_routed_pairs_are_subset_of_exact_and_eval_consistent(spark, sf_smoke):
@@ -322,6 +352,38 @@ def test_unigram_tokenize_mass_balance(spark, sf_smoke):
         assert r["n_pieces"] >= r["n_words"]
         ids = [int(x) for x in r["first_piece_ids"].split(",") if x]
         assert ids and all(1 <= i <= nv for i in ids)
+
+
+def test_unigram_tokenize_wordmap_broadcast_is_bounded(spark, sf_smoke, monkeypatch):
+    """VERDICT r9 task 3: the (distinct word -> piece ids) map is
+    Heaps-law-sized, so the broadcast hint must be conditional.
+    Under the bound the join broadcasts (skips the corpus-side
+    shuffle); forced OVER the bound the plan must contain NO
+    BroadcastExchange anywhere (the word map shuffle-joins on tok
+    and nothing else in the op broadcasts)."""
+    from distributed_mapreduce_server_spark.operators import text as text_mod
+    from distributed_mapreduce_server_spark.plans import physical_plan
+
+    # At smoke SF the planner's own size estimate also clears the
+    # autoBroadcastJoinThreshold, masking the hint — disable it so the
+    # plans show exactly what the HINT does (at 100 TB the estimate
+    # exceeds the threshold on its own, which is the point of the fix).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        under = physical_plan(text_mod.text_unigram_tokenize(spark, sf_smoke))
+        assert "BroadcastExchange" in under  # hint forces it
+
+        monkeypatch.setattr(text_mod, "UNI_WORDMAP_BROADCAST_LIMIT", 0)
+        over = physical_plan(text_mod.text_unigram_tokenize(spark, sf_smoke))
+        assert "BroadcastExchange" not in over  # shuffle-join on tok
+        # result-identical on both paths
+        a = text_mod.text_unigram_tokenize(spark, sf_smoke).collect()
+        monkeypatch.undo()
+        b = text_mod.text_unigram_tokenize(spark, sf_smoke).collect()
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_unigram_driver_and_distributed_paths_identical(spark, sf_smoke):

@@ -110,23 +110,57 @@ def test_pca_projection_invariants(spark, sf_dir):
     assert abs(v2 - vals[1]) / vals[1] < 0.02
 
 
-def test_pq_centroid_vectors_reconstruct_exactly(spark, sf_dir):
-    """A codebook vector must encode to ITSELF in every subspace
-    (sub-distance 0 -> own id wins every argmin), giving zero
-    reconstruction error — the fixed point of the quantizer."""
+def test_pq_trained_codebook_improves_reconstruction(spark, sf_dir):
+    """Round 10: the PQ codebook is TRAINED (per-subspace L2 Lloyd).
+    Two invariants replace the old stand-in fixed-point test:
+    (1) the trained codebook's mean reconstruction error over the
+    corpus must not exceed the untrained stand-in's (Lloyd descends
+    the quantization objective); (2) each trained sub-centroid is its
+    own nearest sub-centroid (distance-0 fixed point of the encode
+    kernel), so codes remain well-defined."""
+    import numpy as np
+
+    from distributed_mapreduce_server_spark.catalog import load_tables
+    from distributed_mapreduce_server_spark.functions import fround_np
     from distributed_mapreduce_server_spark.operators.similarity import (
         N_QUERIES,
         PQ_K,
         PQ_M,
+        PQ_SUB_DIM,
+        _collect_matrix,
+        _pq_codebook,
         emb_pq_quantize,
     )
+    from pyspark.sql import functions as F
 
-    rows = {r["vec_id"]: r for r in emb_pq_quantize(spark, sf_dir).collect()}
-    for cid in range(N_QUERIES, N_QUERIES + PQ_K):
-        r = rows[cid]
-        assert r["recon_err"] == 0.0, (cid, r["recon_err"])
+    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
+    _, trained = _pq_codebook(emb)
+    _, standin = _collect_matrix(
+        emb.filter(
+            (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_K)
+        )
+    )
+    _, corpus = _collect_matrix(emb)
+
+    def mean_err(cb):
+        err = np.zeros(len(corpus))
         for m in range(PQ_M):
-            assert r[f"code{m}"] == cid
+            lo, hi = m * PQ_SUB_DIM, (m + 1) * PQ_SUB_DIM
+            diff = corpus[:, None, lo:hi] - cb[None, :, lo:hi]
+            d = fround_np((diff * diff).sum(axis=2))
+            err += d.min(axis=1)
+        return err.mean()
+
+    assert mean_err(trained) <= mean_err(standin) + 1e-9
+    # fixed point: every trained sub-centroid encodes to itself
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUB_DIM, (m + 1) * PQ_SUB_DIM
+        diff = trained[:, None, lo:hi] - trained[None, :, lo:hi]
+        d = (diff * diff).sum(axis=2)
+        assert (d.argmin(axis=1) == np.arange(len(trained))).all(), m
+    # and the operator's recon_err column reflects the trained errors
+    rows = emb_pq_quantize(spark, sf_dir).collect()
+    assert rows and all(r["recon_err"] >= 0.0 for r in rows)
 
 
 def test_pq_adc_topk_shape_and_monotone(spark, sf_dir):
