@@ -140,6 +140,12 @@ HEADLINE = [
     # round-10 wave
     "text_quality_train",
     "text_quality_trained_filter",
+    "dedup_substr_multiscale",
+    # stream_neardup_ingest is deliberately NOT a headline row: like
+    # every other stream_* key it measures streaming machinery
+    # (micro-batch scheduling, checkpoint, sink commits — ~40 s at
+    # sf0.1), not operator throughput; its cost story lives in its
+    # SURVEY row and its correctness in the carried batch oracle.
 ]
 
 

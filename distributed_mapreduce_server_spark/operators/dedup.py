@@ -1310,6 +1310,123 @@ def dedup_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+# Sampled span lengths for the multiscale ExactSubstr report — a
+# doubling ladder so every level's gram hashes DERIVE from the
+# previous level's (one corpus tokenize+hash pass total): Lee et
+# al.'s suffix array answers "duplicated run of ANY length >= L";
+# the fixed-L formulation probes that curve at these L values.
+SUBSTR_L_GRID = (SUBSTR_L, 2 * SUBSTR_L, 4 * SUBSTR_L)
+
+
+def dedup_substr_multiscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-L ExactSubstr report (round 10, VERDICT r9 stretch):
+    per document and per L in SUBSTR_L_GRID, the duplicated-span
+    structure (n_spans / max_span_tokens / n_dup_covered / dup_frac)
+    — the coverage-vs-L curve that approaches Lee et al.'s
+    suffix-array semantics ("some duplicated run of >= L tokens")
+    from the fixed-L side: a doc whose coverage survives at L=40 has
+    long boilerplate blocks (cut the span); one whose coverage dies
+    past L=10 has scattered clichés (score, don't cut).
+
+    ONE gram-df pass per level but ONE CORPUS PASS TOTAL: the base
+    level hashes L0-grams off the token stream (the _substr_covered
+    assembly); each doubling derives its hashes as
+    md5_u60(h_prev(p) || ' ' || h_prev(p + L_prev)) via a per-doc
+    window lead over the previous level's dense position column — no
+    re-tokenize, no re-hash of text, and equal token runs map to
+    equal level hashes by construction. Per level the df filter and
+    island aggregation are the shared spans kernel; per-task work is
+    bounded by doc length."""
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    tok = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    g = tok
+    parts = [F.col("tok")]
+    for k in range(1, SUBSTR_L):
+        g = g.withColumn(f"t{k}", F.lead("tok", k).over(w))
+        parts.append(F.col(f"t{k}"))
+    cur = (
+        g.filter(F.col(f"t{SUBSTR_L - 1}").isNotNull())
+        .select("doc_id", "pos", md5_u60(F.concat_ws(" ", *parts)).alias("h"))
+        .persist()
+    )
+    cur.count()
+    handles = [cur]
+    sizes = docs.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
+    out = None
+    prev_l = SUBSTR_L
+    for level, L in enumerate(SUBSTR_L_GRID):
+        if level:
+            step = prev_l
+            nxt = (
+                cur.withColumn("h2", F.lead("h", step).over(w))
+                .filter(F.col("h2").isNotNull())
+                .select(
+                    "doc_id",
+                    "pos",
+                    md5_u60(
+                        F.concat_ws(
+                            " ", F.col("h").cast("string"), F.col("h2").cast("string")
+                        )
+                    ).alias("h"),
+                )
+                .persist()
+            )
+            nxt.count()
+            handles.append(nxt)
+            cur = nxt
+            prev_l = L
+        dup_h = (
+            cur.groupBy("h")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") >= 2)
+            .select("h")
+        )
+        cov = (
+            cur.join(dup_h, "h")
+            .select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.col("pos"), F.col("pos") + F.lit(L - 1))
+                ).alias("pos"),
+            )
+            .distinct()
+        )
+        spans = (
+            cov.withColumn("grp", F.col("pos") - F.row_number().over(w))
+            .groupBy("doc_id", "grp")
+            .agg(F.count("*").alias("span_len"))
+        )
+        per = spans.groupBy("doc_id").agg(
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.max("span_len").cast("bigint").alias("max_span_tokens"),
+            F.sum("span_len").cast("bigint").alias("n_dup_covered"),
+        )
+        row = sizes.join(per, "doc_id", "left").select(
+            "doc_id",
+            F.lit(L).cast("int").alias("span_l"),
+            "n_tokens",
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce(F.col("max_span_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("max_span_tokens"),
+            F.coalesce(F.col("n_dup_covered"), F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_covered"),
+            fround(
+                F.coalesce(F.col("n_dup_covered"), F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                4,
+            ).alias("dup_frac"),
+        )
+        out = row if out is None else out.unionByName(row)
+    out = _cache_result(out)
+    for h in handles:
+        h.unpersist()
+    return out.orderBy("doc_id", "span_l")
+
+
 CONTAINMENT_T = 0.9
 # exact fraction for the integer prefix-length arithmetic (same
 # discipline as JACCARD_T_NUM/DEN)

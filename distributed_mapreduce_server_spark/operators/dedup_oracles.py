@@ -449,6 +449,93 @@ def _substr_spans_oracle() -> str:
 DEDUP_ORACLES["dedup_substr_spans"] = _substr_spans_oracle()
 
 
+def _substr_multiscale_oracle() -> str:
+    """Mirrors dedup_substr_multiscale: base L0-gram hashes, then each
+    doubling's hashes derived as u60(h_prev || ' ' || lead(h_prev,
+    L_prev)) — the identical ladder the Spark side runs, so the dup
+    sets (and therefore the cover/span aggregates) are
+    engine-identical including hash collisions. Level frames are
+    MATERIALIZED (each feeds its df filter, its cover join, and the
+    next level)."""
+    from distributed_mapreduce_server_spark.operators.dedup import (
+        SUBSTR_L,
+        SUBSTR_L_GRID,
+    )
+
+    L0 = SUBSTR_L
+    gram = _u60(f"array_to_string(t[i:i + {L0 - 1}], ' ')")
+    parts = [
+        f"""mtoks AS (SELECT doc_id, {_TOKS} AS t FROM documents)""",
+        f"""mg0 AS MATERIALIZED (
+            SELECT doc_id, i AS pos, {gram} AS h
+            FROM (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, len(t) - {L0 - 1})) AS i
+                FROM mtoks
+            )
+        )""",
+    ]
+    combine = _u60("CAST(h AS VARCHAR) || ' ' || CAST(h2 AS VARCHAR)")
+    prev_l = L0
+    for k, L in enumerate(SUBSTR_L_GRID):
+        if k:
+            parts.append(
+                f"""mg{k} AS MATERIALIZED (
+            SELECT doc_id, pos, {combine} AS h
+            FROM (
+                SELECT doc_id, pos, h,
+                       lead(h, {prev_l}) OVER (PARTITION BY doc_id ORDER BY pos) AS h2
+                FROM mg{k - 1}
+            ) WHERE h2 IS NOT NULL
+        )"""
+            )
+            prev_l = L
+        parts.append(
+            f"""mper{k} AS MATERIALIZED (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(MAX(span_len) AS BIGINT) AS max_span_tokens,
+                   CAST(SUM(span_len) AS BIGINT) AS n_dup_covered
+            FROM (
+                SELECT doc_id, grp, COUNT(*) AS span_len
+                FROM (
+                    SELECT doc_id, cov,
+                           cov - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cov) AS grp
+                    FROM (
+                        SELECT DISTINCT g.doc_id, g.pos + j AS cov
+                        FROM mg{k} g
+                        JOIN (SELECT h FROM mg{k} GROUP BY h HAVING COUNT(*) >= 2) d
+                          ON g.h = d.h,
+                        (SELECT unnest(generate_series(0, {L - 1})) AS j) js
+                    )
+                ) GROUP BY 1, 2
+            ) GROUP BY doc_id
+        )"""
+        )
+    parts.append(
+        "msizes AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens FROM mtoks)"
+    )
+    selects = " UNION ALL ".join(
+        f"""SELECT s.doc_id, CAST({L} AS INTEGER) AS span_l, s.n_tokens,
+               COALESCE(p.n_spans, 0) AS n_spans,
+               COALESCE(p.max_span_tokens, 0) AS max_span_tokens,
+               COALESCE(p.n_dup_covered, 0) AS n_dup_covered,
+               ROUND(COALESCE(p.n_dup_covered, 0)
+                     / CAST(greatest(s.n_tokens, 1) AS DOUBLE), 4) AS dup_frac
+        FROM msizes s LEFT JOIN mper{k} p USING (doc_id)"""
+        for k, L in enumerate(SUBSTR_L_GRID)
+    )
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined}
+    SELECT * FROM ({selects})
+    ORDER BY doc_id, span_l
+"""
+
+
+DEDUP_ORACLES["dedup_substr_multiscale"] = _substr_multiscale_oracle()
+
+
 from distributed_mapreduce_server_spark.operators.dedup import (  # noqa: E402
     CONTAINMENT_T_DEN,
     CONTAINMENT_T_NUM,

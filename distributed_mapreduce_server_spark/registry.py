@@ -168,6 +168,7 @@ _register(
         "dedup_cluster_stats",
         "dedup_span_clean",
         "dedup_substr_spans",
+        "dedup_substr_multiscale",
         "dedup_minhash_est_eval",
         "dedup_threshold_sweep",
         "dedup_semantic_routed",
@@ -637,6 +638,15 @@ _ORACLES["stream_session_window_native"] = """
 _QUERIES["stream_upsert_foreachbatch"] = streaming_jobs.stream_upsert_foreachbatch
 _ORACLES["stream_upsert_foreachbatch"] = EVENTS_ORACLES[
     "q_events_latest_per_key"
+].strip()
+# streaming near-dup ingest: id-ordered micro-batches scored against
+# the stored historical band index + the growing extension index are
+# status-identical to the batch incremental operator (every doc sees
+# exactly the smaller-id docs), so the job carries its full oracle
+# under availableNow.
+_QUERIES["stream_neardup_ingest"] = streaming_jobs.stream_neardup_ingest
+_ORACLES["stream_neardup_ingest"] = DEDUP_ORACLES[
+    "dedup_incremental_neardup"
 ].strip()
 # dropDuplicatesWithinWatermark over byte-identical duplicate
 # deliveries is deterministic (whichever copy wins, the row is the

@@ -1099,3 +1099,227 @@ def stream_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n"))
     mc = _run_to_memory(hourly, "complete")
     return bursts_from_hourly(mc)
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup INGEST (round 10, VERDICT r9 task 7): the
+# dedup_incremental_neardup_indexed day-2 loop as a live stream — each
+# micro-batch of arriving documents is scored against the STORED
+# historical band/shingle index plus every previously-streamed doc,
+# statuses land in an append sink, kept docs in another, and the
+# extension index grows per batch (the stream_upsert_foreachbatch
+# state discipline: all mutable state lives in lake tables the
+# foreachBatch body owns; the historical index is READ-ONLY — the
+# mtime test pins that its partitions are never rewritten).
+# ---------------------------------------------------------------------------
+
+NEARDUP_STREAM_FILES = 4  # staged id-range files -> micro-batches
+
+
+def neardup_apply_batch(index_dir: str, state_dir: str, cutoff: int):
+    """foreachBatch body for stream_neardup_ingest. Per micro-batch:
+    shingle/band the batch docs ONLY; candidates = batch bands vs
+    (historical index bands ∪ extension bands ∪ in-batch smaller-id
+    bands); verification fetches only candidate docs' shingle sets
+    (semi-join pruning, the batch operator's discipline); statuses
+    and kept docs APPEND; the batch's bands/shingles/sizes append to
+    the extension tables — ALL processed docs extend the index, not
+    just kept ones, because the batch semantics compare an arriving
+    doc against every earlier-id doc regardless of that doc's own
+    status (dedup_incremental_neardup's cand_batch join).
+
+    Determinism: the staged source files are id-range-sorted and
+    processed oldest-first, so every doc sees exactly the docs with
+    smaller ids — any batching of an id-ordered stream yields the
+    batch operator's statuses, which is what lets this job carry the
+    batch oracle under availableNow."""
+    import os
+
+    from distributed_mapreduce_server_spark.operators.dedup import (
+        JACCARD_T,
+        _minhash_bands,
+        _pair_jaccard,
+        _shingle_rows_from,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_docs = batch_df.select("doc_id", "text")
+        eb = _shingle_rows_from(spark, batch_docs, 32).persist()
+        eb.count()
+        sigb, bandsb = _minhash_bands(eb)
+        sigb = sigb.persist()
+        sigb.count()
+        bandsb = bandsb.persist()
+        bandsb.count()
+
+        idx_bands = spark.read.parquet(f"{index_dir}/bands")
+        old_sides = [idx_bands]
+        ext_bands_dir = f"{state_dir}/ext_bands"
+        has_ext = os.path.exists(f"{ext_bands_dir}/_SUCCESS") or any(
+            f.endswith(".parquet")
+            for f in (os.listdir(ext_bands_dir) if os.path.isdir(ext_bands_dir) else [])
+        )
+        if has_ext:
+            old_sides.append(spark.read.parquet(ext_bands_dir))
+        bb = bandsb.alias("bb")
+        cands = []
+        for old in old_sides:
+            ob = old.alias("ob")
+            cands.append(
+                ob.join(
+                    bb,
+                    (F.col("ob.band_idx") == F.col("bb.band_idx"))
+                    & (F.col("ob.band_sig") == F.col("bb.band_sig")),
+                ).select(
+                    F.col("ob.doc_id").alias("doc_a"),
+                    F.col("bb.doc_id").alias("doc_b"),
+                )
+            )
+        b1, b2 = bandsb.alias("b1"), bandsb.alias("b2")
+        cands.append(
+            b1.join(
+                b2,
+                (F.col("b1.band_idx") == F.col("b2.band_idx"))
+                & (F.col("b1.band_sig") == F.col("b2.band_sig"))
+                & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+            ).select(F.col("b1.doc_id").alias("doc_a"), F.col("b2.doc_id").alias("doc_b"))
+        )
+        cand = cands[0]
+        for c in cands[1:]:
+            cand = cand.unionByName(c)
+        cand = cand.distinct().persist()
+        cand.count()
+
+        cand_ids = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        e_sides = [eb, spark.read.parquet(f"{index_dir}/shingles").join(cand_ids, "doc_id", "left_semi")]
+        size_sides = [
+            sigb.select("doc_id", "n_sh"),
+            spark.read.parquet(f"{index_dir}/sizes").join(cand_ids, "doc_id", "left_semi"),
+        ]
+        if has_ext:
+            e_sides.append(
+                spark.read.parquet(f"{state_dir}/ext_shingles").join(cand_ids, "doc_id", "left_semi")
+            )
+            size_sides.append(
+                spark.read.parquet(f"{state_dir}/ext_sizes").join(cand_ids, "doc_id", "left_semi")
+            )
+        e_all = e_sides[0]
+        for s in e_sides[1:]:
+            e_all = e_all.unionByName(s)
+        sizes = size_sides[0]
+        for s in size_sides[1:]:
+            sizes = sizes.unionByName(s)
+
+        pairs = _pair_jaccard(e_all, cand, sizes=sizes).filter(
+            F.col("jaccard") >= JACCARD_T
+        )
+        flags = pairs.groupBy(F.col("doc_b").alias("doc_id")).agg(
+            F.max(F.col("doc_a") < F.lit(cutoff)).alias("from_index")
+        )
+        status = (
+            batch_docs.select("doc_id")
+            .join(flags, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("from_index"), F.lit("neardup_of_index"))
+                .when(F.col("from_index") == F.lit(False), F.lit("neardup_in_batch"))
+                .otherwise(F.lit("kept"))
+                .alias("status"),
+            )
+            .persist()
+        )
+        status.count()
+        status.write.mode("append").parquet(f"{state_dir}/status")
+        batch_df.join(
+            status.filter(F.col("status") == "kept").select("doc_id"), "doc_id", "left_semi"
+        ).write.mode("append").parquet(f"{state_dir}/kept")
+        # extension index grows by the WHOLE batch
+        bandsb.write.mode("append").parquet(ext_bands_dir)
+        eb.write.mode("append").parquet(f"{state_dir}/ext_shingles")
+        sigb.select("doc_id", "n_sh").write.mode("append").parquet(f"{state_dir}/ext_sizes")
+        for frame in (status, cand, bandsb, sigb, eb):
+            frame.unpersist()
+
+    return apply_batch
+
+
+def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ensure the historical index, stage the batch
+    documents (doc_id >= the incremental cutoff) as
+    NEARDUP_STREAM_FILES id-range parquet files (mtime-staggered so
+    the file source replays them oldest-first, one per micro-batch
+    via maxFilesPerTrigger=1), drain with availableNow through
+    neardup_apply_batch, and return the landed status table — which
+    must equal dedup_incremental_neardup's batch result exactly, so
+    the job carries that oracle."""
+    import hashlib
+    import os
+    import shutil
+    import time as _time
+
+    from distributed_mapreduce_server_spark.catalog import load_tables
+    from distributed_mapreduce_server_spark.operators.dedup import (
+        INCR_INDEX_FRACTION,
+        ensure_neardup_index,
+    )
+
+    index_dir = ensure_neardup_index(spark, sf_dir)
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    num, den = INCR_INDEX_FRACTION
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    cutoff = ((max_id + 1) * num) // den
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    base = f"{tempfile.gettempdir()}/dmrs_stream_neardup_{tag}"
+    shutil.rmtree(base, ignore_errors=True)  # fresh run each call
+    src_dir, state_dir, ckpt = f"{base}/src", f"{base}/state", f"{base}/ckpt"
+    batch = docs.filter(F.col("doc_id") >= cutoff)
+    span = (max_id + 1 - cutoff) / NEARDUP_STREAM_FILES
+    # ONE file per id range (repartition(1) before the partitioned
+    # write): a range split across files could replay out of id order
+    # within the range, and the carried batch oracle requires every
+    # doc to see exactly the smaller-id docs. The staged batch is
+    # 1/NEARDUP_STREAM_FILES of one ingest day — single-file scale by
+    # construction; a production stager would sort-within-partitions
+    # instead.
+    batch.withColumn(
+        "part",
+        F.floor((F.col("doc_id") - F.lit(cutoff)) / F.lit(span)).cast("int"),
+    ).repartition(1).write.partitionBy("part").parquet(src_dir)
+    # stagger mtimes so the file source's oldest-first order == id order
+    parts = sorted(
+        d for d in os.listdir(src_dir) if d.startswith("part=")
+    )
+    now = _time.time()
+    for i, d in enumerate(parts):
+        for f in os.listdir(f"{src_dir}/{d}"):
+            os.utime(f"{src_dir}/{d}/{f}", (now - 3600 + i, now - 3600 + i))
+
+    schema = spark.read.parquet(src_dir + "/" + parts[0]).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .option("recursiveFileLookup", "true")
+        .load(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            neardup_apply_batch(index_dir, state_dir, cutoff)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(f"{state_dir}/status")
+    result = spark.createDataFrame(out.collect(), out.schema)
+    return result.orderBy("doc_id")

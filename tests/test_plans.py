@@ -203,6 +203,8 @@ EAGER_OPS = {
     # round-10 wave: trained ANN codebooks — the Lloyd trainers
     # collect eagerly at plan build (take(limit+1) fast path / per-
     # round partial-agg collect), like dedup_semantic_routed
+    "stream_neardup_ingest",  # foreachBatch ingest loop drains eagerly
+    "dedup_substr_multiscale",  # per-level gram ladders persist + cached report
     "text_quality_train",  # GD rounds run eagerly (createDataFrame result)
     "text_quality_trained_filter",  # rides the eager GD; scoring plan is lazy
     "sim_ivf_ann",  # coarse codebook trains eagerly; serving plan is lazy

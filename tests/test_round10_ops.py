@@ -134,3 +134,101 @@ def test_ivf_trained_codebook_recall_not_worse_than_standin(spark, sf_smoke):
         for r in _ivf_topk(spark, sf_smoke, N_PROBE).collect()
     }
     assert len(new & exact) >= len(old & exact)
+
+
+def test_stream_neardup_ingest_matches_batch_and_index_readonly(spark, sf_smoke):
+    """VERDICT r9 task 7: (1) the streamed statuses equal the batch
+    incremental operator's exactly (the carried-oracle property,
+    asserted engine-side too); (2) the HISTORICAL index partitions
+    are never rewritten by the stream — identical paths and mtimes
+    before/after (the stream_upsert discipline); (3) the run really
+    was multi-batch (the extension index accreted one append per
+    staged file)."""
+    import os
+
+    from distributed_mapreduce_server_spark.operators.dedup import (
+        dedup_incremental_neardup,
+        ensure_neardup_index,
+    )
+    from distributed_mapreduce_server_spark.streaming.jobs import (
+        NEARDUP_STREAM_FILES,
+        stream_neardup_ingest,
+    )
+
+    index_dir = ensure_neardup_index(spark, sf_smoke)
+
+    def index_mtimes():
+        out = {}
+        for sub in ("bands", "shingles", "sizes"):
+            d = os.path.join(index_dir, sub)
+            for f in os.listdir(d):
+                p = os.path.join(d, f)
+                out[p] = os.path.getmtime(p)
+        return out
+
+    before = index_mtimes()
+    streamed = [
+        (r["doc_id"], r["status"])
+        for r in stream_neardup_ingest(spark, sf_smoke).collect()
+    ]
+    assert index_mtimes() == before  # identical paths AND mtimes
+    batch = [
+        (r["doc_id"], r["status"])
+        for r in dedup_incremental_neardup(spark, sf_smoke).collect()
+    ]
+    assert streamed == batch
+    assert {s for _, s in streamed} >= {"kept"}  # non-vacuous
+    # multi-batch: one extension append per staged micro-batch file
+    import glob
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_smoke.encode()).hexdigest()[:12]
+    state = f"{tempfile.gettempdir()}/dmrs_stream_neardup_{tag}/state"
+    n_src = len(glob.glob(
+        f"{tempfile.gettempdir()}/dmrs_stream_neardup_{tag}/src/part=*"
+    ))
+    assert n_src == NEARDUP_STREAM_FILES
+    sizes_files = glob.glob(f"{state}/ext_sizes/part-*.parquet")
+    assert len(sizes_files) >= NEARDUP_STREAM_FILES
+
+
+def test_substr_multiscale_monotone_and_consistent_with_fixed_l(spark, sf_smoke):
+    """VERDICT r9 stretch invariants: (1) coverage is NONINCREASING in
+    L per doc (a duplicated 2L-run implies duplicated L-runs over the
+    same positions, never the reverse); (2) the grid's base level
+    reproduces dedup_substr_spans row-for-row (the ladder's level 0
+    IS the fixed-L operator); (3) max_span_tokens >= L wherever a
+    span exists; (4) every level is non-vacuous on this corpus
+    (measured: dup grams exist at L=10/20/40 at both test SFs)."""
+    from distributed_mapreduce_server_spark.operators.dedup import (
+        SUBSTR_L_GRID,
+        dedup_substr_multiscale,
+        dedup_substr_spans,
+    )
+
+    rows = dedup_substr_multiscale(spark, sf_smoke).collect()
+    by_l = {}
+    for r in rows:
+        by_l.setdefault(r["span_l"], {})[r["doc_id"]] = r
+    assert sorted(by_l) == sorted(SUBSTR_L_GRID)
+    for l_small, l_big in zip(sorted(by_l), sorted(by_l)[1:]):
+        for doc, r in by_l[l_big].items():
+            assert (
+                r["n_dup_covered"] <= by_l[l_small][doc]["n_dup_covered"]
+            ), (doc, l_small, l_big)
+    base = {r["doc_id"]: r for r in dedup_substr_spans(spark, sf_smoke).collect()}
+    l0 = sorted(by_l)[0]
+    assert set(base) == set(by_l[l0])
+    for doc, r in by_l[l0].items():
+        b = base[doc]
+        assert (r["n_spans"], r["max_span_tokens"], r["n_dup_covered"]) == (
+            b["n_spans"],
+            b["max_span_tokens"],
+            b["n_dup_covered"],
+        ), doc
+    for L, docs_ in by_l.items():
+        assert any(r["n_dup_covered"] > 0 for r in docs_.values()), L
+        for r in docs_.values():
+            if r["n_spans"]:
+                assert r["max_span_tokens"] >= L
