@@ -140,6 +140,7 @@ HEADLINE = [
     # round-10 wave
     "text_quality_train",
     "text_quality_trained_filter",
+    "text_quality_eval",
     "dedup_substr_multiscale",
     # stream_neardup_ingest is deliberately NOT a headline row: like
     # every other stream_* key it measures streaming machinery

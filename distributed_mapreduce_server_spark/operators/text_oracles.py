@@ -836,14 +836,16 @@ from distributed_mapreduce_server_spark.operators.text import (  # noqa: E402
 )
 
 
-def _lr_ctes() -> str:
+def _lr_ctes(train_where: str = "") -> str:
     """Unrolled full-batch-GD trainer mirroring text._lr_train: the
     6-dp-rounded feature matrix + heuristic label, then per round a
     (rounded logit -> rounded sigmoid) pass, mean gradient / mean
     loss rounded to 6 dp, and a rounded weight update. Ends with
     lw{{R}} (the trained weights) and per-round lg{{r}} (loss rows).
     Sigmoids are clamped into [1e-6, 1 - 1e-6] before the log-loss in
-    BOTH engines (a rounded s can be exactly 0 or 1)."""
+    BOTH engines (a rounded s can be exactly 0 or 1). ``train_where``
+    restricts the GD's design matrix (text_quality_eval trains on
+    the train split only); scoring CTEs keep reading the full lrf."""
     clamp = "least(greatest(s, 0.000001), 0.999999)"
     parts = [
         f"""lrm AS (
@@ -873,6 +875,9 @@ def _lr_ctes() -> str:
                         THEN 1.0 ELSE 0.0 END AS y
             FROM lrm
         )""",
+        f"""lrt AS MATERIALIZED (
+            SELECT * FROM lrf {train_where}
+        )""",
         "lw0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)",
     ]
     for r in range(LR_TRAIN_ROUNDS + 1):
@@ -881,7 +886,7 @@ def _lr_ctes() -> str:
             SELECT f.y, f.x1, f.x2, f.x3, f.x4,
                    ROUND(1.0 / (1.0 + exp(-ROUND(w.w0 + w.w1 * f.x1
                        + w.w2 * f.x2 + w.w3 * f.x3 + w.w4 * f.x4, 6))), 6) AS s
-            FROM lrf f, lw{r} w
+            FROM lrt f, lw{r} w
         )"""
         )
         parts.append(
@@ -937,6 +942,43 @@ TEXT_ORACLES["text_quality_trained_filter"] = f"""
            f.y = 1.0 AS heuristic_label
     FROM lrf f, lw{LR_TRAIN_ROUNDS} w
     ORDER BY f.doc_id
+"""
+
+# eval variant: GD sees only the TRAIN split; both splits then score
+# under the trained weights (same rule as text_train_val_split).
+_LR_SPLIT_PRED = (
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    " % 100"
+)
+_LR_CB_SPLIT = _lr_ctes(train_where=f"WHERE {_LR_SPLIT_PRED} >= 10")
+
+TEXT_ORACLES["text_quality_eval"] = f"""
+    WITH {_LR_CB_SPLIT},
+    lsc AS (
+        SELECT CASE WHEN {_LR_SPLIT_PRED} < 10 THEN 'val' ELSE 'train' END AS split,
+               f.y,
+               CASE WHEN ROUND(1.0 / (1.0 + exp(-ROUND(w.w0 + w.w1 * f.x1
+                        + w.w2 * f.x2 + w.w3 * f.x3 + w.w4 * f.x4, 6))), 6)
+                        >= 0.5
+                    THEN 1.0 ELSE 0.0 END AS p
+        FROM lrf f, lw{LR_TRAIN_ROUNDS} w
+    ),
+    cm AS (
+        SELECT split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(p * y) AS BIGINT) AS tp,
+               CAST(SUM(p * (1 - y)) AS BIGINT) AS fp,
+               CAST(SUM((1 - p) * y) AS BIGINT) AS fn,
+               CAST(SUM((1 - p) * (1 - y)) AS BIGINT) AS tn
+        FROM lsc GROUP BY 1
+    )
+    SELECT split, n_docs, tp, fp, fn, tn,
+           ROUND((tp + tn) / CAST(n_docs AS DOUBLE), 6) AS accuracy,
+           ROUND(tp / CAST(greatest(tp + fp, 1) AS DOUBLE), 6) AS precision,
+           ROUND(tp / CAST(greatest(tp + fn, 1) AS DOUBLE), 6) AS recall,
+           ROUND(2 * tp / CAST(greatest(2 * tp + fp + fn, 1) AS DOUBLE), 6) AS f1
+    FROM cm
+    ORDER BY split
 """
 
 

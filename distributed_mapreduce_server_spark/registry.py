@@ -263,6 +263,7 @@ _register(
         "text_unigram_tokenize",
         "text_quality_train",
         "text_quality_trained_filter",
+        "text_quality_eval",
     ],
 )
 _register(

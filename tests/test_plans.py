@@ -207,6 +207,7 @@ EAGER_OPS = {
     "dedup_substr_multiscale",  # per-level gram ladders persist + cached report
     "text_quality_train",  # GD rounds run eagerly (createDataFrame result)
     "text_quality_trained_filter",  # rides the eager GD; scoring plan is lazy
+    "text_quality_eval",  # rides the eager GD; eval agg plan is lazy
     "sim_ivf_ann",  # coarse codebook trains eagerly; serving plan is lazy
     "sim_ivfpq_ann",  # coarse + PQ codebooks train eagerly
     "sim_ivfpq_residual",  # coarse + PQ codebooks train eagerly

@@ -232,3 +232,31 @@ def test_substr_multiscale_monotone_and_consistent_with_fixed_l(spark, sf_smoke)
         for r in docs_.values():
             if r["n_spans"]:
                 assert r["max_span_tokens"] >= L
+
+
+def test_quality_eval_confusion_consistent(spark, sf_smoke):
+    """Eval-table invariants: two rows (train/val), confusion counts
+    sum to n_docs, metrics recompute from the counts on the same
+    rounding grid, and the split sizes match text_train_val_split's
+    hash rule."""
+    from distributed_mapreduce_server_spark.functions import fround_scalar
+    from distributed_mapreduce_server_spark.operators.text import (
+        text_quality_eval,
+        text_train_val_split,
+    )
+
+    rows = {r["split"]: r for r in text_quality_eval(spark, sf_smoke).collect()}
+    assert set(rows) == {"train", "val"}
+    split_sizes = {
+        r["split"]: r["n_docs"]
+        for r in text_train_val_split(spark, sf_smoke).collect()
+    }
+    for split, r in rows.items():
+        assert r["n_docs"] == split_sizes[split]
+        assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == r["n_docs"]
+        assert r["accuracy"] == fround_scalar(
+            (r["tp"] + r["tn"]) / r["n_docs"], 6
+        )
+        assert r["f1"] == fround_scalar(
+            2 * r["tp"] / max(2 * r["tp"] + r["fp"] + r["fn"], 1), 6
+        )
