@@ -247,17 +247,24 @@ def run_attempt(spark, queries, names, sf_dir: str, sf: float) -> dict:
         gc.collect()
     probe_series.append([len(names), quick_probe()])
     # Per-query load factor: worst bracketing probe over the run's
-    # best probe (the lightest observed load is the reference — an
-    # absolute baseline would re-measure the host, not the run).
-    # Factor > LOAD_FLAG_FACTOR means the sample may be load-inflated;
-    # judges should read those against the spread minima.
-    best_probe = min(p for _, p in probe_series)
+    # MEDIAN probe. The reference was the run MINIMUM through round
+    # 10's first records, but that self-flags clean runs: this box's
+    # quiet-floor probes jitter ±50% (measured 1.55-2.39 ms across a
+    # burst-free pass), so one lucky dip flagged ~20 neighboring
+    # queries at zero actual load. The median is robust to both the
+    # dip and the burst; genuine multi-x bursts (16-30 ms probes
+    # bracketing the 2 ms floor) still flag their blocks. Factor >
+    # LOAD_FLAG_FACTOR means the sample may be load-inflated; judges
+    # should read those against the spread minima.
+    import statistics as _stats
+
+    ref_probe = _stats.median(p for _, p in probe_series)
     load_factor: dict[str, float] = {}
     for name, blk in query_probe_block.items():
         bracket = [probe_series[blk][1]]
         if blk + 1 < len(probe_series):
             bracket.append(probe_series[blk + 1][1])
-        load_factor[name] = round(max(bracket) / best_probe, 2)
+        load_factor[name] = round(max(bracket) / ref_probe, 2)
     load_flagged = sorted(
         n for n, f in load_factor.items() if f > LOAD_FLAG_FACTOR
     )
