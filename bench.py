@@ -142,6 +142,8 @@ HEADLINE = [
     "text_quality_trained_filter",
     "text_quality_eval",
     "dedup_substr_multiscale",
+    "dedup_lsh_br_sweep",
+    "q_graph_community_lpa",
     # stream_neardup_ingest is deliberately NOT a headline row: like
     # every other stream_* key it measures streaming machinery
     # (micro-batch scheduling, checkpoint, sink commits — ~40 s at

@@ -1535,6 +1535,117 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Band/row layouts of the 16-permutation signature for the LSH
+# tuning sweep: (bands, rows_per_band) with b*r == N_PERMS. The
+# S-curve threshold ~ (1/b)^(1/r): (16,1) ~ 0.06 (catch-all),
+# (8,2) ~ 0.35, (4,4) ~ 0.71 (the shipped layout), (2,8) ~ 0.92
+# (precision-first).
+LSH_BR_LAYOUTS = ((16, 1), (8, 2), (4, 4), (2, 8))
+
+
+def dedup_lsh_br_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH BAND-LAYOUT tuning curve (round 10): per (b, r)
+    layout of the SAME 16-perm signature, the candidate-pair budget,
+    the verified (jaccard >= 0.8) pair count, and recall vs the
+    exhaustive baseline — the table that picks N_BANDS x
+    ROWS_PER_BAND for a corpus, completing the LSH trust suite
+    (dedup_lsh_eval = one point on this curve;
+    dedup_minhash_est_eval = the estimator's value quality;
+    dedup_routed_probe_sweep = the same dial for the semantic
+    router). Wider bands (more rows per band) buy precision at the
+    cost of recall along the (1/b)^(1/r) S-curve; the sweep measures
+    where THIS corpus sits on it.
+
+    Scale shape: ONE shingle pass, ONE 16-min-agg signature pass and
+    ONE exhaustive-baseline verify are shared by every layout (the
+    sweep-family discipline: the expensive passes never repeat);
+    each layout adds only its band explode (b rows/doc), a
+    key-partitioned bucket self-join whose fan-out is bucket size,
+    and a candidates-only verify. Verified pairs are exact-checked,
+    so layout precision-of-candidates is measured, never assumed."""
+    e = _shingle_rows(spark, sf_dir, 32).persist()
+    e.count()
+    consts = perm_constants(N_PERMS)
+    mh = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P32)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(consts)
+    ]
+    sig = e.groupBy("doc_id").agg(*mh, F.count("*").alias("n_sh")).persist()
+    sig.count()
+    sizes = sig.select("doc_id", "n_sh")
+    exact = (
+        _pair_jaccard(e, None, sizes=sizes)
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    n_exact = exact.count()
+    from distributed_mapreduce_server_spark.functions import fround_scalar
+
+    rows = []
+    for b, r in LSH_BR_LAYOUTS:
+        band_structs = [
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"mh{i * r + j}") for j in range(r)]
+                    )
+                ).alias("band_sig"),
+            )
+            for i in range(b)
+        ]
+        bands = sig.select(
+            "doc_id", F.explode(F.array(*band_structs)).alias("band")
+        ).select(
+            "doc_id",
+            F.col("band.band_idx").alias("band_idx"),
+            F.col("band.band_sig").alias("band_sig"),
+        )
+        ba, bb = bands.alias("ba"), bands.alias("bb")
+        cand = (
+            ba.join(
+                bb,
+                (F.col("ba.band_idx") == F.col("bb.band_idx"))
+                & (F.col("ba.band_sig") == F.col("bb.band_sig"))
+                & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+            )
+            .select(
+                F.col("ba.doc_id").alias("doc_a"),
+                F.col("bb.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .persist()
+        )
+        n_cand = cand.count()
+        n_ver = (
+            _pair_jaccard(e, cand, sizes=sizes)
+            .filter(F.col("jaccard") >= JACCARD_T)
+            .count()
+        )
+        cand.unpersist()
+        rows.append(
+            (
+                b,
+                r,
+                n_cand,
+                n_ver,
+                n_exact,
+                fround_scalar(n_ver / max(n_exact, 1), 4),
+                fround_scalar(n_ver / max(n_cand, 1), 4),
+            )
+        )
+    e.unpersist()
+    sig.unpersist()
+    exact.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "n_bands int, rows_per_band int, n_candidate_pairs bigint,"
+        " n_verified_pairs bigint, n_exact_pairs bigint, recall double,"
+        " candidate_precision double",
+    ).orderBy("rows_per_band")
+
+
 def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-size histogram over the near-dup components — the
     shape report a dedup run publishes (many pairs? a few giant

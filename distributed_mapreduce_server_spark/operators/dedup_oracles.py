@@ -193,6 +193,91 @@ DEDUP_ORACLES["dedup_minhash_lsh"] = f"""
 """
 
 
+def _br_sweep_sql() -> str:
+    """Mirrors dedup_lsh_br_sweep: one hashed-shingle/signature/
+    exhaustive-baseline build shared by all layouts, then per (b, r)
+    layout the band explode, distinct bucket-collision candidates,
+    and candidates-only exact verify."""
+    from distributed_mapreduce_server_spark.operators.dedup import (
+        LSH_BR_LAYOUTS,
+    )
+
+    parts = [
+        f"brs AS ({_DOC_SHINGLES})",
+        f"brh AS MATERIALIZED (SELECT doc_id, {_HS} AS hs FROM brs)",
+        f"""brsig AS MATERIALIZED (
+            SELECT doc_id,
+               {_MH_COLS}
+            FROM brh
+        )""",
+        f"""brexact AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM (
+                WITH e AS (SELECT doc_id, unnest(hs) AS g FROM brh),
+                inter AS (
+                    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+                    FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2
+                )
+                SELECT doc_a, doc_b
+                FROM inter
+                JOIN brh sa ON doc_a = sa.doc_id
+                JOIN brh sb ON doc_b = sb.doc_id
+                WHERE ROUND(i / (len(sa.hs) + len(sb.hs) - i), 4) >= {JACCARD_T}
+            )
+        )""",
+    ]
+    selects = []
+    for b, r in LSH_BR_LAYOUTS:
+        structs = ", ".join(
+            "{'band_idx': %d, 'band_sig': md5(concat_ws(',', %s))}"
+            % (i, ", ".join(f"mh{i * r + j}" for j in range(r)))
+            for i in range(b)
+        )
+        parts.append(
+            f"""brc_{b}_{r} AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM (SELECT doc_id, unnest([{structs}], recursive := true) FROM brsig) a
+            JOIN (SELECT doc_id, unnest([{structs}], recursive := true) FROM brsig) b
+              ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                 AND a.doc_id < b.doc_id
+        )"""
+        )
+        parts.append(
+            f"""brv_{b}_{r} AS (
+            SELECT COUNT(*) AS n FROM (
+                SELECT doc_a, doc_b,
+                       len(list_intersect(sa.hs, sb.hs)) AS i,
+                       len(sa.hs) AS na, len(sb.hs) AS nb
+                FROM brc_{b}_{r}
+                JOIN brh sa ON doc_a = sa.doc_id
+                JOIN brh sb ON doc_b = sb.doc_id
+            ) WHERE ROUND(i / (na + nb - i), 4) >= {JACCARD_T}
+        )"""
+        )
+        selects.append(
+            f"""SELECT CAST({b} AS INTEGER) AS n_bands,
+               CAST({r} AS INTEGER) AS rows_per_band,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM brc_{b}_{r}) AS n_candidate_pairs,
+               (SELECT CAST(n AS BIGINT) FROM brv_{b}_{r}) AS n_verified_pairs,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM brexact) AS n_exact_pairs,
+               ROUND((SELECT n FROM brv_{b}_{r})
+                     / CAST(greatest((SELECT COUNT(*) FROM brexact), 1) AS DOUBLE), 4) AS recall,
+               ROUND((SELECT n FROM brv_{b}_{r})
+                     / CAST(greatest((SELECT COUNT(*) FROM brc_{b}_{r}), 1) AS DOUBLE), 4)
+                   AS candidate_precision"""
+        )
+    joined = ",\n    ".join(parts)
+    body = " UNION ALL ".join(selects)
+    return f"""
+    WITH {joined}
+    SELECT * FROM ({body})
+    ORDER BY rows_per_band
+"""
+
+
+DEDUP_ORACLES["dedup_lsh_br_sweep"] = _br_sweep_sql()
+
+
 # Near-dup pair list (the ngram-jaccard query without the projection),
 # reused by the clustering oracles.
 _PAIRS_SQL = f"""

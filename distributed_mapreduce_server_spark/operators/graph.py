@@ -773,3 +773,80 @@ def q_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "round int, k int, n_nodes bigint, n_edges bigint"
     ).orderBy("round")
+
+
+# Fixed synchronous rounds for label propagation: 3 rounds on this
+# corpus already coalesce the co-purchase graph into a handful of
+# communities (the graph is dense — median degree ~115); more rounds
+# only shuffle labels inside the giant component while each round
+# adds |E|-scale work and an unrolled oracle level.
+LPA_ROUNDS = 3
+
+
+def q_graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via synchronous label propagation
+    (Raghavan et al. 2007) for LPA_ROUNDS FIXED rounds over the
+    co-purchase graph: labels start as node ids; each round every
+    node adopts its neighbors' most frequent label (ties to the
+    smallest — deterministic across engines), all nodes updating
+    simultaneously. Reports the final community size distribution —
+    the product-community map a recommender reads next to the k-core
+    profile (kcore = where the dense mass is, LPA = how it splits).
+
+    Unlike dedup_clusters' connected components (reachability), LPA
+    respects edge DENSITY — two cliques joined by one bridge stay
+    separate communities while CC merges them.
+
+    Scale shape: per round one key-partitioned join of the directed
+    edge list against the |V|-row label frame and one
+    (node, label)-keyed partial-agg count, then a per-node argmax
+    window (frame bounded by the node's distinct neighbor labels,
+    never corpus-wide). The label frame is cut to a leaf per round
+    with eager localCheckpoint, superseded rounds retired via each
+    frame's OWN rdd id (session.checkpointed_rdd_ids — the
+    concurrency-safe discipline). Rounds are FIXED, so the DuckDB
+    oracle unrolls the same propagation as MATERIALIZED CTEs."""
+    from pyspark.sql.window import Window
+
+    from distributed_mapreduce_server_spark.session import (
+        checkpointed_rdd_ids,
+        unpersist_rdd_ids,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edge_ids = checkpointed_rdd_ids(edges)
+    und = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    label_ids = checkpointed_rdd_ids(labels)
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            und.join(
+                labels.withColumnsRenamed({"node": "dst"}), "dst"
+            )
+            .groupBy(F.col("src").alias("node"), "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        nxt = (
+            votes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=True)
+        )
+        nxt_ids = checkpointed_rdd_ids(nxt)
+        unpersist_rdd_ids(spark, label_ids)
+        labels, label_ids = nxt, nxt_ids
+    out = (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+        .localCheckpoint(eager=True)
+    )
+    unpersist_rdd_ids(spark, label_ids | edge_ids)
+    return out.orderBy("community")

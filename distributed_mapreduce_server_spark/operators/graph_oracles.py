@@ -360,3 +360,48 @@ def _kcore_sql() -> str:
 
 
 GRAPH_ORACLES["q_graph_kcore_peel"] = _kcore_sql()
+
+
+from distributed_mapreduce_server_spark.operators.graph import LPA_ROUNDS  # noqa: E402
+
+
+def _lpa_sql() -> str:
+    """Unrolled synchronous label propagation (mirrors
+    q_graph_community_lpa): labels start as node ids over the
+    co-purchase graph; per round every node takes its neighbors' most
+    frequent label with ties to the smallest (ROW_NUMBER (c DESC,
+    lbl ASC) == the Spark window). MATERIALIZED per round — each
+    level is referenced by the next round's vote join."""
+    steps = [
+        """lund AS MATERIALIZED (
+        SELECT u AS src, v AS dst FROM ce
+        UNION ALL
+        SELECT v AS src, u AS dst FROM ce
+    )""",
+        """lp0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, src AS lbl FROM lund
+    )""",
+    ]
+    for r in range(1, LPA_ROUNDS + 1):
+        steps.append(
+            f"""lp{r} AS MATERIALIZED (
+        SELECT node, lbl FROM (
+            SELECT e.src AS node, l.lbl, COUNT(*) AS c,
+                   ROW_NUMBER() OVER (PARTITION BY e.src
+                       ORDER BY COUNT(*) DESC, l.lbl) AS rk
+            FROM lund e JOIN lp{r - 1} l ON e.dst = l.node
+            GROUP BY e.src, l.lbl
+        ) WHERE rk = 1
+    )"""
+        )
+    return f"""
+    WITH {_COPURCHASE_MAT},
+    {", ".join(steps)}
+    SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM lp{LPA_ROUNDS}
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
+GRAPH_ORACLES["q_graph_community_lpa"] = _lpa_sql()

@@ -165,6 +165,7 @@ _register(
         "dedup_exact_substr",
         "dedup_containment",
         "dedup_lsh_eval",
+        "dedup_lsh_br_sweep",
         "dedup_cluster_stats",
         "dedup_span_clean",
         "dedup_substr_spans",
@@ -283,6 +284,7 @@ _register(
         "q_graph_assortativity",
         "q_graph_adamic_adar",
         "q_personalized_pagerank",
+        "q_graph_community_lpa",
     ],
 )
 _register(

@@ -205,6 +205,8 @@ EAGER_OPS = {
     # round partial-agg collect), like dedup_semantic_routed
     "stream_neardup_ingest",  # foreachBatch ingest loop drains eagerly
     "dedup_substr_multiscale",  # per-level gram ladders persist + cached report
+    "dedup_lsh_br_sweep",  # shared signature/baseline persists; per-layout counts collect
+    "q_graph_community_lpa",  # per-round label checkpoints run eagerly
     "text_quality_train",  # GD rounds run eagerly (createDataFrame result)
     "text_quality_trained_filter",  # rides the eager GD; scoring plan is lazy
     "text_quality_eval",  # rides the eager GD; eval agg plan is lazy

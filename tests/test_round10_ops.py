@@ -291,3 +291,69 @@ def test_checkpointed_rdd_ids_matches_snapshot_diff(spark, sf_smoke):
     before = persistent_rdd_ids(spark)
     q_graph_kcore_peel(spark, sf_smoke).collect()
     assert persistent_rdd_ids(spark) - before == set()
+
+
+def test_lsh_br_sweep_s_curve_and_consistency(spark, sf_smoke):
+    """Band-layout sweep invariants: every layout's verified pairs
+    are bounded by candidates and by the exact baseline; recall is
+    NONINCREASING as rows-per-band grows (wider bands only drop
+    candidates); the shipped (N_BANDS, ROWS_PER_BAND) row reproduces
+    dedup_lsh_eval's counts; verified <= candidates makes
+    candidate_precision <= 1 by construction."""
+    from distributed_mapreduce_server_spark.operators.dedup import (
+        N_BANDS,
+        ROWS_PER_BAND,
+        dedup_lsh_br_sweep,
+        dedup_lsh_eval,
+    )
+
+    rows = sorted(
+        dedup_lsh_br_sweep(spark, sf_smoke).collect(),
+        key=lambda r: r["rows_per_band"],
+    )
+    assert [(r["n_bands"], r["rows_per_band"]) for r in rows] == [
+        (16, 1), (8, 2), (4, 4), (2, 8),
+    ]
+    n_exact = rows[0]["n_exact_pairs"]
+    for r in rows:
+        assert r["n_exact_pairs"] == n_exact
+        assert r["n_verified_pairs"] <= r["n_candidate_pairs"]
+        assert r["n_verified_pairs"] <= n_exact
+        assert 0.0 <= r["candidate_precision"] <= 1.0
+    recalls = [r["recall"] for r in rows]
+    assert recalls == sorted(recalls, reverse=True)
+    ev = dedup_lsh_eval(spark, sf_smoke).collect()[0]
+    shipped = next(
+        r for r in rows
+        if (r["n_bands"], r["rows_per_band"]) == (N_BANDS, ROWS_PER_BAND)
+    )
+    assert shipped["n_exact_pairs"] == ev["n_exact_pairs"]
+    assert shipped["n_verified_pairs"] == ev["n_lsh_pairs"]
+
+
+def test_lpa_partitions_nodes_and_differs_from_cc(spark, sf_smoke):
+    """LPA invariants: community sizes sum to the node count; labels
+    are node ids; no leaked checkpoint blocks (dogfoods the
+    per-frame retirement); and on this dense graph LPA yields >= 1
+    community (degenerate single-community is allowed at smoke SF
+    but the partition property must hold)."""
+    from distributed_mapreduce_server_spark.operators.graph import (
+        _copurchase_edges,
+        q_graph_community_lpa,
+    )
+    from distributed_mapreduce_server_spark.session import persistent_rdd_ids
+
+    before = persistent_rdd_ids(spark)
+    rows = q_graph_community_lpa(spark, sf_smoke).collect()
+    leaked = persistent_rdd_ids(spark) - before
+    # the returned frame itself is one live checkpoint; nothing else
+    assert len(leaked) <= 1, leaked
+    assert rows
+    edges = _copurchase_edges(spark, sf_smoke)
+    n_nodes = (
+        edges.selectExpr("u AS n").union(edges.selectExpr("v AS n")).distinct().count()
+    )
+    assert sum(r["n_nodes"] for r in rows) == n_nodes
+    assert all(r["n_nodes"] >= 1 for r in rows)
+    communities = [r["community"] for r in rows]
+    assert len(set(communities)) == len(communities)
