@@ -1867,24 +1867,38 @@ def _threshold_sweep(
             emb, assign, threshold=min(SWEEP_THRESHOLDS)
         ).persist()
     pairs.count()
-    out = None
-    for t in SWEEP_THRESHOLDS:
-        sel = pairs.filter(F.col("cos_sim") >= t)
-        docs = (
-            sel.select(F.col("vec_a").alias("v"))
-            .unionAll(sel.select(F.col("vec_b").alias("v")))
-            .distinct()
-        )
-        row = sel.agg(
-            F.lit(t).alias("threshold"),
-            F.count("*").cast("bigint").alias("n_pairs"),
-        ).crossJoin(
-            F.broadcast(docs.agg(F.count("*").cast("bigint").alias("n_docs_affected")))
-        )
-        out = row if out is None else out.unionAll(row)
-    out = out.localCheckpoint(eager=True)
+    # The whole grid folds in TWO aggregations (round 10; previously
+    # 2 agg legs + a crossJoin PER threshold — ~11 jobs whose
+    # scheduling overhead dominated the routed pair pass): n_pairs(t)
+    # are conditional sums in one row-pass; docs_affected(t) = docs
+    # whose best pair clears t, so a per-doc max-cos reduction (pairs
+    # exploded to both endpoints once) feeds the same conditional
+    # fold. Values are identical to the per-threshold legs by
+    # construction.
+    pair_sums = [
+        F.sum((F.col("cos_sim") >= t).cast("bigint")).alias(f"p{i}")
+        for i, t in enumerate(SWEEP_THRESHOLDS)
+    ]
+    per_doc = (
+        pairs.select(F.col("vec_a").alias("v"), "cos_sim")
+        .unionAll(pairs.select(F.col("vec_b").alias("v"), "cos_sim"))
+        .groupBy("v")
+        .agg(F.max("cos_sim").alias("mc"))
+    )
+    doc_sums = [
+        F.sum((F.col("mc") >= t).cast("bigint")).alias(f"d{i}")
+        for i, t in enumerate(SWEEP_THRESHOLDS)
+    ]
+    prow = pairs.agg(*pair_sums).collect()[0]
+    drow = per_doc.agg(*doc_sums).collect()[0]
     pairs.unpersist()
-    return out.orderBy("threshold")
+    rows = [
+        (float(t), int(prow[f"p{i}"] or 0), int(drow[f"d{i}"] or 0))
+        for i, t in enumerate(SWEEP_THRESHOLDS)
+    ]
+    return spark.createDataFrame(
+        rows, "threshold double, n_pairs bigint, n_docs_affected bigint"
+    ).orderBy("threshold")
 
 
 # Coarse routing for embedding near-dup at 100 TB: the exact blocked

@@ -603,7 +603,6 @@ EXECUTED_NESTED_LOOP = {
     "sim_ivf_nprobe_sweep": "bounded broadcast query-set crossJoin inside each IVF arm",
     "text_perplexity_filter": "1-row broadcast corpus-total cross-join (bigram logprob model)",
     "stream_kl_drift": "1-row broadcast corpus-total cross-join in the shared KL fold",
-    "dedup_threshold_sweep": "1-row broadcast docs-affected count cross-joined per grid step",
 }
 
 
