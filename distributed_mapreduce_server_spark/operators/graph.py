@@ -799,15 +799,15 @@ def q_graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per round one key-partitioned join of the directed
     edge list against the |V|-row label frame and one
-    (node, label)-keyed partial-agg count, then a per-node argmax
-    window (frame bounded by the node's distinct neighbor labels,
-    never corpus-wide). The label frame is cut to a leaf per round
+    (node, label)-keyed partial-agg count, then the per-node argmax
+    as a SECOND partial agg — max(struct(c, -lbl)) reproduces the
+    (count DESC, label ASC) tie-break without a window sort, so both
+    reductions map-side combine and nothing per-node ever sorts. The
+    label frame is cut to a leaf per round
     with eager localCheckpoint, superseded rounds retired via each
     frame's OWN rdd id (session.checkpointed_rdd_ids — the
     concurrency-safe discipline). Rounds are FIXED, so the DuckDB
     oracle unrolls the same propagation as MATERIALIZED CTEs."""
-    from pyspark.sql.window import Window
-
     from distributed_mapreduce_server_spark.session import (
         checkpointed_rdd_ids,
         unpersist_rdd_ids,
@@ -825,7 +825,6 @@ def q_graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     label_ids = checkpointed_rdd_ids(labels)
-    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
     for _ in range(LPA_ROUNDS):
         votes = (
             und.join(
@@ -835,9 +834,13 @@ def q_graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("c"))
         )
         nxt = (
-            votes.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("node", "lbl")
+            votes.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.nl")).alias("lbl"))
             .localCheckpoint(eager=True)
         )
         nxt_ids = checkpointed_rdd_ids(nxt)
