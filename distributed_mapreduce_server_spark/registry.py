@@ -778,9 +778,9 @@ def _family(key: str) -> str:
 # Driver-sample rotation, tier form (VERDICT r9 task 2): the driver
 # verifies the FIRST 50 keys of all_queries() each round, so keys
 # that already have a green driver CORRECTNESS row (union of
-# CORRECTNESS_r01..r09 keys, 121 of 274) are demoted to a second
+# CORRECTNESS_r01..r10 keys, 170 of 281) are demoted to a second
 # tier and every never-sampled key is emitted first. With this set
-# frozen, rounds 10-12 walk the remaining 153 keys at ~49/round.
+# frozen, rounds 11-13 walk the remaining 111 keys at ~49/round.
 # Maintenance: after each driver round, add that round's sampled
 # keys here (scripts/update_sampled.py regenerates the block from
 # the CORRECTNESS_r*.json files).
@@ -789,30 +789,47 @@ _DRIVER_SAMPLED = frozenset(
         "dedup_clusters",
         "dedup_embedding_cosine",
         "dedup_exact",
+        "dedup_incremental",
+        "dedup_keep_canonical",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
+        "dedup_prefix_filter_jaccard",
         "dedup_routed_eval",
         "dedup_routed_probe_sweep",
+        "dedup_semantic_clusters",
+        "dedup_semantic_keep",
         "dedup_semantic_routed",
         "dedup_simhash",
         "dedup_threshold_sweep",
         "emb_centroids",
+        "emb_covariance",
+        "emb_coverage",
         "emb_dim_stats",
+        "emb_encode_backfill",
         "emb_kmeans",
         "emb_label_coherence",
+        "emb_pca_project",
+        "emb_pq_quantize",
         "emb_quantize",
         "mm_audio_features",
         "mm_decode_meta",
         "mm_frame_sample",
+        "mm_modality_mix",
         "mm_payload_dedup",
+        "mm_phash_neardup",
+        "mm_quality_gate",
         "mm_resize_stats",
+        "mm_scene_segments",
+        "mm_shard_manifest",
         "mr_distinct",
         "mr_distributed_sort",
         "mr_exec_grep",
+        "mr_exec_join",
         "mr_exec_wordcount",
         "mr_grep",
         "mr_grep_count",
         "mr_inverted_index",
+        "mr_join",
         "mr_secondary_sort",
         "mr_wordcount",
         "pysource_range_events",
@@ -838,25 +855,39 @@ _DRIVER_SAMPLED = frozenset(
         "q7_volume_shipping",
         "q8_market_share",
         "q9_product_profit",
+        "q_abc_analysis",
         "q_approx_distinct",
         "q_approx_quantiles",
+        "q_argmax_suite",
         "q_asof_last_purchase",
+        "q_asof_nearest_purchase",
         "q_asof_next_purchase",
         "q_asof_tolerance",
         "q_association_rules",
         "q_balance_percentiles",
+        "q_benford_audit",
         "q_chi2_segment_priority",
+        "q_concurrent_sessions",
+        "q_conversion_delay_stats",
         "q_customer_rfm",
         "q_customers_no_orders",
         "q_data_quality_audit",
+        "q_events_sessionize",
         "q_events_user_entropy",
+        "q_events_windowed",
         "q_ewma_revenue",
         "q_full_outer_balance",
         "q_gini_revenue",
+        "q_graph_adamic_adar",
+        "q_graph_assortativity",
+        "q_graph_bfs_levels",
         "q_graph_clustering_coefficient",
+        "q_graph_common_neighbors",
         "q_graph_degree_distribution",
         "q_graph_kcore_peel",
+        "q_graph_triangles",
         "q_grouping_sets",
+        "q_join_size_audit",
         "q_market_segment_sales",
         "q_moving_avg_events",
         "q_nation_rollup",
@@ -874,6 +905,9 @@ _DRIVER_SAMPLED = frozenset(
         "q_rolling_revenue_30d",
         "q_running_revenue",
         "q_salted_skew_join",
+        "q_seasonality_index",
+        "q_session_overlap_join",
+        "q_sessions_bounce_rate",
         "q_skyline_parts",
         "q_sql_interface",
         "q_stats_suite",
@@ -884,26 +918,41 @@ _DRIVER_SAMPLED = frozenset(
         "sim_cosine_topk",
         "sim_hybrid_search",
         "sim_ivf_ann",
+        "sim_ivf_nprobe_sweep",
         "sim_ivfpq_ann",
+        "sim_knn_join",
         "sim_lsh_ann",
+        "sim_matryoshka_eval",
+        "sim_mmr_rerank",
         "sim_pq_adc_ann",
+        "sim_range_search",
         "src_csv_roundtrip",
         "src_gzip_text_roundtrip",
         "src_json_roundtrip",
         "src_orc_roundtrip",
         "stream_attribution",
         "stream_burst_detection",
+        "stream_click_purchase_join",
+        "stream_click_purchase_left_join",
         "stream_dedup_exact",
         "stream_events_windowed",
         "stream_kl_drift",
         "stream_sessionize",
         "stream_static_join_windowed",
+        "stream_trending_topk",
+        "stream_trending_topk_append",
+        "stream_wordcount",
+        "text_chunking",
         "text_fingerprint",
+        "text_lang_distribution",
         "text_langid",
         "text_phrase_search",
+        "text_quality_keep",
         "text_quality_score",
+        "text_tfidf",
         "text_token_stats",
         "text_top_ngrams",
+        "text_train_val_split",
         "text_unigram_fertility",
         "text_unigram_tokenize",
         "text_unigram_train",
