@@ -206,6 +206,11 @@ def quick_probe() -> float:
 
 PROBE_EVERY = 10
 LOAD_FLAG_FACTOR = 1.5
+# A spliced re-measurement is accepted only if its own bracketing
+# probes sit within 15% of the run's probe median — stricter than the
+# 1.5x flag bar on purpose: the splice exists to produce a TRUSTED
+# absolute number for a row whose first sample was load-suspect.
+SPLICE_LOAD_MAX = 1.15
 
 
 def run_attempt(spark, queries, names, sf_dir: str, sf: float) -> dict:
@@ -213,6 +218,11 @@ def run_attempt(spark, queries, names, sf_dir: str, sf: float) -> dict:
     dict (the payload of a single bench attempt)."""
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    # Discard two warm-up probes first: the very first numpy matmul
+    # pays import + BLAS thread spin-up (measured 8.8 ms vs the 1.8 ms
+    # steady floor), which would flag the whole first block at 1.6x
+    # against the run median for no host-load reason.
+    quick_probe(), quick_probe()
     # probe_series[k] = probe taken before query index k*PROBE_EVERY
     # (plus one final probe after the last query) — each query sample
     # is bracketed by the probes around its block.
@@ -293,10 +303,81 @@ def run_attempt(spark, queries, names, sf_dir: str, sf: float) -> dict:
     }
 
 
+def solo_measure(spark, queries, name, sf_dir: str):
+    """Re-measure ONE query solo, bracketed by its own load probes.
+    Returns (median, [min, max], probe_before, probe_after)."""
+    probe_before = quick_probe()
+    samples = []
+    for _ in range(3):
+        spark.catalog.clearCache()
+        retire_persistent_rdds(spark)
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        n = df.count()
+        samples.append(time.perf_counter() - t0)
+        assert n >= 0
+    probe_after = quick_probe()
+    df = None
+    gc.collect()
+    samples.sort()
+    return (
+        round(samples[1], 3),
+        [round(samples[0], 3), round(samples[-1], 3)],
+        probe_before,
+        probe_after,
+    )
+
+
+def splice_flagged(spark, queries, rec, names, sf_dir: str, tries: int) -> None:
+    """Flagged-row re-probe gate (VERDICT r10 task 2): instead of
+    re-running all ~117 keys per attempt (three whole-record passes
+    could not land <=10% flagged in rounds 8-10 because a multi-tenant
+    burst anywhere in a 2-minute pass flags that block), re-measure
+    ONLY the load-flagged rows solo, each bracketed by its own probes,
+    and splice a re-measurement in iff its bracket sits within
+    SPLICE_LOAD_MAX of the (growing) probe-pool median. Rows whose
+    re-probes never come back quiet keep their original sample and
+    stay flagged — the splice produces trusted numbers, it never
+    launders a loaded one. Mutates rec in place."""
+    import statistics as _stats
+
+    pool = [p for _, p in rec["probe_series"]]
+    spliced: dict[str, dict] = {}
+    for name in list(rec["load_flagged"]):
+        best = None  # (load_factor, median, spread, try_no)
+        for t in range(1, tries + 1):
+            med, spr, pb, pa = solo_measure(spark, queries, name, sf_dir)
+            pool.extend([pb, pa])
+            ref = _stats.median(pool)
+            lf = round(max(pb, pa) / ref, 2)
+            if best is None or lf < best[0]:
+                best = (lf, med, spr, t)
+            if lf <= SPLICE_LOAD_MAX:
+                break
+        lf, med, spr, t = best
+        if lf <= SPLICE_LOAD_MAX:
+            rec["queries"][name] = med
+            rec["spread"][name] = spr
+            rec["load_factor"][name] = lf
+            spliced[name] = {"tries": t, "load_factor": lf}
+        else:
+            spliced[name] = {
+                "tries": t,
+                "load_factor": lf,
+                "kept_original": True,
+            }
+    rec["spliced"] = spliced
+    rec["load_flagged"] = sorted(
+        n for n, f in rec["load_factor"].items() if f > LOAD_FLAG_FACTOR
+    )
+    rec["value"] = round(sum(rec["queries"].values()), 3)
+    rec["clean_record"] = len(rec["load_flagged"]) <= max(1, len(names) // 10)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+    splice_tries = int(os.environ.get("SPARK_GRAFT_SPLICE_TRIES", "4"))
     spark = get_spark("dmrs-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = registry.all_queries()
@@ -316,31 +397,21 @@ def main() -> None:
         retire_persistent_rdds(spark)
     queries[names[0]](spark, sf_dir).count()
 
-    # Retry-until-clean gate (VERDICT r9 task 1): two rounds closed
-    # without a trustworthy absolute record because the host's other
-    # tenants flagged 25-30% of rows. Run up to max_attempts full
-    # passes, keep the FIRST clean (<=10%-flagged) record; if none is
-    # clean, keep the least-flagged (tie: lowest total) and say so in
-    # an explicit load statement so the judge reads it against the
-    # spread minima rather than as a regression.
-    best: dict | None = None
-    for attempt in range(1, max_attempts + 1):
-        rec = run_attempt(spark, queries, names, sf_dir, sf)
-        rec["attempt"] = attempt
-        if best is None or (
-            (len(rec["load_flagged"]), rec["value"])
-            < (len(best["load_flagged"]), best["value"])
-        ):
-            best = rec
-        if rec["clean_record"]:
-            break
-    best["attempts_run"] = attempt
+    # One full pass, then the flagged-row splice gate (VERDICT r10
+    # task 2): re-measure only the load-suspect rows until each comes
+    # back with quiet bracketing probes (or its tries run out).
+    best = run_attempt(spark, queries, names, sf_dir, sf)
+    if best["load_flagged"]:
+        splice_flagged(spark, queries, best, names, sf_dir, splice_tries)
     if not best["clean_record"]:
+        kept = sorted(
+            n for n, m in best.get("spliced", {}).items() if m.get("kept_original")
+        )
         best["load_statement"] = (
-            f"no attempt cleared the <=10%-flagged bar in {attempt} passes; "
-            f"this is the least-flagged record "
-            f"({len(best['load_flagged'])}/{len(names)} flagged) — read "
-            "flagged rows against their spread minima, not the medians"
+            f"{len(best['load_flagged'])}/{len(names)} rows stayed flagged "
+            f"after up to {splice_tries} solo re-probes each ({kept} never "
+            "came back quiet) — read those rows against their spread "
+            "minima, not the medians"
         )
     payload = json.dumps(best)
     # Also land the full record in a file: a harness that tail-captures

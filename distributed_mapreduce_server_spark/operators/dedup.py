@@ -120,6 +120,57 @@ N_SIMHASH_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS
 HAMMING_T = 6
 COSINE_DEDUP_T = 0.45
 
+# Exact-eval sampling contract (VERDICT r10 task 3): the trust rows
+# that measure a fast path against an EXACT quadratic baseline
+# (dedup_routed_eval, dedup_routed_probe_sweep, dedup_lsh_br_sweep)
+# cap the baseline corpus at EXACT_EVAL_SAMPLE_BOUND items. Above the
+# bound, the exact denominator is computed on a deterministic
+# hash-sample of ~EXACT_EVAL_SAMPLE_TARGET items
+# (pmod(xxhash64(id), 1e6) < frac·1e6 — reproducible, engine-portable,
+# no RNG state) and recall is estimated on pairs whose BOTH endpoints
+# fall in the sample; the quadratic cost drops by (target/n)² while
+# the fast path under evaluation still runs on the full corpus.
+# Statistical contract: with s exact pairs surviving in the sample,
+# the recall estimate is a binomial proportion with standard error
+# <= 1/(2·sqrt(s)) — i.e. a ±1/sqrt(s) 95% CI; the trust row's job is
+# an order-of-magnitude recall statement, so s in the thousands (the
+# target yields ~(65536/n)²·|exact| pairs at uniform pair density) is
+# ample. BELOW the bound the behavior is byte-identical to the full
+# exact baseline (pinned by tests forcing the bound), so the DuckDB
+# oracles remain full-exact and parity stays green at every test SF.
+EXACT_EVAL_SAMPLE_BOUND = 100_000
+EXACT_EVAL_SAMPLE_TARGET = 65_536
+
+
+def _exact_eval_sample(
+    df: DataFrame,
+    id_col: str,
+    n: int,
+    bound: int | None = None,
+    target: int | None = None,
+) -> tuple[DataFrame, bool]:
+    """(possibly hash-sampled frame, sampled?) for an exact-baseline
+    evaluation corpus — see the sampling-contract banner above."""
+    bound = EXACT_EVAL_SAMPLE_BOUND if bound is None else bound
+    target = EXACT_EVAL_SAMPLE_TARGET if target is None else target
+    if n <= bound:
+        return df, False
+    num = max(1, (target * 1_000_000) // n)
+    return (
+        df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000)) < num),
+        True,
+    )
+
+
+def _pairs_within(pairs: DataFrame, ids: DataFrame, a: str, b: str) -> DataFrame:
+    """Restrict a pair frame to pairs whose BOTH endpoints appear in
+    ``ids`` (a one-column id frame) — the numerator scoping of the
+    sampled-recall contract."""
+    col = ids.columns[0]
+    return pairs.join(
+        ids.withColumnRenamed(col, a), a, "left_semi"
+    ).join(ids.withColumnRenamed(col, b), b, "left_semi")
+
 
 def _shingle_rows_from(spark: SparkSession, docs: DataFrame, mask_bits: int) -> DataFrame:
     """(doc_id, h) rows from any (doc_id, text, ...) frame: distinct
@@ -1542,6 +1593,67 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (precision-first).
 LSH_BR_LAYOUTS = ((16, 1), (8, 2), (4, 4), (2, 8))
 
+# Per-bucket fan-out cap for the sweep's band self-joins (VERDICT r10
+# task 4): with r=1 a band bucket is a single minhash value, so one
+# corpus-common value makes a bucket that grows LINEARLY with the
+# corpus and a self-join fan-out of C(size, 2). Buckets over the cap
+# are deterministically hash-sampled down to ~cap members before the
+# join (and COUNTED in the row's n_capped_buckets — the truncation is
+# reported, never hidden). 4096² = 16M pairs per hot bucket is a
+# bounded task at any corpus size; no bucket at the test SFs (<= 5000
+# docs) comes near the cap, so oracles stay exact.
+LSH_BUCKET_CAP = 4096
+
+
+def _capped_band_candidates(
+    bands: DataFrame, cap: int = LSH_BUCKET_CAP
+) -> tuple[DataFrame, DataFrame]:
+    """(candidate-pair frame, over-cap bucket count frame) from an LSH
+    (doc_id, band_idx, band_sig) frame, bounding per-bucket self-join
+    fan-out at ~``cap`` members.
+
+    One keyed aggregation sizes the buckets; members of an over-cap
+    bucket survive with probability cap/size via the deterministic
+    xxhash64(doc_id, band_sig) predicate (no RNG, no window sort — a
+    per-bucket rank would itself sort the hot bucket). The join of
+    bands with sizes rides the aggregation's own (band_idx, band_sig)
+    partitioning, so the cap adds one shuffle of the band frame and
+    nothing quadratic."""
+    sizes = bands.groupBy("band_idx", "band_sig").agg(
+        F.count("*").alias("bsz")
+    )
+    n_capped = sizes.filter(F.col("bsz") > cap).agg(
+        F.count("*").alias("n_capped_buckets")
+    )
+    kept = (
+        bands.join(sizes, ["band_idx", "band_sig"])
+        .filter(
+            (F.col("bsz") <= cap)
+            | (
+                F.pmod(F.xxhash64("doc_id", "band_sig"), F.lit(1_000_000))
+                < (
+                    F.lit(cap).cast("long") * F.lit(1_000_000) / F.col("bsz")
+                ).cast("long")
+            )
+        )
+        .select("doc_id", "band_idx", "band_sig")
+    )
+    ka, kb = kept.alias("ka"), kept.alias("kb")
+    cand = (
+        ka.join(
+            kb,
+            (F.col("ka.band_idx") == F.col("kb.band_idx"))
+            & (F.col("ka.band_sig") == F.col("kb.band_sig"))
+            & (F.col("ka.doc_id") < F.col("kb.doc_id")),
+        )
+        .select(
+            F.col("ka.doc_id").alias("doc_a"),
+            F.col("kb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return cand, n_capped
+
 
 def dedup_lsh_br_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MinHash-LSH BAND-LAYOUT tuning curve (round 10): per (b, r)
@@ -1560,9 +1672,18 @@ def dedup_lsh_br_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE exhaustive-baseline verify are shared by every layout (the
     sweep-family discipline: the expensive passes never repeat);
     each layout adds only its band explode (b rows/doc), a
-    key-partitioned bucket self-join whose fan-out is bucket size,
-    and a candidates-only verify. Verified pairs are exact-checked,
-    so layout precision-of-candidates is measured, never assumed."""
+    key-partitioned bucket self-join whose fan-out is bucket size —
+    bounded at LSH_BUCKET_CAP members per bucket, with truncated
+    buckets counted in n_capped_buckets (the r=1 arm's single-value
+    buckets otherwise grow linearly with the corpus) — and a
+    candidates-only verify. Verified pairs are exact-checked, so
+    layout precision-of-candidates is measured, never assumed. The
+    exhaustive baseline (and with it n_exact_pairs and recall) runs
+    on the deterministic hash-sample above EXACT_EVAL_SAMPLE_BOUND
+    docs — see the sampling contract banner."""
+    from distributed_mapreduce_server_spark.catalog import table_row_count
+
+    n_docs = table_row_count(sf_dir, "documents")
     e = _shingle_rows(spark, sf_dir, 32).persist()
     e.count()
     consts = perm_constants(N_PERMS)
@@ -1573,13 +1694,15 @@ def dedup_lsh_br_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = e.groupBy("doc_id").agg(*mh, F.count("*").alias("n_sh")).persist()
     sig.count()
     sizes = sig.select("doc_id", "n_sh")
+    e_eval, is_sampled = _exact_eval_sample(e, "doc_id", n_docs)
     exact = (
-        _pair_jaccard(e, None, sizes=sizes)
+        _pair_jaccard(e_eval, None, sizes=sizes)
         .filter(F.col("jaccard") >= JACCARD_T)
         .select("doc_a", "doc_b")
         .persist()
     )
     n_exact = exact.count()
+    sample_ids = e_eval.select("doc_id").distinct() if is_sampled else None
     from distributed_mapreduce_server_spark.functions import fround_scalar
 
     rows = []
@@ -1602,27 +1725,26 @@ def dedup_lsh_br_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("band.band_idx").alias("band_idx"),
             F.col("band.band_sig").alias("band_sig"),
         )
-        ba, bb = bands.alias("ba"), bands.alias("bb")
-        cand = (
-            ba.join(
-                bb,
-                (F.col("ba.band_idx") == F.col("bb.band_idx"))
-                & (F.col("ba.band_sig") == F.col("bb.band_sig"))
-                & (F.col("ba.doc_id") < F.col("bb.doc_id")),
-            )
-            .select(
-                F.col("ba.doc_id").alias("doc_a"),
-                F.col("bb.doc_id").alias("doc_b"),
-            )
-            .distinct()
-            .persist()
-        )
+        cand, n_capped_df = _capped_band_candidates(bands)
+        cand = cand.persist()
         n_cand = cand.count()
-        n_ver = (
+        n_capped = n_capped_df.collect()[0]["n_capped_buckets"]
+        ver = (
             _pair_jaccard(e, cand, sizes=sizes)
             .filter(F.col("jaccard") >= JACCARD_T)
-            .count()
+            .select("doc_a", "doc_b")
         )
+        if is_sampled:
+            ver = ver.persist()
+            n_ver = ver.count()
+            # recall numerator scoped to the baseline's sample (the
+            # sampling contract); the verified-pair COUNT stays full —
+            # it is the layout's actual output size
+            n_hit = _pairs_within(ver, sample_ids, "doc_a", "doc_b").count()
+            ver.unpersist()
+        else:
+            n_ver = ver.count()
+            n_hit = n_ver
         cand.unpersist()
         rows.append(
             (
@@ -1631,8 +1753,9 @@ def dedup_lsh_br_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_cand,
                 n_ver,
                 n_exact,
-                fround_scalar(n_ver / max(n_exact, 1), 4),
+                fround_scalar(n_hit / max(n_exact, 1), 4),
                 fround_scalar(n_ver / max(n_cand, 1), 4),
+                n_capped,
             )
         )
     e.unpersist()
@@ -1642,7 +1765,7 @@ def dedup_lsh_br_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "n_bands int, rows_per_band int, n_candidate_pairs bigint,"
         " n_verified_pairs bigint, n_exact_pairs bigint, recall double,"
-        " candidate_precision double",
+        " candidate_precision double, n_capped_buckets bigint",
     ).orderBy("rows_per_band")
 
 
@@ -2068,7 +2191,14 @@ def dedup_routed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_candidates counts the scored pairs INCLUDING multi-probe
     duplicates (the honest FLOP measure); n_brute_pairs = C(n, 2) is
     what the exact grid scores. Routed pairs are exact-verified, so
-    precision is 1 by construction and recall is the only loss axis."""
+    precision is 1 by construction and recall is the only loss axis.
+
+    Above EXACT_EVAL_SAMPLE_BOUND vectors the exact baseline — and
+    with it n_exact_pairs / n_routed_pairs / n_missed / recall —
+    is computed on the deterministic hash-sample (see the sampling
+    contract banner; n_eval_vecs reports the denominator corpus, == n
+    below the bound); n_candidates / n_brute_pairs stay full-corpus
+    (they cost nothing quadratic)."""
     from distributed_mapreduce_server_spark.catalog import table_row_count
 
     emb, assign = _routed_assignments(spark, sf_dir)
@@ -2080,14 +2210,28 @@ def dedup_routed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("bigint").alias("n_candidates"))
     )
     routed = _routed_pairs_from(emb, assign).select("vec_a", "vec_b")
-    exact = _blocked_cosine_pairs(spark, emb, n_hint=n).select("vec_a", "vec_b")
+    emb_eval, is_sampled = _exact_eval_sample(emb, "vec_id", n)
+    if is_sampled:
+        emb_eval = emb_eval.select("vec_id", "embedding").persist()
+        n_eval = emb_eval.count()
+        routed = _pairs_within(
+            routed, emb_eval.select("vec_id"), "vec_a", "vec_b"
+        )
+    else:
+        n_eval = n
+    exact = _blocked_cosine_pairs(spark, emb_eval, n_hint=n_eval).select(
+        "vec_a", "vec_b"
+    )
     n_routed = routed.count()
     n_exact = exact.count()
     n_cand = cand.collect()[0]["n_candidates"]
     assign.unpersist()
+    if is_sampled:
+        emb_eval.unpersist()
     # routed ⊆ exact (same kernel, same threshold) — missed = difference
     n_brute = n * (n - 1) // 2
     return spark.range(1).select(
+        F.lit(n_eval).cast("bigint").alias("n_eval_vecs"),
         F.lit(n_exact).cast("bigint").alias("n_exact_pairs"),
         F.lit(n_routed).cast("bigint").alias("n_routed_pairs"),
         F.lit(n_exact - n_routed).cast("bigint").alias("n_missed"),
@@ -2122,7 +2266,9 @@ def dedup_routed_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts the exact pairs (bounded: the near-dup pair list) onto
     the P-fold assignment frame keyed by vec_id then centroid —
     nothing corpus-squared anywhere beyond the exact baseline itself,
-    which this curve exists to retire."""
+    which is hash-sampled above EXACT_EVAL_SAMPLE_BOUND vectors (the
+    sampling contract banner: recall becomes a within-sample estimate
+    with a ±1/sqrt(s) CI; byte-identical below the bound)."""
     from distributed_mapreduce_server_spark.catalog import table_row_count
 
     n = table_row_count(sf_dir, "embeddings")
@@ -2151,8 +2297,13 @@ def dedup_routed_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # exact pairs annotated with the minimal width that catches them
+    # (hash-sampled above the eval bound — see the sampling contract
+    # banner; recall is then the within-sample estimate)
+    emb_eval, _is_sampled = _exact_eval_sample(emb, "vec_id", n)
     exact = (
-        _blocked_cosine_pairs(spark, emb, n_hint=n)
+        _blocked_cosine_pairs(
+            spark, emb_eval, n_hint=min(n, EXACT_EVAL_SAMPLE_TARGET)
+        )
         .select("vec_a", "vec_b")
         .persist()
     )

@@ -197,9 +197,13 @@ def _br_sweep_sql() -> str:
     """Mirrors dedup_lsh_br_sweep: one hashed-shingle/signature/
     exhaustive-baseline build shared by all layouts, then per (b, r)
     layout the band explode, distinct bucket-collision candidates,
-    and candidates-only exact verify."""
+    and candidates-only exact verify. n_capped_buckets COUNTS the
+    buckets over LSH_BUCKET_CAP (none at test SFs — the Spark side's
+    within-bucket sampling never activates there, so the uncapped SQL
+    stays exact parity)."""
     from distributed_mapreduce_server_spark.operators.dedup import (
         LSH_BR_LAYOUTS,
+        LSH_BUCKET_CAP,
     )
 
     parts = [
@@ -264,7 +268,13 @@ def _br_sweep_sql() -> str:
                      / CAST(greatest((SELECT COUNT(*) FROM brexact), 1) AS DOUBLE), 4) AS recall,
                ROUND((SELECT n FROM brv_{b}_{r})
                      / CAST(greatest((SELECT COUNT(*) FROM brc_{b}_{r}), 1) AS DOUBLE), 4)
-                   AS candidate_precision"""
+                   AS candidate_precision,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                    SELECT band_idx, band_sig, COUNT(*) AS c
+                    FROM (SELECT doc_id,
+                          unnest([{structs}], recursive := true) FROM brsig)
+                    GROUP BY 1, 2) WHERE c > {LSH_BUCKET_CAP}
+               ) AS n_capped_buckets"""
         )
     joined = ",\n    ".join(parts)
     body = " UNION ALL ".join(selects)
@@ -964,9 +974,11 @@ DEDUP_ORACLES["dedup_routed_eval"] = f"""
                (SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT)
                 FROM (SELECT COUNT(*) AS c FROM assign GROUP BY centroid_id)
                ) AS nc,
-               (SELECT COUNT(*) * (COUNT(*) - 1) // 2 FROM embeddings) AS nb
+               (SELECT COUNT(*) * (COUNT(*) - 1) // 2 FROM embeddings) AS nb,
+               (SELECT COUNT(*) FROM embeddings) AS nev
     )
-    SELECT CAST(ne AS BIGINT) AS n_exact_pairs,
+    SELECT CAST(nev AS BIGINT) AS n_eval_vecs,
+           CAST(ne AS BIGINT) AS n_exact_pairs,
            CAST(nr AS BIGINT) AS n_routed_pairs,
            CAST(ne - nr AS BIGINT) AS n_missed,
            ROUND(CAST(nr AS DOUBLE) / GREATEST(ne, 1), 4) AS recall,

@@ -959,12 +959,13 @@ _DRIVER_SAMPLED = frozenset(
     }
 )
 
-# test_registry_prefix_covers_all_families pins a pysource key into
-# every 50-prefix, but BOTH pysource keys already have green driver
-# rows — one is pinned into tier 0 so the lint's family-coverage
-# guarantee and the rotation coexist (the prefix is then 49 never-
-# sampled keys + this one; 50/50 is impossible under the lint).
-_TIER0_PINNED = frozenset({"pysource_range_events"})
+# test_registry_prefix_covers_all_families pins one key per FULLY
+# driver-sampled family into every 50-prefix (round 11: both pysource
+# keys and all 11 mr keys already have green driver rows) so the
+# lint's family-coverage guarantee and the rotation coexist — the
+# prefix is then 48 never-sampled keys + these repeats; a pure
+# never-sampled 50 is impossible under the lint.
+_TIER0_PINNED = frozenset({"pysource_range_events", "mr_wordcount"})
 
 
 def _tier(key: str) -> int:

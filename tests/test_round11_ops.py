@@ -1,0 +1,138 @@
+"""Round-11 contracts: the exact-eval sampling contract
+(EXACT_EVAL_SAMPLE_BOUND hash-sample for the quadratic trust-row
+baselines) and the LSH bucket fan-out cap (LSH_BUCKET_CAP) — the two
+scale fixes of VERDICT r10 tasks 3/4. The parity suite already pins
+the BELOW-bound path (identical to full exact); these tests force the
+sampled/capped paths that the test SFs never reach."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_server_spark.operators import dedup
+
+
+def _rows_sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_forced_full_sample_is_byte_identical_routed_eval(spark, sf_smoke, monkeypatch):
+    """Forcing the sample path with a target >= corpus keeps every
+    vector, so dedup_routed_eval must return the exact same row as the
+    unforced (full-exact) run — the sample predicate itself changes
+    nothing but the plan."""
+    full = _rows_sorted(dedup.dedup_routed_eval(spark, sf_smoke))
+    monkeypatch.setattr(dedup, "EXACT_EVAL_SAMPLE_BOUND", 0)
+    monkeypatch.setattr(dedup, "EXACT_EVAL_SAMPLE_TARGET", 10**9)
+    forced = _rows_sorted(dedup.dedup_routed_eval(spark, sf_smoke))
+    assert forced == full
+
+
+def test_forced_subsample_routed_eval_contract(spark, sf_smoke, monkeypatch):
+    """A genuine sub-corpus sample: the eval corpus shrinks, the
+    full-corpus columns (n_candidates, n_brute_pairs) do not move, and
+    recall stays a valid within-sample proportion."""
+    full = dedup.dedup_routed_eval(spark, sf_smoke).collect()[0]
+    n = full["n_eval_vecs"]
+    monkeypatch.setattr(dedup, "EXACT_EVAL_SAMPLE_BOUND", 0)
+    monkeypatch.setattr(dedup, "EXACT_EVAL_SAMPLE_TARGET", n // 2)
+    s = dedup.dedup_routed_eval(spark, sf_smoke).collect()[0]
+    assert 0 < s["n_eval_vecs"] < n
+    assert s["n_exact_pairs"] <= full["n_exact_pairs"]
+    assert s["n_routed_pairs"] <= s["n_exact_pairs"]  # routed ⊆ exact
+    assert 0.0 <= s["recall"] <= 1.0
+    assert s["n_candidates"] == full["n_candidates"]
+    assert s["n_brute_pairs"] == full["n_brute_pairs"]
+
+
+def test_forced_full_sample_is_byte_identical_probe_sweep(spark, sf_smoke, monkeypatch):
+    full = _rows_sorted(dedup.dedup_routed_probe_sweep(spark, sf_smoke))
+    monkeypatch.setattr(dedup, "EXACT_EVAL_SAMPLE_BOUND", 0)
+    monkeypatch.setattr(dedup, "EXACT_EVAL_SAMPLE_TARGET", 10**9)
+    forced = _rows_sorted(dedup.dedup_routed_probe_sweep(spark, sf_smoke))
+    assert forced == full
+
+
+def test_forced_full_sample_is_byte_identical_br_sweep(spark, sf_smoke, monkeypatch):
+    full = _rows_sorted(dedup.dedup_lsh_br_sweep(spark, sf_smoke))
+    monkeypatch.setattr(dedup, "EXACT_EVAL_SAMPLE_BOUND", 0)
+    monkeypatch.setattr(dedup, "EXACT_EVAL_SAMPLE_TARGET", 10**9)
+    forced = _rows_sorted(dedup.dedup_lsh_br_sweep(spark, sf_smoke))
+    assert forced == full
+
+
+def test_forced_subsample_br_sweep_recall_is_within_sample(spark, sf_smoke, monkeypatch):
+    """Sub-sampled exhaustive baseline: recall stays a proportion, the
+    layout's own output size (n_verified_pairs) and candidate budget
+    are full-corpus and therefore unchanged."""
+    full = {
+        (r["n_bands"], r["rows_per_band"]): r
+        for r in dedup.dedup_lsh_br_sweep(spark, sf_smoke).collect()
+    }
+    monkeypatch.setattr(dedup, "EXACT_EVAL_SAMPLE_BOUND", 0)
+    monkeypatch.setattr(dedup, "EXACT_EVAL_SAMPLE_TARGET", 250)
+    for r in dedup.dedup_lsh_br_sweep(spark, sf_smoke).collect():
+        f = full[(r["n_bands"], r["rows_per_band"])]
+        assert r["n_candidate_pairs"] == f["n_candidate_pairs"]
+        assert r["n_verified_pairs"] == f["n_verified_pairs"]
+        assert r["n_exact_pairs"] <= f["n_exact_pairs"]
+        assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_sample_predicate_is_deterministic(spark, sf_smoke):
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    a, sa = dedup._exact_eval_sample(emb, "vec_id", 500, bound=0, target=250)
+    b, sb = dedup._exact_eval_sample(emb, "vec_id", 500, bound=0, target=250)
+    assert sa and sb
+    ra, rb = (sorted(r["vec_id"] for r in d.select("vec_id").collect()) for d in (a, b))
+    assert ra == rb
+    assert 0 < len(ra) < 500
+
+
+def test_bucket_cap_bounds_hot_bucket_fanout(spark):
+    """Synthetic hot bucket (VERDICT r10 task 4's unit test): one
+    band value shared by 400 docs, one by 3. With cap=20, the hot
+    bucket's self-join fan-out collapses from C(400,2) to ~C(20,2),
+    the cold bucket is untouched, and the truncation is COUNTED."""
+    rows = [(i, 0, "hot") for i in range(400)] + [
+        (1000 + i, 0, "cold") for i in range(3)
+    ]
+    bands = spark.createDataFrame(
+        rows, "doc_id long, band_idx int, band_sig string"
+    )
+    cand, n_capped_df = dedup._capped_band_candidates(bands, cap=20)
+    n_capped = n_capped_df.collect()[0]["n_capped_buckets"]
+    assert n_capped == 1
+    pairs = cand.collect()
+    cold = [p for p in pairs if p["doc_a"] >= 1000]
+    assert len(cold) == 3  # C(3,2) — under-cap buckets keep all pairs
+    hot = [p for p in pairs if p["doc_a"] < 1000]
+    # expected kept ~ cap members -> ~C(cap,2) pairs; allow the
+    # binomial tail but demand the quadratic blowup is gone
+    assert len(hot) < 1000  # vs C(400,2) = 79800 uncapped
+    # deterministic: second run bit-identical
+    cand2, _ = dedup._capped_band_candidates(bands, cap=20)
+    assert _rows_sorted(cand2) == _rows_sorted(cand)
+
+
+def test_bucket_cap_inactive_below_cap(spark):
+    """No bucket over the cap -> the helper is a pure pass-through of
+    the uncapped self-join (the test-SF regime the oracles pin)."""
+    rows = [(i, b, f"s{i % 5}") for i in range(30) for b in (0, 1)]
+    bands = spark.createDataFrame(
+        rows, "doc_id long, band_idx int, band_sig string"
+    )
+    cand, n_capped_df = dedup._capped_band_candidates(bands, cap=4096)
+    assert n_capped_df.collect()[0]["n_capped_buckets"] == 0
+    ba, bb = bands.alias("a"), bands.alias("b")
+    ref = (
+        ba.join(
+            bb,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    assert _rows_sorted(cand) == _rows_sorted(ref)
