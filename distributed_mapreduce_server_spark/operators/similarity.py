@@ -678,55 +678,133 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 PCA_K = 2
 
 
+def _pca_fit(spark: SparkSession, sf_dir: str):
+    """Driver-side spectral solve over the 64x64 covariance matrix
+    (fixed size regardless of corpus — the only driver-sized object in
+    the PCA pipeline). Returns (components dim x PCA_K leading-first,
+    mean vector, descending eigenvalues, 4dp covariance trace). One
+    collect serves the matrix, the mean vector (mu_i rides on every
+    row; row (i, i) pins dim i's mean) and the trace."""
+    import numpy as np
+
+    from distributed_mapreduce_server_spark.functions import fround_scalar
+
+    cov_rows = _cov_enriched(spark, sf_dir).collect()
+    dim = max(r["j"] for r in cov_rows)
+    C = np.zeros((dim, dim))
+    means = np.zeros(dim)
+    trace = 0.0
+    for r in cov_rows:
+        C[r["i"] - 1, r["j"] - 1] = r["cov"]
+        C[r["j"] - 1, r["i"] - 1] = r["cov"]
+        means[r["i"] - 1] = r["mu_i"]
+        if r["i"] == r["j"]:
+            trace += r["cov"]
+    vals, vecs = np.linalg.eigh(C)  # ascending
+    top = vecs[:, ::-1][:, :PCA_K]  # top-K components, leading first
+    return top, means, vals[::-1][:PCA_K], fround_scalar(trace, 4)
+
+
+def _pca_project_df(spark: SparkSession, sf_dir: str, comp, means) -> DataFrame:
+    """Project every embedding onto the fitted components: the
+    (comp, means) pair broadcasts and each Arrow batch projects with
+    one numpy matmul."""
+    import numpy as np
+    import pandas as pd
+
+    bc = spark.sparkContext.broadcast((comp, means))
+
+    def project(batches):
+        cmp_, mu = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64) - mu
+            p = m @ cmp_
+            out = {"vec_id": pdf["vec_id"].to_numpy(dtype=np.int64)}
+            for k in range(cmp_.shape[1]):
+                out[f"pc{k + 1}"] = np.round(p[:, k], 6)
+            yield pd.DataFrame(out)
+
+    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
+    schema = "vec_id long, " + ", ".join(
+        f"pc{k + 1} double" for k in range(comp.shape[1])
+    )
+    return emb.select("vec_id", "embedding").mapInPandas(project, schema)
+
+
 def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection onto the top-PCA_K principal components — the
     dimensionality-reduction step after emb_covariance: whitening,
     visualization, or a compact pre-index embedding.
 
-    Scale shape: the spectral solve runs on the DRIVER over the
-    64x64 covariance matrix (fixed-size regardless of corpus — the
-    only driver-sized object in the pipeline), then the k projection
-    vectors broadcast and every Arrow batch projects with one numpy
-    matmul. Rows-only at the gate: eigenvector sign/order is
-    LAPACK-specific; tests assert the invariants (variance ordering,
-    per-component variance ~= eigenvalue) instead.
+    Scale shape: the spectral solve runs on the DRIVER (_pca_fit,
+    bounded 64x64), then the k projection vectors broadcast and every
+    Arrow batch projects with one numpy matmul (_pca_project_df).
+    Rows-only at the gate: eigenvector SIGN (and order under equal
+    eigenvalues) is LAPACK-specific, so the signed coordinates cannot
+    be oracle-hashed; everything sign-INVARIANT about the solve is
+    oracle-gated by emb_pca_invariants instead.
     """
-    import numpy as np
-    import pandas as pd
+    comp, means, _vals, _trace = _pca_fit(spark, sf_dir)
+    return _pca_project_df(spark, sf_dir, comp, means).orderBy("vec_id")
 
-    # one collect serves both the matrix and the mean vector (mu_i
-    # rides on every row; row (i, i) pins dim i's mean)
-    cov_rows = _cov_enriched(spark, sf_dir).collect()
-    dim = max(r["j"] for r in cov_rows)
-    C = np.zeros((dim, dim))
-    means = np.zeros(dim)
-    for r in cov_rows:
-        C[r["i"] - 1, r["j"] - 1] = r["cov"]
-        C[r["j"] - 1, r["i"] - 1] = r["cov"]
-        means[r["i"] - 1] = r["mu_i"]
-    vals, vecs = np.linalg.eigh(C)  # ascending
-    top = vecs[:, ::-1][:, :PCA_K]  # top-K components, leading first
-    bc = spark.sparkContext.broadcast((top, means))
 
-    def project(batches):
-        comp, mu = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64) - mu
-            p = m @ comp
-            out = {"vec_id": pdf["vec_id"].to_numpy(dtype=np.int64)}
-            for k in range(comp.shape[1]):
-                out[f"pc{k + 1}"] = np.round(p[:, k], 6)
-            yield pd.DataFrame(out)
+def emb_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gated PCA trust row (VERDICT r10 task 5): the
+    sign-invariant contract of the spectral solve, verified per
+    component k against live data —
 
-    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
-    schema = "vec_id long, " + ", ".join(f"pc{k + 1} double" for k in range(PCA_K))
-    return (
-        emb.select("vec_id", "embedding")
-        .mapInPandas(project, schema)
-        .orderBy("vec_id")
-    )
+    - mean_zero: projections of mean-centered data average to 0;
+    - var_matches_eigenvalue: POPULATION variance of the projected
+      data equals the k-th eigenvalue of the covariance matrix (the
+      Rayleigh identity; tolerance 1e-3 covers the 1e-5 grid the
+      matrix entries are rounded on, spectral perturbation <= 64·5e-6);
+    - orthonormal: unit norm and <= 1e-9 dot with every other
+      component;
+    - variance_ordered: component variances descend;
+    - cov_trace: the covariance trace (total variance budget), the
+      one NUMERIC column DuckDB recomputes independently from the
+      parquet — same 5dp-entry/4dp-sum rounding as the Spark side.
+
+    The booleans are computed from the live solve and pinned TRUE by
+    the oracle, so a broken eigh / projection / covariance fails the
+    driver's hash gate, not just a local pytest; emb_pca_project's
+    EXPECTED_ROWS_ONLY entry then covers ONLY the eigenvector
+    sign/order ambiguity."""
+    comp, means, vals, trace = _pca_fit(spark, sf_dir)
+    proj = _pca_project_df(spark, sf_dir, comp, means)
+    aggs = []
+    for k in range(1, PCA_K + 1):
+        aggs += [
+            F.avg(f"pc{k}").alias(f"mean{k}"),
+            F.var_pop(f"pc{k}").alias(f"var{k}"),
+        ]
+    stats = proj.agg(*aggs).collect()[0]
+    gram = comp.T @ comp
+    rows = []
+    for k in range(1, PCA_K + 1):
+        ortho = abs(gram[k - 1, k - 1] - 1.0) <= 1e-9 and all(
+            abs(gram[k - 1, j]) <= 1e-9 for j in range(PCA_K) if j != k - 1
+        )
+        ordered = (
+            k == PCA_K or stats[f"var{k}"] >= stats[f"var{k + 1}"] - 1e-9
+        )
+        rows.append(
+            (
+                k,
+                bool(abs(stats[f"mean{k}"]) <= 1e-4),
+                bool(abs(stats[f"var{k}"] - float(vals[k - 1])) <= 1e-3),
+                bool(ortho),
+                bool(ordered),
+                float(trace),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "component int, mean_zero boolean, var_matches_eigenvalue boolean,"
+        " orthonormal boolean, variance_ordered boolean, cov_trace double",
+    ).orderBy("component")
 
 
 def emb_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:

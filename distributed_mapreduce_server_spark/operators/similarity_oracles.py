@@ -242,6 +242,32 @@ SIMILARITY_ORACLES["emb_covariance"] = """
 """
 
 
+# emb_pca_invariants: the booleans are Spark-side live-data checks
+# pinned TRUE here (a broken solve hash-mismatches); cov_trace is the
+# one numeric DuckDB recomputes independently — per-dim variance on
+# the same 5dp entry grid as emb_covariance, summed and rounded 4dp
+# exactly like the Spark side's fround_scalar over the diagonal.
+from distributed_mapreduce_server_spark.operators.similarity import PCA_K  # noqa: E402
+
+SIMILARITY_ORACLES["emb_pca_invariants"] = f"""
+    WITH diag AS (
+        SELECT d.d AS dim,
+               SUM(CAST(embedding[d.d] AS DOUBLE) * CAST(embedding[d.d] AS DOUBLE)) AS ss,
+               AVG(CAST(embedding[d.d] AS DOUBLE)) AS mu,
+               COUNT(*) AS n
+        FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS d) d
+        GROUP BY d.d
+    ),
+    tr AS (SELECT ROUND(SUM(ROUND(ss / n - mu * mu, 5)), 4) AS cov_trace FROM diag)
+    SELECT k.k AS component, TRUE AS mean_zero,
+           TRUE AS var_matches_eigenvalue, TRUE AS orthonormal,
+           TRUE AS variance_ordered, tr.cov_trace
+    FROM (SELECT CAST(unnest(generate_series(1, {PCA_K})) AS INTEGER) AS k) k
+    CROSS JOIN tr
+    ORDER BY component
+"""
+
+
 SIMILARITY_ORACLES["emb_coverage"] = """
     SELECT d.source,
            COUNT(*) AS n_docs,

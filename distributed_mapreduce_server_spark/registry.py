@@ -191,6 +191,7 @@ _register(
         "emb_kmeans",
         "emb_covariance",
         "emb_pca_project",
+        "emb_pca_invariants",
         "emb_coverage",
         "emb_pq_quantize",
         "sim_pq_adc_ann",

@@ -42,7 +42,13 @@ EXPECTED_ROWS_ONLY = {
     "q_approx_distinct",
     "q_approx_quantiles",  # sketch results are engine-specific
     "q_events_daily_sketch_rollup",  # HLL estimates are engine-specific
-    "emb_pca_project",  # eigenvector sign/order is LAPACK-specific
+    # ONLY the signed projected coordinates remain unverifiable
+    # (eigenvector sign, and order under equal eigenvalues, are
+    # LAPACK-specific); every sign-invariant property of the solve —
+    # variance==eigenvalue, orthonormality, zero-mean projections,
+    # variance ordering, covariance trace — is oracle-gated by
+    # emb_pca_invariants.
+    "emb_pca_project",
     # text_bpe_train graduated to a full oracle in round 8 (unrolled
     # MATERIALIZED-CTE merges; greedy application == wrapped replace)
 }

@@ -153,6 +153,7 @@ EAGER_OPS = {
     "mr_exec_grep",  # RDD pipe job: zipWithIndex runs eagerly
     "mr_exec_join",  # RDD pipe job: zipWithIndex runs eagerly
     "emb_pca_project",  # driver spectral solve at plan time
+    "emb_pca_invariants",  # spectral solve + stats collect; PCA_K-row result
     "dedup_lsh_eval",  # runs both pair operators eagerly; final plan
     # is a literal one-row projection with nothing to sweep
     "dedup_cluster_stats",  # rides the eager dedup_clusters loop

@@ -136,3 +136,21 @@ def test_bucket_cap_inactive_below_cap(spark):
         .distinct()
     )
     assert _rows_sorted(cand) == _rows_sorted(ref)
+
+
+def test_pca_invariants_all_true(spark, sf_smoke):
+    """The oracle pins these TRUE; this is the local early-warning
+    (and covers the PCA_K row-count contract)."""
+    from distributed_mapreduce_server_spark.operators.similarity import (
+        PCA_K,
+        emb_pca_invariants,
+    )
+
+    rows = emb_pca_invariants(spark, sf_smoke).collect()
+    assert len(rows) == PCA_K
+    for r in rows:
+        assert r["mean_zero"]
+        assert r["var_matches_eigenvalue"]
+        assert r["orthonormal"]
+        assert r["variance_ordered"]
+        assert r["cov_trace"] > 0
