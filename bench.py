@@ -144,6 +144,10 @@ HEADLINE = [
     "dedup_substr_multiscale",
     "dedup_lsh_br_sweep",
     "q_graph_community_lpa",
+    # round-11 wave
+    "dedup_semantic_routed_nested",
+    "dedup_routed_nested_eval",
+    "emb_pca_invariants",
     # stream_neardup_ingest is deliberately NOT a headline row: like
     # every other stream_* key it measures streaming machinery
     # (micro-batch scheduling, checkpoint, sink commits — ~40 s at

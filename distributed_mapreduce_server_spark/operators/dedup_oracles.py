@@ -815,6 +815,9 @@ from distributed_mapreduce_server_spark.operators.dedup import (  # noqa: E402
 
 
 from distributed_mapreduce_server_spark.operators.dedup import (  # noqa: E402
+    NESTED_K2,
+    NESTED_P1,
+    NESTED_P2,
     ROUTE_ITERS,
     ROUTE_K,
     ROUTE_PROBES,
@@ -829,62 +832,70 @@ _COS_VK = """ROUND(list_sum(list_transform(range(1, len(v.embedding) + 1),
              4)"""
 
 
-def _route_codebook_ctes() -> str:
-    """Unrolled cosine-Lloyd trainer mirroring dedup._route_codebook
-    (the similarity._kmeans_sql recipe on the cosine metric): init =
-    first ROUTE_K vectors, per round a 1e-4-rounded cosine argmax
-    assignment (cid ASC tie-break == numpy argmax-first over the
-    sorted id axis) and a 1e-6-rounded per-(cid, dim) mean update.
-    Ends with `centroids(centroid_id, embedding)` in list form so the
-    downstream assignment SQL is codebook-source-agnostic."""
+def _lloyd_ctes(prefix: str, source: str, k: int, iters: int, out_name: str) -> str:
+    """Unrolled cosine-Lloyd trainer over any long-form
+    (vec_id, pos, x) CTE ``source``, mirroring
+    similarity._train_cosine_codebook: init = rows with
+    vec_id < ``k``, per round a 1e-4-rounded cosine argmax assignment
+    (cid ASC tie-break == numpy argmax-first over the sorted id axis)
+    and a 1e-6-rounded per-(cid, dim) mean update. Ends with
+    ``out_name``(centroid_id, embedding) in list form; the final long
+    form survives as {prefix}c{iters} for residual arithmetic."""
     parts = [
-        """re AS MATERIALIZED (
-            SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
-            FROM embeddings, generate_series(1, 64) AS s(i)
+        f"""{prefix}nv AS MATERIALIZED (
+            SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM {source} GROUP BY 1
         )""",
-        """rnv AS MATERIALIZED (
-            SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM re GROUP BY 1
-        )""",
-        f"""rc0 AS MATERIALIZED (
+        f"""{prefix}c0 AS MATERIALIZED (
             SELECT CAST(vec_id AS BIGINT) AS cid, pos, x AS m
-            FROM re WHERE vec_id < {ROUTE_K}
+            FROM {source} WHERE vec_id < {k}
         )""",
     ]
-    for i in range(ROUTE_ITERS):
+    for i in range(iters):
         parts += [
-            f"""rkn{i} AS MATERIALIZED (
-            SELECT cid, sqrt(SUM(m * m)) AS knrm FROM rc{i} GROUP BY 1
+            f"""{prefix}kn{i} AS MATERIALIZED (
+            SELECT cid, sqrt(SUM(m * m)) AS knrm FROM {prefix}c{i} GROUP BY 1
         )""",
-            f"""rs{i} AS MATERIALIZED (
+            f"""{prefix}s{i} AS MATERIALIZED (
             SELECT v.vec_id, c.cid,
                    ROUND(SUM(v.x * c.m) / (MIN(n.nrm) * MIN(k.knrm)), 4) AS cs
-            FROM re v
-            JOIN rc{i} c ON v.pos = c.pos
-            JOIN rnv n ON n.vec_id = v.vec_id
-            JOIN rkn{i} k ON k.cid = c.cid
+            FROM {source} v
+            JOIN {prefix}c{i} c ON v.pos = c.pos
+            JOIN {prefix}nv n ON n.vec_id = v.vec_id
+            JOIN {prefix}kn{i} k ON k.cid = c.cid
             GROUP BY 1, 2
         )""",
-            f"""ra{i} AS MATERIALIZED (
+            f"""{prefix}a{i} AS MATERIALIZED (
             SELECT vec_id, cid FROM (
                 SELECT vec_id, cid,
                        ROW_NUMBER() OVER (PARTITION BY vec_id
                            ORDER BY cs DESC, cid) AS rk
-                FROM rs{i}
+                FROM {prefix}s{i}
             ) WHERE rk = 1
         )""",
-            f"""rc{i + 1} AS MATERIALIZED (
+            f"""{prefix}c{i + 1} AS MATERIALIZED (
             SELECT a.cid, e.pos, ROUND(AVG(e.x), 6) AS m
-            FROM ra{i} a JOIN re e USING (vec_id)
+            FROM {prefix}a{i} a JOIN {source} e USING (vec_id)
             GROUP BY 1, 2
         )""",
         ]
     parts.append(
-        f"""centroids AS MATERIALIZED (
+        f"""{out_name} AS MATERIALIZED (
             SELECT cid AS centroid_id, list(m ORDER BY pos) AS embedding
-            FROM rc{ROUTE_ITERS} GROUP BY cid
+            FROM {prefix}c{iters} GROUP BY cid
         )"""
     )
     return ",\n    ".join(parts)
+
+
+def _route_codebook_ctes() -> str:
+    """Coarse codebook mirroring dedup._route_codebook: the shared
+    Lloyd recipe over the raw embedding corpus, ending in
+    `centroids(centroid_id, embedding)` list form."""
+    re_cte = """re AS MATERIALIZED (
+            SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings, generate_series(1, 64) AS s(i)
+        )"""
+    return re_cte + ",\n    " + _lloyd_ctes("r", "re", ROUTE_K, ROUTE_ITERS, "centroids")
 
 
 _ROUTED_ASSIGN = f"""
@@ -1039,3 +1050,118 @@ def _probe_sweep_sql() -> str:
 
 
 DEDUP_ORACLES["dedup_routed_probe_sweep"] = _probe_sweep_sql()
+
+
+# Nested coarse→fine router (dedup_semantic_routed_nested /
+# dedup_routed_nested_eval): the SAME unrolled-Lloyd recipe twice —
+# once over the raw embeddings (coarse, shared with the flat router's
+# CTEs) and once over home-cell residuals (fine, prefix "f") — then a
+# two-level ranked assignment and a bucket self-join on the composite
+# (coarse, fine) key. Residual arithmetic runs in long form against
+# the coarse trainer's final per-(cid, pos) means rc{ROUTE_ITERS}.
+_NESTED_CTES = f"""
+    {_route_codebook_ctes()},
+    home AS MATERIALIZED (
+        SELECT vec_id, centroid_id FROM (
+            SELECT v.vec_id, k.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY {_COS_VK} DESC, k.centroid_id) AS crank
+            FROM embeddings v CROSS JOIN centroids k
+        ) WHERE crank = 1
+    ),
+    rre AS MATERIALIZED (
+        SELECT e.vec_id, e.pos, e.x - c.m AS x
+        FROM re e
+        JOIN home h ON e.vec_id = h.vec_id
+        JOIN rc{ROUTE_ITERS} c ON c.cid = h.centroid_id AND c.pos = e.pos
+    ),
+    {_lloyd_ctes("f", "rre", NESTED_K2, ROUTE_ITERS, "fine_centroids")},
+    a1 AS MATERIALIZED (
+        SELECT vec_id, centroid_id FROM (
+            SELECT v.vec_id, k.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY {_COS_VK} DESC, k.centroid_id) AS crank
+            FROM embeddings v CROSS JOIN centroids k
+        ) WHERE crank <= {NESTED_P1}
+    ),
+    rplist AS MATERIALIZED (
+        SELECT a.vec_id, a.centroid_id,
+               list(e.x - c.m ORDER BY e.pos) AS r
+        FROM a1 a
+        JOIN re e ON e.vec_id = a.vec_id
+        JOIN rc{ROUTE_ITERS} c ON c.cid = a.centroid_id AND c.pos = e.pos
+        GROUP BY 1, 2
+    ),
+    rpn AS MATERIALIZED (
+        SELECT vec_id, centroid_id,
+               sqrt(list_sum(list_transform(r, x -> x * x))) AS nrm
+        FROM rplist
+    ),
+    fkl AS MATERIALIZED (
+        SELECT centroid_id, embedding,
+               sqrt(list_sum(list_transform(embedding, x -> x * x))) AS knrm
+        FROM fine_centroids
+    ),
+    a2 AS MATERIALIZED (
+        SELECT vec_id, centroid_id, fid FROM (
+            SELECT p.vec_id, p.centroid_id, k.centroid_id AS fid,
+                   ROW_NUMBER() OVER (PARTITION BY p.vec_id, p.centroid_id
+                       ORDER BY ROUND(list_sum(list_transform(range(1, len(p.r) + 1),
+                                  i -> p.r[i] * k.embedding[i]))
+                              / (n.nrm * k.knrm), 4) DESC, k.centroid_id) AS frank
+            FROM rplist p
+            JOIN rpn n USING (vec_id, centroid_id)
+            CROSS JOIN fkl k
+        ) WHERE frank <= {NESTED_P2}
+    )
+"""
+
+_NESTED_PAIRS = f"""
+    nrouted AS MATERIALIZED (
+        SELECT va AS vec_a, vb AS vec_b, {_COS_AB} AS cos_sim
+        FROM (
+            SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+            FROM a2 x JOIN a2 y
+              ON x.centroid_id = y.centroid_id AND x.fid = y.fid
+                 AND x.vec_id < y.vec_id
+        )
+        JOIN embeddings a ON va = a.vec_id
+        JOIN embeddings b ON vb = b.vec_id
+        WHERE {_COS_AB} >= {COSINE_DEDUP_T}
+    )
+"""
+
+DEDUP_ORACLES["dedup_semantic_routed_nested"] = f"""
+    WITH {_NESTED_CTES},
+    {_NESTED_PAIRS}
+    SELECT vec_a, vec_b, cos_sim FROM nrouted
+    ORDER BY vec_a, vec_b
+"""
+
+DEDUP_ORACLES["dedup_routed_nested_eval"] = f"""
+    WITH {_NESTED_CTES},
+    {_NESTED_PAIRS},
+    nexact AS MATERIALIZED (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_COS_AB} >= {COSINE_DEDUP_T}
+    ),
+    nm AS (
+        SELECT (SELECT COUNT(*) FROM nexact) AS ne,
+               (SELECT COUNT(*) FROM nrouted) AS nr,
+               (SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT)
+                FROM (SELECT COUNT(*) AS c FROM a2 GROUP BY centroid_id, fid)
+               ) AS nc,
+               (SELECT COUNT(*) * (COUNT(*) - 1) // 2 FROM embeddings) AS nb,
+               (SELECT COUNT(*) FROM embeddings) AS nev
+    )
+    SELECT CAST(nev AS BIGINT) AS n_eval_vecs,
+           CAST(ne AS BIGINT) AS n_exact_pairs,
+           CAST(nr AS BIGINT) AS n_routed_pairs,
+           CAST(ne - nr AS BIGINT) AS n_missed,
+           ROUND(CAST(nr AS DOUBLE) / GREATEST(ne, 1), 4) AS recall,
+           nc AS n_candidates,
+           CAST(nb AS BIGINT) AS n_brute_pairs,
+           ROUND(CAST(nb AS DOUBLE) / nc, 2) AS candidate_reduction
+    FROM nm
+"""

@@ -175,6 +175,8 @@ _register(
         "dedup_semantic_routed",
         "dedup_routed_eval",
         "dedup_routed_probe_sweep",
+        "dedup_semantic_routed_nested",
+        "dedup_routed_nested_eval",
     ],
 )
 _register(

@@ -154,3 +154,37 @@ def test_pca_invariants_all_true(spark, sf_smoke):
         assert r["orthonormal"]
         assert r["variance_ordered"]
         assert r["cov_trace"] > 0
+
+
+def test_nested_router_dominates_flat_at_smoke(spark, sf_smoke):
+    """VERDICT r10 task 6's 'Done' bar, made executable: the nested
+    router must match-or-beat the flat router's recall on no more
+    candidates (measured sf0.1: 0.9653 @ 833,741 vs 0.9375 @
+    1,124,809; smoke: 1.0 @ 60,607 vs 1.0 @ 69,738)."""
+    from distributed_mapreduce_server_spark.operators.dedup import (
+        dedup_routed_eval,
+        dedup_routed_nested_eval,
+    )
+
+    flat = dedup_routed_eval(spark, sf_smoke).collect()[0]
+    nested = dedup_routed_nested_eval(spark, sf_smoke).collect()[0]
+    assert nested["recall"] >= flat["recall"]
+    assert nested["n_candidates"] <= flat["n_candidates"]
+    assert nested["n_exact_pairs"] == flat["n_exact_pairs"]
+
+
+def test_nested_pairs_consistent_with_eval(spark, sf_smoke):
+    """No sampling below the bound: the nested router's emitted pair
+    count equals the eval row's numerator, and every pair is
+    exact-verified at the dedup threshold."""
+    from distributed_mapreduce_server_spark.operators.dedup import (
+        COSINE_DEDUP_T,
+        dedup_routed_nested_eval,
+        dedup_semantic_routed_nested,
+    )
+
+    pairs = dedup_semantic_routed_nested(spark, sf_smoke).collect()
+    ev = dedup_routed_nested_eval(spark, sf_smoke).collect()[0]
+    assert len(pairs) == ev["n_routed_pairs"]
+    assert all(p["cos_sim"] >= COSINE_DEDUP_T for p in pairs)
+    assert all(p["vec_a"] < p["vec_b"] for p in pairs)
