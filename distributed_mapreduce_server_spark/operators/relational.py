@@ -1505,6 +1505,99 @@ def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_INTERFACE_QUERY)
 
 
+# SQL front door, widened (VERDICT r10 task 8): the dialect-neutral
+# texts of four TPC-H adaptations, each run VERBATIM by spark.sql
+# over the catalog views AND by DuckDB as its own oracle — the
+# catalog's view layer supports a SQL-only user across scan-agg (Q1),
+# selective-join top-k (Q3), 6-way dim join (Q5) and tight-filter
+# aggregate (Q6) shapes, not just the one showcase query. Plans stay
+# Catalyst-chosen: with no DataFrame hints, AQE broadcasts the dims
+# at runtime (the q5 DataFrame twin's explicit broadcast() is the
+# same physical choice, made declaratively here).
+SQL_FRONT_DOOR = {
+    "q_sql_q1_pricing": f"""
+    SELECT l_returnflag, l_linestatus,
+           {_sql_round("SUM(l_quantity)", 2)} AS sum_qty,
+           {_sql_round("SUM(l_extendedprice)", 2)} AS sum_base_price,
+           {_sql_round("SUM(l_extendedprice * (1 - l_discount))", 2)} AS sum_disc_price,
+           {_sql_round("SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))", 2)} AS sum_charge,
+           {_sql_round("AVG(l_quantity)", 2)} AS avg_qty,
+           {_sql_round("AVG(l_extendedprice)", 2)} AS avg_price,
+           {_sql_round("AVG(l_discount)", 2)} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+""",
+    "q_sql_q3_shipping": f"""
+    SELECT l_orderkey, o_orderdate,
+           {_sql_round("SUM(l_extendedprice * (1 - l_discount))", 2)} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-03-15'
+      AND l_shipdate > TIMESTAMP '1996-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+""",
+    "q_sql_q5_local_supplier": f"""
+    SELECT n_name,
+           {_sql_round("SUM(l_extendedprice * (1 - l_discount))", 2)} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+""",
+    "q_sql_q6_revenue": f"""
+    SELECT {_sql_round("SUM(l_extendedprice * l_discount)", 2)} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+""",
+}
+
+
+def _sql_front_door(spark: SparkSession, sf_dir: str, key: str) -> DataFrame:
+    load_tables(spark, sf_dir, register_views=True)
+    return spark.sql(SQL_FRONT_DOOR[key])
+
+
+def q_sql_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 through the SQL front door — see the SQL_FRONT_DOOR banner;
+    semantics match q1_pricing_summary, text shared with the oracle."""
+    return _sql_front_door(spark, sf_dir, "q_sql_q1_pricing")
+
+
+def q_sql_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 through the SQL front door (deterministic LIMIT 10 via the
+    unique orderkey tiebreak) — see the SQL_FRONT_DOOR banner."""
+    return _sql_front_door(spark, sf_dir, "q_sql_q3_shipping")
+
+
+def q_sql_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 through the SQL front door: 6-way join written hint-free —
+    AQE picks the dim broadcasts at runtime."""
+    return _sql_front_door(spark, sf_dir, "q_sql_q5_local_supplier")
+
+
+def q_sql_q6_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 through the SQL front door: the filters reach the parquet
+    scan from plain SQL exactly as from the DataFrame twin."""
+    return _sql_front_door(spark, sf_dir, "q_sql_q6_revenue")
+
+
 MIN_PAIR_SUPPORT = 3
 RULES_TOP_K = 20
 

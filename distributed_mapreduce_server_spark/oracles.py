@@ -1072,13 +1072,15 @@ EVENTS_ORACLES["q_events_cohort_ltv"] = """
 """
 
 
-# the SQL-interface oracle IS the Spark query text — one string, two
-# engines (the operator's whole point).
+# the SQL-interface oracles ARE the Spark query texts — one string,
+# two engines (the front door's whole point).
 from distributed_mapreduce_server_spark.operators.relational import (  # noqa: E402
+    SQL_FRONT_DOOR,
     SQL_INTERFACE_QUERY,
 )
 
 RELATIONAL_ORACLES["q_sql_interface"] = SQL_INTERFACE_QUERY
+RELATIONAL_ORACLES.update(SQL_FRONT_DOOR)
 
 
 EVENTS_ORACLES["q_scd2_pit_join"] = """

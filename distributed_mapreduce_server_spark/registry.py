@@ -100,6 +100,10 @@ _register(
         "q_window_suite",
         "q_unpivot_balance",
         "q_sql_interface",
+        "q_sql_q1_pricing",
+        "q_sql_q3_shipping",
+        "q_sql_q5_local_supplier",
+        "q_sql_q6_revenue",
         "q_association_rules",
         "q_skyline_parts",
         "q_argmax_suite",
