@@ -147,6 +147,7 @@ HEADLINE = [
     # round-11 wave
     "dedup_semantic_routed_nested",
     "dedup_routed_nested_eval",
+    "dedup_nested_probe_sweep",
     "emb_pca_invariants",
     # stream_neardup_ingest is deliberately NOT a headline row: like
     # every other stream_* key it measures streaming machinery

@@ -2433,15 +2433,20 @@ def _fine_codebook(spark: SparkSession, sf_dir: str, coarse):
     )
 
 
-def _nested_assign(emb: DataFrame, coarse, fine, p1: int, p2: int) -> DataFrame:
-    """(vec_id, centroid_id, fine_id) multi-probe rows under the
-    two-level codebook: per vector, the p1 nearest coarse cells by
-    rounded cosine (centroid_id ASC tie-break), and WITHIN each probed
-    cell the p2 nearest fine cells by rounded cosine of the residual
-    against THAT cell's centroid. Both codebooks broadcast (bounded:
-    K1·d + K2·d doubles at any corpus size); each Arrow batch scores
-    everything in two numpy matmuls — the residual tensor is
-    (batch × p1 × d), never corpus-sized."""
+def _nested_assign(
+    emb: DataFrame, coarse, fine, p1: int, p2: int, with_rank: bool = False
+) -> DataFrame:
+    """(vec_id, centroid_id, fine_id[, crank, frank]) multi-probe rows
+    under the two-level codebook: per vector, the p1 nearest coarse
+    cells by rounded cosine (centroid_id ASC tie-break), and WITHIN
+    each probed cell the p2 nearest fine cells by rounded cosine of
+    the residual against THAT cell's centroid. Both codebooks
+    broadcast (bounded: K1·d + K2·d doubles at any corpus size); each
+    Arrow batch scores everything in two numpy matmuls — the residual
+    tensor is (batch × p1 × d), never corpus-sized. ``with_rank=True``
+    adds the 1-based coarse/fine probe ranks so
+    dedup_nested_probe_sweep folds every (p1, p2) width from one
+    pass."""
     import numpy as np
     import pandas as pd
 
@@ -2463,6 +2468,7 @@ def _nested_assign(emb: DataFrame, coarse, fine, p1: int, p2: int) -> DataFrame:
             a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
             cos1 = fround_np((a_mat @ cm.T) / np.outer(a_norms, cn))
             out_v, out_c, out_f = [], [], []
+            out_cr, out_fr = [], []
             for i in range(len(a_ids)):
                 top1 = np.lexsort((ci, -cos1[i]))[:p1]
                 res = a_mat[i] - cm[top1]  # (p1, d)
@@ -2474,13 +2480,19 @@ def _nested_assign(emb: DataFrame, coarse, fine, p1: int, p2: int) -> DataFrame:
                     out_v.extend([a_ids[i]] * len(top2))
                     out_c.extend([ci[top1[j]]] * len(top2))
                     out_f.extend(fi[top2])
-            yield pd.DataFrame(
-                {"vec_id": out_v, "centroid_id": out_c, "fine_id": out_f}
-            )
+                    if with_rank:
+                        out_cr.extend([j + 1] * len(top2))
+                        out_fr.extend(range(1, len(top2) + 1))
+            out = {"vec_id": out_v, "centroid_id": out_c, "fine_id": out_f}
+            if with_rank:
+                out["crank"] = out_cr
+                out["frank"] = out_fr
+            yield pd.DataFrame(out)
 
-    return emb.select("vec_id", "embedding").mapInPandas(
-        blocks, "vec_id long, centroid_id long, fine_id long"
+    schema = "vec_id long, centroid_id long, fine_id long" + (
+        ", crank long, frank long" if with_rank else ""
     )
+    return emb.select("vec_id", "embedding").mapInPandas(blocks, schema)
 
 
 def _nested_assignments(spark: SparkSession, sf_dir: str):
@@ -2512,6 +2524,131 @@ def dedup_semantic_routed_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _routed_pairs_from(
         emb, assign, keys=("centroid_id", "fine_id")
     ).orderBy("vec_a", "vec_b")
+
+
+# Coarse widths for the nested tuning grid (full fine range 1..P2
+# rides along): every 2nd width keeps the grid readable (28 rows)
+# while spanning the flat router's P=6 budget on both sides.
+NESTED_SWEEP_P1S = (2, 4, 6, 8, 10, 12, 14)
+
+
+def dedup_nested_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(p1, p2) tuning grid for the NESTED router — the
+    dedup_routed_probe_sweep analog one level deeper, completing the
+    trust suite: per coarse width p1 (NESTED_SWEEP_P1S) and fine
+    width p2 (1..NESTED_P2), the candidate-pair budget and recall vs
+    the exact baseline. This is the table that PICKED (14, 4) — the
+    equal-budget dominance claim in the module banner reads straight
+    off it.
+
+    One ranked assignment at the widest widths folds every cell: a
+    member is in bucket (c, f) at width (p1, p2) iff its coarse rank
+    <= p1 AND fine rank <= p2, so budgets fold from ONE
+    (bucket, crank, frank) histogram (each row exploded onto the
+    widths that include it) and recall from each exact pair's
+    per-shared-bucket (max crank, max frank) frontier — no per-width
+    corpus pass, no per-width pair enumeration. The exact baseline is
+    hash-sampled above the eval bound (sampling contract banner)."""
+    from distributed_mapreduce_server_spark.catalog import table_row_count
+
+    n = table_row_count(sf_dir, "embeddings")
+    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
+    coarse = _route_codebook(spark, sf_dir)
+    fine = _fine_codebook(spark, sf_dir, coarse)
+    assign = _nested_assign(
+        emb, coarse, fine, NESTED_P1, NESTED_P2, with_rank=True
+    ).persist()
+
+    widths1 = F.array(*[F.lit(p) for p in NESTED_SWEEP_P1S])
+    widths2 = F.array(*[F.lit(p) for p in range(1, NESTED_P2 + 1)])
+    hist = assign.groupBy("centroid_id", "fine_id", "crank", "frank").agg(
+        F.count("*").alias("cnt")
+    )
+    budgets = (
+        hist.withColumn(
+            "p1", F.explode(F.filter(widths1, lambda w: w >= F.col("crank")))
+        )
+        .withColumn(
+            "p2", F.explode(F.filter(widths2, lambda w: w >= F.col("frank")))
+        )
+        .groupBy("p1", "p2", "centroid_id", "fine_id")
+        .agg(F.sum("cnt").alias("c"))
+        .groupBy("p1", "p2")
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1) / 2)
+            .cast("bigint")
+            .alias("n_candidates")
+        )
+    )
+
+    emb_eval, _is_sampled = _exact_eval_sample(emb, "vec_id", n)
+    exact = (
+        _blocked_cosine_pairs(
+            spark, emb_eval, n_hint=min(n, EXACT_EVAL_SAMPLE_TARGET)
+        )
+        .select("vec_a", "vec_b")
+        .persist()
+    )
+    n_exact = exact.count()
+    aa = assign.select(
+        F.col("vec_id").alias("vec_a"),
+        "centroid_id",
+        "fine_id",
+        F.col("crank").alias("cra"),
+        F.col("frank").alias("fra"),
+    )
+    ab = assign.select(
+        F.col("vec_id").alias("vec_b"),
+        "centroid_id",
+        "fine_id",
+        F.col("crank").alias("crb"),
+        F.col("frank").alias("frb"),
+    )
+    # (pair, shared bucket) frontier rows — bounded: near-dup pairs ×
+    # ≤ P1·P2 shared buckets
+    pb = (
+        F.broadcast(exact)
+        .join(aa, "vec_a")
+        .join(ab, ["vec_b", "centroid_id", "fine_id"])
+        .select(
+            "vec_a",
+            "vec_b",
+            F.greatest(F.col("cra"), F.col("crb")).alias("cr"),
+            F.greatest(F.col("fra"), F.col("frb")).alias("fr"),
+        )
+    )
+    caught = (
+        pb.withColumn(
+            "p1", F.explode(F.filter(widths1, lambda w: w >= F.col("cr")))
+        )
+        .withColumn(
+            "p2", F.explode(F.filter(widths2, lambda w: w >= F.col("fr")))
+        )
+        .groupBy("p1", "p2")
+        .agg(F.count_distinct("vec_a", "vec_b").alias("n_routed_pairs"))
+    )
+    out = (
+        budgets.join(caught, ["p1", "p2"], "left")
+        .select(
+            F.col("p1").cast("int").alias("p1"),
+            F.col("p2").cast("int").alias("p2"),
+            "n_candidates",
+            F.coalesce(F.col("n_routed_pairs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_routed_pairs"),
+            F.lit(n_exact).cast("bigint").alias("n_exact_pairs"),
+            fround(
+                F.coalesce(F.col("n_routed_pairs"), F.lit(0))
+                / F.lit(max(n_exact, 1)),
+                4,
+            ).alias("recall"),
+        )
+        .orderBy("p1", "p2")
+        .localCheckpoint(eager=True)
+    )
+    assign.unpersist()
+    exact.unpersist()
+    return out.orderBy("p1", "p2")
 
 
 def dedup_routed_nested_eval(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1077,7 +1077,7 @@ _NESTED_CTES = f"""
     ),
     {_lloyd_ctes("f", "rre", NESTED_K2, ROUTE_ITERS, "fine_centroids")},
     a1 AS MATERIALIZED (
-        SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id, crank FROM (
             SELECT v.vec_id, k.centroid_id,
                    ROW_NUMBER() OVER (PARTITION BY v.vec_id
                        ORDER BY {_COS_VK} DESC, k.centroid_id) AS crank
@@ -1103,7 +1103,7 @@ _NESTED_CTES = f"""
         FROM fine_centroids
     ),
     a2 AS MATERIALIZED (
-        SELECT vec_id, centroid_id, fid FROM (
+        SELECT s.vec_id, s.centroid_id, s.fid, a.crank, s.frank FROM (
             SELECT p.vec_id, p.centroid_id, k.centroid_id AS fid,
                    ROW_NUMBER() OVER (PARTITION BY p.vec_id, p.centroid_id
                        ORDER BY ROUND(list_sum(list_transform(range(1, len(p.r) + 1),
@@ -1112,7 +1112,8 @@ _NESTED_CTES = f"""
             FROM rplist p
             JOIN rpn n USING (vec_id, centroid_id)
             CROSS JOIN fkl k
-        ) WHERE frank <= {NESTED_P2}
+        ) s JOIN a1 a ON a.vec_id = s.vec_id AND a.centroid_id = s.centroid_id
+        WHERE s.frank <= {NESTED_P2}
     )
 """
 
@@ -1137,6 +1138,58 @@ DEDUP_ORACLES["dedup_semantic_routed_nested"] = f"""
     SELECT vec_a, vec_b, cos_sim FROM nrouted
     ORDER BY vec_a, vec_b
 """
+
+def _nested_sweep_sql() -> str:
+    """Mirrors dedup_nested_probe_sweep: the ranked two-level
+    assignment CTEs, a (bucket, crank, frank) histogram for the
+    per-width budgets, and each exact pair's per-shared-bucket
+    (max crank, max frank) frontier for the per-width recalls."""
+    from distributed_mapreduce_server_spark.operators.dedup import (
+        NESTED_SWEEP_P1S,
+    )
+
+    rows = " UNION ALL ".join(
+        f"""SELECT {p1} AS p1, {p2} AS p2,
+               (SELECT CAST(SUM(cc * (cc - 1) // 2) AS BIGINT)
+                FROM (SELECT SUM(c) AS cc FROM nhist
+                      WHERE crank <= {p1} AND frank <= {p2}
+                      GROUP BY centroid_id, fid)) AS n_candidates,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                    SELECT DISTINCT va, vb FROM npb
+                    WHERE cr <= {p1} AND fr <= {p2})) AS n_routed_pairs"""
+        for p1 in NESTED_SWEEP_P1S
+        for p2 in range(1, NESTED_P2 + 1)
+    )
+    return f"""
+    WITH {_NESTED_CTES},
+    nexact AS MATERIALIZED (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_COS_AB} >= {COSINE_DEDUP_T}
+    ),
+    nhist AS MATERIALIZED (
+        SELECT centroid_id, fid, crank, frank, COUNT(*) AS c
+        FROM a2 GROUP BY 1, 2, 3, 4
+    ),
+    npb AS MATERIALIZED (
+        SELECT e.va, e.vb,
+               GREATEST(x.crank, y.crank) AS cr,
+               GREATEST(x.frank, y.frank) AS fr
+        FROM nexact e
+        JOIN a2 x ON x.vec_id = e.va
+        JOIN a2 y ON y.vec_id = e.vb
+            AND y.centroid_id = x.centroid_id AND y.fid = x.fid
+    ),
+    nne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs FROM nexact)
+    SELECT p1, p2, n_candidates, n_routed_pairs, nne.n_exact_pairs,
+           ROUND(n_routed_pairs / GREATEST(nne.n_exact_pairs, 1), 4) AS recall
+    FROM ({rows}) CROSS JOIN nne
+    ORDER BY p1, p2
+"""
+
+
+DEDUP_ORACLES["dedup_nested_probe_sweep"] = _nested_sweep_sql()
+
 
 DEDUP_ORACLES["dedup_routed_nested_eval"] = f"""
     WITH {_NESTED_CTES},

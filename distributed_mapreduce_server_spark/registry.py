@@ -181,6 +181,7 @@ _register(
         "dedup_routed_probe_sweep",
         "dedup_semantic_routed_nested",
         "dedup_routed_nested_eval",
+        "dedup_nested_probe_sweep",
     ],
 )
 _register(

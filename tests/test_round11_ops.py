@@ -241,3 +241,34 @@ def test_ann_recall_on_clustered_geometry(spark, tmp_path_factory):
     assert recalls["ivfpq"] > 0.8, recalls
     assert recalls["pq_adc"] > 0.8, recalls
     assert all(v > 0.8 for v in recalls.values()), recalls
+
+
+def test_nested_sweep_monotone_and_agrees_with_nested_eval(spark, sf_smoke):
+    """Grid sanity: budgets and recalls are monotone in each width
+    axis, and the widest (P1, P2) cell reproduces the nested eval
+    row's candidate budget and recall exactly (same assignment, same
+    exact baseline)."""
+    from distributed_mapreduce_server_spark.operators.dedup import (
+        NESTED_P1,
+        NESTED_P2,
+        NESTED_SWEEP_P1S,
+        dedup_nested_probe_sweep,
+        dedup_routed_nested_eval,
+    )
+
+    grid = {
+        (r["p1"], r["p2"]): r
+        for r in dedup_nested_probe_sweep(spark, sf_smoke).collect()
+    }
+    assert len(grid) == len(NESTED_SWEEP_P1S) * NESTED_P2
+    for (p1, p2), r in grid.items():
+        assert 0.0 <= r["recall"] <= 1.0
+        for prev in ((p1 - 2, p2), (p1, p2 - 1)):
+            if prev in grid:
+                assert grid[prev]["n_candidates"] <= r["n_candidates"]
+                assert grid[prev]["n_routed_pairs"] <= r["n_routed_pairs"]
+    ev = dedup_routed_nested_eval(spark, sf_smoke).collect()[0]
+    widest = grid[(NESTED_P1, NESTED_P2)]
+    assert widest["n_candidates"] == ev["n_candidates"]
+    assert widest["recall"] == ev["recall"]
+    assert widest["n_exact_pairs"] == ev["n_exact_pairs"]
