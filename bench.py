@@ -149,6 +149,7 @@ HEADLINE = [
     "dedup_routed_nested_eval",
     "dedup_nested_probe_sweep",
     "emb_pca_invariants",
+    "q_sketch_error_bounds",
     # stream_neardup_ingest is deliberately NOT a headline row: like
     # every other stream_* key it measures streaming machinery
     # (micro-batch scheduling, checkpoint, sink commits — ~40 s at

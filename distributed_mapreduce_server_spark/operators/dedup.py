@@ -1607,37 +1607,51 @@ LSH_BUCKET_CAP = 4096
 
 def _capped_band_candidates(
     bands: DataFrame, cap: int = LSH_BUCKET_CAP
-) -> tuple[DataFrame, DataFrame]:
-    """(candidate-pair frame, over-cap bucket count frame) from an LSH
-    (doc_id, band_idx, band_sig) frame, bounding per-bucket self-join
-    fan-out at ~``cap`` members.
+) -> tuple[DataFrame, int, _UnpersistGroup]:
+    """(candidate-pair frame, over-cap bucket count, persisted-frame
+    holder) from an LSH (doc_id, band_idx, band_sig) frame, bounding
+    per-bucket self-join fan-out at ~``cap`` members.
 
-    One keyed aggregation sizes the buckets; members of an over-cap
-    bucket survive with probability cap/size via the deterministic
-    xxhash64(doc_id, band_sig) predicate (no RNG, no window sort — a
-    per-bucket rank would itself sort the hot bucket). The join of
-    bands with sizes rides the aggregation's own (band_idx, band_sig)
-    partitioning, so the cap adds one shuffle of the band frame and
-    nothing quadratic."""
+    One EAGER keyed aggregation counts the over-cap buckets (cheap:
+    the band frame reduced to bucket sizes). In the common case —
+    none over the cap, which includes every test SF — the candidate
+    join is the PLAIN band self-join, zero extra plan nodes (round
+    11 learned this the hard way: an unconditional bands⋈sizes
+    filter re-executed its subtree ~5× across the self-join aliases
+    and the count, 7 s → 17 s at sf0.1, because ReuseExchange does
+    not dedupe repeated identical subtrees). Only when a bucket
+    actually exceeds the cap do members survive with probability
+    cap/size via the deterministic xxhash64(doc_id, band_sig)
+    predicate — that `kept` frame is persisted here and released via
+    the returned holder AFTER the caller materializes the
+    candidates."""
     sizes = bands.groupBy("band_idx", "band_sig").agg(
         F.count("*").alias("bsz")
     )
-    n_capped = sizes.filter(F.col("bsz") > cap).agg(
-        F.count("*").alias("n_capped_buckets")
-    )
-    kept = (
-        bands.join(sizes, ["band_idx", "band_sig"])
-        .filter(
-            (F.col("bsz") <= cap)
-            | (
-                F.pmod(F.xxhash64("doc_id", "band_sig"), F.lit(1_000_000))
-                < (
-                    F.lit(cap).cast("long") * F.lit(1_000_000) / F.col("bsz")
-                ).cast("long")
+    n_capped = sizes.filter(F.col("bsz") > cap).count()
+    if n_capped:
+        kept = (
+            bands.join(sizes, ["band_idx", "band_sig"])
+            .filter(
+                (F.col("bsz") <= cap)
+                | (
+                    F.pmod(
+                        F.xxhash64("doc_id", "band_sig"), F.lit(1_000_000)
+                    )
+                    < (
+                        F.lit(cap).cast("long")
+                        * F.lit(1_000_000)
+                        / F.col("bsz")
+                    ).cast("long")
+                )
             )
+            .select("doc_id", "band_idx", "band_sig")
+            .persist()
         )
-        .select("doc_id", "band_idx", "band_sig")
-    )
+        holder = _UnpersistGroup(kept)
+    else:
+        kept = bands
+        holder = _UnpersistGroup()
     ka, kb = kept.alias("ka"), kept.alias("kb")
     cand = (
         ka.join(
@@ -1652,7 +1666,7 @@ def _capped_band_candidates(
         )
         .distinct()
     )
-    return cand, n_capped
+    return cand, n_capped, holder
 
 
 def dedup_lsh_br_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1725,10 +1739,10 @@ def dedup_lsh_br_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("band.band_idx").alias("band_idx"),
             F.col("band.band_sig").alias("band_sig"),
         )
-        cand, n_capped_df = _capped_band_candidates(bands)
+        cand, n_capped, holder = _capped_band_candidates(bands)
         cand = cand.persist()
         n_cand = cand.count()
-        n_capped = n_capped_df.collect()[0]["n_capped_buckets"]
+        holder.unpersist()
         ver = (
             _pair_jaccard(e, cand, sizes=sizes)
             .filter(F.col("jaccard") >= JACCARD_T)

@@ -1574,6 +1574,82 @@ def _sql_front_door(spark: SparkSession, sf_dir: str, key: str) -> DataFrame:
     return spark.sql(SQL_FRONT_DOOR[key])
 
 
+# (check name, relative error bound) for q_sketch_error_bounds. The
+# bounds are deliberately loose vs the sketches' parameters (HLL at
+# rsd=0.01/0.05 is far inside 0.15 on these corpora; percentile_approx
+# at accuracy 10000 shifts the median by <= n/10000 ranks) — the row
+# fails only on a genuinely broken sketch, never on sketch noise.
+SKETCH_BOUNDS = (
+    ("distinct_custkey_orders", 0.15),
+    ("distinct_users_events", 0.15),
+    ("median_extendedprice", 0.01),
+)
+
+
+def q_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gated trust row for the approximate sketches (the
+    emb_pca_invariants pattern applied to the three inherently
+    rows-only sketch keys): each check computes BOTH the engine
+    sketch (HLL approx-distinct, percentile_approx) and the exact
+    answer from live data, emits within_bound = |approx - exact| /
+    exact <= rel_bound, and the DuckDB oracle independently recomputes
+    the EXACT value while pinning the boolean TRUE — so a broken
+    sketch (or a broken exact aggregate) fails the driver's hash
+    gate, not just a local invariant test. The sketch VALUES stay
+    rows-only in their own keys (engine-specific by design); this row
+    verifies the property a user actually relies on: the sketch lands
+    within its advertised error of the truth.
+
+    Scale shape: three single-pass aggregations (HLL and
+    percentile_approx are map-side-combining sketches; the exact
+    distincts are key-partitioned count-distincts), each reduced to
+    one row before the driver sees it."""
+    from distributed_mapreduce_server_spark.functions import fround_scalar
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    bounds = dict(SKETCH_BOUNDS)
+    r1 = t["orders"].agg(
+        F.approx_count_distinct("o_custkey", 0.05).alias("a"),
+        F.count_distinct("o_custkey").alias("e"),
+    ).collect()[0]
+    r2 = t["events"].agg(
+        F.approx_count_distinct("user_id", 0.01).alias("a"),
+        F.count_distinct("user_id").alias("e"),
+    ).collect()[0]
+    r3 = t["lineitem"].agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("e"),
+    ).collect()[0]
+    rows = [
+        (
+            "distinct_custkey_orders",
+            float(r1["e"]),
+            abs(r1["a"] - r1["e"]) / max(r1["e"], 1)
+            <= bounds["distinct_custkey_orders"],
+            bounds["distinct_custkey_orders"],
+        ),
+        (
+            "distinct_users_events",
+            float(r2["e"]),
+            abs(r2["a"] - r2["e"]) / max(r2["e"], 1)
+            <= bounds["distinct_users_events"],
+            bounds["distinct_users_events"],
+        ),
+        (
+            "median_extendedprice",
+            fround_scalar(float(r3["e"]), 2),
+            abs(r3["a"] - r3["e"]) / abs(r3["e"])
+            <= bounds["median_extendedprice"],
+            bounds["median_extendedprice"],
+        ),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "check_name string, exact_value double, within_bound boolean,"
+        " rel_bound double",
+    ).orderBy("check_name")
+
+
 def q_sql_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1 through the SQL front door — see the SQL_FRONT_DOOR banner;
     semantics match q1_pricing_summary, text shared with the oracle."""

@@ -1082,6 +1082,26 @@ from distributed_mapreduce_server_spark.operators.relational import (  # noqa: E
 RELATIONAL_ORACLES["q_sql_interface"] = SQL_INTERFACE_QUERY
 RELATIONAL_ORACLES.update(SQL_FRONT_DOOR)
 
+# q_sketch_error_bounds: the booleans are Spark-side live sketch-vs-
+# exact checks pinned TRUE (a broken sketch hash-mismatches); the
+# exact values are genuinely recomputed here. quantile_cont matches
+# Spark's exact `percentile` linear interpolation.
+RELATIONAL_ORACLES["q_sketch_error_bounds"] = """
+    SELECT 'distinct_custkey_orders' AS check_name,
+           CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders) AS DOUBLE)
+               AS exact_value,
+           TRUE AS within_bound, 0.15 AS rel_bound
+    UNION ALL
+    SELECT 'distinct_users_events',
+           CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS DOUBLE),
+           TRUE, 0.15
+    UNION ALL
+    SELECT 'median_extendedprice',
+           (SELECT ROUND(quantile_cont(l_extendedprice, 0.5), 2) FROM lineitem),
+           TRUE, 0.01
+    ORDER BY check_name
+"""
+
 
 EVENTS_ORACLES["q_scd2_pit_join"] = """
     WITH changes AS (

@@ -104,6 +104,7 @@ _register(
         "q_sql_q3_shipping",
         "q_sql_q5_local_supplier",
         "q_sql_q6_revenue",
+        "q_sketch_error_bounds",
         "q_association_rules",
         "q_skyline_parts",
         "q_argmax_suite",

@@ -201,6 +201,7 @@ EAGER_OPS = {
     "dedup_semantic_routed_nested",  # two Lloyd trainers collect eagerly at plan build
     "dedup_routed_nested_eval",  # runs nested + exact pair generators eagerly; 1-row literal
     "dedup_nested_probe_sweep",  # ranked nested assign + exact baseline persist; checkpointed grid
+    "q_sketch_error_bounds",  # sketch + exact aggregates collect; 3-row createDataFrame
     "text_unigram_train",  # EM rounds run eagerly (createDataFrame result)
     "text_unigram_fertility",  # rides the eager EM; Viterbi kernel plan is lazy but tiny
     "text_unigram_tokenize",  # rides the eager EM; encode join plan is lazy

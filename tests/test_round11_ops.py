@@ -100,8 +100,7 @@ def test_bucket_cap_bounds_hot_bucket_fanout(spark):
     bands = spark.createDataFrame(
         rows, "doc_id long, band_idx int, band_sig string"
     )
-    cand, n_capped_df = dedup._capped_band_candidates(bands, cap=20)
-    n_capped = n_capped_df.collect()[0]["n_capped_buckets"]
+    cand, n_capped, holder = dedup._capped_band_candidates(bands, cap=20)
     assert n_capped == 1
     pairs = cand.collect()
     cold = [p for p in pairs if p["doc_a"] >= 1000]
@@ -111,8 +110,10 @@ def test_bucket_cap_bounds_hot_bucket_fanout(spark):
     # binomial tail but demand the quadratic blowup is gone
     assert len(hot) < 1000  # vs C(400,2) = 79800 uncapped
     # deterministic: second run bit-identical
-    cand2, _ = dedup._capped_band_candidates(bands, cap=20)
+    cand2, _, holder2 = dedup._capped_band_candidates(bands, cap=20)
     assert _rows_sorted(cand2) == _rows_sorted(cand)
+    holder.unpersist()
+    holder2.unpersist()
 
 
 def test_bucket_cap_inactive_below_cap(spark):
@@ -122,8 +123,8 @@ def test_bucket_cap_inactive_below_cap(spark):
     bands = spark.createDataFrame(
         rows, "doc_id long, band_idx int, band_sig string"
     )
-    cand, n_capped_df = dedup._capped_band_candidates(bands, cap=4096)
-    assert n_capped_df.collect()[0]["n_capped_buckets"] == 0
+    cand, n_capped, _holder = dedup._capped_band_candidates(bands, cap=4096)
+    assert n_capped == 0
     ba, bb = bands.alias("a"), bands.alias("b")
     ref = (
         ba.join(
@@ -272,3 +273,18 @@ def test_nested_sweep_monotone_and_agrees_with_nested_eval(spark, sf_smoke):
     assert widest["n_candidates"] == ev["n_candidates"]
     assert widest["recall"] == ev["recall"]
     assert widest["n_exact_pairs"] == ev["n_exact_pairs"]
+
+
+def test_sketch_error_bounds_all_within(spark, sf_smoke):
+    """The oracle pins these TRUE; local early-warning plus the
+    exact-value sanity (positive, median positive)."""
+    from distributed_mapreduce_server_spark.operators.relational import (
+        SKETCH_BOUNDS,
+        q_sketch_error_bounds,
+    )
+
+    rows = q_sketch_error_bounds(spark, sf_smoke).collect()
+    assert len(rows) == len(SKETCH_BOUNDS)
+    for r in rows:
+        assert r["within_bound"], r
+        assert r["exact_value"] > 0
