@@ -787,19 +787,28 @@ def _family(key: str) -> str:
 # Driver-sample rotation, tier form (VERDICT r9 task 2): the driver
 # verifies the FIRST 50 keys of all_queries() each round, so keys
 # that already have a green driver CORRECTNESS row (union of
-# CORRECTNESS_r01..r10 keys, 170 of 281) are demoted to a second
+# CORRECTNESS_r01..r11 keys, 218 of 290) are demoted to a second
 # tier and every never-sampled key is emitted first. With this set
-# frozen, rounds 11-13 walk the remaining 111 keys at ~49/round.
+# frozen (r11 state: 218 sampled), rounds 12-13 walk the
+# remaining 72 never-sampled keys at ~48/round.
 # Maintenance: after each driver round, add that round's sampled
 # keys here (scripts/update_sampled.py regenerates the block from
 # the CORRECTNESS_r*.json files).
 _DRIVER_SAMPLED = frozenset(
     {
         "dedup_clusters",
+        "dedup_clusters_bigstar",
+        "dedup_containment",
         "dedup_embedding_cosine",
         "dedup_exact",
+        "dedup_exact_substr",
         "dedup_incremental",
+        "dedup_incremental_neardup",
+        "dedup_incremental_neardup_indexed",
+        "dedup_keep_best_quality",
         "dedup_keep_canonical",
+        "dedup_lsh_br_sweep",
+        "dedup_lsh_eval",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
         "dedup_prefix_filter_jaccard",
@@ -810,13 +819,20 @@ _DRIVER_SAMPLED = frozenset(
         "dedup_semantic_routed",
         "dedup_simhash",
         "dedup_threshold_sweep",
+        "emb_binary_quantize",
+        "emb_centroid_distances",
         "emb_centroids",
+        "emb_cluster_purity",
         "emb_covariance",
         "emb_coverage",
         "emb_dim_stats",
         "emb_encode_backfill",
+        "emb_ivf_balance",
         "emb_kmeans",
         "emb_label_coherence",
+        "emb_norm_outliers",
+        "emb_outlier_knn_distance",
+        "emb_pca_invariants",
         "emb_pca_project",
         "emb_pq_quantize",
         "emb_quantize",
@@ -825,6 +841,7 @@ _DRIVER_SAMPLED = frozenset(
         "mm_frame_sample",
         "mm_modality_mix",
         "mm_payload_dedup",
+        "mm_payload_entropy",
         "mm_phash_neardup",
         "mm_quality_gate",
         "mm_resize_stats",
@@ -878,9 +895,11 @@ _DRIVER_SAMPLED = frozenset(
         "q_chi2_segment_priority",
         "q_concurrent_sessions",
         "q_conversion_delay_stats",
+        "q_corr_matrix",
         "q_customer_rfm",
         "q_customers_no_orders",
         "q_data_quality_audit",
+        "q_events_lateness",
         "q_events_sessionize",
         "q_events_user_entropy",
         "q_events_windowed",
@@ -892,6 +911,7 @@ _DRIVER_SAMPLED = frozenset(
         "q_graph_bfs_levels",
         "q_graph_clustering_coefficient",
         "q_graph_common_neighbors",
+        "q_graph_community_lpa",
         "q_graph_degree_distribution",
         "q_graph_kcore_peel",
         "q_graph_triangles",
@@ -900,12 +920,14 @@ _DRIVER_SAMPLED = frozenset(
         "q_market_segment_sales",
         "q_moving_avg_events",
         "q_nation_rollup",
+        "q_open_order_backlog",
         "q_order_gaps",
         "q_order_priority",
         "q_orders_yoy",
         "q_pagerank",
         "q_part_pairs",
         "q_percentiles",
+        "q_personalized_pagerank",
         "q_price_histogram",
         "q_range_join_keyless",
         "q_range_join_views_before_purchase",
@@ -917,18 +939,29 @@ _DRIVER_SAMPLED = frozenset(
         "q_seasonality_index",
         "q_session_overlap_join",
         "q_sessions_bounce_rate",
+        "q_sketch_error_bounds",
         "q_skyline_parts",
         "q_sql_interface",
+        "q_sql_q1_pricing",
+        "q_sql_q3_shipping",
+        "q_sql_q5_local_supplier",
+        "q_sql_q6_revenue",
         "q_stats_suite",
+        "q_supplier_hhi",
+        "q_time_weighted_avg",
         "q_top_customer_per_nation",
         "q_unpivot_balance",
+        "q_window_funnel",
         "q_window_suite",
         "sim_ann_eval",
+        "sim_bq_rerank",
         "sim_cosine_topk",
+        "sim_hamming_ann",
         "sim_hybrid_search",
         "sim_ivf_ann",
         "sim_ivf_nprobe_sweep",
         "sim_ivfpq_ann",
+        "sim_ivfpq_residual",
         "sim_knn_join",
         "sim_lsh_ann",
         "sim_matryoshka_eval",
@@ -939,30 +972,46 @@ _DRIVER_SAMPLED = frozenset(
         "src_gzip_text_roundtrip",
         "src_json_roundtrip",
         "src_orc_roundtrip",
+        "stream_anomaly_filter",
         "stream_attribution",
         "stream_burst_detection",
         "stream_click_purchase_join",
         "stream_click_purchase_left_join",
         "stream_dedup_exact",
+        "stream_dedup_within_watermark",
+        "stream_error_rate_slo",
         "stream_events_windowed",
         "stream_kl_drift",
+        "stream_model_quality_filter",
+        "stream_neardup_ingest",
+        "stream_phrase_search",
+        "stream_session_window_native",
         "stream_sessionize",
         "stream_static_join_windowed",
         "stream_trending_topk",
         "stream_trending_topk_append",
+        "stream_upsert_foreachbatch",
         "stream_wordcount",
+        "text_bigram_logprob",
         "text_chunking",
+        "text_contamination_check",
+        "text_corpus_pipeline",
+        "text_corpus_pipeline_neardup",
         "text_fingerprint",
         "text_lang_distribution",
         "text_langid",
         "text_phrase_search",
         "text_quality_keep",
         "text_quality_score",
+        "text_repetition_ratio",
+        "text_sample_stratified",
+        "text_source_mix",
         "text_tfidf",
         "text_token_stats",
         "text_top_ngrams",
         "text_train_val_split",
         "text_unigram_fertility",
+        "text_unigram_logprob",
         "text_unigram_tokenize",
         "text_unigram_train",
     }
