@@ -150,6 +150,12 @@ HEADLINE = [
     "dedup_nested_probe_sweep",
     "emb_pca_invariants",
     "q_sketch_error_bounds",
+    # round-12 wave: the exec-pipe wordcount is the single most
+    # baseline-comparable row in the repo (BASELINE.md's reference
+    # pipeline is wordcount through user executables) — keep it in
+    # the headline so the baseline ratio is re-measured every round
+    # rather than frozen at round 4's measure_reference_shape run.
+    "mr_exec_wordcount",
     # stream_neardup_ingest is deliberately NOT a headline row: like
     # every other stream_* key it measures streaming machinery
     # (micro-batch scheduling, checkpoint, sink commits — ~40 s at
@@ -341,20 +347,24 @@ def splice_flagged(spark, queries, rec, names, sf_dir: str, tries: int) -> None:
     burst anywhere in a 2-minute pass flags that block), re-measure
     ONLY the load-flagged rows solo, each bracketed by its own probes,
     and splice a re-measurement in iff its bracket sits within
-    SPLICE_LOAD_MAX of the (growing) probe-pool median. Rows whose
+    SPLICE_LOAD_MAX of the ORIGINAL run's probe median. Rows whose
     re-probes never come back quiet keep their original sample and
     stay flagged — the splice produces trusted numbers, it never
-    launders a loaded one. Mutates rec in place."""
+    launders a loaded one. The reference median is FROZEN to the
+    original probe_series before the retry loop (round 12): letting
+    retry probes join the pool let sustained load drag the median
+    into the loaded regime (~14 baseline probes vs up to 8 loaded
+    probes per stubborn row), collapsing load_factor toward 1.0 and
+    passing exactly the samples this gate exists to reject.
+    Mutates rec in place."""
     import statistics as _stats
 
-    pool = [p for _, p in rec["probe_series"]]
+    ref = _stats.median(p for _, p in rec["probe_series"])
     spliced: dict[str, dict] = {}
     for name in list(rec["load_flagged"]):
         best = None  # (load_factor, median, spread, try_no)
         for t in range(1, tries + 1):
             med, spr, pb, pa = solo_measure(spark, queries, name, sf_dir)
-            pool.extend([pb, pa])
-            ref = _stats.median(pool)
             lf = round(max(pb, pa) / ref, 2)
             if best is None or lf < best[0]:
                 best = (lf, med, spr, t)

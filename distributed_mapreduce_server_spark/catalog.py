@@ -52,11 +52,29 @@ _NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {
 _plan_cache: dict[tuple[str, str], tuple[SparkSession, dict[str, DataFrame]]] = {}
 
 
+# Caches elsewhere in the package that derive from sf_dir contents
+# (e.g. the trained-codebook memo in operators.similarity) register a
+# clear callback here so refresh_tables() invalidates EVERYTHING that
+# assumed source immutability — without catalog importing operator
+# modules.
+_refresh_hooks: list = []
+
+
+def register_refresh_hook(fn) -> None:
+    """Register a zero-arg callback run by refresh_tables(). Idempotent
+    per function object (module reimport won't double-register)."""
+    if fn not in _refresh_hooks:
+        _refresh_hooks.append(fn)
+
+
 def refresh_tables() -> None:
     """Drop all cached table plans (the REFRESH TABLE analog) — call
-    after rewriting files under an sf_dir within one application."""
+    after rewriting files under an sf_dir within one application.
+    Also clears every registered derived cache (trained codebooks)."""
     _plan_cache.clear()
     _row_count_cache.clear()
+    for fn in _refresh_hooks:
+        fn()
 
 
 # (abs sf_dir, table) -> row count, read from parquet FOOTERS — no

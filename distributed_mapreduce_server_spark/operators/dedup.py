@@ -2107,22 +2107,32 @@ def _route_codebook(
     (ROUTE_TRAIN_LIMIT — take(limit+1) is the size check AND the
     data; ``force_distributed`` pins the two paths result-identical
     in tests). See the shared trainer's docstring for the grid and
-    scale-shape contract."""
+    scale-shape contract. Memoized per (session, sf_dir) via the
+    shared codebook memo (similarity._codebook_memo) — the whole
+    routed family (flat + nested + the eval/sweep trust keys) shares
+    ONE training per session; force_distributed bypasses the memo
+    (those calls exist to really train the distributed path)."""
     from distributed_mapreduce_server_spark.operators.similarity import (
+        _codebook_memo,
         _train_cosine_codebook,
     )
 
-    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"].select(
-        "vec_id", "embedding"
-    )
-    return _train_cosine_codebook(
-        spark,
-        emb,
-        ROUTE_K,
-        ROUTE_ITERS,
-        train_limit=ROUTE_TRAIN_LIMIT,
-        force_distributed=force_distributed,
-    )
+    def build():
+        emb = load_tables(spark, sf_dir, register_views=False)[
+            "embeddings"
+        ].select("vec_id", "embedding")
+        return _train_cosine_codebook(
+            spark,
+            emb,
+            ROUTE_K,
+            ROUTE_ITERS,
+            train_limit=ROUTE_TRAIN_LIMIT,
+            force_distributed=force_distributed,
+        )
+
+    if force_distributed:
+        return build()
+    return _codebook_memo(spark, sf_dir, "dedup_route", build)
 
 
 def _routed_assignments(spark: SparkSession, sf_dir: str, with_rank: bool = False):
@@ -2409,42 +2419,51 @@ def _fine_codebook(spark: SparkSession, sf_dir: str, coarse):
     vec_id, ROUTE_ITERS rounds). The residual frame is one Arrow
     matmul pass over the corpus — nothing coarse-bucket-local is ever
     trained, so no per-cell state grows with K1 and the SQL oracle
-    unrolls the exact same global recipe."""
+    unrolls the exact same global recipe.
+
+    Memoized per (session, sf_dir): internal callers always pass the
+    memoized coarse book for the SAME sf_dir (coarse is deterministic
+    per sf_dir, so it is not part of the key). ``coarse`` rank-1
+    assignment is cos.argmax(axis=1) — ids_b is sorted ascending, so
+    argmax's first-max convention IS the smallest-cid tie-break, the
+    same vectorized idiom _train_cosine_codebook documents."""
     import numpy as np
     import pandas as pd
 
     from distributed_mapreduce_server_spark.operators.similarity import (
+        _codebook_memo,
         _train_cosine_codebook,
     )
 
-    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
-    c_ids, c_mat = coarse
-    c_norms = np.sqrt((c_mat * c_mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norms))
+    def build():
+        emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
+        c_ids, c_mat = coarse
+        c_norms = np.sqrt((c_mat * c_mat).sum(axis=1))
+        bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norms))
 
-    def residuals(batches):
-        ids_b, mat_b, norms_b = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
-            cos = fround_np((a_mat @ mat_b.T) / np.outer(a_norms, norms_b))
-            home = np.empty(len(a_ids), dtype=np.int64)
-            for i in range(len(a_ids)):
-                home[i] = np.lexsort((ids_b, -cos[i]))[0]
-            res = a_mat - mat_b[home]
-            yield pd.DataFrame(
-                {"vec_id": a_ids, "embedding": list(res)}
-            )
+        def residuals(batches):
+            ids_b, mat_b, norms_b = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                a_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+                cos = fround_np((a_mat @ mat_b.T) / np.outer(a_norms, norms_b))
+                home = cos.argmax(axis=1)
+                res = a_mat - mat_b[home]
+                yield pd.DataFrame(
+                    {"vec_id": a_ids, "embedding": list(res)}
+                )
 
-    resid = emb.select("vec_id", "embedding").mapInPandas(
-        residuals, "vec_id long, embedding array<double>"
-    )
-    return _train_cosine_codebook(
-        spark, resid, NESTED_K2, ROUTE_ITERS, train_limit=ROUTE_TRAIN_LIMIT
-    )
+        resid = emb.select("vec_id", "embedding").mapInPandas(
+            residuals, "vec_id long, embedding array<double>"
+        )
+        return _train_cosine_codebook(
+            spark, resid, NESTED_K2, ROUTE_ITERS, train_limit=ROUTE_TRAIN_LIMIT
+        )
+
+    return _codebook_memo(spark, sf_dir, "dedup_fine", build)
 
 
 def _nested_assign(
@@ -2474,33 +2493,42 @@ def _nested_assign(
 
     def blocks(batches):
         ci, cm, cn, fi, fm, fn = bc.value
+        # ci/fi are sorted ascending (trainer contract), so a STABLE
+        # argsort on the negated rounded cosines reproduces
+        # lexsort((ids, -cos)) exactly: ties keep index order ==
+        # smallest-cid. p may exceed the codebook size in sweeps.
+        p1e = min(p1, len(ci))
+        p2e = min(p2, len(fi))
         for pdf in batches:
             if pdf.empty:
                 continue
             a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             a_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+            b, d = a_mat.shape
             cos1 = fround_np((a_mat @ cm.T) / np.outer(a_norms, cn))
-            out_v, out_c, out_f = [], [], []
-            out_cr, out_fr = [], []
-            for i in range(len(a_ids)):
-                top1 = np.lexsort((ci, -cos1[i]))[:p1]
-                res = a_mat[i] - cm[top1]  # (p1, d)
-                rn = np.sqrt((res * res).sum(axis=1))
-                rn[rn == 0] = 1e-12  # degenerate x == centroid guard
-                cos2 = fround_np((res @ fm.T) / np.outer(rn, fn))
-                for j in range(len(top1)):
-                    top2 = np.lexsort((fi, -cos2[j]))[:p2]
-                    out_v.extend([a_ids[i]] * len(top2))
-                    out_c.extend([ci[top1[j]]] * len(top2))
-                    out_f.extend(fi[top2])
-                    if with_rank:
-                        out_cr.extend([j + 1] * len(top2))
-                        out_fr.extend(range(1, len(top2) + 1))
-            out = {"vec_id": out_v, "centroid_id": out_c, "fine_id": out_f}
+            top1 = np.argsort(-cos1, axis=1, kind="stable")[:, :p1e]  # (b, p1e)
+            res = a_mat[:, None, :] - cm[top1]  # (b, p1e, d)
+            rn = np.sqrt((res * res).sum(axis=2)).reshape(-1)  # (b·p1e,)
+            rn[rn == 0] = 1e-12  # degenerate x == centroid guard
+            # ONE stacked (b·p1e, d) @ (d, K2) matmul scores every
+            # probed cell's residual against the fine book at once.
+            cos2 = fround_np(
+                (res.reshape(-1, d) @ fm.T) / (rn[:, None] * fn[None, :])
+            )
+            top2 = np.argsort(-cos2, axis=1, kind="stable")[:, :p2e]
+            out = {
+                "vec_id": np.repeat(a_ids, p1e * p2e),
+                "centroid_id": np.repeat(ci[top1].reshape(-1), p2e),
+                "fine_id": fi[top2].reshape(-1),
+            }
             if with_rank:
-                out["crank"] = out_cr
-                out["frank"] = out_fr
+                out["crank"] = np.tile(
+                    np.repeat(np.arange(1, p1e + 1, dtype=np.int64), p2e), b
+                )
+                out["frank"] = np.tile(
+                    np.arange(1, p2e + 1, dtype=np.int64), b * p1e
+                )
             yield pd.DataFrame(out)
 
     schema = "vec_id long, centroid_id long, fine_id long" + (

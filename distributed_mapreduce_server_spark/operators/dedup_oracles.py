@@ -1103,12 +1103,15 @@ _NESTED_CTES = f"""
         FROM fine_centroids
     ),
     a2 AS MATERIALIZED (
+        -- GREATEST(nrm, 1e-12) mirrors the Python kernel's
+        -- rn[rn == 0] = 1e-12 guard (_nested_assign): a vector equal
+        -- to a probed coarse centroid would otherwise score 0/0=NaN.
         SELECT s.vec_id, s.centroid_id, s.fid, a.crank, s.frank FROM (
             SELECT p.vec_id, p.centroid_id, k.centroid_id AS fid,
                    ROW_NUMBER() OVER (PARTITION BY p.vec_id, p.centroid_id
                        ORDER BY ROUND(list_sum(list_transform(range(1, len(p.r) + 1),
                                   i -> p.r[i] * k.embedding[i]))
-                              / (n.nrm * k.knrm), 4) DESC, k.centroid_id) AS frank
+                              / (GREATEST(n.nrm, 1e-12) * k.knrm), 4) DESC, k.centroid_id) AS frank
             FROM rplist p
             JOIN rpn n USING (vec_id, centroid_id)
             CROSS JOIN fkl k

@@ -1540,7 +1540,7 @@ SQL_FRONT_DOOR = {
       AND o_orderdate < TIMESTAMP '1996-03-15'
       AND l_shipdate > TIMESTAMP '1996-03-15'
     GROUP BY l_orderkey, o_orderdate
-    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, o_orderdate, l_orderkey
     LIMIT 10
 """,
     "q_sql_q5_local_supplier": f"""
@@ -1658,7 +1658,11 @@ def q_sql_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sql_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 through the SQL front door (deterministic LIMIT 10 via the
-    unique orderkey tiebreak) — see the SQL_FRONT_DOOR banner."""
+    unique orderkey tiebreak) — see the SQL_FRONT_DOOR banner. The
+    ORDER BY ranks on the UNROUNDED aggregate: ranking on the rounded
+    value would let cross-engine summation-order noise at a .005
+    rounding boundary flip top-10 membership; the SELECT still
+    exposes the 2dp-rounded revenue."""
     return _sql_front_door(spark, sf_dir, "q_sql_q3_shipping")
 
 

@@ -27,8 +27,55 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
-from distributed_mapreduce_server_spark.catalog import load_tables
+from distributed_mapreduce_server_spark.catalog import (
+    load_tables,
+    register_refresh_hook,
+)
 from distributed_mapreduce_server_spark.functions import cosine_sim, fround, fround_np
+
+# Trained-codebook memo (VERDICT r11 task 3): Lloyd training is
+# deterministic per (corpus, recipe), so within one session every
+# re-train of the same codebook is pure waste — a full bench/drive
+# pass was re-running the identical coarse training 5+ times across
+# the routed/IVF/PQ families. Same contract as catalog._plan_cache:
+# keyed (applicationId, sf_dir, kind), the owning SparkSession rides
+# along and is identity-compared on every hit (a spark.newSession()
+# must retrain — its broadcasts/jobs belong to a different session),
+# and sf_dir contents are assumed immutable for the app's lifetime
+# (catalog.refresh_tables() clears this cache via the registered
+# hook). Values are the bounded driver-side (ids, matrix) numpy
+# pairs — K·d doubles, never corpus-sized.
+_CODEBOOK_CACHE: dict[tuple[str, str, str], tuple] = {}
+
+# kind -> number of ACTUAL trainings (test instrumentation: the memo
+# tests assert one training per codebook per (session, sf_dir)).
+CODEBOOK_TRAIN_COUNTS: dict[str, int] = {}
+
+
+def _codebook_memo(spark: SparkSession, sf_dir: str, kind: str, builder):
+    """Return the memoized trained codebook for (session, sf_dir,
+    kind), invoking ``builder`` exactly once per key. force_distributed
+    callers must BYPASS this memo (they exist to pin the two training
+    paths result-identical and must really train)."""
+    key = (spark.sparkContext.applicationId, str(sf_dir), kind)
+    hit = _CODEBOOK_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    CODEBOOK_TRAIN_COUNTS[kind] = CODEBOOK_TRAIN_COUNTS.get(kind, 0) + 1
+    pair = builder()
+    _CODEBOOK_CACHE[key] = (spark, pair)
+    return pair
+
+
+def release_codebook_caches() -> None:
+    """Drop every memoized trained codebook — the refresh_tables()
+    analog for the codebook layer (and invoked BY refresh_tables via
+    the registered hook). Call directly to bound driver memory in a
+    very long session touching many sf_dirs."""
+    _CODEBOOK_CACHE.clear()
+
+
+register_refresh_hook(release_codebook_caches)
 
 N_QUERIES = 5
 TOP_K = 10
@@ -351,14 +398,20 @@ def _ivf_codebook(spark: SparkSession, sf_dir: str):
     over the candidate corpus (vec_id >= N_QUERIES) seeded from the
     former stand-in rows, via the shared quantized-grid trainer. The
     DuckDB twin is similarity_oracles._ivf_codebook_ctes (the
-    dedup_semantic_routed unrolled-Lloyd composition)."""
-    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"].select(
-        "vec_id", "embedding"
-    )
-    cand = emb.filter(F.col("vec_id") >= N_QUERIES)
-    return _train_cosine_codebook(
-        spark, cand, N_QUERIES + N_CENTROIDS, IVF_TRAIN_ITERS
-    )
+    dedup_semantic_routed unrolled-Lloyd composition). Memoized per
+    (session, sf_dir) — every IVF-family operator shares ONE
+    training."""
+
+    def build():
+        emb = load_tables(spark, sf_dir, register_views=False)[
+            "embeddings"
+        ].select("vec_id", "embedding")
+        cand = emb.filter(F.col("vec_id") >= N_QUERIES)
+        return _train_cosine_codebook(
+            spark, cand, N_QUERIES + N_CENTROIDS, IVF_TRAIN_ITERS
+        )
+
+    return _codebook_memo(spark, sf_dir, "ivf_coarse", build)
 
 
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -873,7 +926,9 @@ def _pq_lloyd_np(ids, mat, corpus, iters: int):
     return ids, mat
 
 
-def _pq_codebook(emb: DataFrame, force_distributed: bool = False):
+def _pq_codebook(
+    emb: DataFrame, force_distributed: bool = False, sf_dir: str | None = None
+):
     """The TRAINED per-subspace PQ codebook (round 10 — previously the
     fixed vec_id 5..20 stand-in): PQ_TRAIN_ITERS rounds of L2 Lloyd
     per subspace over the FULL corpus (the encoder encodes every
@@ -892,10 +947,17 @@ def _pq_codebook(emb: DataFrame, force_distributed: bool = False):
     under CODEBOOK_TRAIN_LIMIT (take(limit+1) = size check AND data);
     above it, per round ONE corpus scan emitting ≤ PQ_K·EMB_DIM
     partial (sum, count) rows per task and a bounded driver collect.
+    Callers that derive ``emb`` straight from load_tables pass
+    ``sf_dir`` so the training memoizes per (session, sf_dir);
+    force_distributed (the path-equality tests) always retrains.
     """
+    spark = emb.sparkSession
+    if sf_dir is not None and not force_distributed:
+        return _codebook_memo(
+            spark, sf_dir, "pq", lambda: _pq_codebook(emb, force_distributed)
+        )
     import numpy as np
 
-    spark = emb.sparkSession
     base = emb.select("vec_id", "embedding")
     if not force_distributed:
         head = base.take(CODEBOOK_TRAIN_LIMIT + 1)
@@ -990,7 +1052,7 @@ def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
-    cen_ids, cen_mat = _pq_codebook(emb)
+    cen_ids, cen_mat = _pq_codebook(emb, sf_dir=sf_dir)
     bc = spark.sparkContext.broadcast((cen_ids, cen_mat))
 
     def blocks(batches):
@@ -1055,7 +1117,7 @@ def sim_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
-    _, cen_mat = _pq_codebook(emb)
+    _, cen_mat = _pq_codebook(emb, sf_dir=sf_dir)
     q_ids, q_mat = _collect_matrix(emb.filter(F.col("vec_id") < N_QUERIES))
 
     # LUT[q, m, j] = rounded squared distance from query q's subspace
@@ -1141,7 +1203,7 @@ def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # ADC lookup table from the bounded query set (sim_pq_adc_ann's
     # construction, shared rounding discipline)
-    _, cen_mat = _pq_codebook(emb)
+    _, cen_mat = _pq_codebook(emb, sf_dir=sf_dir)
     q_ids, q_mat = _collect_matrix(q)
     lut = np.zeros((len(q_ids), PQ_M, PQ_K))
     for m in range(PQ_M):
@@ -1901,7 +1963,7 @@ def sim_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"vec_id": "query_id"}
     )
 
-    _, cb_mat = _pq_codebook(emb)
+    _, cb_mat = _pq_codebook(emb, sf_dir=sf_dir)
     g_ids, g_mat = centroids
     gpos = {int(v): i for i, v in enumerate(g_ids)}
     q_ids, q_mat = _collect_matrix(q)

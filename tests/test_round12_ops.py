@@ -1,0 +1,158 @@
+"""Round-12 contracts: the trained-codebook memo (one Lloyd training
+per codebook per (session, sf_dir) — VERDICT r11 task 3) and the
+vectorized nested-assignment kernel (VERDICT r11 task 2): the stacked
+(batch·p1, d) @ (d, K2) matmul must reproduce the original per-row
+lexsort selection bit-for-bit, including the probe-rank columns the
+sweep folds on."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from distributed_mapreduce_server_spark import catalog
+from distributed_mapreduce_server_spark.operators import dedup, similarity
+
+
+@pytest.fixture()
+def fresh_codebook_caches():
+    """Isolate each memo test: clear the cache, snapshot the training
+    counters, restore nothing (counters are monotonic by design)."""
+    similarity.release_codebook_caches()
+    yield
+    similarity.release_codebook_caches()
+
+
+def _count(kind: str) -> int:
+    return similarity.CODEBOOK_TRAIN_COUNTS.get(kind, 0)
+
+
+def test_codebook_memo_trains_once_per_session(
+    spark, sf_smoke, fresh_codebook_caches
+):
+    """The full routed/IVF/PQ family re-used to retrain identical
+    codebooks on every operator call; the memo must reduce that to
+    ONE training per (session, sf_dir, kind)."""
+    emb = catalog.load_tables(spark, sf_smoke, register_views=False)[
+        "embeddings"
+    ]
+    before = {
+        k: _count(k) for k in ("dedup_route", "dedup_fine", "ivf_coarse", "pq")
+    }
+    coarse1 = dedup._route_codebook(spark, sf_smoke)
+    coarse2 = dedup._route_codebook(spark, sf_smoke)
+    fine1 = dedup._fine_codebook(spark, sf_smoke, coarse1)
+    fine2 = dedup._fine_codebook(spark, sf_smoke, coarse2)
+    ivf1 = similarity._ivf_codebook(spark, sf_smoke)
+    ivf2 = similarity._ivf_codebook(spark, sf_smoke)
+    pq1 = similarity._pq_codebook(emb, sf_dir=sf_smoke)
+    pq2 = similarity._pq_codebook(emb, sf_dir=sf_smoke)
+    for k in ("dedup_route", "dedup_fine", "ivf_coarse", "pq"):
+        assert _count(k) == before[k] + 1, k
+    # Memo hits return the SAME object, not a retrained equal one.
+    assert coarse1 is coarse2 and fine1 is fine2
+    assert ivf1 is ivf2 and pq1 is pq2
+
+
+def test_codebook_memo_force_distributed_bypasses(
+    spark, sf_smoke, fresh_codebook_caches
+):
+    """force_distributed calls exist to really train the distributed
+    path — they must neither read nor write the memo (nor bump the
+    counter that tracks memoized builds)."""
+    memoized = dedup._route_codebook(spark, sf_smoke)
+    n = _count("dedup_route")
+    forced = dedup._route_codebook(spark, sf_smoke, force_distributed=True)
+    assert _count("dedup_route") == n
+    assert forced is not memoized
+    # ... while remaining result-identical (the r9 path-equality pin).
+    np.testing.assert_array_equal(forced[0], memoized[0])
+    np.testing.assert_allclose(forced[1], memoized[1])
+    # And the memo itself is undisturbed.
+    assert dedup._route_codebook(spark, sf_smoke) is memoized
+
+
+def test_refresh_tables_clears_codebook_memo(
+    spark, sf_smoke, fresh_codebook_caches
+):
+    """catalog.refresh_tables() must invalidate derived caches too —
+    a rewritten sf_dir with a stale codebook would silently route on
+    the old data's centroids."""
+    first = dedup._route_codebook(spark, sf_smoke)
+    catalog.refresh_tables()
+    n = _count("dedup_route")
+    second = dedup._route_codebook(spark, sf_smoke)
+    assert _count("dedup_route") == n + 1
+    assert second is not first
+
+
+def _nested_assign_reference(emb_rows, coarse, fine, p1, p2, with_rank):
+    """Per-row replica of the pre-vectorization kernel (lexsort on
+    (ids, -cos) per vector) — the ground truth the stacked-matmul
+    version must reproduce exactly."""
+    from distributed_mapreduce_server_spark.functions import fround_np
+
+    c_ids, c_mat = coarse
+    f_ids, f_mat = fine
+    cn = np.sqrt((c_mat * c_mat).sum(axis=1))
+    fn = np.sqrt((f_mat * f_mat).sum(axis=1))
+    rows = []
+    for vec_id, emb in emb_rows:
+        a = np.asarray(emb, dtype=np.float64)
+        an = np.sqrt((a * a).sum())
+        cos1 = fround_np((c_mat @ a) / (an * cn))
+        top1 = np.lexsort((c_ids, -cos1))[:p1]
+        res = a - c_mat[top1]
+        rn = np.sqrt((res * res).sum(axis=1))
+        rn[rn == 0] = 1e-12
+        cos2 = fround_np((res @ f_mat.T) / np.outer(rn, fn))
+        for j in range(len(top1)):
+            top2 = np.lexsort((f_ids, -cos2[j]))[:p2]
+            for r, t in enumerate(top2, start=1):
+                row = [vec_id, int(c_ids[top1[j]]), int(f_ids[t])]
+                if with_rank:
+                    row += [j + 1, r]
+                rows.append(tuple(row))
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("with_rank", [False, True])
+def test_nested_assign_matches_per_row_reference(spark, sf_smoke, with_rank):
+    """The vectorized stable-argsort selection == the per-row lexsort
+    selection, row for row, at the shipped widths (including rank
+    columns, which the probe sweep folds on)."""
+    emb = catalog.load_tables(spark, sf_smoke, register_views=False)[
+        "embeddings"
+    ]
+    coarse = dedup._route_codebook(spark, sf_smoke)
+    fine = dedup._fine_codebook(spark, sf_smoke, coarse)
+    got = sorted(
+        tuple(r)
+        for r in dedup._nested_assign(
+            emb, coarse, fine, dedup.NESTED_P1, dedup.NESTED_P2, with_rank
+        ).collect()
+    )
+    emb_rows = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.select("vec_id", "embedding").collect()
+    ]
+    want = _nested_assign_reference(
+        emb_rows, coarse, fine, dedup.NESTED_P1, dedup.NESTED_P2, with_rank
+    )
+    assert got == want
+
+
+def test_nested_assign_width_overflow_clamps(spark, sf_smoke):
+    """Widths beyond the codebook sizes must clamp (the sweep's grid
+    can ask for more probes than cells exist after dead-cluster
+    drop), not error or emit duplicate probes."""
+    emb = catalog.load_tables(spark, sf_smoke, register_views=False)[
+        "embeddings"
+    ]
+    coarse = dedup._route_codebook(spark, sf_smoke)
+    fine = dedup._fine_codebook(spark, sf_smoke, coarse)
+    k1, k2 = len(coarse[0]), len(fine[0])
+    df = dedup._nested_assign(emb, coarse, fine, k1 + 7, k2 + 7, True)
+    agg = df.groupBy("vec_id").count().agg({"count": "max", "vec_id": "count"})
+    row = agg.collect()[0]
+    assert row["max(count)"] == k1 * k2
