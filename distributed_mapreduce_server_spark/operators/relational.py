@@ -1566,6 +1566,60 @@ SQL_FRONT_DOOR = {
       AND l_discount >= 0.05 AND l_discount <= 0.07
       AND l_quantity < 24
 """,
+    # Round-12 (VERDICT r11 task 8): the event surface through the
+    # same front door — gap sessionization + per-user session KPIs,
+    # and the ordered view->click->purchase funnel. Dialect notes:
+    # INTERVAL 30 MINUTE, named WINDOW clauses, and CASE-conditional
+    # MIN/SUM parse identically on both engines; the integer KPI
+    # sums are CAST to BIGINT because DuckDB's SUM(int) is HUGEINT
+    # (which the driver's pandas hash would string-mismatch against
+    # Spark's BIGINT even at equal values).
+    "q_sql_sessionize_kpi": f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged
+    ),
+    per_session AS (
+        SELECT user_id, session_seq, COUNT(*) AS n_events,
+               SUM(value) AS session_value
+        FROM sessions GROUP BY user_id, session_seq
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+           {_sql_round("AVG(n_events)", 2)} AS avg_events_per_session,
+           {_sql_round("SUM(session_value)", 2)} AS total_value
+    FROM per_session GROUP BY user_id ORDER BY user_id
+""",
+    "q_sql_funnel": """
+    WITH staged AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after_view,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                         AND first_purchase > first_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_after_click
+    FROM staged
+""",
 }
 
 
@@ -1676,6 +1730,24 @@ def q_sql_q6_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q6 through the SQL front door: the filters reach the parquet
     scan from plain SQL exactly as from the DataFrame twin."""
     return _sql_front_door(spark, sf_dir, "q_sql_q6_revenue")
+
+
+def q_sql_sessionize_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization + per-user session KPIs through the SQL
+    front door — the event surface's most user-hit shape as ONE
+    dialect-neutral text (VERDICT r11 task 8), run verbatim on both
+    engines. Semantics match q_events_sessionize's gap rule (strict
+    30-min inactivity, (ts, event_id) intra-user order); both window
+    functions share the (user_id, ts, event_id) partitioning, so
+    Catalyst plans ONE shuffle exactly like the DataFrame twin."""
+    return _sql_front_door(spark, sf_dir, "q_sql_sessionize_kpi")
+
+
+def q_sql_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel through the SQL front
+    door — conditional-MIN staging (one groupBy, no per-stage joins),
+    the q_events_funnel recipe as one dialect-neutral text."""
+    return _sql_front_door(spark, sf_dir, "q_sql_funnel")
 
 
 MIN_PAIR_SUPPORT = 3

@@ -104,6 +104,8 @@ _register(
         "q_sql_q3_shipping",
         "q_sql_q5_local_supplier",
         "q_sql_q6_revenue",
+        "q_sql_sessionize_kpi",
+        "q_sql_funnel",
         "q_sketch_error_bounds",
         "q_association_rules",
         "q_skyline_parts",
@@ -1018,12 +1020,21 @@ _DRIVER_SAMPLED = frozenset(
 )
 
 # test_registry_prefix_covers_all_families pins one key per FULLY
-# driver-sampled family into every 50-prefix (round 11: both pysource
-# keys and all 11 mr keys already have green driver rows) so the
-# lint's family-coverage guarantee and the rotation coexist — the
-# prefix is then 48 never-sampled keys + these repeats; a pure
-# never-sampled 50 is impossible under the lint.
-_TIER0_PINNED = frozenset({"pysource_range_events", "mr_wordcount"})
+# driver-sampled family into every 50-prefix (round 11: pysource +
+# mr; round 12: mm, emb and sim joined them — every key in those
+# families now has a green driver row) so the lint's family-coverage
+# guarantee and the rotation coexist — the prefix is then 45
+# never-sampled keys + these repeats; a pure never-sampled 50 is
+# impossible under the lint.
+_TIER0_PINNED = frozenset(
+    {
+        "pysource_range_events",
+        "mr_wordcount",
+        "mm_decode_meta",
+        "emb_centroids",
+        "sim_cosine_topk",
+    }
+)
 
 
 def _tier(key: str) -> int:

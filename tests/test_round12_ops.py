@@ -142,6 +142,71 @@ def test_nested_assign_matches_per_row_reference(spark, sf_smoke, with_rank):
     assert got == want
 
 
+def test_sql_funnel_matches_dataframe_twin(spark, sf_smoke):
+    """q_sql_funnel (the dialect-neutral front-door text) and
+    q_events_funnel (the DataFrame recipe) must count the identical
+    funnel — same staging rule, two expressions of it."""
+    from distributed_mapreduce_server_spark.operators import events, relational
+
+    sql_row = relational.q_sql_funnel(spark, sf_smoke).collect()[0]
+    df_row = events.q_events_funnel(spark, sf_smoke).collect()[0]
+    assert sql_row["n_users"] == df_row["n_users"]
+    assert sql_row["n_view"] == df_row["n_view"]
+    assert sql_row["n_click_after_view"] == df_row["n_click_after_view"]
+    assert (
+        sql_row["n_purchase_after_click"] == df_row["n_purchase_after_click"]
+    )
+    # Funnel monotonicity: each stage is a subset of the previous.
+    assert (
+        sql_row["n_users"]
+        >= sql_row["n_view"]
+        >= sql_row["n_click_after_view"]
+        >= sql_row["n_purchase_after_click"]
+        >= 0
+    )
+
+
+def test_sql_sessionize_kpi_matches_dataframe_twin(spark, sf_smoke):
+    """The front-door KPI rollup must agree with rolling up
+    q_events_sessionize's per-session rows — same gap rule, same
+    session boundaries."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_server_spark.functions import fround
+    from distributed_mapreduce_server_spark.operators import events, relational
+
+    got = {
+        r["user_id"]: r.asDict()
+        for r in relational.q_sql_sessionize_kpi(spark, sf_smoke).collect()
+    }
+    want = {
+        r["user_id"]: r.asDict()
+        for r in events.q_events_sessionize(spark, sf_smoke)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("n_events").alias("max_session_events"),
+            fround(F.avg("n_events"), 2).alias("avg_events_per_session"),
+            fround(F.sum("session_value"), 2).alias("total_value"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for uid, g in got.items():
+        w = want[uid]
+        for col in (
+            "n_sessions",
+            "n_events",
+            "max_session_events",
+            "avg_events_per_session",
+        ):
+            assert g[col] == w[col], (uid, col, g[col], w[col])
+        # session_value sums float in different orders across the two
+        # recipes; equal at the cent grid both sides round to.
+        assert abs(g["total_value"] - w["total_value"]) < 0.02, uid
+
+
 def test_nested_assign_width_overflow_clamps(spark, sf_smoke):
     """Widths beyond the codebook sizes must clamp (the sweep's grid
     can ask for more probes than cells exist after dead-cluster
