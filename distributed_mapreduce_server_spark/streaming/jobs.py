@@ -1132,7 +1132,20 @@ def neardup_apply_batch(index_dir: str, state_dir: str, cutoff: int):
     processed oldest-first, so every doc sees exactly the docs with
     smaller ids — any batching of an id-ordered stream yields the
     batch operator's statuses, which is what lets this job carry the
-    batch oracle under availableNow."""
+    batch oracle under availableNow.
+
+    Crash consistency (round 12): foreachBatch is at-least-once, so
+    every sink write is a per-batch OVERWRITE into a ``batch=<id>``
+    hive subdir instead of a blind append — a replay of batch N
+    rewrites exactly batch N's rows (byte-identical: the body is
+    deterministic given the same micro-batch and prior state) and can
+    never duplicate them. The extension-index reads take ONLY
+    ``batch < batch_id``: a crash that landed batch N's own bands
+    before dying must not let the replay score batch N against its
+    own partial output (every doc would self-collide at jaccard 1.0
+    and be mis-flagged neardup_in_batch). Write order is therefore
+    irrelevant — the mid-batch-crash test kills between the
+    extension append and the status append and replays."""
     import os
 
     from distributed_mapreduce_server_spark.operators.dedup import (
@@ -1141,6 +1154,22 @@ def neardup_apply_batch(index_dir: str, state_dir: str, cutoff: int):
         _pair_jaccard,
         _shingle_rows_from,
     )
+
+    def _prior(sess, d: str, batch_id: int):
+        """Frame of every batch < batch_id landed under d, or None.
+        Partition inference turns the batch=N subdirs into an int
+        column; incomplete replay leftovers (the current batch's own
+        subdir) are excluded by the filter."""
+        if not os.path.isdir(d):
+            return None
+        prior = [
+            x
+            for x in os.listdir(d)
+            if x.startswith("batch=") and int(x.split("=", 1)[1]) < batch_id
+        ]
+        if not prior:
+            return None
+        return sess.read.parquet(*[f"{d}/{x}" for x in prior]).drop("batch")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -1158,12 +1187,9 @@ def neardup_apply_batch(index_dir: str, state_dir: str, cutoff: int):
         idx_bands = spark.read.parquet(f"{index_dir}/bands")
         old_sides = [idx_bands]
         ext_bands_dir = f"{state_dir}/ext_bands"
-        has_ext = os.path.exists(f"{ext_bands_dir}/_SUCCESS") or any(
-            f.endswith(".parquet")
-            for f in (os.listdir(ext_bands_dir) if os.path.isdir(ext_bands_dir) else [])
-        )
-        if has_ext:
-            old_sides.append(spark.read.parquet(ext_bands_dir))
+        ext_bands = _prior(spark, ext_bands_dir, batch_id)
+        if ext_bands is not None:
+            old_sides.append(ext_bands)
         bb = bandsb.alias("bb")
         cands = []
         for old in old_sides:
@@ -1203,13 +1229,12 @@ def neardup_apply_batch(index_dir: str, state_dir: str, cutoff: int):
             sigb.select("doc_id", "n_sh"),
             spark.read.parquet(f"{index_dir}/sizes").join(cand_ids, "doc_id", "left_semi"),
         ]
-        if has_ext:
-            e_sides.append(
-                spark.read.parquet(f"{state_dir}/ext_shingles").join(cand_ids, "doc_id", "left_semi")
-            )
-            size_sides.append(
-                spark.read.parquet(f"{state_dir}/ext_sizes").join(cand_ids, "doc_id", "left_semi")
-            )
+        ext_sh = _prior(spark, f"{state_dir}/ext_shingles", batch_id)
+        ext_sz = _prior(spark, f"{state_dir}/ext_sizes", batch_id)
+        if ext_sh is not None:
+            e_sides.append(ext_sh.join(cand_ids, "doc_id", "left_semi"))
+        if ext_sz is not None:
+            size_sides.append(ext_sz.join(cand_ids, "doc_id", "left_semi"))
         e_all = e_sides[0]
         for s in e_sides[1:]:
             e_all = e_all.unionByName(s)
@@ -1236,14 +1261,20 @@ def neardup_apply_batch(index_dir: str, state_dir: str, cutoff: int):
             .persist()
         )
         status.count()
-        status.write.mode("append").parquet(f"{state_dir}/status")
+        # Per-batch idempotent sinks: overwrite THIS batch's hive
+        # subdir only — a checkpointed replay rewrites its own rows,
+        # never duplicates them (see the crash-consistency banner).
+        sub = f"batch={batch_id}"
+        status.write.mode("overwrite").parquet(f"{state_dir}/status/{sub}")
         batch_df.join(
             status.filter(F.col("status") == "kept").select("doc_id"), "doc_id", "left_semi"
-        ).write.mode("append").parquet(f"{state_dir}/kept")
+        ).write.mode("overwrite").parquet(f"{state_dir}/kept/{sub}")
         # extension index grows by the WHOLE batch
-        bandsb.write.mode("append").parquet(ext_bands_dir)
-        eb.write.mode("append").parquet(f"{state_dir}/ext_shingles")
-        sigb.select("doc_id", "n_sh").write.mode("append").parquet(f"{state_dir}/ext_sizes")
+        bandsb.write.mode("overwrite").parquet(f"{ext_bands_dir}/{sub}")
+        eb.write.mode("overwrite").parquet(f"{state_dir}/ext_shingles/{sub}")
+        sigb.select("doc_id", "n_sh").write.mode("overwrite").parquet(
+            f"{state_dir}/ext_sizes/{sub}"
+        )
         for frame in (status, cand, bandsb, sigb, eb):
             frame.unpersist()
 
@@ -1320,6 +1351,8 @@ def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    out = spark.read.parquet(f"{state_dir}/status")
+    # batch=N is a partition column after the idempotent-sink change;
+    # the operator's contract (and oracle) is (doc_id, status) only.
+    out = spark.read.parquet(f"{state_dir}/status").select("doc_id", "status")
     result = spark.createDataFrame(out.collect(), out.schema)
     return result.orderBy("doc_id")

@@ -189,8 +189,10 @@ def test_stream_neardup_ingest_matches_batch_and_index_readonly(spark, sf_smoke)
         f"{tempfile.gettempdir()}/dmrs_stream_neardup_{tag}/src/part=*"
     ))
     assert n_src == NEARDUP_STREAM_FILES
-    sizes_files = glob.glob(f"{state}/ext_sizes/part-*.parquet")
-    assert len(sizes_files) >= NEARDUP_STREAM_FILES
+    # one batch=N subdir per staged micro-batch file (the idempotent
+    # per-batch sink layout, round 12)
+    sizes_batches = glob.glob(f"{state}/ext_sizes/batch=*")
+    assert len(sizes_batches) == NEARDUP_STREAM_FILES
 
 
 def test_substr_multiscale_monotone_and_consistent_with_fixed_l(spark, sf_smoke):

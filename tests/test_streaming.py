@@ -366,3 +366,73 @@ def test_rollup_rewrites_only_touched_days(spark, sf_smoke, tmp_path):
     assert not touched_early, f"untouched days rewritten: {touched_early}"
     late_days = {d for d in after if d >= f"day={split_day}"}
     assert late_days and all(d not in before for d in late_days)
+
+
+def test_neardup_ingest_mid_batch_crash_replay(spark, sf_smoke, tmp_path_factory):
+    """Crash consistency for the neardup ingest's grow-by-batch
+    extension index (VERDICT r11 task 7): kill between the
+    extension-index append and the status append, replay the batch
+    from the checkpoint, and the landed statuses must still be
+    exactly the batch operator's — no duplicates, and no doc scored
+    against its own batch's partially-landed bands (which would
+    self-collide at jaccard 1.0 and mis-flag every replayed doc)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_server_spark.catalog import load_tables
+    from distributed_mapreduce_server_spark.operators.dedup import (
+        INCR_INDEX_FRACTION,
+        dedup_incremental_neardup,
+        ensure_neardup_index,
+    )
+    from distributed_mapreduce_server_spark.streaming.jobs import (
+        neardup_apply_batch,
+    )
+
+    index_dir = ensure_neardup_index(spark, sf_smoke)
+    docs = load_tables(spark, sf_smoke, register_views=False)["documents"]
+    num, den = INCR_INDEX_FRACTION
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    cutoff = ((max_id + 1) * num) // den
+    arriving = docs.filter(F.col("doc_id") >= cutoff)
+    mid = (cutoff + max_id + 1) // 2
+    b0 = arriving.filter(F.col("doc_id") < mid)
+    b1 = arriving.filter(F.col("doc_id") >= mid)
+
+    state = str(tmp_path_factory.mktemp("neardup_crash") / "state")
+    apply_batch = neardup_apply_batch(index_dir, state, cutoff)
+    apply_batch(b0, 0)
+    apply_batch(b1, 1)
+
+    def statuses():
+        return sorted(
+            (r["doc_id"], r["status"])
+            for r in spark.read.parquet(f"{state}/status")
+            .select("doc_id", "status")
+            .collect()
+        )
+
+    want = sorted(
+        (r["doc_id"], r["status"])
+        for r in dedup_incremental_neardup(spark, sf_smoke).collect()
+    )
+    assert statuses() == want
+
+    # Crash window: batch 1's extension index landed, its status/kept
+    # did not (the foreachBatch body died mid-way; the checkpoint
+    # never committed batch 1, so the source redelivers it).
+    shutil.rmtree(f"{state}/status/batch=1")
+    shutil.rmtree(f"{state}/kept/batch=1")
+    assert glob.glob(f"{state}/ext_bands/batch=1")  # ext DID land
+    apply_batch(b1, 1)  # replay
+    assert statuses() == want
+
+    # Full redelivery with everything already landed (the other crash
+    # window: died after all writes, before the checkpoint commit) —
+    # the per-batch overwrite must converge, never duplicate.
+    apply_batch(b1, 1)
+    assert statuses() == want
+    for sub in ("status", "kept", "ext_bands", "ext_shingles", "ext_sizes"):
+        assert len(glob.glob(f"{state}/{sub}/batch=*")) == 2, sub
