@@ -138,6 +138,10 @@ def load_tables(spark: SparkSession, sf_dir: str | None = None, register_views: 
             continue
         df = spark.read.parquet(path)
         for col in _NANOS_TS_COLUMNS.get(name, ()):
+            if col not in df.columns:
+                # partial-schema synthetic dirs (scale rehearsals,
+                # fixtures) may carry only an operator's columns
+                continue
             field = df.schema[col]
             if isinstance(field.dataType, T.LongType):
                 # integer `div`, not `/`: ns epoch values exceed 2^53 so
