@@ -234,6 +234,11 @@ def main() -> None:
     for k in scales:
         d = ensure_corpus(k)
         for key, table in fams:
+            if key.startswith("dedup_semantic_routed") and k > 3:
+                # fixed-K routed dedup is candidate-quadratic BY
+                # DESIGN (n^2 P^2 / 2K); past 3x only the documented
+                # scale path (K grows with n, below) is measured.
+                continue
             rec = {
                 "scale": k,
                 "key": key,
