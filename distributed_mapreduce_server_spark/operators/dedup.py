@@ -2491,12 +2491,27 @@ def _nested_assign(
         (c_ids, c_mat, c_norms, f_ids, f_mat, f_norms)
     )
 
+    def _topk_desc(cos, k):
+        """Indices of the k largest per row, ordered desc with
+        ties broken to the SMALLEST index (== smallest cid: the
+        codebook ids are sorted ascending) — lexsort((ids, -cos))
+        semantics at O(K + k log k) per row instead of the full
+        O(K log K) argsort. Tie handling: cos sits on the fround 1e-4
+        grid, so subtracting index·1e-9 (max K·1e-9 ≈ 1.3e-6 ≪ grid
+        step) makes every key distinct and strictly index-ordered
+        within a tie without ever crossing grid levels."""
+        import numpy as np
+
+        key = cos - np.arange(cos.shape[1], dtype=np.float64) * 1e-9
+        if k >= cos.shape[1]:
+            return np.argsort(-key, axis=1)
+        part = np.argpartition(-key, k - 1, axis=1)[:, :k]
+        order = np.argsort(-np.take_along_axis(key, part, axis=1), axis=1)
+        return np.take_along_axis(part, order, axis=1)
+
     def blocks(batches):
         ci, cm, cn, fi, fm, fn = bc.value
-        # ci/fi are sorted ascending (trainer contract), so a STABLE
-        # argsort on the negated rounded cosines reproduces
-        # lexsort((ids, -cos)) exactly: ties keep index order ==
-        # smallest-cid. p may exceed the codebook size in sweeps.
+        # p may exceed the codebook size in sweeps.
         p1e = min(p1, len(ci))
         p2e = min(p2, len(fi))
         for pdf in batches:
@@ -2507,7 +2522,7 @@ def _nested_assign(
             a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
             b, d = a_mat.shape
             cos1 = fround_np((a_mat @ cm.T) / np.outer(a_norms, cn))
-            top1 = np.argsort(-cos1, axis=1, kind="stable")[:, :p1e]  # (b, p1e)
+            top1 = _topk_desc(cos1, p1e)  # (b, p1e)
             res = a_mat[:, None, :] - cm[top1]  # (b, p1e, d)
             rn = np.sqrt((res * res).sum(axis=2)).reshape(-1)  # (b·p1e,)
             rn[rn == 0] = 1e-12  # degenerate x == centroid guard
@@ -2516,7 +2531,7 @@ def _nested_assign(
             cos2 = fround_np(
                 (res.reshape(-1, d) @ fm.T) / (rn[:, None] * fn[None, :])
             )
-            top2 = np.argsort(-cos2, axis=1, kind="stable")[:, :p2e]
+            top2 = _topk_desc(cos2, p2e)
             out = {
                 "vec_id": np.repeat(a_ids, p1e * p2e),
                 "centroid_id": np.repeat(ci[top1].reshape(-1), p2e),
