@@ -2181,33 +2181,60 @@ def _routed_pairs_from(
     eval reuses ITS assignment frame so the codebook trains once per
     operator), the routed threshold sweep (which loosens the cut
     to its grid minimum), and the nested router (composite
-    (coarse, fine) bucket key)."""
+    (coarse, fine) bucket key).
+
+    Shape (round 12, from the SCALING.md rehearsal): candidate pairs
+    are generated by a per-bucket id self-join and DISTINCTED BEFORE
+    any vector is touched, then verified once each by an Arrow-batch
+    einsum. The previous shape (dense per-bucket matmul fused with
+    pair generation) scored every pair once PER SHARED BUCKET — under
+    multi-probe widths a co-routed pair shares up to P1·P2 buckets,
+    and on a corpus with clustered duplicates that multiplicity is
+    the dominant cost (measured on the 10x rehearsal corpus: 42 s
+    fused vs 3.5 s here for the identical 7,724-pair result; equal
+    at sf0.1). Shuffle trade is explicit: this shape moves ~2
+    embeddings per DISTINCT candidate pair through the verify join,
+    the fused one moved every vector once per bucket membership —
+    distinct-candidates ≈ memberships·avg_bucket/2, so the fused
+    form only wins when buckets are near-singletons AND pair
+    multiplicity is 1; at those sizes both are trivially cheap."""
     import numpy as np
     import pandas as pd
 
-    bucketed = assign.select("vec_id", *keys).join(
-        emb.select("vec_id", "embedding"), "vec_id"
+    a = assign.select(*keys, F.col("vec_id").alias("vec_a"))
+    b = assign.select(*keys, F.col("vec_id").alias("vec_b"))
+    cand = (
+        a.join(b, list(keys))
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
     )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
 
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        cos = fround_np((mat @ mat.T) / np.outer(norms, norms))
-        ai, bj = np.nonzero((cos >= threshold) & (ids[:, None] < ids[None, :]))
-        return pd.DataFrame(
-            {"vec_a": ids[ai], "vec_b": ids[bj], "cos_sim": cos[ai, bj]}
-        )
+    def verify(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ma = np.stack(pdf["e_a"].to_numpy()).astype(np.float64)
+            mb = np.stack(pdf["e_b"].to_numpy()).astype(np.float64)
+            cos = fround_np(
+                np.einsum("ij,ij->i", ma, mb)
+                / (np.sqrt((ma * ma).sum(axis=1)) * np.sqrt((mb * mb).sum(axis=1)))
+            )
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy()[keep],
+                    "vec_b": pdf["vec_b"].to_numpy()[keep],
+                    "cos_sim": cos[keep],
+                }
+            )
 
     return (
-        bucketed.groupBy(*keys)
-        .applyInPandas(
-            lambda _, pdf: bucket_pairs(pdf),
-            "vec_a long, vec_b long, cos_sim double",
-        )
-        .distinct()
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .mapInPandas(verify, "vec_a long, vec_b long, cos_sim double")
     )
 
 
