@@ -2132,7 +2132,9 @@ def _route_codebook(
 
     if force_distributed:
         return build()
-    return _codebook_memo(spark, sf_dir, "dedup_route", build)
+    # K rides in the key: a caller that retunes ROUTE_K (the sweep
+    # harness, a test) must never see the previous width's book.
+    return _codebook_memo(spark, sf_dir, f"dedup_route[K={ROUTE_K}]", build)
 
 
 def _routed_assignments(spark: SparkSession, sf_dir: str, with_rank: bool = False):
@@ -2490,7 +2492,9 @@ def _fine_codebook(spark: SparkSession, sf_dir: str, coarse):
             spark, resid, NESTED_K2, ROUTE_ITERS, train_limit=ROUTE_TRAIN_LIMIT
         )
 
-    return _codebook_memo(spark, sf_dir, "dedup_fine", build)
+    return _codebook_memo(
+        spark, sf_dir, f"dedup_fine[K={ROUTE_K},K2={NESTED_K2}]", build
+    )
 
 
 def _nested_assign(

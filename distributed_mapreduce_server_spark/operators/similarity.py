@@ -411,7 +411,9 @@ def _ivf_codebook(spark: SparkSession, sf_dir: str):
             spark, cand, N_QUERIES + N_CENTROIDS, IVF_TRAIN_ITERS
         )
 
-    return _codebook_memo(spark, sf_dir, "ivf_coarse", build)
+    return _codebook_memo(
+        spark, sf_dir, f"ivf_coarse[K={N_CENTROIDS},i={IVF_TRAIN_ITERS}]", build
+    )
 
 
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -954,7 +956,11 @@ def _pq_codebook(
     spark = emb.sparkSession
     if sf_dir is not None and not force_distributed:
         return _codebook_memo(
-            spark, sf_dir, "pq", lambda: _pq_codebook(emb, force_distributed)
+            spark,
+            sf_dir,
+            f"pq[M={PQ_M},K={PQ_K}]",
+            lambda: _pq_codebook(emb, force_distributed),
+       
         )
     import numpy as np
 

@@ -36,9 +36,13 @@ def test_codebook_memo_trains_once_per_session(
     emb = catalog.load_tables(spark, sf_smoke, register_views=False)[
         "embeddings"
     ]
-    before = {
-        k: _count(k) for k in ("dedup_route", "dedup_fine", "ivf_coarse", "pq")
-    }
+    kinds = (
+        f"dedup_route[K={dedup.ROUTE_K}]",
+        f"dedup_fine[K={dedup.ROUTE_K},K2={dedup.NESTED_K2}]",
+        f"ivf_coarse[K={similarity.N_CENTROIDS},i={similarity.IVF_TRAIN_ITERS}]",
+        f"pq[M={similarity.PQ_M},K={similarity.PQ_K}]",
+    )
+    before = {k: _count(k) for k in kinds}
     coarse1 = dedup._route_codebook(spark, sf_smoke)
     coarse2 = dedup._route_codebook(spark, sf_smoke)
     fine1 = dedup._fine_codebook(spark, sf_smoke, coarse1)
@@ -47,7 +51,7 @@ def test_codebook_memo_trains_once_per_session(
     ivf2 = similarity._ivf_codebook(spark, sf_smoke)
     pq1 = similarity._pq_codebook(emb, sf_dir=sf_smoke)
     pq2 = similarity._pq_codebook(emb, sf_dir=sf_smoke)
-    for k in ("dedup_route", "dedup_fine", "ivf_coarse", "pq"):
+    for k in kinds:
         assert _count(k) == before[k] + 1, k
     # Memo hits return the SAME object, not a retrained equal one.
     assert coarse1 is coarse2 and fine1 is fine2
@@ -60,10 +64,11 @@ def test_codebook_memo_force_distributed_bypasses(
     """force_distributed calls exist to really train the distributed
     path — they must neither read nor write the memo (nor bump the
     counter that tracks memoized builds)."""
+    kind = f"dedup_route[K={dedup.ROUTE_K}]"
     memoized = dedup._route_codebook(spark, sf_smoke)
-    n = _count("dedup_route")
+    n = _count(kind)
     forced = dedup._route_codebook(spark, sf_smoke, force_distributed=True)
-    assert _count("dedup_route") == n
+    assert _count(kind) == n
     assert forced is not memoized
     # ... while remaining result-identical (the r9 path-equality pin).
     np.testing.assert_array_equal(forced[0], memoized[0])
@@ -78,11 +83,12 @@ def test_refresh_tables_clears_codebook_memo(
     """catalog.refresh_tables() must invalidate derived caches too —
     a rewritten sf_dir with a stale codebook would silently route on
     the old data's centroids."""
+    kind = f"dedup_route[K={dedup.ROUTE_K}]"
     first = dedup._route_codebook(spark, sf_smoke)
     catalog.refresh_tables()
-    n = _count("dedup_route")
+    n = _count(kind)
     second = dedup._route_codebook(spark, sf_smoke)
-    assert _count("dedup_route") == n + 1
+    assert _count(kind) == n + 1
     assert second is not first
 
 
