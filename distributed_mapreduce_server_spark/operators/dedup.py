@@ -2176,6 +2176,7 @@ def _routed_pairs_from(
     assign: DataFrame,
     threshold: float = COSINE_DEDUP_T,
     keys: tuple[str, ...] = ("centroid_id",),
+    strategy: str = "fused",
 ) -> DataFrame:
     """Qualifying (vec_a, vec_b, cos_sim >= ``threshold``) pairs
     within each ``keys`` bucket of ``assign`` — the exact-verify
@@ -2183,60 +2184,94 @@ def _routed_pairs_from(
     eval reuses ITS assignment frame so the codebook trains once per
     operator), the routed threshold sweep (which loosens the cut
     to its grid minimum), and the nested router (composite
-    (coarse, fine) bucket key).
+    (coarse, fine) bucket key). Both strategies return the identical
+    pair set (oracle-parity-pinned); they differ only in cost shape:
 
-    Shape (round 12, from the SCALING.md rehearsal): candidate pairs
-    are generated by a per-bucket id self-join and DISTINCTED BEFORE
-    any vector is touched, then verified once each by an Arrow-batch
-    einsum. The previous shape (dense per-bucket matmul fused with
-    pair generation) scored every pair once PER SHARED BUCKET — under
-    multi-probe widths a co-routed pair shares up to P1·P2 buckets,
-    and on a corpus with clustered duplicates that multiplicity is
-    the dominant cost (measured on the 10x rehearsal corpus: 42 s
-    fused vs 3.5 s here for the identical 7,724-pair result; equal
-    at sf0.1). Shuffle trade is explicit: this shape moves ~2
-    embeddings per DISTINCT candidate pair through the verify join,
-    the fused one moved every vector once per bucket membership —
-    distinct-candidates ≈ memberships·avg_bucket/2, so the fused
-    form only wins when buckets are near-singletons AND pair
-    multiplicity is 1; at those sizes both are trivially cheap."""
+    - ``strategy="fused"`` (default — the FLAT router's regime):
+      per-bucket dense matmul fused with pair generation, one bucket
+      shuffle of each membership. Optimal when buckets are few and
+      large and pair multiplicity is low (flat K=64, P=6: measured
+      0.65 s at sf0.1 vs ~2.3 s for pairdist — the pairdist join
+      moves 2 embeddings per DISTINCT candidate, which loses when
+      candidates ≫ memberships).
+    - ``strategy="pairdist"`` (the NESTED router's regime): bucket-id
+      self-join → DISTINCT candidate pairs BEFORE any vector is
+      touched → one Arrow-batch einsum verify per pair. Under nested
+      multi-probe a co-routed pair shares up to P1·P2 = 56 buckets;
+      on clustered-duplicate corpora that multiplicity dominates the
+      fused form (SCALING.md finding 3: 42 s fused vs 3.5 s pairdist
+      on the 10x rehearsal corpus, identical 7,724 pairs; equal at
+      sf0.1's small buckets)."""
     import numpy as np
     import pandas as pd
 
-    a = assign.select(*keys, F.col("vec_id").alias("vec_a"))
-    b = assign.select(*keys, F.col("vec_id").alias("vec_b"))
-    cand = (
-        a.join(b, list(keys))
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
+    if strategy == "pairdist":
+        a = assign.select(*keys, F.col("vec_id").alias("vec_a"))
+        b = assign.select(*keys, F.col("vec_id").alias("vec_b"))
+        cand = (
+            a.join(b, list(keys))
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b")
+            .distinct()
+        )
+        ea = emb.select(
+            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a")
+        )
+        eb = emb.select(
+            F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b")
+        )
 
-    def verify(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            ma = np.stack(pdf["e_a"].to_numpy()).astype(np.float64)
-            mb = np.stack(pdf["e_b"].to_numpy()).astype(np.float64)
-            cos = fround_np(
-                np.einsum("ij,ij->i", ma, mb)
-                / (np.sqrt((ma * ma).sum(axis=1)) * np.sqrt((mb * mb).sum(axis=1)))
-            )
-            keep = cos >= threshold
-            yield pd.DataFrame(
-                {
-                    "vec_a": pdf["vec_a"].to_numpy()[keep],
-                    "vec_b": pdf["vec_b"].to_numpy()[keep],
-                    "cos_sim": cos[keep],
-                }
-            )
+        def verify(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                ma = np.stack(pdf["e_a"].to_numpy()).astype(np.float64)
+                mb = np.stack(pdf["e_b"].to_numpy()).astype(np.float64)
+                cos = fround_np(
+                    np.einsum("ij,ij->i", ma, mb)
+                    / (
+                        np.sqrt((ma * ma).sum(axis=1))
+                        * np.sqrt((mb * mb).sum(axis=1))
+                    )
+                )
+                keep = cos >= threshold
+                yield pd.DataFrame(
+                    {
+                        "vec_a": pdf["vec_a"].to_numpy()[keep],
+                        "vec_b": pdf["vec_b"].to_numpy()[keep],
+                        "cos_sim": cos[keep],
+                    }
+                )
+
+        return (
+            cand.join(ea, "vec_a")
+            .join(eb, "vec_b")
+            .mapInPandas(verify, "vec_a long, vec_b long, cos_sim double")
+        )
+
+    bucketed = assign.select("vec_id", *keys).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        cos = fround_np((mat @ mat.T) / np.outer(norms, norms))
+        ai, bj = np.nonzero((cos >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame(
+            {"vec_a": ids[ai], "vec_b": ids[bj], "cos_sim": cos[ai, bj]}
+        )
 
     return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .mapInPandas(verify, "vec_a long, vec_b long, cos_sim double")
+        bucketed.groupBy(*keys)
+        .applyInPandas(
+            lambda _, pdf: bucket_pairs(pdf),
+            "vec_a long, vec_b long, cos_sim double",
+        )
+        .distinct()
     )
 
 
@@ -2610,7 +2645,7 @@ def dedup_semantic_routed_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall, see dedup_routed_nested_eval)."""
     emb, assign = _nested_assignments(spark, sf_dir)
     return _routed_pairs_from(
-        emb, assign, keys=("centroid_id", "fine_id")
+        emb, assign, keys=("centroid_id", "fine_id"), strategy="pairdist"
     ).orderBy("vec_a", "vec_b")
 
 
@@ -2762,7 +2797,7 @@ def dedup_routed_nested_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     routed = _routed_pairs_from(
-        emb, assign, keys=("centroid_id", "fine_id")
+        emb, assign, keys=("centroid_id", "fine_id"), strategy="pairdist"
     ).select("vec_a", "vec_b")
     emb_eval, is_sampled = _exact_eval_sample(emb, "vec_id", n)
     if is_sampled:

@@ -227,3 +227,36 @@ def test_nested_assign_width_overflow_clamps(spark, sf_smoke):
     agg = df.groupBy("vec_id").count().agg({"count": "max", "vec_id": "count"})
     row = agg.collect()[0]
     assert row["max(count)"] == k1 * k2
+
+
+@pytest.mark.parametrize("keys", [("centroid_id",), ("centroid_id", "fine_id")])
+def test_routed_pair_strategies_identical(spark, sf_smoke, keys):
+    """The fused per-bucket matmul and the distinct-before-verify
+    join are two COST shapes of one kernel — the pair sets must be
+    identical on both the flat and the nested bucketing (SCALING.md
+    finding 3 picked pairdist for nested, fused for flat)."""
+    emb = catalog.load_tables(spark, sf_smoke, register_views=False)[
+        "embeddings"
+    ]
+    coarse = dedup._route_codebook(spark, sf_smoke)
+    if len(keys) == 1:
+        assign = similarity._centroid_assign(emb, coarse, dedup.ROUTE_PROBES)
+    else:
+        fine = dedup._fine_codebook(spark, sf_smoke, coarse)
+        assign = dedup._nested_assign(
+            emb, coarse, fine, dedup.NESTED_P1, dedup.NESTED_P2
+        )
+    assign = assign.localCheckpoint(eager=True)
+    fused = sorted(
+        tuple(r)
+        for r in dedup._routed_pairs_from(
+            emb, assign, keys=keys, strategy="fused"
+        ).collect()
+    )
+    pairdist = sorted(
+        tuple(r)
+        for r in dedup._routed_pairs_from(
+            emb, assign, keys=keys, strategy="pairdist"
+        ).collect()
+    )
+    assert fused == pairdist and len(fused) > 0
