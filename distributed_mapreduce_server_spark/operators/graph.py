@@ -42,6 +42,10 @@ from pyspark.sql import functions as F
 
 from distributed_mapreduce_server_spark.catalog import load_tables
 from distributed_mapreduce_server_spark.functions import fround
+from distributed_mapreduce_server_spark.session import (
+    GRAPH_EDGE_ROWS_PER_TASK,
+    data_sized_shuffle,
+)
 
 PR_ITERATIONS = 5
 PR_DAMPING = 0.85
@@ -246,9 +250,12 @@ def _oriented_wedges(spark: SparkSession, sf_dir: str):
     """Degree-ordered orientation machinery shared by
     q_graph_triangles and q_graph_clustering_coefficient (one copy
     since round 9 — the two ops previously duplicated it line for
-    line): returns (edges, deg, oriented, wedges) where wedges =
+    line): returns (edges, deg, oriented, wedges, m) where wedges =
     (apex, u, v) with u < v, ready for the closing join against the
-    undirected edge set.
+    undirected edge set, and m is the (already-eager) edge count the
+    caller feeds to session.data_sized_shuffle around its
+    materializing action (SCALING.md finding 1: the wedge-stage
+    shuffle must widen with the edge frame or it spills).
 
     edges (|E|), deg (|V|) and oriented (|E|) are PERSISTED — each
     feeds 2-4 consumers and ReuseExchange dedupes none of them
@@ -262,7 +269,7 @@ def _oriented_wedges(spark: SparkSession, sf_dir: str):
     ≤ m·√m survives a 100× scale-up where naive Σ C(deg, 2) does
     not."""
     edges = _copurchase_edges(spark, sf_dir).persist()
-    edges.count()
+    m = edges.count()
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -293,7 +300,7 @@ def _oriented_wedges(spark: SparkSession, sf_dir: str):
             F.col("o2.dst").alias("v"),
         )
     )
-    return edges, deg, oriented, wedges
+    return edges, deg, oriented, wedges, m
 
 
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,7 +334,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     same set. n_wedges = Σ C(deg, 2) over UNDIRECTED degrees;
     global_clustering = 3·triangles / wedges (ratio of exact integers
     → bit-identical across engines before the 6 dp rounding)."""
-    edges, deg, oriented, wedges = _oriented_wedges(spark, sf_dir)
+    edges, deg, oriented, wedges, m = _oriented_wedges(spark, sf_dir)
     tri = wedges.join(edges, ["u", "v"]).agg(F.count("*").alias("n_triangles"))
     node_stats = deg.agg(
         F.count("*").alias("n_nodes"),
@@ -336,20 +343,21 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge_stats = edges.agg(F.count("*").alias("n_edges"))
     from pyspark.sql.functions import broadcast
 
-    out = (
-        node_stats.crossJoin(broadcast(edge_stats))
-        .crossJoin(broadcast(tri))
-        .select(
-            "n_nodes",
-            "n_edges",
-            "n_triangles",
-            "n_wedges",
-            fround(
-                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
-            ).alias("global_clustering"),
+    with data_sized_shuffle(spark, m, GRAPH_EDGE_ROWS_PER_TASK):
+        out = (
+            node_stats.crossJoin(broadcast(edge_stats))
+            .crossJoin(broadcast(tri))
+            .select(
+                "n_nodes",
+                "n_edges",
+                "n_triangles",
+                "n_wedges",
+                fround(
+                    F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+                ).alias("global_clustering"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)
-    )
     edges.unpersist()
     deg.unpersist()
     oriented.unpersist()
@@ -662,7 +670,7 @@ def q_graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFram
     with deg ≥ 2. avg_cc is computed per degree group as the single
     exact-integer ratio 2·SUM(t)/(n_nodes·d·(d−1)) — one rounding at
     6 dp, bit-identical across engines."""
-    edges, deg, oriented, wedges = _oriented_wedges(spark, sf_dir)
+    edges, deg, oriented, wedges, m = _oriented_wedges(spark, sf_dir)
     tri_nodes = (
         wedges.join(edges, ["u", "v"])
         .select(
@@ -697,7 +705,8 @@ def q_graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("d")
     )
-    out = out.localCheckpoint(eager=True)
+    with data_sized_shuffle(spark, m, GRAPH_EDGE_ROWS_PER_TASK):
+        out = out.localCheckpoint(eager=True)
     edges.unpersist()
     deg.unpersist()
     oriented.unpersist()
@@ -744,31 +753,35 @@ def q_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     edge_ids = checkpointed_rdd_ids(edges)
-    for r in range(1, KCORE_ROUNDS + 1):
-        deg = (
-            edges.select(F.col("u").alias("node"))
-            .unionAll(edges.select(F.col("v").alias("node")))
-            .groupBy("node")
-            .agg(F.count("*").alias("d"))
-        )
-        keep = deg.filter(F.col("d") >= KCORE_K).select("node").localCheckpoint(
-            eager=True
-        )
-        keep_ids = checkpointed_rdd_ids(keep)
-        n_nodes = keep.count()
-        nxt = (
-            edges.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
-            .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
-            .select("u", "v")
-            .localCheckpoint(eager=True)
-        )
-        nxt_ids = checkpointed_rdd_ids(nxt)
-        n_edges = nxt.count()
-        rows.append((r, KCORE_K, n_nodes, n_edges))
-        # This round's counts are materialized — the previous edge
-        # frame and this round's keep frame are dead; free their blocks.
-        unpersist_rdd_ids(spark, edge_ids | keep_ids)
-        edges, edge_ids = nxt, nxt_ids
+    # Cheap: counts the already-materialized checkpoint blocks. Feeds
+    # the per-round shuffle sizing below (SCALING.md finding 1).
+    m = edges.count()
+    with data_sized_shuffle(spark, m, GRAPH_EDGE_ROWS_PER_TASK):
+        for r in range(1, KCORE_ROUNDS + 1):
+            deg = (
+                edges.select(F.col("u").alias("node"))
+                .unionAll(edges.select(F.col("v").alias("node")))
+                .groupBy("node")
+                .agg(F.count("*").alias("d"))
+            )
+            keep = deg.filter(F.col("d") >= KCORE_K).select(
+                "node"
+            ).localCheckpoint(eager=True)
+            keep_ids = checkpointed_rdd_ids(keep)
+            n_nodes = keep.count()
+            nxt = (
+                edges.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
+                .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
+                .select("u", "v")
+                .localCheckpoint(eager=True)
+            )
+            nxt_ids = checkpointed_rdd_ids(nxt)
+            n_edges = nxt.count()
+            rows.append((r, KCORE_K, n_nodes, n_edges))
+            # This round's counts are materialized — the previous edge
+            # frame and this round's keep frame are dead; free their blocks.
+            unpersist_rdd_ids(spark, edge_ids | keep_ids)
+            edges, edge_ids = nxt, nxt_ids
     unpersist_rdd_ids(spark, edge_ids)
     return spark.createDataFrame(
         rows, "round int, k int, n_nodes bigint, n_edges bigint"
@@ -815,41 +828,45 @@ def q_graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     edge_ids = checkpointed_rdd_ids(edges)
+    # Cheap count of the materialized checkpoint; sizes the per-round
+    # label-vote shuffle with the edge frame (SCALING.md finding 1).
+    m = edges.count()
     und = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
-    labels = (
-        und.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("lbl"))
-        .localCheckpoint(eager=True)
-    )
-    label_ids = checkpointed_rdd_ids(labels)
-    for _ in range(LPA_ROUNDS):
-        votes = (
-            und.join(
-                labels.withColumnsRenamed({"node": "dst"}), "dst"
-            )
-            .groupBy(F.col("src").alias("node"), "lbl")
-            .agg(F.count("*").alias("c"))
-        )
-        nxt = (
-            votes.groupBy("node")
-            .agg(
-                F.max(
-                    F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))
-                ).alias("m")
-            )
-            .select("node", (-F.col("m.nl")).alias("lbl"))
+    with data_sized_shuffle(spark, m, GRAPH_EDGE_ROWS_PER_TASK):
+        labels = (
+            und.select(F.col("src").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("lbl"))
             .localCheckpoint(eager=True)
         )
-        nxt_ids = checkpointed_rdd_ids(nxt)
-        unpersist_rdd_ids(spark, label_ids)
-        labels, label_ids = nxt, nxt_ids
-    out = (
-        labels.groupBy(F.col("lbl").alias("community"))
-        .agg(F.count("*").cast("bigint").alias("n_nodes"))
-        .localCheckpoint(eager=True)
-    )
+        label_ids = checkpointed_rdd_ids(labels)
+        for _ in range(LPA_ROUNDS):
+            votes = (
+                und.join(
+                    labels.withColumnsRenamed({"node": "dst"}), "dst"
+                )
+                .groupBy(F.col("src").alias("node"), "lbl")
+                .agg(F.count("*").alias("c"))
+            )
+            nxt = (
+                votes.groupBy("node")
+                .agg(
+                    F.max(
+                        F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))
+                    ).alias("m")
+                )
+                .select("node", (-F.col("m.nl")).alias("lbl"))
+                .localCheckpoint(eager=True)
+            )
+            nxt_ids = checkpointed_rdd_ids(nxt)
+            unpersist_rdd_ids(spark, label_ids)
+            labels, label_ids = nxt, nxt_ids
+        out = (
+            labels.groupBy(F.col("lbl").alias("community"))
+            .agg(F.count("*").cast("bigint").alias("n_nodes"))
+            .localCheckpoint(eager=True)
+        )
     unpersist_rdd_ids(spark, label_ids | edge_ids)
     return out.orderBy("community")

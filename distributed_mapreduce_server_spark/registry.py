@@ -791,13 +791,16 @@ def _family(key: str) -> str:
 # that already have a green driver CORRECTNESS row (union of
 # CORRECTNESS_r01..r11 keys, 218 of 290) are demoted to a second
 # tier and every never-sampled key is emitted first. With this set
-# frozen (r11 state: 218 sampled), rounds 12-13 walk the
-# remaining 72 never-sampled keys at ~48/round.
+# regenerated from CORRECTNESS_r01..r12 (263 sampled), round 13's
+# prefix carries the final 29 never-sampled keys — the tail ends.
 # Maintenance: after each driver round, add that round's sampled
 # keys here (scripts/update_sampled.py regenerates the block from
-# the CORRECTNESS_r*.json files).
+# the CORRECTNESS_r*.json files); tests/test_plans.py
+# test_driver_sampled_not_stale fails the suite if this block lags
+# the committed CORRECTNESS files (the r12 staleness can't recur).
 _DRIVER_SAMPLED = frozenset(
     {
+        "dedup_cluster_stats",
         "dedup_clusters",
         "dedup_clusters_bigstar",
         "dedup_containment",
@@ -811,15 +814,22 @@ _DRIVER_SAMPLED = frozenset(
         "dedup_keep_canonical",
         "dedup_lsh_br_sweep",
         "dedup_lsh_eval",
+        "dedup_minhash_est_eval",
         "dedup_minhash_lsh",
+        "dedup_nested_probe_sweep",
         "dedup_ngram_jaccard",
         "dedup_prefix_filter_jaccard",
         "dedup_routed_eval",
+        "dedup_routed_nested_eval",
         "dedup_routed_probe_sweep",
         "dedup_semantic_clusters",
         "dedup_semantic_keep",
         "dedup_semantic_routed",
+        "dedup_semantic_routed_nested",
         "dedup_simhash",
+        "dedup_span_clean",
+        "dedup_substr_multiscale",
+        "dedup_substr_spans",
         "dedup_threshold_sweep",
         "emb_binary_quantize",
         "emb_centroid_distances",
@@ -895,15 +905,30 @@ _DRIVER_SAMPLED = frozenset(
         "q_balance_percentiles",
         "q_benford_audit",
         "q_chi2_segment_priority",
+        "q_cohort_retention_matrix",
         "q_concurrent_sessions",
         "q_conversion_delay_stats",
         "q_corr_matrix",
         "q_customer_rfm",
         "q_customers_no_orders",
         "q_data_quality_audit",
+        "q_events_anomaly",
+        "q_events_autocorrelation",
+        "q_events_dau_wau",
+        "q_events_error_rate_slo",
+        "q_events_funnel",
+        "q_events_intersect_except",
+        "q_events_json_extract",
         "q_events_lateness",
+        "q_events_markov_stationary",
+        "q_events_paths",
+        "q_events_pivot",
+        "q_events_retention",
         "q_events_sessionize",
+        "q_events_transitions",
+        "q_events_trend_fit",
         "q_events_user_entropy",
+        "q_events_value_deciles",
         "q_events_windowed",
         "q_ewma_revenue",
         "q_full_outer_balance",
@@ -918,6 +943,7 @@ _DRIVER_SAMPLED = frozenset(
         "q_graph_kcore_peel",
         "q_graph_triangles",
         "q_grouping_sets",
+        "q_ivm_join_delta",
         "q_join_size_audit",
         "q_market_segment_sales",
         "q_moving_avg_events",
@@ -943,11 +969,13 @@ _DRIVER_SAMPLED = frozenset(
         "q_sessions_bounce_rate",
         "q_sketch_error_bounds",
         "q_skyline_parts",
+        "q_sql_funnel",
         "q_sql_interface",
         "q_sql_q1_pricing",
         "q_sql_q3_shipping",
         "q_sql_q5_local_supplier",
         "q_sql_q6_revenue",
+        "q_sql_sessionize_kpi",
         "q_stats_suite",
         "q_supplier_hhi",
         "q_time_weighted_avg",
@@ -983,6 +1011,8 @@ _DRIVER_SAMPLED = frozenset(
         "stream_dedup_within_watermark",
         "stream_error_rate_slo",
         "stream_events_windowed",
+        "stream_hierarchical_rollup",
+        "stream_ingest_partitioned",
         "stream_kl_drift",
         "stream_model_quality_filter",
         "stream_neardup_ingest",
@@ -995,27 +1025,44 @@ _DRIVER_SAMPLED = frozenset(
         "stream_upsert_foreachbatch",
         "stream_wordcount",
         "text_bigram_logprob",
+        "text_bpe_pair_counts",
+        "text_bpe_train",
+        "text_c4_filters",
         "text_chunking",
+        "text_collocations",
         "text_contamination_check",
         "text_corpus_pipeline",
         "text_corpus_pipeline_neardup",
+        "text_corpus_pipeline_semantic",
+        "text_corpus_report",
         "text_fingerprint",
+        "text_global_shuffle",
+        "text_gopher_filters",
+        "text_kfold_split",
         "text_lang_distribution",
         "text_langid",
+        "text_mixture_sample",
+        "text_perplexity_filter",
         "text_phrase_search",
+        "text_pii_scrub",
         "text_quality_keep",
         "text_quality_score",
         "text_repetition_ratio",
+        "text_reservoir_sample",
         "text_sample_stratified",
+        "text_sequence_packing",
         "text_source_mix",
         "text_tfidf",
+        "text_token_entropy",
         "text_token_stats",
+        "text_tokenize_to_ids",
         "text_top_ngrams",
         "text_train_val_split",
         "text_unigram_fertility",
         "text_unigram_logprob",
         "text_unigram_tokenize",
         "text_unigram_train",
+        "text_weighted_sample",
     }
 )
 

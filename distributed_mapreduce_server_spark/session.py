@@ -8,6 +8,8 @@ live.
 
 from __future__ import annotations
 
+import contextlib
+import math
 import os
 
 from pyspark.sql import SparkSession
@@ -69,6 +71,59 @@ def get_spark(app_name: str = "dmrs-spark", shuffle_partitions: int | None = Non
             .config("spark.locality.wait", "0")
         )
     return builder.getOrCreate()
+
+
+# SCALING.md finding 1, fed back into code (VERDICT r12 task 2): the
+# graph family's wedge/label shuffles spill at the session's fixed
+# partition count once the edge frame outgrows it (measured: triangles
+# 260 s at 32 partitions vs 108 s at 128 on the 10x corpus, identical
+# plan). AQE only coalesces DOWN from the configured number, so the
+# RAISE must come from the code. Calibration: the 10x rehearsal
+# corpus' 12.0M-edge graph maps to exactly the measured-good 128
+# partitions -> ~94k edges per task keeps each wedge-stage task's
+# fan-out within executor memory; sf0.1's 1.2M edges stay at the
+# 32-cpu floor (no change to shipped plans), and the 3x corpus gets
+# 64 (and AQE still coalesces tiny stages below the floor).
+GRAPH_EDGE_ROWS_PER_TASK = 94_000
+# Backstop, not a scale ceiling: one local session never benefits past
+# this many tasks per stage; a real cluster raises the floor (cores)
+# instead, and the formula follows it.
+MAX_SIZED_PARTITIONS = 8192
+
+
+def sized_shuffle_partitions(
+    n_rows: int, rows_per_task: int, cpus: int | None = None
+) -> int:
+    """Partition count that keeps a shuffle stage near ``rows_per_task``
+    input rows per task: next power of two of n_rows / rows_per_task,
+    floored at the session's core count (anything less idles cores)
+    and capped at MAX_SIZED_PARTITIONS. Deterministic — same inputs,
+    same plan shape across runs."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    want = max(1, math.ceil(n_rows / max(rows_per_task, 1)))
+    return max(cpus, min(MAX_SIZED_PARTITIONS, 2 ** math.ceil(math.log2(want))))
+
+
+@contextlib.contextmanager
+def data_sized_shuffle(spark: SparkSession, n_rows: int, rows_per_task: int):
+    """Scope ``spark.sql.shuffle.partitions`` to a value sized from a
+    MEASURED input row count (an eager edge/frame count the operator
+    already takes), restoring the previous value on exit. The conf is
+    read at ACTION time, so callers must wrap the materializing action
+    (count / eager localCheckpoint), not just plan construction.
+
+    Single-threaded-session assumption (the same one
+    persistent_rdd_ids documents): the conf is session-global, so a
+    concurrent query materializing inside the window inherits the
+    raised value — harmless (AQE coalesces) but worth knowing."""
+    target = sized_shuffle_partitions(n_rows, rows_per_task)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    try:
+        yield target
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def retire_persistent_rdds(spark: SparkSession) -> int:
