@@ -2201,19 +2201,63 @@ def _routed_pairs_from(
       on clustered-duplicate corpora that multiplicity dominates the
       fused form (SCALING.md finding 3: 42 s fused vs 3.5 s pairdist
       on the 10x rehearsal corpus, identical 7,724 pairs; equal at
-      sf0.1's small buckets)."""
+      sf0.1's small buckets).
+    - ``strategy="pairdist_rank1"`` (SCALING.md finding 3's second
+      lever — NOT the shipped default, see dedup_routed_rank1_eval):
+      probe wide on the QUERY side only; the index side keeps each
+      vector's single HOME bucket (crank = frank = 1, so ``assign``
+      must carry ranks). A pair is a candidate iff either endpoint
+      probes the other's home bucket — the standard IVF search rule —
+      capping each pair's pre-distinct multiplicity at 2·P1·P2
+      instead of (P1·P2)². STRICTLY SMALLER candidate set than the
+      symmetric rule (pairs sharing only non-home buckets are lost),
+      and measurement says the loss is THRESHOLD-shaped, not
+      corpus-shaped: at t=0.45 it keeps 7/14 qualifying pairs at
+      sf0.01 and 167/287 on the clustered rehearsal corpus (31×
+      join-volume cut there), while at production cuts the home
+      cells align and it keeps 94/97 (t=0.6-0.7) and 89/90 (t=0.8)
+      on the same clustered corpus. Never exactly identical — the
+      r12 hypothesis ("identical pair set") failed measurement, like
+      finding 3's first hypothesis did. The trust row
+      (dedup_routed_rank1_eval) carries the numbers; callers flip
+      strategies per (corpus, threshold) regime with evidence, not
+      globally.
+
+    Grid-boundary caveat (shared by all strategies): pairdist scores
+    each pair with a per-row einsum, fused with a per-bucket GEMM —
+    different summation orders whose float64 low bits can differ, so
+    a dot product sitting EXACTLY on the fround 1e-4 grid boundary
+    could round apart across strategies and break pair-set identity.
+    Theoretical at 64-dim/unit-scale inputs (parity holds at both
+    SFs and the 10x rehearsal); a corpus engineered with
+    boundary-adjacent cosines would surface it."""
     import numpy as np
     import pandas as pd
 
-    if strategy == "pairdist":
-        a = assign.select(*keys, F.col("vec_id").alias("vec_a"))
-        b = assign.select(*keys, F.col("vec_id").alias("vec_b"))
-        cand = (
-            a.join(b, list(keys))
-            .filter(F.col("vec_a") < F.col("vec_b"))
-            .select("vec_a", "vec_b")
-            .distinct()
-        )
+    if strategy in ("pairdist", "pairdist_rank1"):
+        if strategy == "pairdist_rank1":
+            probe = assign.select(*keys, "vec_id")
+            home = assign.filter(
+                (F.col("crank") == 1) & (F.col("frank") == 1)
+            ).select(*keys, F.col("vec_id").alias("vec_h"))
+            cand = (
+                probe.join(home, list(keys))
+                .filter(F.col("vec_id") != F.col("vec_h"))
+                .select(
+                    F.least("vec_id", "vec_h").alias("vec_a"),
+                    F.greatest("vec_id", "vec_h").alias("vec_b"),
+                )
+                .distinct()
+            )
+        else:
+            a = assign.select(*keys, F.col("vec_id").alias("vec_a"))
+            b = assign.select(*keys, F.col("vec_id").alias("vec_b"))
+            cand = (
+                a.join(b, list(keys))
+                .filter(F.col("vec_a") < F.col("vec_b"))
+                .select("vec_a", "vec_b")
+                .distinct()
+            )
         ea = emb.select(
             F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a")
         )
@@ -2618,13 +2662,17 @@ def _nested_assign(
     return emb.select("vec_id", "embedding").mapInPandas(blocks, schema)
 
 
-def _nested_assignments(spark: SparkSession, sf_dir: str):
-    """(embeddings frame, (vec_id, centroid_id, fine_id) multi-probe
-    frame) under the trained two-level codebook."""
+def _nested_assignments(
+    spark: SparkSession, sf_dir: str, with_rank: bool = False
+):
+    """(embeddings frame, (vec_id, centroid_id, fine_id[, crank,
+    frank]) multi-probe frame) under the trained two-level codebook."""
     emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
     coarse = _route_codebook(spark, sf_dir)
     fine = _fine_codebook(spark, sf_dir, coarse)
-    assign = _nested_assign(emb, coarse, fine, NESTED_P1, NESTED_P2)
+    assign = _nested_assign(
+        emb, coarse, fine, NESTED_P1, NESTED_P2, with_rank=with_rank
+    )
     return emb, assign
 
 
@@ -2827,4 +2875,72 @@ def dedup_routed_nested_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_cand).cast("bigint").alias("n_candidates"),
         F.lit(n_brute).cast("bigint").alias("n_brute_pairs"),
         fround(F.lit(n_brute) / F.lit(n_cand), 2).alias("candidate_reduction"),
+    )
+
+
+def dedup_routed_rank1_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trust row for rank-1 index-side probing (SCALING.md finding 3's
+    second lever, VERDICT r12 task 3): the nested router's symmetric
+    probe-intersection rule vs the IVF-search rule where the index
+    side keeps only each vector's HOME (crank = frank = 1) bucket and
+    the query side probes wide. Reports both rules' qualifying-pair
+    counts, the recall of rank-1 against the symmetric rule (rank-1's
+    candidates are a strict subset, so this is the only loss axis),
+    and both rules' candidate JOIN VOLUMES — symmetric emits
+    Σ C(F_c, 2) pre-distinct rows per (coarse, fine) cell (F_c = probe
+    memberships), rank-1 emits Σ F_c·H_c − H_c (H_c = home members;
+    the −H_c removes each vector's self-match) — the multiplicity
+    measure that explodes on clustered-duplicate corpora.
+
+    Why this is a separate row and not the nested default: the loss
+    is real and THRESHOLD-shaped. Measured at t=0.45 rank-1 keeps
+    7/14 qualifying pairs at sf0.01 and 167/287 on the clustered
+    rehearsal corpus (31× join-volume cut there) — loose-cut pairs
+    sit in different home cells and meet only in shared non-home
+    probes; at production cuts on the same clustered corpus it keeps
+    94/97 (t=0.6-0.7) and 89/90 (t=0.8). The r12 hypothesis that the
+    pair set would be identical failed measurement (the finding-3
+    discipline: name the real behavior), so the symmetric rule stays
+    the shipped default and this row makes the trade measurable per
+    (corpus, threshold) for pipelines that can spend ~1-3% recall
+    for the volume cap."""
+    emb, assign = _nested_assignments(spark, sf_dir, with_rank=True)
+    assign = assign.persist()
+    cells = assign.groupBy("centroid_id", "fine_id").agg(
+        F.count("*").alias("f"),
+        F.sum(
+            F.when(
+                (F.col("crank") == 1) & (F.col("frank") == 1), 1
+            ).otherwise(0)
+        ).alias("h"),
+    )
+    vols = cells.agg(
+        F.sum(F.col("f") * (F.col("f") - 1) / 2)
+        .cast("bigint")
+        .alias("sym_rows"),
+        F.sum(F.col("f") * F.col("h") - F.col("h"))
+        .cast("bigint")
+        .alias("r1_rows"),
+    ).collect()[0]
+    n_sym = _routed_pairs_from(
+        emb, assign, keys=("centroid_id", "fine_id"), strategy="pairdist"
+    ).count()
+    n_r1 = _routed_pairs_from(
+        emb,
+        assign,
+        keys=("centroid_id", "fine_id"),
+        strategy="pairdist_rank1",
+    ).count()
+    assign.unpersist()
+    sym_rows, r1_rows = int(vols["sym_rows"]), int(vols["r1_rows"])
+    return spark.range(1).select(
+        F.lit(n_sym).cast("bigint").alias("n_sym_pairs"),
+        F.lit(n_r1).cast("bigint").alias("n_r1_pairs"),
+        F.lit(n_sym - n_r1).cast("bigint").alias("n_missed"),
+        fround(F.lit(n_r1 / max(n_sym, 1)), 4).alias("recall_vs_sym"),
+        F.lit(sym_rows).cast("bigint").alias("n_sym_cand_rows"),
+        F.lit(r1_rows).cast("bigint").alias("n_r1_cand_rows"),
+        fround(F.lit(sym_rows) / F.lit(max(r1_rows, 1)), 2).alias(
+            "volume_reduction"
+        ),
     )

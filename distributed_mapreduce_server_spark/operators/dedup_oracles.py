@@ -1194,6 +1194,50 @@ def _nested_sweep_sql() -> str:
 DEDUP_ORACLES["dedup_nested_probe_sweep"] = _nested_sweep_sql()
 
 
+# Rank-1 index-side probing trust row (round 13): the symmetric rule's
+# qualifying pairs (nrouted, from _NESTED_PAIRS) against the IVF-search
+# rule where the y side keeps only its home (crank = frank = 1) row.
+# Join volumes come straight off the a2 cell histogram: symmetric
+# emits C(f, 2) pre-distinct rows per cell, rank-1 emits f·h − h
+# (h home members, each home row also being one of the f probe rows).
+DEDUP_ORACLES["dedup_routed_rank1_eval"] = f"""
+    WITH {_NESTED_CTES},
+    {_NESTED_PAIRS},
+    r1cand AS MATERIALIZED (
+        SELECT DISTINCT LEAST(x.vec_id, y.vec_id) AS va,
+                        GREATEST(x.vec_id, y.vec_id) AS vb
+        FROM a2 x JOIN a2 y
+          ON x.centroid_id = y.centroid_id AND x.fid = y.fid
+             AND y.crank = 1 AND y.frank = 1 AND x.vec_id <> y.vec_id
+    ),
+    r1q AS (
+        SELECT c.va, c.vb FROM r1cand c
+        JOIN embeddings a ON c.va = a.vec_id
+        JOIN embeddings b ON c.vb = b.vec_id
+        WHERE {_COS_AB} >= {COSINE_DEDUP_T}
+    ),
+    cellsz AS (
+        SELECT COUNT(*) AS f,
+               COALESCE(SUM(CASE WHEN crank = 1 AND frank = 1 THEN 1 END), 0) AS h
+        FROM a2 GROUP BY centroid_id, fid
+    ),
+    nm AS (
+        SELECT (SELECT COUNT(*) FROM nrouted) AS ns,
+               (SELECT COUNT(*) FROM r1q) AS nr,
+               (SELECT CAST(SUM(f * (f - 1) // 2) AS BIGINT) FROM cellsz) AS sv,
+               (SELECT CAST(SUM(f * h - h) AS BIGINT) FROM cellsz) AS rv
+    )
+    SELECT CAST(ns AS BIGINT) AS n_sym_pairs,
+           CAST(nr AS BIGINT) AS n_r1_pairs,
+           CAST(ns - nr AS BIGINT) AS n_missed,
+           ROUND(CAST(nr AS DOUBLE) / GREATEST(ns, 1), 4) AS recall_vs_sym,
+           sv AS n_sym_cand_rows,
+           rv AS n_r1_cand_rows,
+           ROUND(CAST(sv AS DOUBLE) / GREATEST(rv, 1), 2) AS volume_reduction
+    FROM nm
+"""
+
+
 DEDUP_ORACLES["dedup_routed_nested_eval"] = f"""
     WITH {_NESTED_CTES},
     {_NESTED_PAIRS},

@@ -185,6 +185,7 @@ _register(
         "dedup_semantic_routed_nested",
         "dedup_routed_nested_eval",
         "dedup_nested_probe_sweep",
+        "dedup_routed_rank1_eval",
     ],
 )
 _register(

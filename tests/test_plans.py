@@ -200,6 +200,7 @@ EAGER_OPS = {
     "dedup_semantic_routed",  # codebook Lloyd training collects eagerly at plan build
     "dedup_semantic_routed_nested",  # two Lloyd trainers collect eagerly at plan build
     "dedup_routed_nested_eval",  # runs nested + exact pair generators eagerly; 1-row literal
+    "dedup_routed_rank1_eval",  # runs both pair strategies eagerly; 1-row literal result
     "dedup_nested_probe_sweep",  # ranked nested assign + exact baseline persist; checkpointed grid
     "q_sketch_error_bounds",  # sketch + exact aggregates collect; 3-row createDataFrame
     "text_unigram_train",  # EM rounds run eagerly (createDataFrame result)

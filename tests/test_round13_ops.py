@@ -79,3 +79,77 @@ class TestDataSizedShuffleScope:
         ):
             assert queries[k](spark, SF_SMOKE).count() >= 0
             assert spark.conf.get(key) == before, k
+
+
+class TestRank1IndexProbing:
+    """Rank-1 index-side probing (VERDICT r12 task 3): the measured
+    behavior is a strict-subset pair set whose loss is threshold-
+    shaped, NOT the identical set r12 hypothesized — these tests pin
+    both the subset contract and the trust row's internal
+    consistency."""
+
+    def _strategies(self, spark, sf_dir, threshold=None):
+        from distributed_mapreduce_server_spark.operators.dedup import (
+            COSINE_DEDUP_T,
+            _nested_assignments,
+            _routed_pairs_from,
+        )
+
+        t = COSINE_DEDUP_T if threshold is None else threshold
+        emb, assign = _nested_assignments(spark, sf_dir, with_rank=True)
+        assign = assign.persist()
+        keys = ("centroid_id", "fine_id")
+        sym = _routed_pairs_from(
+            emb, assign, threshold=t, keys=keys, strategy="pairdist"
+        ).select("vec_a", "vec_b")
+        r1 = _routed_pairs_from(
+            emb, assign, threshold=t, keys=keys, strategy="pairdist_rank1"
+        ).select("vec_a", "vec_b")
+        return assign, sym, r1
+
+    def test_rank1_pairs_are_subset_of_symmetric(self, spark):
+        # Provable from the candidate rule (home(b) ∈ probes(a) ⇒
+        # probe sets intersect) — pinned against regressions in either
+        # strategy's join.
+        assign, sym, r1 = self._strategies(spark, SF_SMOKE)
+        extra = r1.join(sym, ["vec_a", "vec_b"], "left_anti").count()
+        assert extra == 0
+        assign.unpersist()
+
+    def test_eval_row_internal_consistency(self, spark):
+        from distributed_mapreduce_server_spark.operators.dedup import (
+            dedup_routed_rank1_eval,
+        )
+
+        row = dedup_routed_rank1_eval(spark, SF_SMOKE).collect()[0]
+        assert row["n_missed"] == row["n_sym_pairs"] - row["n_r1_pairs"]
+        assert 0 <= row["n_r1_pairs"] <= row["n_sym_pairs"]
+        # rank-1's directed join volume can never exceed the symmetric
+        # self-join volume (H_c <= F_c per cell and f·h−h <= C(f,2)
+        # requires h <= (f-1)/2 + ... — not a per-cell theorem, but at
+        # the corpus level the cap 2·P1·P2 vs (P1·P2)² dominates; pin
+        # the measured direction).
+        assert row["n_r1_cand_rows"] <= row["n_sym_cand_rows"]
+        assert row["volume_reduction"] >= 1.0
+
+    def test_rank1_loss_is_threshold_shaped_on_clustered_corpus(self, spark):
+        """The clustered rehearsal corpus (deterministic, regenerated
+        on demand): at the loose t=0.45 cut rank-1 loses a large
+        fraction of qualifying pairs; at the production t=0.8 cut the
+        home cells align and the loss is ~1%. Pins the measured shape
+        the docstrings and SURVEY row claim."""
+        import sys
+
+        sys.path.insert(0, "/root/repo/scripts")
+        from measure_scaling import ensure_corpus
+
+        d = ensure_corpus(1)
+        assign, sym, r1 = self._strategies(spark, d, threshold=0.8)
+        ns, nr = sym.count(), r1.count()
+        assert ns > 0
+        assert nr / ns >= 0.95, (ns, nr)
+        assign.unpersist()
+        assign, sym, r1 = self._strategies(spark, d, threshold=0.45)
+        ns, nr = sym.count(), r1.count()
+        assert nr < ns  # the loose cut genuinely loses pairs
+        assign.unpersist()
