@@ -142,14 +142,12 @@ HEADLINE = [
     "text_quality_trained_filter",
     "text_quality_eval",
     "dedup_substr_multiscale",
-    "dedup_lsh_br_sweep",
+    # dedup_lsh_br_sweep: moved to TRUST_SUITE (round 13)
     "q_graph_community_lpa",
-    # round-11 wave
+    # round-11 wave (dedup_routed_nested_eval, dedup_nested_probe_sweep
+    # and q_sketch_error_bounds moved to TRUST_SUITE in round 13)
     "dedup_semantic_routed_nested",
-    "dedup_routed_nested_eval",
-    "dedup_nested_probe_sweep",
     "emb_pca_invariants",
-    "q_sketch_error_bounds",
     # round-12 wave: the exec-pipe wordcount is the single most
     # baseline-comparable row in the repo (BASELINE.md's reference
     # pipeline is wordcount through user executables) — keep it in
@@ -161,6 +159,35 @@ HEADLINE = [
     # (micro-batch scheduling, checkpoint, sink commits — ~40 s at
     # sf0.1), not operator throughput; its cost story lives in its
     # SURVEY row and its correctness in the carried batch oracle.
+    # round-13 wave: the 7 keys that previously had neither a driver
+    # CORRECTNESS row nor a bench row (VERDICT r12 task 8) — every
+    # operator now ships measured by at least one gate.
+    "q_events_approx_topk",
+    "q_events_heatmap",
+    "q_events_theta_setops",
+    "q_shuffle_key_skew",
+    "text_hashed_features",
+    "text_source_overlap",
+    "q_events_daily_sketch_rollup",
+]
+
+# Trust-suite rows (VERDICT r12 task 4): the heaviest bench rows are
+# all EVAL harnesses whose cost is the exact baseline they compare
+# against (~17% of the r12 headline wall) — the oracle bar needs them
+# in the registry, but keeping them in the headline made the headline
+# number track trust-suite speed, not operator speed. They are
+# measured once per round AFTER the headline pass, with the same
+# probe-bracket + splice discipline, and land in the record's
+# "trust_suite" sub-object. Cross-round note: headline totals from
+# r13 on EXCLUDE these rows (DRIFT §10).
+TRUST_SUITE = [
+    "dedup_lsh_br_sweep",
+    "dedup_routed_nested_eval",
+    "q_sketch_error_bounds",
+    "dedup_nested_probe_sweep",
+    # round-13 addition: the rank-1 probing trust row runs BOTH pair
+    # strategies — an eval harness by construction.
+    "dedup_routed_rank1_eval",
 ]
 
 
@@ -224,8 +251,10 @@ LOAD_FLAG_FACTOR = 1.5
 # clean_record additionally requires the run's probe median to sit
 # near this host's measured quiet floor (1.5-2.4 ms across rounds,
 # DRIFT.md; bursts run 10-300 ms). 4 ms = above quiet jitter, far
-# below the burst regime.
-ABS_PROBE_CLEAN_MS = 4.0
+# below the burst regime. Env-overridable (ADVICE r12): on a host
+# with a slower quiet floor the hardcoded bar would make clean_record
+# unreachable — the annotation would just always read False there.
+ABS_PROBE_CLEAN_MS = float(os.environ.get("SPARK_GRAFT_PROBE_CLEAN_MS", "4.0"))
 # A spliced re-measurement is accepted only if its own bracketing
 # probes sit within 15% of the run's probe median — stricter than the
 # 1.5x flag bar on purpose: the splice exists to produce a TRUSTED
@@ -304,8 +333,9 @@ def run_attempt(spark, queries, names, sf_dir: str, sf: float) -> dict:
     # Record-quality gate (round 9): a headline record with > 10% of
     # queries load-flagged is NOT a trustworthy cross-round comparison
     # point (r8's working-tree re-record ran at 6-12x load, 96/106
-    # flagged, and had to be discarded). clean_record says whether
-    # this run clears the bar — main() retries until it does.
+    # flagged, and had to be discarded). clean_record is an ANNOTATION
+    # only: main() splices flagged rows solo but never re-runs the
+    # whole pass, so an unclean record ships marked, not retried.
     clean_record = (
         len(load_flagged) <= max(1, len(names) // 10)
         and ref_probe <= ABS_PROBE_CLEAN_MS
@@ -411,7 +441,8 @@ def main() -> None:
     spark = get_spark("dmrs-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = registry.all_queries()
-    names = [n for n in HEADLINE if n in queries]
+    names = [n for n in HEADLINE if n in queries and n not in TRUST_SUITE]
+    trust_names = [n for n in TRUST_SUITE if n in queries]
 
     # Warm-up: run every headline query once at the smallest SF so the
     # JVM JIT + whole-stage-codegen compile of each plan happens outside
@@ -421,7 +452,7 @@ def main() -> None:
     # a warm engine — the regime a long-lived cluster actually runs in.
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
-        for name in names:
+        for name in names + trust_names:
             queries[name](spark, warm_dir).count()
         spark.catalog.clearCache()
         retire_persistent_rdds(spark)
@@ -433,6 +464,30 @@ def main() -> None:
     best = run_attempt(spark, queries, names, sf_dir, sf)
     if best["load_flagged"]:
         splice_flagged(spark, queries, best, names, sf_dir, splice_tries)
+    # Trust-suite pass (VERDICT r12 task 4): the eval harnesses run
+    # AFTER the headline so their exact-baseline cost can't sit inside
+    # a headline probe block; same probe/flag/splice machinery, landed
+    # as a sub-record so the headline total tracks operator speed.
+    if trust_names:
+        trust = run_attempt(spark, queries, trust_names, sf_dir, sf)
+        if trust["load_flagged"]:
+            splice_flagged(
+                spark, queries, trust, trust_names, sf_dir, splice_tries
+            )
+        best["trust_suite"] = {
+            k: trust[k]
+            for k in (
+                "value",
+                "queries",
+                "spread",
+                "load_factor",
+                "load_flagged",
+                "clean_record",
+                "probe_series",
+                "spliced",
+            )
+            if k in trust
+        }
     if not best["clean_record"]:
         kept = sorted(
             n for n, m in best.get("spliced", {}).items() if m.get("kept_original")

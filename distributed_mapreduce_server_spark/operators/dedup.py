@@ -2132,9 +2132,15 @@ def _route_codebook(
 
     if force_distributed:
         return build()
-    # K rides in the key: a caller that retunes ROUTE_K (the sweep
-    # harness, a test) must never see the previous width's book.
-    return _codebook_memo(spark, sf_dir, f"dedup_route[K={ROUTE_K}]", build)
+    # Every tuning constant rides in the key (ADVICE r12 extended the
+    # r12 K convention to iters/limit): a caller that retunes any of
+    # them must never see the previous tuning's book.
+    return _codebook_memo(
+        spark,
+        sf_dir,
+        f"dedup_route[K={ROUTE_K},i={ROUTE_ITERS},lim={ROUTE_TRAIN_LIMIT}]",
+        build,
+    )
 
 
 def _routed_assignments(spark: SparkSession, sf_dir: str, with_rank: bool = False):
@@ -2529,12 +2535,15 @@ def _fine_codebook(spark: SparkSession, sf_dir: str, coarse):
     trained, so no per-cell state grows with K1 and the SQL oracle
     unrolls the exact same global recipe.
 
-    Memoized per (session, sf_dir): internal callers always pass the
-    memoized coarse book for the SAME sf_dir (coarse is deterministic
-    per sf_dir, so it is not part of the key). ``coarse`` rank-1
-    assignment is cos.argmax(axis=1) — ids_b is sorted ascending, so
-    argmax's first-max convention IS the smallest-cid tie-break, the
-    same vectorized idiom _train_cosine_codebook documents."""
+    Memoized per (session, sf_dir, coarse fingerprint): internal
+    callers pass the memoized coarse book for the same sf_dir, but
+    the memo key folds a CRC of the coarse (ids, matrix) in anyway
+    (ADVICE r12) — a caller handing a force_distributed-trained or
+    sweep-retuned coarse book can never silently receive a fine book
+    trained against a different coarse. ``coarse`` rank-1 assignment
+    is cos.argmax(axis=1) — ids_b is sorted ascending, so argmax's
+    first-max convention IS the smallest-cid tie-break, the same
+    vectorized idiom _train_cosine_codebook documents."""
     import numpy as np
     import pandas as pd
 
@@ -2571,8 +2580,16 @@ def _fine_codebook(spark: SparkSession, sf_dir: str, coarse):
             spark, resid, NESTED_K2, ROUTE_ITERS, train_limit=ROUTE_TRAIN_LIMIT
         )
 
+    import zlib
+
+    c_ids, c_mat = coarse
+    fp = zlib.crc32(c_ids.tobytes()) ^ zlib.crc32(c_mat.tobytes())
     return _codebook_memo(
-        spark, sf_dir, f"dedup_fine[K={ROUTE_K},K2={NESTED_K2}]", build
+        spark,
+        sf_dir,
+        f"dedup_fine[K={ROUTE_K},K2={NESTED_K2},i={ROUTE_ITERS},"
+        f"lim={ROUTE_TRAIN_LIMIT},coarse={fp:08x}]",
+        build,
     )
 
 

@@ -1620,6 +1620,32 @@ SQL_FRONT_DOOR = {
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_after_click
     FROM staged
 """,
+    # Round-13 (VERDICT r12 task 7): the curation pipeline's first
+    # stage — exact dedup + keep-canonical — through the same front
+    # door. Fingerprint = md5 of the LOWERCASED text: byte-level
+    # after case-folding, which on this corpus (single-space-joined
+    # alphanumeric words) equals the engine-native dedup_exact's
+    # token-normalized fingerprint grouping; a corpus with irregular
+    # whitespace would need the engine key (regexp normalization has
+    # no dialect-neutral spelling — Spark's regexp_replace 4th arg is
+    # position, DuckDB's is an options string). Keep-canonical rule
+    # identical to dedup_keep_canonical: min doc_id per cluster, all
+    # singletons kept.
+    "q_sql_dedup_keep": """
+    WITH fp AS (
+        SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents
+    ),
+    canon AS (
+        SELECT fingerprint, MIN(doc_id) AS keep_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM fp GROUP BY fingerprint
+    )
+    SELECT f.doc_id, c.cluster_size, TRUE AS kept
+    FROM fp f
+    JOIN canon c ON f.fingerprint = c.fingerprint
+                AND f.doc_id = c.keep_doc_id
+    ORDER BY f.doc_id
+""",
 }
 
 
@@ -1748,6 +1774,17 @@ def q_sql_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     door — conditional-MIN staging (one groupBy, no per-stage joins),
     the q_events_funnel recipe as one dialect-neutral text."""
     return _sql_front_door(spark, sf_dir, "q_sql_funnel")
+
+
+def q_sql_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup + keep-canonical through the SQL front door
+    (VERDICT r12 task 7): a SQL-only user runs the curation
+    pipeline's first stage — fingerprint, cluster, keep the min
+    doc_id per cluster — with no DataFrame code. One shuffle to
+    fingerprint groups plus a keyed join back; Catalyst plans it
+    identically to the dedup_keep_canonical shape. See the
+    SQL_FRONT_DOOR entry for the fingerprint dialect note."""
+    return _sql_front_door(spark, sf_dir, "q_sql_dedup_keep")
 
 
 MIN_PAIR_SUPPORT = 3

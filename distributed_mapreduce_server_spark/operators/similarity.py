@@ -412,7 +412,10 @@ def _ivf_codebook(spark: SparkSession, sf_dir: str):
         )
 
     return _codebook_memo(
-        spark, sf_dir, f"ivf_coarse[K={N_CENTROIDS},i={IVF_TRAIN_ITERS}]", build
+        spark,
+        sf_dir,
+        f"ivf_coarse[K={N_CENTROIDS},i={IVF_TRAIN_ITERS},lim={CODEBOOK_TRAIN_LIMIT}]",
+        build,
     )
 
 
@@ -955,12 +958,13 @@ def _pq_codebook(
     """
     spark = emb.sparkSession
     if sf_dir is not None and not force_distributed:
+        # i/lim ride in the key like K does (ADVICE r12): a sweep that
+        # retunes the training constants must never see a stale book.
         return _codebook_memo(
             spark,
             sf_dir,
-            f"pq[M={PQ_M},K={PQ_K}]",
+            f"pq[M={PQ_M},K={PQ_K},i={PQ_TRAIN_ITERS},lim={CODEBOOK_TRAIN_LIMIT}]",
             lambda: _pq_codebook(emb, force_distributed),
-       
         )
     import numpy as np
 

@@ -106,6 +106,7 @@ _register(
         "q_sql_q6_revenue",
         "q_sql_sessionize_kpi",
         "q_sql_funnel",
+        "q_sql_dedup_keep",
         "q_sketch_error_bounds",
         "q_association_rules",
         "q_skyline_parts",

@@ -24,7 +24,14 @@ def fresh_codebook_caches():
 
 
 def _count(kind: str) -> int:
-    return similarity.CODEBOOK_TRAIN_COUNTS.get(kind, 0)
+    """Trainings whose memo kind starts with ``kind`` — the keys embed
+    every tuning constant (and, for the fine book, a runtime coarse
+    fingerprint; ADVICE r12), so tests match on the stable prefix."""
+    return sum(
+        v
+        for k, v in similarity.CODEBOOK_TRAIN_COUNTS.items()
+        if k.startswith(kind)
+    )
 
 
 def test_codebook_memo_trains_once_per_session(
@@ -37,10 +44,10 @@ def test_codebook_memo_trains_once_per_session(
         "embeddings"
     ]
     kinds = (
-        f"dedup_route[K={dedup.ROUTE_K}]",
-        f"dedup_fine[K={dedup.ROUTE_K},K2={dedup.NESTED_K2}]",
-        f"ivf_coarse[K={similarity.N_CENTROIDS},i={similarity.IVF_TRAIN_ITERS}]",
-        f"pq[M={similarity.PQ_M},K={similarity.PQ_K}]",
+        "dedup_route[",
+        "dedup_fine[",
+        "ivf_coarse[",
+        "pq[M",
     )
     before = {k: _count(k) for k in kinds}
     coarse1 = dedup._route_codebook(spark, sf_smoke)
@@ -64,7 +71,7 @@ def test_codebook_memo_force_distributed_bypasses(
     """force_distributed calls exist to really train the distributed
     path — they must neither read nor write the memo (nor bump the
     counter that tracks memoized builds)."""
-    kind = f"dedup_route[K={dedup.ROUTE_K}]"
+    kind = "dedup_route["
     memoized = dedup._route_codebook(spark, sf_smoke)
     n = _count(kind)
     forced = dedup._route_codebook(spark, sf_smoke, force_distributed=True)
@@ -83,7 +90,7 @@ def test_refresh_tables_clears_codebook_memo(
     """catalog.refresh_tables() must invalidate derived caches too —
     a rewritten sf_dir with a stale codebook would silently route on
     the old data's centroids."""
-    kind = f"dedup_route[K={dedup.ROUTE_K}]"
+    kind = "dedup_route["
     first = dedup._route_codebook(spark, sf_smoke)
     catalog.refresh_tables()
     n = _count(kind)

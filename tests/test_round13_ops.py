@@ -81,6 +81,57 @@ class TestDataSizedShuffleScope:
             assert spark.conf.get(key) == before, k
 
 
+class TestBenchSplit:
+    def test_trust_suite_disjoint_from_headline_and_registered(self):
+        """VERDICT r12 task 4: the eval harnesses moved out of the
+        headline must stay out (a key in both lists would be timed
+        twice and double-counted), and every name in either list must
+        resolve in the registry."""
+        import bench
+
+        from distributed_mapreduce_server_spark import registry
+
+        headline, trust = set(bench.HEADLINE), set(bench.TRUST_SUITE)
+        assert not (headline & trust), headline & trust
+        unknown = (headline | trust) - set(registry._QUERIES)
+        assert not unknown, unknown
+
+    def test_previously_unbenched_keys_now_covered(self):
+        """VERDICT r12 task 8: the 7 keys that had neither a driver
+        CORRECTNESS row nor a bench row must sit in the headline."""
+        import bench
+
+        for k in (
+            "q_events_approx_topk",
+            "q_events_heatmap",
+            "q_events_theta_setops",
+            "q_shuffle_key_skew",
+            "text_hashed_features",
+            "text_source_overlap",
+            "q_events_daily_sketch_rollup",
+        ):
+            assert k in bench.HEADLINE, k
+
+
+class TestFineCodebookCoarseFingerprint:
+    def test_fine_memo_keyed_by_coarse_fingerprint(self, spark):
+        """ADVICE r12: _fine_codebook used to memoize per (session,
+        sf_dir) only — a caller passing a non-memoized coarse book
+        (force_distributed-trained, sweep-retuned) silently received
+        a fine book trained against a DIFFERENT coarse. The memo key
+        now folds a CRC of the coarse (ids, matrix): a perturbed
+        coarse must trigger a fresh training, and the original coarse
+        must still hit its own memo."""
+        from distributed_mapreduce_server_spark.operators import dedup
+
+        coarse = dedup._route_codebook(spark, SF_SMOKE)
+        fine1 = dedup._fine_codebook(spark, SF_SMOKE, coarse)
+        perturbed = (coarse[0], coarse[1] + 1e-3)
+        fine2 = dedup._fine_codebook(spark, SF_SMOKE, perturbed)
+        assert fine2 is not fine1
+        assert dedup._fine_codebook(spark, SF_SMOKE, coarse) is fine1
+
+
 class TestRank1IndexProbing:
     """Rank-1 index-side probing (VERDICT r12 task 3): the measured
     behavior is a strict-subset pair set whose loss is threshold-
