@@ -178,8 +178,12 @@ HEADLINE = [
 # number track trust-suite speed, not operator speed. They are
 # measured once per round AFTER the headline pass, with the same
 # probe-bracket + splice discipline, and land in the record's
-# "trust_suite" sub-object. Cross-round note: headline totals from
-# r13 on EXCLUDE these rows (DRIFT §10).
+# "trust_suite" sub-object. Driver-contract note (round 13): their
+# per-key times are ALSO merged back into the top-level "queries"
+# dict and "value" stays the sum over ALL rows — the driver contract
+# forbids removing entries from "queries", so the split is expressed
+# through the ADDED "headline_value" key + "trust_suite" sub-record,
+# not by dropping rows (DRIFT §10).
 TRUST_SUITE = [
     "dedup_lsh_br_sweep",
     "dedup_routed_nested_eval",
@@ -468,6 +472,7 @@ def main() -> None:
     # AFTER the headline so their exact-baseline cost can't sit inside
     # a headline probe block; same probe/flag/splice machinery, landed
     # as a sub-record so the headline total tracks operator speed.
+    best["headline_value"] = best["value"]
     if trust_names:
         trust = run_attempt(spark, queries, trust_names, sf_dir, sf)
         if trust["load_flagged"]:
@@ -488,6 +493,14 @@ def main() -> None:
             )
             if k in trust
         }
+        # Merge the trust rows back into the top-level dicts: the
+        # driver contract forbids removing entries from "queries", and
+        # "value" has meant sum-over-all-rows since round 1. The split
+        # view lives in headline_value + trust_suite.
+        best["queries"].update(trust["queries"])
+        best["spread"].update(trust["spread"])
+        best["load_factor"].update(trust["load_factor"])
+        best["value"] = round(best["value"] + trust["value"], 3)
     if not best["clean_record"]:
         kept = sorted(
             n for n, m in best.get("spliced", {}).items() if m.get("kept_original")
@@ -498,14 +511,37 @@ def main() -> None:
             "came back quiet) — read those rows against their spread "
             "minima, not the medians"
         )
-    payload = json.dumps(best)
-    # Also land the full record in a file: a harness that tail-captures
-    # stdout can truncate the head of the (long) one-line JSON, losing
-    # the leading per-query entries from the recorded artifact.
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results.json")
-    with open(out_path, "w") as fh:
-        fh.write(payload + "\n")
-    print(payload)
+    # Full diagnostic record -> files; stdout gets ONLY the compact
+    # contract line. Rationale (round 13, measurement-protocol fix
+    # recorded in OPTIMIZATION_r13.md): the driver tail-captures the
+    # last ~2000 chars of stdout and parses the final line within it —
+    # rounds 1-2's compact line parsed, but once the inline
+    # diagnostics (spread/probe_series/load_factor) outgrew the
+    # window in r4 every driver BENCH record shows "parsed": null.
+    # The compact line restores the documented contract shape
+    # ({metric, value, unit, queries, sf} + added headline_value);
+    # nothing is dropped — the diagnostics were never part of the
+    # contract and live in bench_results.json, which also gains a
+    # per-(cpus, sf) archival copy so a lower-core scaling run by the
+    # driver cannot clobber the 32-core record.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    base_dir = os.path.dirname(os.path.abspath(__file__))
+    full_payload = json.dumps(best)
+    for fname in (
+        "bench_results.json",
+        f"bench_results_cpus{cpus}_sf{sf}.json",
+    ):
+        with open(os.path.join(base_dir, fname), "w") as fh:
+            fh.write(full_payload + "\n")
+    contract = {
+        "metric": best["metric"],
+        "value": best["value"],
+        "unit": best["unit"],
+        "queries": best["queries"],
+        "headline_value": best["headline_value"],
+        "sf": best["sf"],
+    }
+    print(json.dumps(contract))
 
 
 if __name__ == "__main__":
