@@ -236,38 +236,65 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey"
     )
     # collect_set dedups within the partial aggregation — one shuffle
-    # to baskets instead of distinct() + collect_list (two).
-    baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("parts"))
+    # to baskets instead of distinct() + collect_list (two). The set is
+    # sorted once per basket so pair generation can slice the suffix
+    # after each element instead of exploding the full k² cross and
+    # filtering u < v — half the explode fan-out vanishes before
+    # codegen even sees it (r13, guide §2.3: measured 1.93 s → 1.55 s
+    # for the edge build at sf0.1, identical distinct edge set).
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
     return (
-        baskets.select(F.explode("parts").alias("u"), "parts")
-        .select("u", F.explode("parts").alias("v"))
-        .filter(F.col("u") < F.col("v"))
+        baskets.select(F.posexplode("parts").alias("i", "u"), "parts")
+        .select(
+            "u",
+            F.explode(F.slice("parts", F.col("i") + 2, F.size("parts"))).alias("v"),
+        )
         .distinct()
     )
 
 
-def _oriented_wedges(spark: SparkSession, sf_dir: str):
+def _oriented_intersections(spark: SparkSession, sf_dir: str):
     """Degree-ordered orientation machinery shared by
-    q_graph_triangles and q_graph_clustering_coefficient (one copy
-    since round 9 — the two ops previously duplicated it line for
-    line): returns (edges, deg, oriented, wedges, m) where wedges =
-    (apex, u, v) with u < v, ready for the closing join against the
-    undirected edge set, and m is the (already-eager) edge count the
-    caller feeds to session.data_sized_shuffle around its
-    materializing action (SCALING.md finding 1: the wedge-stage
-    shuffle must widen with the edge frame or it spills).
+    q_graph_triangles and q_graph_clustering_coefficient: returns
+    (edges, deg, inter, m) where inter = one row per ORIENTED edge
+    (src, dst, ws) with ws = N⁺(src) ∩ N⁺(dst) — every w ∈ ws closes
+    the triangle {src, dst, w}, and each triangle appears on exactly
+    one row (any acyclic orientation of a triangle has exactly one
+    node with out-degree 2; that node is this row's src). m is the
+    (already-eager) edge count the caller feeds to
+    session.data_sized_shuffle around its materializing action
+    (SCALING.md finding 1).
 
-    edges (|E|), deg (|V|) and oriented (|E|) are PERSISTED — each
-    feeds 2-4 consumers and ReuseExchange dedupes none of them
-    (measured: 0 ReusedExchange, 14 redundant scans in the lazy
-    triangle plan). The caller must materialize its result through
-    the cache (eager localCheckpoint) and then unpersist all three.
+    r13 reshape (guide §2.3/§2.4, measured): the previous form
+    enumerated wedges (apex, u, v) via an oriented self-join and
+    CLOSED them with a join against the undirected edge set — at
+    sf0.1 that shuffles the 41.1M-row wedge frame into the closing
+    join, 4.9 s of the operator's 7.6 s. This form joins the oriented
+    edge list against the per-node out-neighbor ADJACENCY (collect_list
+    over oriented, |V| rows bounded by out-deg ≤ O(√m) elements each)
+    and intersects the two arrays per edge in codegen
+    (F.array_intersect): the wedge frame never exists, the adjacency
+    frame is node-sized and broadcasts below the 64 MB threshold
+    (measured 3.0 s vs 5.6 s for the same 1 884 488 triangles at
+    sf0.1). At cluster scale the asymptotics are unchanged — the
+    fallback sort-merge join ships Σ out-deg² array elements, the
+    same bytes the wedge shuffle carried — with the constant-factor
+    win of partial-agg sums instead of a 3-column row explosion.
+
+    edges (|E|), deg (|V|) and adj (|V|) are PERSISTED — each feeds
+    2+ consumers and ReuseExchange dedupes none of them (measured: 0
+    ReusedExchange, 14 redundant scans in the lazy triangle plan).
+    The caller must materialize its result through the cache (eager
+    localCheckpoint) and then unpersist all three (adj is returned
+    attached to inter's lineage; callers unpersist via the returned
+    handles list).
 
     The orientation bounds every node's out-degree by O(√m)
     regardless of raw-degree skew (hubs lose the (degree, id)
-    comparison on every edge), so the wedge fan-out Σ C(out_deg, 2)
-    ≤ m·√m survives a 100× scale-up where naive Σ C(deg, 2) does
-    not."""
+    comparison on every edge), so Σ |N⁺(u)| · |N⁺(v)| work survives a
+    100× scale-up where naive Σ C(deg, 2) does not."""
     edges = _copurchase_edges(spark, sf_dir).persist()
     m = edges.count()
     deg = (
@@ -288,19 +315,24 @@ def _oriented_wedges(spark: SparkSession, sf_dir: str):
         F.when(lower_is_u, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lower_is_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
     ).persist()
-    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
-    # wedge endpoints normalized to (u < v) so the closing join hits
-    # the undirected (u < v) edge set directly.
-    wedges = (
-        o1.join(o2, F.col("o1.src") == F.col("o2.src"))
-        .filter(F.col("o1.dst") < F.col("o2.dst"))
-        .select(
-            F.col("o1.src").alias("apex"),
-            F.col("o1.dst").alias("u"),
-            F.col("o2.dst").alias("v"),
+    # per-node out-neighbor arrays: |V| rows, element count Σ out-deg
+    # = m. Persisted eagerly because BOTH sides of the intersection
+    # join broadcast it (a lazy frame would re-run the groupBy once
+    # per broadcast build).
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs")).persist()
+    adj.count()
+    inter = (
+        oriented.join(
+            adj.select(F.col("src").alias("asrc"), F.col("nbrs").alias("nu")),
+            F.col("src") == F.col("asrc"),
         )
+        .join(
+            adj.select(F.col("src").alias("bsrc"), F.col("nbrs").alias("nv")),
+            F.col("dst") == F.col("bsrc"),
+        )
+        .select("src", "dst", F.array_intersect("nu", "nv").alias("ws"))
     )
-    return edges, deg, oriented, wedges, m
+    return edges, deg, [oriented, adj], inter, m
 
 
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,13 +361,18 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each triangle is counted exactly once: any acyclic orientation of
     a triangle has exactly one node with out-degree 2 (the wedge
-    apex). Oracle counts the same triangles with the id-ordered
-    3-way self-join (u < v < w) — a different enumeration order, the
-    same set. n_wedges = Σ C(deg, 2) over UNDIRECTED degrees;
+    apex — this row's src in the intersection form). Oracle counts
+    the same triangles with the id-ordered 3-way self-join
+    (u < v < w) — a different enumeration order, the same set.
+    n_wedges = Σ C(deg, 2) over UNDIRECTED degrees;
     global_clustering = 3·triangles / wedges (ratio of exact integers
     → bit-identical across engines before the 6 dp rounding)."""
-    edges, deg, oriented, wedges, m = _oriented_wedges(spark, sf_dir)
-    tri = wedges.join(edges, ["u", "v"]).agg(F.count("*").alias("n_triangles"))
+    edges, deg, handles, inter, m = _oriented_intersections(spark, sf_dir)
+    # Σ |ws| = triangle count (sum of exact ints; coalesce keeps the
+    # empty-graph case at 0 like the former count(*) did).
+    tri = inter.agg(
+        F.coalesce(F.sum(F.size("ws")), F.lit(0)).cast("bigint").alias("n_triangles")
+    )
     node_stats = deg.agg(
         F.count("*").alias("n_nodes"),
         F.sum(F.expr("CAST(d * (d - 1) AS BIGINT) div 2")).alias("n_wedges"),
@@ -360,7 +397,8 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     edges.unpersist()
     deg.unpersist()
-    oriented.unpersist()
+    for h in handles:
+        h.unpersist()
     return out
 
 
@@ -662,19 +700,20 @@ def q_graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFram
     degree; random graphs show it flat).
 
     Scale shape: triangles enumerate through the same degree-ordered
-    orientation as q_graph_triangles (wedge fan-out ≤ m·√m under any
-    skew); each closed triangle explodes to its THREE member nodes —
-    output bounded by 3·triangles — and per-node counts
-    partial-aggregate. Zero-triangle nodes enter through a left join
-    from the degree frame, so the curve's denominator is every node
-    with deg ≥ 2. avg_cc is computed per degree group as the single
-    exact-integer ratio 2·SUM(t)/(n_nodes·d·(d−1)) — one rounding at
-    6 dp, bit-identical across engines."""
-    edges, deg, oriented, wedges, m = _oriented_wedges(spark, sf_dir)
+    orientation + adjacency intersection as q_graph_triangles (work
+    ≤ Σ out-deg² under any skew — see _oriented_intersections' r13
+    reshape note); each closed triangle {src, dst, w} explodes to its
+    THREE member nodes — output bounded by 3·triangles — and per-node
+    counts partial-aggregate. Zero-triangle nodes enter through a
+    left join from the degree frame, so the curve's denominator is
+    every node with deg ≥ 2. avg_cc is computed per degree group as
+    the single exact-integer ratio 2·SUM(t)/(n_nodes·d·(d−1)) — one
+    rounding at 6 dp, bit-identical across engines."""
+    edges, deg, handles, inter, m = _oriented_intersections(spark, sf_dir)
     tri_nodes = (
-        wedges.join(edges, ["u", "v"])
+        inter.select("src", "dst", F.explode("ws").alias("w"))
         .select(
-            F.explode(F.array(F.col("apex"), F.col("u"), F.col("v"))).alias("node")
+            F.explode(F.array(F.col("src"), F.col("dst"), F.col("w"))).alias("node")
         )
         .groupBy("node")
         .agg(F.count("*").alias("t"))
@@ -709,7 +748,8 @@ def q_graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFram
         out = out.localCheckpoint(eager=True)
     edges.unpersist()
     deg.unpersist()
-    oriented.unpersist()
+    for h in handles:
+        h.unpersist()
     return out.orderBy("d")
 
 
