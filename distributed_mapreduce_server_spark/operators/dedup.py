@@ -1241,12 +1241,13 @@ def _substr_covered(spark: SparkSession, sf_dir: str):
     (dedup_exact_substr / dedup_span_clean / dedup_substr_spans):
     row-form L-gram assembly (posexplode + L-1 window leads —
     codegen, like the 3-gram shingler), md5 the gram, ONE
-    df-aggregation over the gram hash, then each duplicated gram at
-    position p explodes into its L covered positions. Returns (docs,
-    tok, cov, grams) where cov = DISTINCT (doc_id, pos) covered by
-    some duplicated >= SUBSTR_L-token run; fan-out is L x duplicated
-    grams only, never the corpus x L. Caller must unpersist the
-    returned grams handle after materializing its result."""
+    df-aggregation over the gram hash. Returns (docs, tok, hits,
+    grams) where hits = the START positions (doc_id, pos) of
+    duplicated L-grams — one row per duplicated gram, NOT the L×
+    exploded covered-position set (see _hit_islands for the r13
+    interval-merge reshape that made the explosion unnecessary).
+    Caller must unpersist the returned grams handle after
+    materializing its result."""
     docs = load_tables(spark, sf_dir, register_views=False)["documents"]
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     tok = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
@@ -1267,17 +1268,43 @@ def _substr_covered(spark: SparkSession, sf_dir: str):
         .filter(F.col("df") >= 2)
         .select("h")
     )
-    cov = (
-        grams.join(dup_h, "h")
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(SUBSTR_L - 1))
-            ).alias("pos"),
+    hits = grams.join(dup_h, "h").select("doc_id", "pos")
+    return docs, tok, hits, grams
+
+
+def _hit_islands(hits: DataFrame, span_l: int) -> DataFrame:
+    """Maximal covered intervals (doc_id, start, end, span_len) from
+    duplicated-gram START positions: each hit covers [pos, pos+L-1];
+    equal-length intervals sorted by start merge into one contiguous
+    island exactly when the gap to the previous start is <= L, so the
+    island decomposition is a per-doc lag + running sum — no L×
+    position explode, no distinct over the exploded set, no second
+    window over corpus×L rows (r13, guide §2.3: the former form
+    exploded every duplicated gram into L covered positions and
+    re-deduplicated them; at the multiscale ladder's L=40 level that
+    was a 40× row fan-out feeding a shuffle). Identical island set by
+    construction: the union of fixed-length integer intervals is
+    contiguous precisely where consecutive starts are within L.
+
+    Both window expressions share one (doc_id, pos) spec — a single
+    sort pass, partitions bounded by document length."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        hits.withColumn(
+            "new_island",
+            F.coalesce(
+                (F.col("pos") - F.lag("pos").over(w) > F.lit(span_l)).cast("int"),
+                F.lit(1),
+            ),
         )
-        .distinct()
+        .withColumn("grp", F.sum("new_island").over(w))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("start"),
+            (F.max("pos") + F.lit(span_l - 1)).alias("end"),
+            (F.max("pos") - F.min("pos") + F.lit(span_l)).alias("span_len"),
+        )
     )
-    return docs, tok, cov, grams
 
 
 def dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1292,12 +1319,16 @@ def dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark realization (the suffix-array algorithm is replaced by an
     equivalent fixed-L formulation: a token is in a duplicated run of
     length >= L iff some L-gram containing it is duplicated): the
-    shared _substr_covered construction, then a per-doc count of the
-    distinct covered positions. Shuffles: gram df (key-partitioned on
-    hash) + per-doc cover distinct — both partial-agg.
+    shared _substr_covered construction, then the covered-position
+    count per doc as the sum of merged-interval lengths
+    (_hit_islands — same value as counting the distinct exploded
+    positions, without the L× fan-out). Shuffles: gram df
+    (key-partitioned on hash) + the per-doc island window.
     """
-    docs, _, cov, grams = _substr_covered(spark, sf_dir)
-    covered = cov.groupBy("doc_id").agg(F.count("*").alias("n_dup_covered"))
+    docs, _, hits, grams = _substr_covered(spark, sf_dir)
+    covered = _hit_islands(hits, SUBSTR_L).groupBy("doc_id").agg(
+        F.sum("span_len").alias("n_dup_covered")
+    )
     sizes = docs.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
     out = (
         sizes.join(covered, "doc_id", "left")
@@ -1327,18 +1358,13 @@ def dedup_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     clichés — different curation actions (cut the block vs drop the
     doc).
 
-    Spans = gaps-and-islands over each doc's covered-position set
-    (pos − row_number is constant within a maximal run — the
-    q_events_burst_detection kernel on positions instead of hours);
-    the island window partitions by doc_id, so per-task work is
-    bounded by document length, never corpus-sized."""
-    docs, _, cov, grams = _substr_covered(spark, sf_dir)
-    wd = Window.partitionBy("doc_id").orderBy("pos")
-    spans = (
-        cov.withColumn("grp", F.col("pos") - F.row_number().over(wd))
-        .groupBy("doc_id", "grp")
-        .agg(F.count("*").alias("span_len"))
-    )
+    Spans = merged fixed-length intervals over the duplicated-gram
+    start positions (_hit_islands — the same maximal runs the former
+    covered-position gaps-and-islands produced, computed without the
+    L× explode); the island window partitions by doc_id, so per-task
+    work is bounded by document length, never corpus-sized."""
+    docs, _, hits, grams = _substr_covered(spark, sf_dir)
+    spans = _hit_islands(hits, SUBSTR_L)
     per = spans.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_spans"),
         F.max("span_len").cast("bigint").alias("max_span_tokens"),
@@ -1434,21 +1460,11 @@ def dedup_substr_multiscale(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("df") >= 2)
             .select("h")
         )
-        cov = (
-            cur.join(dup_h, "h")
-            .select(
-                "doc_id",
-                F.explode(
-                    F.sequence(F.col("pos"), F.col("pos") + F.lit(L - 1))
-                ).alias("pos"),
-            )
-            .distinct()
-        )
-        spans = (
-            cov.withColumn("grp", F.col("pos") - F.row_number().over(w))
-            .groupBy("doc_id", "grp")
-            .agg(F.count("*").alias("span_len"))
-        )
+        # interval-merge islands over the duplicated-gram starts
+        # (_hit_islands): same maximal runs as the former L× position
+        # explode + distinct + second window, without any of them —
+        # at this ladder's top level the explode was a 40× fan-out.
+        spans = _hit_islands(cur.join(dup_h, "h").select("doc_id", "pos"), L)
         per = spans.groupBy("doc_id").agg(
             F.count("*").cast("bigint").alias("n_spans"),
             F.max("span_len").cast("bigint").alias("max_span_tokens"),
@@ -1837,8 +1853,14 @@ def dedup_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed LEFT ANTI join (tok positions vs covered positions,
     co-keyed on doc_id) and a per-doc fold whose collect_list is
     bounded by document length — never corpus-sized. A fully covered
-    document still emits its row (n_kept = 0, clean_fp = md5(''))."""
-    docs, tok, cov, grams = _substr_covered(spark, sf_dir)
+    document still emits its row (n_kept = 0, clean_fp = md5('')).
+    The covered-position set explodes from the MERGED islands
+    (distinct by construction — r13: the former per-gram explode
+    produced up to L duplicates per position and re-deduplicated)."""
+    docs, tok, hits, grams = _substr_covered(spark, sf_dir)
+    cov = _hit_islands(hits, SUBSTR_L).select(
+        "doc_id", F.explode(F.sequence("start", "end")).alias("pos")
+    )
     kept = tok.join(cov, ["doc_id", "pos"], "left_anti")
     clean = kept.groupBy("doc_id").agg(
         F.count("*").alias("n_kept"),
