@@ -1236,29 +1236,47 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 SUBSTR_L = 10
 
 
+def _gram_hash_array(ts_col: str, span_l: int):
+    """Array of L-gram hashes for one document's token array: entry i
+    = md5_u60 of tokens[i..i+L-1] joined by spaces — identical values
+    to hashing concat_ws over posexplode + L−1 window leads (the
+    pre-r13 assembly), but computed per row with slice/array_join in
+    one codegen projection: no corpus-wide repartition, no window
+    sort, no L-column lead cascade (measured 0.95 → 0.49 s for the
+    sf0.1 gram build; multiset-equality of (doc_id, pos, h) verified
+    against the lead form). NULL (so posexplode emits nothing) when
+    the doc is shorter than L — the lead form dropped those rows via
+    the trailing-lead null filter."""
+    return F.when(
+        F.size(ts_col) >= span_l,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ts_col) - span_l),
+            lambda i: md5_u60(F.array_join(F.slice(ts_col, i + 1, span_l), " ")),
+        ),
+    )
+
+
 def _substr_covered(spark: SparkSession, sf_dir: str):
     """Shared construction behind the ExactSubstr family
     (dedup_exact_substr / dedup_span_clean / dedup_substr_spans):
-    row-form L-gram assembly (posexplode + L-1 window leads —
-    codegen, like the 3-gram shingler), md5 the gram, ONE
-    df-aggregation over the gram hash. Returns (docs, tok, hits,
-    grams) where hits = the START positions (doc_id, pos) of
+    per-doc L-gram hash arrays (_gram_hash_array) posexploded to
+    (doc_id, pos, h) rows, then ONE df-aggregation over the gram
+    hash. Returns (docs, toks, hits, grams) where toks = (doc_id, ts
+    token array) and hits = the START positions (doc_id, pos) of
     duplicated L-grams — one row per duplicated gram, NOT the L×
     exploded covered-position set (see _hit_islands for the r13
     interval-merge reshape that made the explosion unnecessary).
     Caller must unpersist the returned grams handle after
     materializing its result."""
     docs = load_tables(spark, sf_dir, register_views=False)["documents"]
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    tok = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    g = tok
-    parts = [F.col("tok")]
-    for k in range(1, SUBSTR_L):
-        g = g.withColumn(f"t{k}", F.lead("tok", k).over(w))
-        parts.append(F.col(f"t{k}"))
-    grams = g.filter(F.col(f"t{SUBSTR_L - 1}").isNotNull()).select(
-        "doc_id", "pos", md5_u60(F.concat_ws(" ", *parts)).alias("h")
+    # the corpus parquet arrives as few splits; spread the docs before
+    # the md5-heavy gram projection (round-robin — no key needed, the
+    # per-doc arrays keep every downstream kernel doc-local)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    toks = docs.select("doc_id", tokens("text").alias("ts"))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(_gram_hash_array("ts", SUBSTR_L)).alias("pos", "h"),
     )
     grams = grams.persist()
     grams.count()  # referenced twice (df agg + cover join)
@@ -1269,7 +1287,7 @@ def _substr_covered(spark: SparkSession, sf_dir: str):
         .select("h")
     )
     hits = grams.join(dup_h, "h").select("doc_id", "pos")
-    return docs, tok, hits, grams
+    return docs, toks, hits, grams
 
 
 def _hit_islands(hits: DataFrame, span_l: int) -> DataFrame:
@@ -1325,11 +1343,11 @@ def dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions, without the L× fan-out). Shuffles: gram df
     (key-partitioned on hash) + the per-doc island window.
     """
-    docs, _, hits, grams = _substr_covered(spark, sf_dir)
+    _, toks, hits, grams = _substr_covered(spark, sf_dir)
     covered = _hit_islands(hits, SUBSTR_L).groupBy("doc_id").agg(
         F.sum("span_len").alias("n_dup_covered")
     )
-    sizes = docs.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
+    sizes = toks.select("doc_id", F.size("ts").alias("n_tokens"))
     out = (
         sizes.join(covered, "doc_id", "left")
         .select(
@@ -1363,14 +1381,14 @@ def dedup_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     covered-position gaps-and-islands produced, computed without the
     L× explode); the island window partitions by doc_id, so per-task
     work is bounded by document length, never corpus-sized."""
-    docs, _, hits, grams = _substr_covered(spark, sf_dir)
+    _, toks, hits, grams = _substr_covered(spark, sf_dir)
     spans = _hit_islands(hits, SUBSTR_L)
     per = spans.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_spans"),
         F.max("span_len").cast("bigint").alias("max_span_tokens"),
         F.sum("span_len").cast("bigint").alias("n_dup_covered"),
     )
-    sizes = docs.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
+    sizes = toks.select("doc_id", F.size("ts").alias("n_tokens"))
     out = sizes.join(per, "doc_id", "left").select(
         "doc_id",
         "n_tokens",
@@ -1406,54 +1424,57 @@ def dedup_substr_multiscale(spark: SparkSession, sf_dir: str) -> DataFrame:
     past L=10 has scattered clichés (score, don't cut).
 
     ONE gram-df pass per level but ONE CORPUS PASS TOTAL: the base
-    level hashes L0-grams off the token stream (the _substr_covered
-    assembly); each doubling derives its hashes as
-    md5_u60(h_prev(p) || ' ' || h_prev(p + L_prev)) via a per-doc
-    window lead over the previous level's dense position column — no
-    re-tokenize, no re-hash of text, and equal token runs map to
-    equal level hashes by construction. Per level the df filter and
-    island aggregation are the shared spans kernel; per-task work is
-    bounded by doc length."""
+    level hashes L0-grams per doc into a hash ARRAY
+    (_gram_hash_array); each doubling derives its array as
+    hs_next[i] = md5_u60(hs[i] || ' ' || hs[i + L_prev]) with a
+    transform over the previous level's array — no re-tokenize, no
+    re-hash of text, and equal token runs map to equal level hashes
+    by construction. All three levels live in ONE persisted doc-row
+    frame (r13: the former row-form ladder persisted + eagerly
+    counted a corpus-row frame per level and derived each level
+    through a per-doc window lead — three corpus sorts and three
+    materializations for what is one columnar projection). Per level
+    the df filter and island aggregation are the shared spans
+    kernel; per-task work is bounded by doc length."""
     docs = load_tables(spark, sf_dir, register_views=False)["documents"]
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    tok = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    g = tok
-    parts = [F.col("tok")]
-    for k in range(1, SUBSTR_L):
-        g = g.withColumn(f"t{k}", F.lead("tok", k).over(w))
-        parts.append(F.col(f"t{k}"))
-    cur = (
-        g.filter(F.col(f"t{SUBSTR_L - 1}").isNotNull())
-        .select("doc_id", "pos", md5_u60(F.concat_ws(" ", *parts)).alias("h"))
-        .persist()
+    # spread the few parquet splits before the md5-heavy ladder build
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    toks = docs.select("doc_id", tokens("text").alias("ts"))
+    base = toks.select(
+        "doc_id",
+        F.size("ts").alias("n_tokens"),
+        _gram_hash_array("ts", SUBSTR_L).alias("hs0"),
     )
-    cur.count()
-    handles = [cur]
-    sizes = docs.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
-    out = None
+
+    def derive(prev_col: str, step: int):
+        # hs_next[i] = md5(str(hs[i]) + ' ' + str(hs[i+step])): the
+        # same value the window form computed with lead(h, step) over
+        # the dense per-doc position column.
+        return F.when(
+            F.size(prev_col) > step,
+            F.transform(
+                F.sequence(F.lit(0), F.size(prev_col) - 1 - step),
+                lambda i: md5_u60(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(F.col(prev_col), i + 1).cast("string"),
+                        F.element_at(F.col(prev_col), i + 1 + step).cast("string"),
+                    )
+                ),
+            ),
+        )
+
     prev_l = SUBSTR_L
     for level, L in enumerate(SUBSTR_L_GRID):
         if level:
-            step = prev_l
-            nxt = (
-                cur.withColumn("h2", F.lead("h", step).over(w))
-                .filter(F.col("h2").isNotNull())
-                .select(
-                    "doc_id",
-                    "pos",
-                    md5_u60(
-                        F.concat_ws(
-                            " ", F.col("h").cast("string"), F.col("h2").cast("string")
-                        )
-                    ).alias("h"),
-                )
-                .persist()
-            )
-            nxt.count()
-            handles.append(nxt)
-            cur = nxt
+            base = base.withColumn(f"hs{level}", derive(f"hs{level - 1}", prev_l))
             prev_l = L
+    base = base.persist()
+    base.count()
+    sizes = base.select("doc_id", "n_tokens")
+    out = None
+    for level, L in enumerate(SUBSTR_L_GRID):
+        cur = base.select("doc_id", F.posexplode(f"hs{level}").alias("pos", "h"))
         dup_h = (
             cur.groupBy("h")
             .agg(F.count("*").alias("df"))
@@ -1489,8 +1510,7 @@ def dedup_substr_multiscale(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     out = _cache_result(out)
-    for h in handles:
-        h.unpersist()
+    base.unpersist()
     return out.orderBy("doc_id", "span_l")
 
 
@@ -1847,42 +1867,44 @@ def dedup_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstructed token stream — value-exact parity on the actual
     surgery, not just the counts.
 
-    Scale shape: the shared _substr_covered construction (row-form
-    L-gram assembly, ONE df shuffle on the gram hash, fan-out bounded
-    by L x duplicated grams), plus one
-    keyed LEFT ANTI join (tok positions vs covered positions,
-    co-keyed on doc_id) and a per-doc fold whose collect_list is
-    bounded by document length — never corpus-sized. A fully covered
-    document still emits its row (n_kept = 0, clean_fp = md5('')).
-    The covered-position set explodes from the MERGED islands
-    (distinct by construction — r13: the former per-gram explode
-    produced up to L duplicates per position and re-deduplicated)."""
-    docs, tok, hits, grams = _substr_covered(spark, sf_dir)
-    cov = _hit_islands(hits, SUBSTR_L).select(
-        "doc_id", F.explode(F.sequence("start", "end")).alias("pos")
+    Scale shape: the shared _substr_covered construction (ONE df
+    shuffle on the gram hash), then the surgery is a per-doc ARRAY
+    filter: the merged islands (doc-bounded, duplicated-text-sized)
+    group to one interval list per doc, join back on doc_id (small
+    side — broadcastable), and each doc keeps the tokens whose index
+    no island covers (r13: the former shape posexploded every token
+    into a corpus-sized (doc_id, pos) frame, LEFT ANTI joined it
+    against the exploded covered positions, and re-assembled the
+    survivors with a collect_list sort fold — three corpus-row
+    shuffles that the index filter does entirely inside one codegen
+    projection). A fully covered document still emits its row
+    (n_kept = 0, clean_fp = md5(''))."""
+    _, toks, hits, grams = _substr_covered(spark, sf_dir)
+    isl = (
+        _hit_islands(hits, SUBSTR_L)
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("start", "end")).alias("isl"))
     )
-    kept = tok.join(cov, ["doc_id", "pos"], "left_anti")
-    clean = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda s: s["tok"],
+    kept = toks.join(isl, "doc_id", "left").select(
+        "doc_id",
+        F.size("ts").alias("n_tokens"),
+        F.when(F.col("isl").isNull(), F.col("ts"))
+        .otherwise(
+            F.filter(
+                "ts",
+                lambda t, i: ~F.exists(
+                    "isl", lambda s: (s["start"] <= i) & (i <= s["end"])
                 ),
-                " ",
             )
-        ).alias("clean_fp"),
+        )
+        .alias("kept_ts"),
     )
-    sizes = docs.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
-    out = sizes.join(clean, "doc_id", "left").select(
+    out = kept.select(
         "doc_id",
         "n_tokens",
-        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
-        .cast("bigint")
-        .alias("n_removed"),
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
-        F.coalesce(F.col("clean_fp"), F.md5(F.lit(""))).alias("clean_fp"),
+        (F.col("n_tokens") - F.size("kept_ts")).cast("bigint").alias("n_removed"),
+        F.size("kept_ts").cast("bigint").alias("n_kept"),
+        F.md5(F.array_join("kept_ts", " ")).alias("clean_fp"),
     )
     out = _cache_result(out)
     grams.unpersist()
