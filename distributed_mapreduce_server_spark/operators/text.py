@@ -1638,12 +1638,22 @@ def _lr_feature_frame(docs: DataFrame) -> DataFrame:
     )
 
 
-def _lr_train(spark: SparkSession, sf_dir: str, train_split_only: bool = False):
+def _lr_train(
+    spark: SparkSession,
+    sf_dir: str,
+    train_split_only: bool = False,
+    return_feat: bool = False,
+):
     """Full-batch GD on the logistic loss: returns (history, weights)
     where history[r] = (round, loss(w_r), *w_r) for r = 0..ROUNDS and
     weights = w_ROUNDS. With ``train_split_only`` the GD sees only
     the text_train_val_split TRAIN side (hash(doc_id) % 100 >=
-    SPLIT_PCT_VAL) — the text_quality_eval protocol.
+    SPLIT_PCT_VAL) — the text_quality_eval protocol. With
+    ``return_feat`` the FULL persisted feature frame is returned as a
+    third element for the caller to score from (and unpersist) —
+    the serving ops were rebuilding the identical tokenize+feature
+    projection a second time (r13, guide §1.3/§5: reuse the
+    persisted intermediate instead of recomputing it).
 
     Determinism grid: per row the logit is fround(·, 6) before the
     sigmoid and the sigmoid fround(·, 6) before anything sums; the
@@ -1662,12 +1672,17 @@ def _lr_train(spark: SparkSession, sf_dir: str, train_split_only: bool = False):
     from distributed_mapreduce_server_spark.functions import md5_u60
 
     docs = load_tables(spark, sf_dir, register_views=False)["documents"]
-    feat = _lr_feature_frame(docs)
+    # the corpus parquet arrives as ONE row group (one scan task);
+    # spread the docs before the tokenize-heavy feature projection
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # persist the FULL frame even when training on the split: the
+    # eval caller scores both splits from this same cache
+    feat_full = _lr_feature_frame(docs).persist()
+    feat = feat_full
     if train_split_only:
-        feat = feat.filter(
+        feat = feat_full.filter(
             md5_u60(F.col("doc_id").cast("string")) % 100 >= SPLIT_PCT_VAL
         )
-    feat = feat.persist()
     n = feat.count()
     w = [0.0] * 5
     hist = []
@@ -1709,7 +1724,9 @@ def _lr_train(spark: SparkSession, sf_dir: str, train_split_only: bool = False):
             break
         g = [fround_scalar(row[f"g{j}"] / n, 6) for j in range(5)]
         w = [fround_scalar(w[j] - LR_RATE * g[j], 6) for j in range(5)]
-    feat.unpersist()
+    if return_feat:
+        return hist, w, feat_full
+    feat_full.unpersist()
     return hist, w
 
 
@@ -1735,9 +1752,7 @@ def text_quality_trained_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one codegen projection, weights as literals — exactly how a
     learned model broadcasts). Emits the heuristic label beside the
     model's keep so the imitation quality is visible per doc."""
-    _, w = _lr_train(spark, sf_dir)
-    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
-    feat = _lr_feature_frame(docs)
+    _, w, feat = _lr_train(spark, sf_dir, return_feat=True)
     z = fround(
         F.lit(w[0])
         + F.lit(w[1]) * F.col("x1")
@@ -1747,7 +1762,7 @@ def text_quality_trained_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     score = fround(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6)
-    return (
+    out = (
         feat.select("doc_id", "y", z.alias("z"))
         .select(
             "doc_id",
@@ -1755,8 +1770,11 @@ def text_quality_trained_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (score >= MODEL_QF_THRESHOLD).alias("keep"),
             (F.col("y") >= 1.0).alias("heuristic_label"),
         )
-        .orderBy("doc_id")
+        .persist()
     )
+    out.count()  # materialize through the cache before releasing feat
+    feat.unpersist()
+    return out.orderBy("doc_id")
 
 
 def text_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1784,9 +1802,7 @@ def text_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly what a production eval row decides."""
     from distributed_mapreduce_server_spark.functions import md5_u60
 
-    _, w = _lr_train(spark, sf_dir, train_split_only=True)
-    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
-    feat = _lr_feature_frame(docs)
+    _, w, feat = _lr_train(spark, sf_dir, train_split_only=True, return_feat=True)
     z = fround(
         F.lit(w[0])
         + F.lit(w[1]) * F.col("x1")
@@ -1819,7 +1835,7 @@ def text_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         fn.cast("bigint").alias("fn"),
         tn.cast("bigint").alias("tn"),
     )
-    return agg.select(
+    out = agg.select(
         "split",
         "n_docs",
         "tp",
@@ -1838,7 +1854,10 @@ def text_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(1)),
             6,
         ).alias("f1"),
-    ).orderBy("split")
+    ).persist()
+    out.count()  # materialize through the cache before releasing feat
+    feat.unpersist()
+    return out.orderBy("split")
 
 
 # hashing-trick featurization: fixed output dimensionality regardless
