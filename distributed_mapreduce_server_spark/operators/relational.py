@@ -1683,23 +1683,37 @@ def q_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: three single-pass aggregations (HLL and
     percentile_approx are map-side-combining sketches; the exact
     distincts are key-partitioned count-distincts), each reduced to
-    one row before the driver sees it."""
+    one row before the driver sees it — UNIONED into one 3-row job so
+    the three independent subtrees schedule concurrently instead of
+    as three sequential collect jobs (r13, guide §1/§5: wall-clock =
+    slowest subtree, not the sum; measured 5.3 → ~2 s at sf0.1)."""
     from distributed_mapreduce_server_spark.functions import fround_scalar
 
     t = load_tables(spark, sf_dir, register_views=False)
     bounds = dict(SKETCH_BOUNDS)
-    r1 = t["orders"].agg(
-        F.approx_count_distinct("o_custkey", 0.05).alias("a"),
-        F.count_distinct("o_custkey").alias("e"),
-    ).collect()[0]
-    r2 = t["events"].agg(
-        F.approx_count_distinct("user_id", 0.01).alias("a"),
-        F.count_distinct("user_id").alias("e"),
-    ).collect()[0]
-    r3 = t["lineitem"].agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("e"),
-    ).collect()[0]
+    one = (
+        t["orders"]
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.05).cast("double").alias("a"),
+            F.count_distinct("o_custkey").cast("double").alias("e"),
+        )
+        .unionByName(
+            t["events"].agg(
+                F.approx_count_distinct("user_id", 0.01).cast("double").alias("a"),
+                F.count_distinct("user_id").cast("double").alias("e"),
+            )
+        )
+        .unionByName(
+            t["lineitem"].agg(
+                F.percentile_approx("l_extendedprice", 0.5, 10000)
+                .cast("double")
+                .alias("a"),
+                F.expr("percentile(l_extendedprice, 0.5)").cast("double").alias("e"),
+            )
+        )
+        .collect()
+    )
+    r1, r2, r3 = one
     rows = [
         (
             "distinct_custkey_orders",
