@@ -174,33 +174,45 @@ def _pairs_within(pairs: DataFrame, ids: DataFrame, a: str, b: str) -> DataFrame
 
 def _shingle_rows_from(spark: SparkSession, docs: DataFrame, mask_bits: int) -> DataFrame:
     """(doc_id, h) rows from any (doc_id, text, ...) frame: distinct
-    ``mask_bits``-bit hashes of the doc's 3-gram shingles, built
-    codegen-only:
+    ``mask_bits``-bit hashes of the doc's 3-gram shingles, built as
+    ONE codegen projection per document (r13):
 
-    tokenize -> posexplode -> window lead(1), lead(2) -> concat ->
-    md5 -> mask -> dropDuplicates.
+    tokenize (array) -> transform(sequence(0, n-3),
+    i -> md5(array_join(slice(ts, i+1, 3)))) & mask -> array_distinct
+    -> explode.
+
+    No posexplode, no corpus-token window sort, no dedup aggregate —
+    per-doc distinct in the array replaces dropDuplicates because all
+    of a doc's grams live in its own row. Gram strings and the
+    mask_bits-hash are byte-identical to the former lead-window form
+    (array_join(slice(ts, i+1, 3), " ") == concat_ws(" ", tok,
+    lead1, lead2)), so every downstream (doc_id, h) multiset is
+    unchanged.
 
     The repartition by doc_id spreads the single-split documents file
-    across all cores BEFORE tokenize+explode (shuffling ~200x fewer
-    bytes than repartitioning the exploded token rows), and the window
-    reuses that hash partitioning — no second shuffle.
+    across all cores BEFORE the heavy per-doc projection (shuffling
+    ~200x fewer bytes than repartitioning exploded token rows).
     """
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    tok = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sh = (
-        tok.withColumn("t1", F.lead("tok", 1).over(w))
-        .withColumn("t2", F.lead("tok", 2).over(w))
-        .filter(F.col("t2").isNotNull())
+    mask = F.lit((1 << mask_bits) - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("ts") - 3),
+        lambda i: md5_u60(F.array_join(F.slice(F.col("ts"), i + 1, 3), " ")).bitwiseAND(
+            mask
+        ),
+    )
+    # sequence(0, n-3) DESCENDS when n < 3 — guard short docs to an
+    # empty gram set (the lead-window form emitted no rows for them).
+    return (
+        docs.select("doc_id", tokens("text").alias("ts"))
         .select(
             "doc_id",
-            F.concat_ws(" ", "tok", "t1", "t2").alias("g"),
+            F.when(F.size("ts") >= 3, grams)
+            .otherwise(F.array().cast("array<bigint>"))
+            .alias("hs"),
         )
+        .select("doc_id", F.explode(F.array_distinct("hs")).alias("h"))
     )
-    return sh.select(
-        "doc_id",
-        md5_u60(F.col("g")).bitwiseAND(F.lit((1 << mask_bits) - 1)).alias("h"),
-    ).dropDuplicates(["doc_id", "h"])
 
 
 def _shingle_rows(spark: SparkSession, sf_dir: str, mask_bits: int) -> DataFrame:

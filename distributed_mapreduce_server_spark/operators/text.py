@@ -436,18 +436,26 @@ def text_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _trigram_rows(docs: DataFrame) -> DataFrame:
-    """Distinct (doc_id, gram) trigram rows, row-form (posexplode +
-    window lead — stays in codegen; see dedup._shingle_rows)."""
-    from pyspark.sql.window import Window
-
-    tok = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    """Distinct (doc_id, gram) trigram rows, built as one codegen
+    projection per document (r13; see dedup._shingle_rows_from):
+    transform(sequence(0, n-3), i -> array_join(slice(ts, i+1, 3)))
+    -> array_distinct -> explode. Gram strings are byte-identical to
+    the former posexplode + lead-window form; per-doc array_distinct
+    replaces the dropDuplicates aggregate."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("ts") - 3),
+        lambda i: F.array_join(F.slice(F.col("ts"), i + 1, 3), " "),
+    )
+    # sequence(0, n-3) DESCENDS when n < 3 — guard short docs.
     return (
-        tok.withColumn("t1", F.lead("tok", 1).over(w))
-        .withColumn("t2", F.lead("tok", 2).over(w))
-        .filter(F.col("t2").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "tok", "t1", "t2").alias("gram"))
-        .dropDuplicates(["doc_id", "gram"])
+        docs.select("doc_id", tokens("text").alias("ts"))
+        .select(
+            "doc_id",
+            F.when(F.size("ts") >= 3, grams)
+            .otherwise(F.array().cast("array<string>"))
+            .alias("gs"),
+        )
+        .select("doc_id", F.explode(F.array_distinct("gs")).alias("gram"))
     )
 
 
