@@ -47,6 +47,8 @@ long-running sessions can drop them with ``release_dedup_caches()``.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1654,11 +1656,20 @@ LSH_BUCKET_CAP = 4096
 
 
 def _capped_band_candidates(
-    bands: DataFrame, cap: int = LSH_BUCKET_CAP
-) -> tuple[DataFrame, int, _UnpersistGroup]:
+    bands: DataFrame, cap: int = LSH_BUCKET_CAP, tag_col: str | None = None
+) -> "tuple[DataFrame, int | dict, _UnpersistGroup]":
     """(candidate-pair frame, over-cap bucket count, persisted-frame
     holder) from an LSH (doc_id, band_idx, band_sig) frame, bounding
     per-bucket self-join fan-out at ~``cap`` members.
+
+    With ``tag_col`` (r13), the band frame carries several layouts at
+    once distinguished by that column: buckets key on (tag, band_idx,
+    band_sig), candidates come back tagged, and the over-cap count is
+    a {tag: count} dict computed in ONE job — the union form
+    dedup_lsh_br_sweep uses so all four layouts share a single bucket
+    self-join. The per-member survival predicate is unchanged
+    (xxhash64(doc_id, band_sig) vs cap/bsz with the tag-scoped bsz),
+    so each layout's survivor set is identical to running it alone.
 
     One EAGER keyed aggregation counts the over-cap buckets (cheap:
     the band frame reduced to bucket sizes). In the common case —
@@ -1673,13 +1684,24 @@ def _capped_band_candidates(
     predicate — that `kept` frame is persisted here and released via
     the returned holder AFTER the caller materializes the
     candidates."""
-    sizes = bands.groupBy("band_idx", "band_sig").agg(
-        F.count("*").alias("bsz")
-    )
-    n_capped = sizes.filter(F.col("bsz") > cap).count()
-    if n_capped:
+    keys = ([tag_col] if tag_col else []) + ["band_idx", "band_sig"]
+    sizes = bands.groupBy(*keys).agg(F.count("*").alias("bsz"))
+    if tag_col:
+        # one job for every layout's over-cap bucket count
+        n_capped = {
+            row[tag_col]: row["c"]
+            for row in sizes.filter(F.col("bsz") > cap)
+            .groupBy(tag_col)
+            .agg(F.count("*").alias("c"))
+            .collect()
+        }
+        any_capped = any(n_capped.values())
+    else:
+        n_capped = sizes.filter(F.col("bsz") > cap).count()
+        any_capped = bool(n_capped)
+    if any_capped:
         kept = (
-            bands.join(sizes, ["band_idx", "band_sig"])
+            bands.join(sizes, keys)
             .filter(
                 (F.col("bsz") <= cap)
                 | (
@@ -1693,7 +1715,7 @@ def _capped_band_candidates(
                     ).cast("long")
                 )
             )
-            .select("doc_id", "band_idx", "band_sig")
+            .select("doc_id", *keys)
             .persist()
         )
         holder = _UnpersistGroup(kept)
@@ -1704,11 +1726,14 @@ def _capped_band_candidates(
     cand = (
         ka.join(
             kb,
-            (F.col("ka.band_idx") == F.col("kb.band_idx"))
-            & (F.col("ka.band_sig") == F.col("kb.band_sig"))
-            & (F.col("ka.doc_id") < F.col("kb.doc_id")),
+            functools.reduce(
+                lambda acc, k: acc & (F.col(f"ka.{k}") == F.col(f"kb.{k}")),
+                keys,
+                F.col("ka.doc_id") < F.col("kb.doc_id"),
+            ),
         )
         .select(
+            *[F.col(f"ka.{k}") for k in ([tag_col] if tag_col else [])],
             F.col("ka.doc_id").alias("doc_a"),
             F.col("kb.doc_id").alias("doc_b"),
         )
@@ -1730,16 +1755,22 @@ def dedup_lsh_br_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost of recall along the (1/b)^(1/r) S-curve; the sweep measures
     where THIS corpus sits on it.
 
-    Scale shape: ONE shingle pass, ONE 16-min-agg signature pass and
-    ONE exhaustive-baseline verify are shared by every layout (the
-    sweep-family discipline: the expensive passes never repeat);
-    each layout adds only its band explode (b rows/doc), a
-    key-partitioned bucket self-join whose fan-out is bucket size —
-    bounded at LSH_BUCKET_CAP members per bucket, with truncated
-    buckets counted in n_capped_buckets (the r=1 arm's single-value
-    buckets otherwise grow linearly with the corpus) — and a
-    candidates-only verify. Verified pairs are exact-checked, so
-    layout precision-of-candidates is measured, never assumed. The
+    Scale shape (r13 union form): ONE shingle pass, ONE 16-min-agg
+    signature pass, ONE exhaustive-baseline verify, ONE tagged band
+    explode (Σb = 30 rows/doc covering all four layouts), ONE bucket
+    self-join keyed on (layout, band_idx, band_sig) — fan-out still
+    bounded at LSH_BUCKET_CAP members per bucket, truncated buckets
+    counted per layout in n_capped_buckets — and ONE candidate verify
+    over the DISTINCT union of every layout's pairs (the (16,1)
+    catch-all arm's candidate set is a superset of the others', so
+    the union verify costs what that single arm used to; the former
+    per-layout verifies re-scored the same pairs up to four times).
+    Per-layout counts come back from tagged aggregations: candidates,
+    verified = layout candidates ∩ the verified union (identical to
+    verifying each layout alone — a pair's jaccard does not depend on
+    which layout proposed it), and the sampled-recall numerator.
+    Verified pairs are exact-checked, so layout
+    precision-of-candidates is measured, never assumed. The
     exhaustive baseline (and with it n_exact_pairs and recall) runs
     on the deterministic hash-sample above EXACT_EVAL_SAMPLE_BOUND
     docs — see the sampling contract banner."""
@@ -1767,47 +1798,64 @@ def dedup_lsh_br_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample_ids = e_eval.select("doc_id").distinct() if is_sampled else None
     from distributed_mapreduce_server_spark.functions import fround_scalar
 
+    # ONE tagged band frame covering all four layouts (Σb rows/doc)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("nb"),
+            F.lit(i).alias("band_idx"),
+            F.md5(
+                F.concat_ws(",", *[F.col(f"mh{i * r + j}") for j in range(r)])
+            ).alias("band_sig"),
+        )
+        for b, r in LSH_BR_LAYOUTS
+        for i in range(b)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select(
+        "doc_id",
+        F.col("band.nb").alias("nb"),
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_sig").alias("band_sig"),
+    )
+    cand, n_capped_by, holder = _capped_band_candidates(bands, tag_col="nb")
+    cand = cand.persist()
+    n_cand_by = {
+        row["nb"]: row["c"]
+        for row in cand.groupBy("nb").agg(F.count("*").alias("c")).collect()
+    }
+    holder.unpersist()
+    # verify the DISTINCT pair union once; each layout's verified set
+    # is its candidates ∩ the verified union (jaccard is
+    # layout-independent)
+    ver_union = (
+        _pair_jaccard(e, cand.select("doc_a", "doc_b").distinct(), sizes=sizes)
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("doc_a", "doc_b")
+    )
+    tagged_ver = cand.join(ver_union, ["doc_a", "doc_b"], "left_semi").persist()
+    n_ver_by = {
+        row["nb"]: row["c"]
+        for row in tagged_ver.groupBy("nb").agg(F.count("*").alias("c")).collect()
+    }
+    if is_sampled:
+        # recall numerator scoped to the baseline's sample (the
+        # sampling contract); the verified-pair COUNT stays full —
+        # it is the layout's actual output size
+        n_hit_by = {
+            row["nb"]: row["c"]
+            for row in _pairs_within(tagged_ver, sample_ids, "doc_a", "doc_b")
+            .groupBy("nb")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        }
+    else:
+        n_hit_by = n_ver_by
     rows = []
     for b, r in LSH_BR_LAYOUTS:
-        band_structs = [
-            F.struct(
-                F.lit(i).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        ",", *[F.col(f"mh{i * r + j}") for j in range(r)]
-                    )
-                ).alias("band_sig"),
-            )
-            for i in range(b)
-        ]
-        bands = sig.select(
-            "doc_id", F.explode(F.array(*band_structs)).alias("band")
-        ).select(
-            "doc_id",
-            F.col("band.band_idx").alias("band_idx"),
-            F.col("band.band_sig").alias("band_sig"),
-        )
-        cand, n_capped, holder = _capped_band_candidates(bands)
-        cand = cand.persist()
-        n_cand = cand.count()
-        holder.unpersist()
-        ver = (
-            _pair_jaccard(e, cand, sizes=sizes)
-            .filter(F.col("jaccard") >= JACCARD_T)
-            .select("doc_a", "doc_b")
-        )
-        if is_sampled:
-            ver = ver.persist()
-            n_ver = ver.count()
-            # recall numerator scoped to the baseline's sample (the
-            # sampling contract); the verified-pair COUNT stays full —
-            # it is the layout's actual output size
-            n_hit = _pairs_within(ver, sample_ids, "doc_a", "doc_b").count()
-            ver.unpersist()
-        else:
-            n_ver = ver.count()
-            n_hit = n_ver
-        cand.unpersist()
+        n_cand = n_cand_by.get(b, 0)
+        n_ver = n_ver_by.get(b, 0)
+        n_hit = n_hit_by.get(b, 0)
         rows.append(
             (
                 b,
@@ -1817,9 +1865,11 @@ def dedup_lsh_br_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_exact,
                 fround_scalar(n_hit / max(n_exact, 1), 4),
                 fround_scalar(n_ver / max(n_cand, 1), 4),
-                n_capped,
+                n_capped_by.get(b, 0),
             )
         )
+    cand.unpersist()
+    tagged_ver.unpersist()
     e.unpersist()
     sig.unpersist()
     exact.unpersist()
