@@ -2472,9 +2472,23 @@ def dedup_routed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = _blocked_cosine_pairs(spark, emb_eval, n_hint=n_eval).select(
         "vec_a", "vec_b"
     )
-    n_routed = routed.count()
-    n_exact = exact.count()
-    n_cand = cand.collect()[0]["n_candidates"]
+    # ONE concurrent job for the three independent counts (r13, guide
+    # §2.6 — the q_sketch_error_bounds discipline): the routed verify,
+    # the exact baseline and the budget fold union into a 3-row
+    # collect, so wall-clock tracks the slowest subtree, not the sum.
+    counts = {
+        row["k"]: int(row["c"])
+        for row in routed.agg(F.count("*").cast("bigint").alias("c"))
+        .select(F.lit("routed").alias("k"), "c")
+        .unionAll(
+            exact.agg(F.count("*").cast("bigint").alias("c")).select(
+                F.lit("exact").alias("k"), "c"
+            )
+        )
+        .unionAll(cand.select(F.lit("cand").alias("k"), F.col("n_candidates").alias("c")))
+        .collect()
+    }
+    n_routed, n_exact, n_cand = counts["routed"], counts["exact"], counts["cand"]
     assign.unpersist()
     if is_sampled:
         emb_eval.unpersist()
@@ -2982,9 +2996,22 @@ def dedup_routed_nested_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = _blocked_cosine_pairs(spark, emb_eval, n_hint=n_eval).select(
         "vec_a", "vec_b"
     )
-    n_routed = routed.count()
-    n_exact = exact.count()
-    n_cand = cand.collect()[0]["n_candidates"]
+    # ONE concurrent job for the three independent counts (r13, guide
+    # §2.6): routed verify + exact baseline + budget fold union into a
+    # 3-row collect — wall-clock tracks the slowest subtree.
+    counts = {
+        row["k"]: int(row["c"])
+        for row in routed.agg(F.count("*").cast("bigint").alias("c"))
+        .select(F.lit("routed").alias("k"), "c")
+        .unionAll(
+            exact.agg(F.count("*").cast("bigint").alias("c")).select(
+                F.lit("exact").alias("k"), "c"
+            )
+        )
+        .unionAll(cand.select(F.lit("cand").alias("k"), F.col("n_candidates").alias("c")))
+        .collect()
+    }
+    n_routed, n_exact, n_cand = counts["routed"], counts["exact"], counts["cand"]
     assign.unpersist()
     if is_sampled:
         emb_eval.unpersist()
@@ -3044,18 +3071,43 @@ def dedup_routed_rank1_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("f") * F.col("h") - F.col("h"))
         .cast("bigint")
         .alias("r1_rows"),
-    ).collect()[0]
-    n_sym = _routed_pairs_from(
+    ).select(
+        F.explode(
+            F.create_map(
+                F.lit("sym_rows"),
+                F.col("sym_rows"),
+                F.lit("r1_rows"),
+                F.col("r1_rows"),
+            )
+        ).alias("k", "c")
+    )
+    sym = _routed_pairs_from(
         emb, assign, keys=("centroid_id", "fine_id"), strategy="pairdist"
-    ).count()
-    n_r1 = _routed_pairs_from(
+    )
+    r1 = _routed_pairs_from(
         emb,
         assign,
         keys=("centroid_id", "fine_id"),
         strategy="pairdist_rank1",
-    ).count()
+    )
+    # ONE concurrent job for the four independent counts (r13, guide
+    # §2.6): the two pair verifies are the heavy subtrees and now
+    # schedule together instead of back to back.
+    counts = {
+        row["k"]: int(row["c"])
+        for row in sym.agg(F.count("*").cast("bigint").alias("c"))
+        .select(F.lit("sym").alias("k"), "c")
+        .unionAll(
+            r1.agg(F.count("*").cast("bigint").alias("c")).select(
+                F.lit("r1").alias("k"), "c"
+            )
+        )
+        .unionAll(vols)
+        .collect()
+    }
+    n_sym, n_r1 = counts["sym"], counts["r1"]
     assign.unpersist()
-    sym_rows, r1_rows = int(vols["sym_rows"]), int(vols["r1_rows"])
+    sym_rows, r1_rows = counts["sym_rows"], counts["r1_rows"]
     return spark.range(1).select(
         F.lit(n_sym).cast("bigint").alias("n_sym_pairs"),
         F.lit(n_r1).cast("bigint").alias("n_r1_pairs"),
