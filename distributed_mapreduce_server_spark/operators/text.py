@@ -1671,21 +1671,10 @@ def _lr_train(
     (text_oracles._lr_ctes) applies the identical grid per round.
 
     Scale shape: the feature frame is built once and persisted
-    (corpus-sized, executor-resident); the (x1..x4, y) columns are
-    additionally packed ONCE into per-partition numpy blocks (an RDD
-    persist — 5 doubles/row), and each round is one RDD map+reduce
-    over those blocks to a 6-float partial (5 gradient sums + loss
-    sum) — driver state is 5 floats, rounds are O(scan), nothing
-    grows with n. The RDD form exists because the former per-round
-    DataFrame aggregation was PLAN-COMPILE-bound (~0.3 s/round of
-    Catalyst analysis for a 10 ms scan of the persisted 5000-row
-    cache, measured identical at 1 and 32 partitions and in
-    interpreted mode); RDD jobs skip Catalyst, so a round costs task
-    scheduling only (guide §1.2: per-task work after the algorithm
-    is right). The per-row arithmetic mirrors the former Column
-    expression order exactly (left-assoc MAC, fround_np twins fround
-    on the same 1e-6 grid), and the sum-order noise stays 6 orders
-    below the grid as before."""
+    (corpus-sized, executor-resident); each round is ONE map-side-
+    combined aggregation to a 1-row (5 gradient sums + loss sum)
+    collect — driver state is 5 floats, rounds are O(scan), nothing
+    grows with n."""
     from distributed_mapreduce_server_spark.functions import fround_scalar
 
     from distributed_mapreduce_server_spark.functions import md5_u60
@@ -1703,53 +1692,46 @@ def _lr_train(
             md5_u60(F.col("doc_id").cast("string")) % 100 >= SPLIT_PCT_VAL
         )
     n = feat.count()
-    # pack the 5 training columns into one numpy block per partition,
-    # persisted on the executors — see the scale-shape note above
-    import numpy as np
-
-    from distributed_mapreduce_server_spark.functions import fround_np
-
-    def _to_blocks(rows):
-        block = [(r["x1"], r["x2"], r["x3"], r["x4"], r["y"]) for r in rows]
-        if block:
-            yield np.asarray(block, dtype=np.float64)
-
-    blocks = (
-        feat.select("x1", "x2", "x3", "x4", "y").rdd.mapPartitions(_to_blocks).persist()
-    )
-
-    def _round_sums(m: "np.ndarray", w: list) -> "np.ndarray":
-        x1, x2, x3, x4, y = m[:, 0], m[:, 1], m[:, 2], m[:, 3], m[:, 4]
-        # left-assoc MAC, identical to the former Column expression
-        z = fround_np(w[0] + w[1] * x1 + w[2] * x2 + w[3] * x3 + w[4] * x4, 6)
-        s = fround_np(1.0 / (1.0 + np.exp(-z)), 6)
-        e = s - y
-        sc = np.minimum(np.maximum(s, LR_CLAMP), 1.0 - LR_CLAMP)
-        loss = -(y * np.log(sc) + (1.0 - y) * np.log(1.0 - sc))
-        return np.array(
-            [
-                e.sum(),
-                (e * x1).sum(),
-                (e * x2).sum(),
-                (e * x3).sum(),
-                (e * x4).sum(),
-                loss.sum(),
-            ]
-        )
-
     w = [0.0] * 5
     hist = []
     for r in range(LR_TRAIN_ROUNDS + 1):
-        cur = list(w)
-        sums = blocks.map(lambda m: _round_sums(m, cur)).fold(
-            np.zeros(6), lambda a, b: a + b
+        z = fround(
+            F.lit(w[0])
+            + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2")
+            + F.lit(w[3]) * F.col("x3")
+            + F.lit(w[4]) * F.col("x4"),
+            6,
         )
-        hist.append((r, fround_scalar(float(sums[5]) / n, 6), *w))
+        scored = feat.select(
+            "x1", "x2", "x3", "x4", "y", z.alias("z")
+        ).select(
+            "x1",
+            "x2",
+            "x3",
+            "x4",
+            "y",
+            fround(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6).alias("s"),
+        )
+        sc = F.least(
+            F.greatest(F.col("s"), F.lit(LR_CLAMP)), F.lit(1.0 - LR_CLAMP)
+        )
+        e = F.col("s") - F.col("y")
+        row = scored.agg(
+            F.sum(e).alias("g0"),
+            F.sum(e * F.col("x1")).alias("g1"),
+            F.sum(e * F.col("x2")).alias("g2"),
+            F.sum(e * F.col("x3")).alias("g3"),
+            F.sum(e * F.col("x4")).alias("g4"),
+            F.sum(
+                -(F.col("y") * F.log(sc) + (1 - F.col("y")) * F.log(1 - sc))
+            ).alias("l"),
+        ).collect()[0]
+        hist.append((r, fround_scalar(row["l"] / n, 6), *w))
         if r == LR_TRAIN_ROUNDS:
             break
-        g = [fround_scalar(float(sums[j]) / n, 6) for j in range(5)]
+        g = [fround_scalar(row[f"g{j}"] / n, 6) for j in range(5)]
         w = [fround_scalar(w[j] - LR_RATE * g[j], 6) for j in range(5)]
-    blocks.unpersist()
     if return_feat:
         return hist, w, feat_full
     feat_full.unpersist()
