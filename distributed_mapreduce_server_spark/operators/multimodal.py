@@ -770,11 +770,16 @@ def mm_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     it's the gate that decides what is worth decoding.
 
     Scale shape: pure JVM-side column math — one explode of payload
-    bytes into a partial-agg (doc, byte) count, an entropy fold over
-    the ≤256-row per-doc histogram (aggregate over collect_list,
-    bounded), and a media-type rollup. No Python boundary at all;
-    entropy is rounded 4 dp from exact integer counts so both engines
-    agree bit-for-bit."""
+    bytes into a partial-agg (doc, byte) count, then the entropy fold
+    directly in a second aggregation: tot rides along as a grouping
+    column (it is just size(payload), known BEFORE the explode), so
+    the former separate tot aggregation and hist⋈tot shuffle join are
+    gone (r13, guide §2.4 — one fewer Exchange, the per-term math
+    −Σ (n/tot)·log2(n/tot) rounded 4 dp from exact integer counts is
+    unchanged). No Python boundary at all. (An explode-free per-doc
+    in-array histogram — array_sort + run-length + fold — was
+    measured 32% SLOWER at sf0.1; the exploded partial agg emits
+    ≤256 rows/doc into the shuffle, so it also scales fine.)"""
     docs = load_tables(spark, sf_dir, register_views=False)["documents"]
     media = attach_media(docs).select(
         "doc_id",
@@ -782,33 +787,30 @@ def mm_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "payload",
     )
     # byte histogram: explode payload bytes (payload is the utf-8 text
-    # stub — ascii corpus, byte == char) into (doc, byte) counts
+    # stub — ascii corpus, byte == char) into (doc, byte) counts; tot
+    # (= the array size) is attached per doc before the explode
     bytes_rows = media.select(
         "doc_id",
         "media_type",
-        F.explode(
-            F.transform(
-                F.split(F.col("payload").cast("string"), ""),
-                lambda c: F.ascii(c),
-            )
-        ).alias("b"),
+        F.transform(
+            F.split(F.col("payload").cast("string"), ""), lambda c: F.ascii(c)
+        ).alias("bts"),
+    ).select(
+        "doc_id",
+        "media_type",
+        F.size("bts").cast("double").alias("tot"),
+        F.explode("bts").alias("b"),
     )
-    hist = bytes_rows.groupBy("doc_id", "media_type", "b").agg(
+    hist = bytes_rows.groupBy("doc_id", "media_type", "tot", "b").agg(
         F.count("*").alias("n")
     )
-    tot = hist.groupBy("doc_id", "media_type").agg(F.sum("n").alias("tot"))
-    ent = (
-        hist.join(tot, ["doc_id", "media_type"])
-        .groupBy("doc_id", "media_type")
-        .agg(
-            fround(
-                -F.sum(
-                    (F.col("n") / F.col("tot"))
-                    * F.log2(F.col("n") / F.col("tot"))
-                ),
-                4,
-            ).alias("entropy")
-        )
+    ent = hist.groupBy("doc_id", "media_type").agg(
+        fround(
+            -F.sum(
+                (F.col("n") / F.col("tot")) * F.log2(F.col("n") / F.col("tot"))
+            ),
+            4,
+        ).alias("entropy")
     )
     return (
         ent.groupBy("media_type")
