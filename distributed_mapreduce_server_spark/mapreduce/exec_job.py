@@ -104,7 +104,15 @@ def run_executable_job(
         lines = sc.textFile(input_paths, minPartitions=num_mappers)
         mapped = lines.pipe(mapper_cmd, checkCode=True)
 
-    keyed = mapped.map(lambda ln: (ln.split("\t", 1)[0], ln))
+    # Persist the mapper output: the broadcast-branch key sample
+    # below executes the mapper pipe through the distinct's map
+    # stage, and the real reducer pass would otherwise run the SAME
+    # pipe a second time over the whole input (the fallback branch's
+    # shuffle reuse covers only itself — by_rid there consumes the
+    # distinct shuffle, the broadcast branch's by_rid does not). The
+    # cache holds one string per mapped line, the same bytes the
+    # shuffle would spill; released after the result materializes.
+    keyed = mapped.map(lambda ln: (ln.split("\t", 1)[0], ln)).persist()
     # Assign reducer ids map-side when the key set is small: a full
     # RDD join re-shuffles EVERY mapped line against a table that is
     # usually tiny (wordcount: a vocabulary), and measured 2x slower
@@ -159,4 +167,11 @@ def run_executable_job(
     tagged = reduced.mapPartitionsWithIndex(
         lambda idx, it: ((idx, ln) for ln in it)
     )
-    return spark.createDataFrame(tagged, "part int, line string")
+    # materialize the (reducer-output-sized) result THROUGH the cache
+    # before releasing it — returning the lazy frame and unpersisting
+    # would re-run both pipes at the caller's action
+    out = spark.createDataFrame(tagged, "part int, line string").localCheckpoint(
+        eager=True
+    )
+    keyed.unpersist()
+    return out
