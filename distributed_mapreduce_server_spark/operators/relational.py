@@ -1686,7 +1686,14 @@ def q_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row before the driver sees it — UNIONED into one 3-row job so
     the three independent subtrees schedule concurrently instead of
     as three sequential collect jobs (r13, guide §1/§5: wall-clock =
-    slowest subtree, not the sum; measured 5.3 → ~2 s at sf0.1)."""
+    slowest subtree, not the sum). The EXACT median no longer uses
+    ``percentile()`` (its final merge deserializes every partition's
+    value buffer into one task — measured 1.7-2.0 s alone at sf0.1,
+    the whole row's wall): the sketch's own rank guarantee brackets
+    the two order statistics within ±n/accuracy ranks of the approx
+    value, so two TakeOrderedAndProject jobs (~60 rows each) fetch
+    them exactly — selection by counting, zero float summation, the
+    same interpolation arithmetic Spark's percentile() applies."""
     from distributed_mapreduce_server_spark.functions import fround_scalar
 
     t = load_tables(spark, sf_dir, register_views=False)
@@ -1708,12 +1715,55 @@ def q_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.percentile_approx("l_extendedprice", 0.5, 10000)
                 .cast("double")
                 .alias("a"),
-                F.expr("percentile(l_extendedprice, 0.5)").cast("double").alias("e"),
+                # placeholder: the exact median is selected below
+                F.count("*").cast("double").alias("e"),
             )
         )
         .collect()
     )
     r1, r2, r3 = one
+    # exact median by selection: ranks k and k+1 (0-indexed ascending,
+    # position = 0.5·(n−1)) bracket the interpolated median exactly as
+    # Spark's percentile() computes it. cnt_lt locates the approx
+    # value m0 in the global order; the GK sketch guarantees
+    # |rank(m0) − k| <= n/10000, so both fetches are ~60-row
+    # TakeOrderedAndProject jobs (+2 safety rows; the formulas stay
+    # correct for ANY m0 rank, a broken sketch only makes them
+    # bigger).
+    li_price = t["lineitem"].select(F.col("l_extendedprice").alias("v"))
+    n_li = int(r3["e"])
+    m0 = float(r3["a"])
+    pos = 0.5 * (n_li - 1)
+    k = int(pos)
+    cnt_lt = li_price.filter(F.col("v") < m0).count()
+    below_take = min(max(cnt_lt - k, 0) + 2, cnt_lt)
+    above_take = max(k + 2 - cnt_lt, 0) + 2
+    below = (
+        [
+            r["v"]
+            for r in li_price.filter(F.col("v") < m0)
+            .orderBy(F.desc("v"))
+            .limit(below_take)
+            .collect()
+        ][::-1]
+        if below_take > 0
+        else []
+    )
+    above = [
+        r["v"]
+        for r in li_price.filter(F.col("v") >= m0)
+        .orderBy(F.asc("v"))
+        .limit(above_take)
+        .collect()
+    ]
+    # global ranks: below covers cnt_lt−len(below) .. cnt_lt−1,
+    # above covers cnt_lt .. cnt_lt+len(above)−1
+    offset = cnt_lt - len(below)
+    window_vals = below + above
+    vk = window_vals[k - offset]
+    vk1 = window_vals[k + 1 - offset] if pos > k else vk
+    exact_median = vk + (vk1 - vk) * (pos - k)
+    r3 = {"a": m0, "e": exact_median}
     rows = [
         (
             "distinct_custkey_orders",

@@ -204,3 +204,47 @@ class TestRank1IndexProbing:
         ns, nr = sym.count(), r1.count()
         assert nr < ns  # the loose cut genuinely loses pairs
         assign.unpersist()
+
+
+class TestSelectionMedianMatchesPercentile:
+    @pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+    def test_exact_median_row_equals_percentile(self, spark, sf):
+        """q_sketch_error_bounds' r13 selection median (approx-bracketed
+        order statistics, two TakeOrdered jobs) must reproduce Spark's
+        exact percentile() bit-for-bit — both interpolate the k/k+1
+        order statistics at position 0.5·(n−1)."""
+        from pyspark.sql import functions as F
+
+        from distributed_mapreduce_server_spark.catalog import load_tables
+        from distributed_mapreduce_server_spark.operators.relational import (
+            q_sketch_error_bounds,
+        )
+
+        t = load_tables(spark, sf, register_views=False)
+        ref = t["lineitem"].agg(
+            F.expr("percentile(l_extendedprice, 0.5)").cast("double").alias("e")
+        ).collect()[0]["e"]
+        row = {
+            r["check_name"]: r
+            for r in q_sketch_error_bounds(spark, sf).collect()
+        }["median_extendedprice"]
+        from distributed_mapreduce_server_spark.functions import fround_scalar
+
+        assert row["exact_value"] == fround_scalar(float(ref), 2)
+        assert bool(row["within_bound"]) is True
+
+    def test_selection_handles_odd_and_even_n(self, spark):
+        """Synthetic odd/even corpora: interpolation (pos > k) and the
+        exact-hit (pos == k) branch both reproduce percentile()."""
+        from pyspark.sql import functions as F
+
+        for vals in ([3.0, 1.0, 2.0, 10.0], [5.0, 1.0, 9.0, 7.0, 3.0]):
+            df = spark.createDataFrame([(v,) for v in vals], "v double")
+            ref = df.agg(F.expr("percentile(v, 0.5)").alias("e")).collect()[0]["e"]
+            n = len(vals)
+            pos = 0.5 * (n - 1)
+            k = int(pos)
+            sv = sorted(vals)
+            vk = sv[k]
+            vk1 = sv[k + 1] if pos > k else vk
+            assert vk + (vk1 - vk) * (pos - k) == ref
