@@ -2897,7 +2897,11 @@ def dedup_nested_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
         .persist()
     )
-    n_exact = exact.count()
+    # n_exact folds into the final job below (crossJoin of the 1-row
+    # broadcast count) instead of an eager count — the exact baseline
+    # then overlaps the budgets/frontier subtrees in ONE job (r13,
+    # guide §2.6); exact is persisted, so the two consumers (the
+    # frontier broadcast and the count agg) share one materialization.
     aa = assign.select(
         F.col("vec_id").alias("vec_a"),
         "centroid_id",
@@ -2935,8 +2939,10 @@ def dedup_nested_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p1", "p2")
         .agg(F.count_distinct("vec_a", "vec_b").alias("n_routed_pairs"))
     )
+    ne = exact.agg(F.count("*").cast("bigint").alias("__ne"))
     out = (
         budgets.join(caught, ["p1", "p2"], "left")
+        .crossJoin(F.broadcast(ne))
         .select(
             F.col("p1").cast("int").alias("p1"),
             F.col("p2").cast("int").alias("p2"),
@@ -2944,10 +2950,10 @@ def dedup_nested_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_routed_pairs"), F.lit(0))
             .cast("bigint")
             .alias("n_routed_pairs"),
-            F.lit(n_exact).cast("bigint").alias("n_exact_pairs"),
+            F.col("__ne").alias("n_exact_pairs"),
             fround(
                 F.coalesce(F.col("n_routed_pairs"), F.lit(0))
-                / F.lit(max(n_exact, 1)),
+                / F.greatest(F.col("__ne").cast("double"), F.lit(1.0)),
                 4,
             ).alias("recall"),
         )
