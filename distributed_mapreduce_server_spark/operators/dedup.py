@@ -2571,7 +2571,11 @@ def dedup_routed_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
         .persist()
     )
-    n_exact = exact.count()
+    # n_exact folds into the final job below (1-row broadcast
+    # crossJoin, the dedup_nested_probe_sweep pattern): the exact
+    # baseline overlaps the budget fold instead of running as its own
+    # sequential count job; exact stays persisted so its two
+    # consumers share one materialization.
     aa = assign.select(
         F.col("vec_id").alias("vec_a"),
         "centroid_id",
@@ -2608,19 +2612,23 @@ def dedup_routed_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.probes").alias("probes"),
         F.coalesce(F.col("r.n_routed_pairs"), F.lit(0)).alias("n_routed_pairs"),
     )
+    ne = exact.agg(F.count("*").cast("bigint").alias("__ne"))
     out = (
         budgets.join(recalls, "probes")
+        .crossJoin(F.broadcast(ne))
         .select(
             "probes",
             "n_candidates",
             F.col("n_routed_pairs").cast("bigint").alias("n_routed_pairs"),
-            F.lit(n_exact).cast("bigint").alias("n_exact_pairs"),
-            # max(ne, 1): an empty exact baseline pins recall at 0.0
-            # deterministically instead of NULL (GREATEST(ne, 1) in
-            # the oracle)
-            fround(F.col("n_routed_pairs") / F.lit(max(n_exact, 1)), 4).alias(
-                "recall"
-            ),
+            F.col("__ne").alias("n_exact_pairs"),
+            # greatest(ne, 1): an empty exact baseline pins recall at
+            # 0.0 deterministically instead of NULL (GREATEST(ne, 1)
+            # in the oracle)
+            fround(
+                F.col("n_routed_pairs")
+                / F.greatest(F.col("__ne").cast("double"), F.lit(1.0)),
+                4,
+            ).alias("recall"),
         )
         .orderBy("probes")
         .localCheckpoint(eager=True)

@@ -639,6 +639,7 @@ EXECUTED_NESTED_LOOP = {
     "sim_ivf_nprobe_sweep": "bounded broadcast query-set crossJoin inside each IVF arm",
     "text_perplexity_filter": "1-row broadcast corpus-total cross-join (bigram logprob model)",
     "dedup_nested_probe_sweep": "1-row broadcast exact-pair-count cross-join folded into the grid job (r13)",
+    "dedup_routed_probe_sweep": "1-row broadcast exact-pair-count cross-join folded into the curve job (r13)",
     "stream_kl_drift": "1-row broadcast corpus-total cross-join in the shared KL fold",
 }
 
