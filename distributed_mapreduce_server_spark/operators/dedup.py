@@ -1788,13 +1788,16 @@ def dedup_lsh_br_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig.count()
     sizes = sig.select("doc_id", "n_sh")
     e_eval, is_sampled = _exact_eval_sample(e, "doc_id", n_docs)
-    exact = (
+    # the exhaustive baseline's ONLY consumer is its pair count — it
+    # folds into the candidate-count job below (r13, guide §2.6) so
+    # the quadratic verify overlaps the bucket self-join instead of
+    # running as its own sequential job
+    exact_cnt = (
         _pair_jaccard(e_eval, None, sizes=sizes)
         .filter(F.col("jaccard") >= JACCARD_T)
-        .select("doc_a", "doc_b")
-        .persist()
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .select(F.lit(-1).alias("nb"), "c")
     )
-    n_exact = exact.count()
     sample_ids = e_eval.select("doc_id").distinct() if is_sampled else None
     from distributed_mapreduce_server_spark.functions import fround_scalar
 
@@ -1820,10 +1823,17 @@ def dedup_lsh_br_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand, n_capped_by, holder = _capped_band_candidates(bands, tag_col="nb")
     cand = cand.persist()
+    # one concurrent job: per-layout candidate counts + the exhaustive
+    # baseline count (tag −1) — the quadratic baseline subtree
+    # schedules alongside the bucket self-join
     n_cand_by = {
-        row["nb"]: row["c"]
-        for row in cand.groupBy("nb").agg(F.count("*").alias("c")).collect()
+        row["nb"]: int(row["c"])
+        for row in cand.groupBy("nb")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .unionAll(exact_cnt)
+        .collect()
     }
+    n_exact = n_cand_by.pop(-1)
     holder.unpersist()
     # verify the DISTINCT pair union once; each layout's verified set
     # is its candidates ∩ the verified union (jaccard is
@@ -1872,7 +1882,6 @@ def dedup_lsh_br_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged_ver.unpersist()
     e.unpersist()
     sig.unpersist()
-    exact.unpersist()
     return spark.createDataFrame(
         rows,
         "n_bands int, rows_per_band int, n_candidate_pairs bigint,"
