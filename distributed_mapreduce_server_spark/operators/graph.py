@@ -45,7 +45,15 @@ from distributed_mapreduce_server_spark.functions import fround
 from distributed_mapreduce_server_spark.session import (
     GRAPH_EDGE_ROWS_PER_TASK,
     data_sized_shuffle,
+    scoped_conf,
 )
+
+# Iterative-loop label/keep frames broadcast only below this node
+# count (~16 bytes/row of two BIGINTs -> ~64 MB at the cap, matching
+# the session's autoBroadcastJoinThreshold). Above it the per-round
+# joins fall back to the shuffle plan — at 100 TB |V| outgrows any
+# broadcast; locally every test SF sits far below the cap.
+LOOP_BROADCAST_MAX_NODES = 4_000_000
 
 PR_ITERATIONS = 5
 PR_DAMPING = 0.85
@@ -771,58 +779,107 @@ def q_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     speed (how fast the periphery unravels), not just the fixed
     point.
 
-    Scale shape: each round is one degree reduction (partial agg over
-    the current edge frame) plus two semi-joins — all keyed, no
-    window, no cartesian. The surviving edge frame is cut to a leaf
-    with eager localCheckpoint per round (the dedup_clusters_bigstar
-    discipline: persist alone leaves geometric lineage and Catalyst
-    analysis time explodes), and per-round sizes are read off the
-    checkpointed frame. Superseded rounds' checkpoint blocks are
-    retired as soon as the next round's counts materialize, via each
-    frame's OWN backing rdd id (session.checkpointed_rdd_ids —
-    concurrency-safe since round 10; the former snapshot diff could
-    capture a concurrent query's blocks) — without retirement, every
-    round's edge frame stays in executor storage for the life of the
-    session. Rounds are FIXED, so the DuckDB oracle unrolls the same
-    peel as MATERIALIZED CTEs."""
+    Scale shape (r14 reshape): each round is ONE job — two
+    broadcast-hinted semi-joins restricting the ORIGINAL checkpointed
+    edge frame to the current survivor set, one degree reduction
+    (explode(array(u, v)) partial agg), and a lazy localCheckpoint of
+    the |V|-row DEGREE frame whose materializing stats collect yields
+    both round counts. The surviving |E|-row edge frame is never
+    materialized (the former loop eagerly checkpointed it every round
+    just to read it back once — node-sized state is the only thing
+    the loop writes now); restricting the original edges to the
+    shrinking survivor set is identical to compounding per-round
+    restrictions because survivors only shrink. Superseded degree
+    frames retire via their OWN backing rdd id
+    (session.checkpointed_rdd_ids — the concurrency-safe discipline).
+    Rounds are FIXED, so the DuckDB oracle unrolls the same peel as
+    MATERIALIZED CTEs."""
     from distributed_mapreduce_server_spark.session import (
         checkpointed_rdd_ids,
         unpersist_rdd_ids,
     )
 
-    rows = []
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    # lazy checkpoint: the count below is the materializing action
+    # (one job, not checkpoint-then-count).
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     edge_ids = checkpointed_rdd_ids(edges)
-    # Cheap: counts the already-materialized checkpoint blocks. Feeds
-    # the per-round shuffle sizing below (SCALING.md finding 1).
+    # Materializes the checkpoint AND feeds the per-round shuffle
+    # sizing below (SCALING.md finding 1).
     m = edges.count()
+    # r14 reshape (guide §2.3/§8: move heavy bytes once, iterate on a
+    # lightweight proxy): the former loop MATERIALIZED the surviving
+    # |E|-row edge frame every round (an eager localCheckpoint write of
+    # ~1M rows per round at sf0.1, 4 jobs/round) only to read it back
+    # for the next degree count. The edge set never needs to be
+    # materialized again: restricting the ORIGINAL checkpointed edges
+    # to the current survivor set (both endpoints) is identical to
+    # compounding per-round restrictions (survivors only shrink), so
+    # each round is ONE job — two broadcast-hinted semi-joins against
+    # the node-sized survivor frame, one degree aggregation, and a
+    # lazy localCheckpoint of the |V|-row DEGREE frame whose
+    # materializing action also collects both round stats:
+    # n_keep = |{d >= K}| (this round's n_nodes) and sum(d)/2 = the
+    # PREVIOUS round's surviving-edge count (each surviving edge
+    # contributes to exactly two node degrees). Edge-frame writes are
+    # gone; the only per-round state is node-sized. AQE is scoped off
+    # while the survivor set is broadcastable — fixed-shape broadcast
+    # rounds gain nothing from re-planning (see q_graph_community_lpa);
+    # a 100 TB |V| over LOOP_BROADCAST_MAX_NODES keeps AQE and the
+    # shuffle semi-join plan.
+    keep = None
+    keep_ids: set[int] = set()
+    stats = []  # per round: (n_keep, tot_edges_of_input)
+    bcast = True
     with data_sized_shuffle(spark, m, GRAPH_EDGE_ROWS_PER_TASK):
-        for r in range(1, KCORE_ROUNDS + 1):
-            deg = (
-                edges.select(F.col("u").alias("node"))
-                .unionAll(edges.select(F.col("v").alias("node")))
-                .groupBy("node")
-                .agg(F.count("*").alias("d"))
-            )
-            keep = deg.filter(F.col("d") >= KCORE_K).select(
-                "node"
-            ).localCheckpoint(eager=True)
-            keep_ids = checkpointed_rdd_ids(keep)
-            n_nodes = keep.count()
-            nxt = (
-                edges.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
-                .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
-                .select("u", "v")
-                .localCheckpoint(eager=True)
-            )
-            nxt_ids = checkpointed_rdd_ids(nxt)
-            n_edges = nxt.count()
-            rows.append((r, KCORE_K, n_nodes, n_edges))
-            # This round's counts are materialized — the previous edge
-            # frame and this round's keep frame are dead; free their blocks.
-            unpersist_rdd_ids(spark, edge_ids | keep_ids)
-            edges, edge_ids = nxt, nxt_ids
-    unpersist_rdd_ids(spark, edge_ids)
+        # rounds 1..R restrict by the previous survivor set; one extra
+        # pass after round R prices row R's surviving-edge count.
+        for r in range(KCORE_ROUNDS + 1):
+            e_r = edges
+            if keep is not None:
+                keep_u = keep.select(F.col("node").alias("u"))
+                keep_v = keep.select(F.col("node").alias("v"))
+                if bcast:
+                    keep_u, keep_v = F.broadcast(keep_u), F.broadcast(keep_v)
+                e_r = e_r.join(keep_u, "u", "left_semi").join(
+                    keep_v, "v", "left_semi"
+                )
+            with scoped_conf(
+                spark,
+                {"spark.sql.adaptive.enabled": "false"}
+                if (bcast and keep is not None)
+                else {},
+            ):
+                # explode(array(u, v)) = the same endpoint multiset as
+                # union(select u, select v) in ONE scan of the edge
+                # frame instead of two (measured 1.12 -> 0.82 s for the
+                # degree job at sf0.1).
+                deg = (
+                    e_r.select(F.explode(F.array("u", "v")).alias("node"))
+                    .groupBy("node")
+                    .agg(F.count("*").alias("d"))
+                    .localCheckpoint(eager=False)
+                )
+                deg_ids = checkpointed_rdd_ids(deg)
+                row = deg.agg(
+                    F.coalesce(
+                        F.sum(F.when(F.col("d") >= KCORE_K, 1)), F.lit(0)
+                    ).alias("n_keep"),
+                    F.coalesce((F.sum("d") / 2).cast("bigint"), F.lit(0)).alias(
+                        "tot_edges"
+                    ),
+                ).collect()[0]
+            stats.append((int(row["n_keep"]), int(row["tot_edges"])))
+            unpersist_rdd_ids(spark, keep_ids)
+            keep = deg.filter(F.col("d") >= KCORE_K).select("node")
+            keep_ids = deg_ids
+            bcast = bcast and row["n_keep"] <= LOOP_BROADCAST_MAX_NODES
+    unpersist_rdd_ids(spark, keep_ids | edge_ids)
+    # row r reports the survivors of round r's filter and the edge set
+    # RESTRICTED to them — which is exactly round r+1's input size.
+    rows = [
+        (r + 1, KCORE_K, stats[r][0], stats[r + 1][1])
+        for r in range(KCORE_ROUNDS)
+    ]
     return spark.createDataFrame(
         rows, "round int, k int, n_nodes bigint, n_edges bigint"
     ).orderBy("round")
@@ -850,13 +907,18 @@ def q_graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     respects edge DENSITY — two cliques joined by one bridge stay
     separate communities while CC merges them.
 
-    Scale shape: per round one key-partitioned join of the directed
-    edge list against the |V|-row label frame and one
-    (node, label)-keyed partial-agg count, then the per-node argmax
-    as a SECOND partial agg — max(struct(c, -lbl)) reproduces the
-    (count DESC, label ASC) tie-break without a window sort, so both
-    reductions map-side combine and nothing per-node ever sorts. The
-    label frame is cut to a leaf per round
+    Scale shape: per round one join of the directed edge list against
+    the |V|-row label frame (the checkpointed label leaf broadcasts —
+    materialized LogicalRDDs carry real size stats) and ONE fused
+    per-node reduction: mode(lbl, deterministic=true) IS the
+    (count DESC, label ASC) vote — "lowest value among the most
+    frequent" — as a single ObjectHashAggregate with map-side partial
+    maps (r14, guide §2.4). The former two-step form (per-(node,label)
+    HashAggregate count, then argmax via max(struct(c, -lbl))) paid a
+    second Exchange AND two SortAggregate sorts per round: a struct
+    buffer cannot hash-aggregate, so the executed plans showed
+    SortAggregate partial/final around the argmax exchange. The label
+    frame is cut to a leaf per round
     with eager localCheckpoint, superseded rounds retired via each
     frame's OWN rdd id (session.checkpointed_rdd_ids — the
     concurrency-safe discipline). Rounds are FIXED, so the DuckDB
@@ -866,10 +928,11 @@ def q_graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         unpersist_rdd_ids,
     )
 
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    # lazy checkpoint: the count below materializes it in one job.
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     edge_ids = checkpointed_rdd_ids(edges)
-    # Cheap count of the materialized checkpoint; sizes the per-round
-    # label-vote shuffle with the edge frame (SCALING.md finding 1).
+    # Materializes the checkpoint; sizes the per-round label-vote
+    # shuffle with the edge frame (SCALING.md finding 1).
     m = edges.count()
     und = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
@@ -882,27 +945,40 @@ def q_graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         label_ids = checkpointed_rdd_ids(labels)
-        for _ in range(LPA_ROUNDS):
-            votes = (
-                und.join(
-                    labels.withColumnsRenamed({"node": "dst"}), "dst"
+        # |V|: cheap count of the materialized label leaf — gates the
+        # per-round broadcast hint (above the cap the rounds keep the
+        # shuffle-join plan; a 100 TB |V| outgrows any broadcast).
+        n_nodes = labels.count()
+        bcast = n_nodes <= LOOP_BROADCAST_MAX_NODES
+        # Fixed-shape rounds: every join below is explicitly
+        # broadcast-hinted and every aggregation's input is the same
+        # cached edge frame, so AQE has nothing to re-optimize — but
+        # it DOES split each round into extra broadcast-materialization
+        # jobs and re-planning passes, which dominate a sub-second
+        # round (r14, guide §1.2/§2.6). Static planning keeps each
+        # round one 2-stage job. Restored on exit for the final agg.
+        loop_confs = (
+            {"spark.sql.adaptive.enabled": "false"} if bcast else {}
+        )
+        with scoped_conf(spark, loop_confs):
+            for _ in range(LPA_ROUNDS):
+                # mode(lbl, deterministic=true) = the most frequent
+                # neighbor label, ties to the SMALLEST — exactly the
+                # max(struct(c, -lbl)) argmax over per-(node, lbl)
+                # counts, fused into one aggregation (one Exchange
+                # where two were; no SortAggregate struct sorts).
+                lbl_side = labels.withColumnsRenamed({"node": "dst"})
+                if bcast:
+                    lbl_side = F.broadcast(lbl_side)
+                nxt = (
+                    und.join(lbl_side, "dst")
+                    .groupBy(F.col("src").alias("node"))
+                    .agg(F.mode(F.col("lbl"), True).alias("lbl"))
+                    .localCheckpoint(eager=True)
                 )
-                .groupBy(F.col("src").alias("node"), "lbl")
-                .agg(F.count("*").alias("c"))
-            )
-            nxt = (
-                votes.groupBy("node")
-                .agg(
-                    F.max(
-                        F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))
-                    ).alias("m")
-                )
-                .select("node", (-F.col("m.nl")).alias("lbl"))
-                .localCheckpoint(eager=True)
-            )
-            nxt_ids = checkpointed_rdd_ids(nxt)
-            unpersist_rdd_ids(spark, label_ids)
-            labels, label_ids = nxt, nxt_ids
+                nxt_ids = checkpointed_rdd_ids(nxt)
+                unpersist_rdd_ids(spark, label_ids)
+                labels, label_ids = nxt, nxt_ids
         out = (
             labels.groupBy(F.col("lbl").alias("community"))
             .agg(F.count("*").cast("bigint").alias("n_nodes"))

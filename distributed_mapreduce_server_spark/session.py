@@ -126,6 +126,27 @@ def data_sized_shuffle(spark: SparkSession, n_rows: int, rows_per_task: int):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+@contextlib.contextmanager
+def scoped_conf(spark: SparkSession, confs: dict[str, str]):
+    """Scope arbitrary SQL confs (r14): set each key=value, restore the
+    previous values on exit. Same ACTION-time caveat and
+    single-threaded-session assumption as :func:`data_sized_shuffle`.
+
+    First use: switching AQE off around fixed-shape iterative loops
+    (graph rounds) whose joins are explicitly broadcast-hinted — AQE's
+    per-job re-planning and separate broadcast-materialization jobs
+    dominate a sub-second round, and nothing in a fixed broadcast+agg
+    round needs runtime re-optimization."""
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, str(v))
+    try:
+        yield
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 def retire_persistent_rdds(spark: SparkSession) -> int:
     """Unpersist EVERY persistent RDD in the context and return how
     many were dropped.

@@ -3,11 +3,20 @@
 For each named query: run it MEDIAN_OF times against the noop sink
 (guide §1.4 — eagerly computes every column, no sink cost, full plan
 in the SQL tab) and capture .explain("formatted") to
-plans/r13/<name>_<tag>.txt so plan claims are checkable without Spark.
+plans/<round>/<name>_<tag>.txt so plan claims are checkable without
+Spark.
+
+Round-14 additions (VERDICT r13 task 8): --round picks the plans
+subdirectory, and --executed appends the EXECUTED plan descriptions of
+every SQL execution the final capture run submitted (read from the
+SQLAppStatusStore via plans.executed_plan_descriptions) — for eager
+operators (iterative graph loops, two-phase collects) the lazy
+explain() shows only the post-localCheckpoint Scan ExistingRDD, but
+the internal jobs' executed plans land here, Exchange counts included.
 
 Usage:
     python scripts/opt_measure.py [--tag before|after] [--sf DIR] name...
-    python scripts/opt_measure.py --tag before q_graph_triangles q_pagerank
+    python scripts/opt_measure.py --tag before --executed q_pagerank
 
 This is a diagnosis tool, NOT the bench: bench.py's df.count() timing
 is the cross-round contract and stays untouched.
@@ -41,10 +50,17 @@ def main() -> None:
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--no-plan", action="store_true")
     ap.add_argument("--runs", type=int, default=MEDIAN_OF)
+    ap.add_argument("--round", default="r14")
+    ap.add_argument(
+        "--executed",
+        action="store_true",
+        help="append executed plans of the capture run's internal jobs"
+        " (eager operators)",
+    )
     args = ap.parse_args()
 
     plans_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", args.round
     )
     os.makedirs(plans_dir, exist_ok=True)
 
@@ -77,6 +93,13 @@ def main() -> None:
             # runs don't appear as InMemoryRelation noise
             spark.catalog.clearCache()
             retire_persistent_rdds(spark)
+            if args.executed:
+                from distributed_mapreduce_server_spark.plans import (
+                    executed_plan_descriptions,
+                    latest_execution_id,
+                )
+
+                watermark = latest_execution_id(spark)
             df = fn(spark, args.sf)
             buf = io.StringIO()
             with contextlib.redirect_stdout(buf):
@@ -88,6 +111,19 @@ def main() -> None:
                     f"# noop-sink samples (s): {samples}  median: {med}\n\n"
                 )
                 fh.write(buf.getvalue())
+                if args.executed:
+                    # the build above already ran the operator's internal
+                    # jobs (eager ops execute at build time); dump each
+                    # executed plan so Exchange/join claims are checkable
+                    # even where explain() shows only Scan ExistingRDD.
+                    for i, p in enumerate(
+                        executed_plan_descriptions(spark, since=watermark)
+                    ):
+                        fh.write(
+                            f"\n\n=== executed plan {i} (internal job of the"
+                            f" build above) ===\n"
+                        )
+                        fh.write(p)
         out[name] = {"median": med, "samples": samples}
         print(f"{name}: median={med}s samples={samples}", flush=True)
     print(json.dumps(out))

@@ -1,0 +1,157 @@
+"""Round 14 (optimization round 2): focused pins for the operator
+internals the round changed.
+
+- LPA's fused mode(lbl, deterministic=true) vote must equal the former
+  two-aggregation argmax (count DESC, label ASC tie-break) exactly —
+  including on synthetic tie-heavy graphs the corpus may not exercise.
+- The k-core peel's one-job-per-round stats derivation (survivor count
+  + sum(d)/2 edge count off the degree frame, restriction against the
+  ORIGINAL edge frame) must reproduce the straightforward per-round
+  materialized peel row for row.
+- session.scoped_conf must restore values on success and error.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_server_spark.session import scoped_conf
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+class TestScopedConf:
+    def test_sets_and_restores(self, spark):
+        key = "spark.sql.adaptive.enabled"
+        prev = spark.conf.get(key)
+        with scoped_conf(spark, {key: "false"}):
+            assert spark.conf.get(key) == "false"
+        assert spark.conf.get(key) == prev
+
+    def test_restores_on_error(self, spark):
+        key = "spark.sql.adaptive.enabled"
+        prev = spark.conf.get(key)
+        with pytest.raises(RuntimeError):
+            with scoped_conf(spark, {key: "false"}):
+                raise RuntimeError("boom")
+        assert spark.conf.get(key) == prev
+
+    def test_empty_dict_is_noop(self, spark):
+        with scoped_conf(spark, {}):
+            pass
+
+
+class TestLpaModeVote:
+    """mode(lbl, deterministic=true) == argmax by (count DESC, lbl ASC)."""
+
+    def _two_agg(self, votes_df):
+        return (
+            votes_df.groupBy(F.col("src").alias("node"), "lbl")
+            .agg(F.count("*").alias("c"))
+            .groupBy("node")
+            .agg(
+                F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("m")
+            )
+            .select("node", (-F.col("m.nl")).alias("lbl"))
+        )
+
+    def _mode_agg(self, votes_df):
+        return votes_df.groupBy(F.col("src").alias("node")).agg(
+            F.mode(F.col("lbl"), True).alias("lbl")
+        )
+
+    def test_tie_heavy_synthetic(self, spark):
+        # node 1 sees labels [5, 5, 3, 3] -> tie, smallest label (3)
+        # node 2 sees labels [9] -> 9
+        # node 3 sees labels [7, 2, 7, 2, 1] -> tie at 2x, smallest (2)
+        rows = [
+            (1, 5), (1, 5), (1, 3), (1, 3),
+            (2, 9),
+            (3, 7), (3, 2), (3, 7), (3, 2), (3, 1),
+        ]
+        votes = spark.createDataFrame(rows, "src long, lbl long")
+        got = {r["node"]: r["lbl"] for r in self._mode_agg(votes).collect()}
+        want = {r["node"]: r["lbl"] for r in self._two_agg(votes).collect()}
+        assert got == want == {1: 3, 2: 9, 3: 2}
+
+    def test_corpus_round_equivalence(self, spark):
+        # one real LPA round over the sf0.001 co-purchase graph: the
+        # fused vote must equal the two-agg argmax on every node.
+        from distributed_mapreduce_server_spark.operators.graph import (
+            _copurchase_edges,
+        )
+
+        edges = _copurchase_edges(spark, SF_SMOKE)
+        und = edges.select(
+            F.col("u").alias("src"), F.col("v").alias("dst")
+        ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        labels = (
+            und.select(F.col("src").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("lbl"))
+        )
+        joined = und.join(labels.withColumnsRenamed({"node": "dst"}), "dst").select(
+            "src", "lbl"
+        )
+        a = self._mode_agg(joined)
+        b = self._two_agg(joined)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+
+class TestKcoreStatsDerivation:
+    def test_matches_materialized_peel(self, spark):
+        """The shipped one-job-per-round peel == the straightforward
+        materialize-every-round peel, row for row (sf0.001)."""
+        from distributed_mapreduce_server_spark.operators.graph import (
+            KCORE_K,
+            KCORE_ROUNDS,
+            _copurchase_edges,
+            q_graph_kcore_peel,
+        )
+
+        got = [tuple(r) for r in q_graph_kcore_peel(spark, SF_SMOKE).collect()]
+
+        edges = _copurchase_edges(spark, SF_SMOKE).localCheckpoint(eager=True)
+        want = []
+        cur = edges
+        for r in range(1, KCORE_ROUNDS + 1):
+            deg = (
+                cur.select(F.col("u").alias("node"))
+                .unionAll(cur.select(F.col("v").alias("node")))
+                .groupBy("node")
+                .agg(F.count("*").alias("d"))
+            )
+            keep = deg.filter(F.col("d") >= KCORE_K).select("node").localCheckpoint(
+                eager=True
+            )
+            n_nodes = keep.count()
+            cur = (
+                cur.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
+                .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
+                .select("u", "v")
+                .localCheckpoint(eager=True)
+            )
+            want.append((r, KCORE_K, n_nodes, cur.count()))
+        assert got == want
+
+    def test_restriction_compounds(self, spark):
+        """Restricting the ORIGINAL edges by a shrunken survivor set ==
+        restricting the previous round's restricted edges (the identity
+        the one-pass peel relies on)."""
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (1, 4), (4, 5)], "u long, v long"
+        )
+        s1 = spark.createDataFrame([(1,), (2,), (3,), (4,)], "node long")
+        s2 = spark.createDataFrame([(1,), (2,), (4,)], "node long")  # s2 ⊆ s1
+
+        def restrict(e, s):
+            return e.join(
+                s.select(F.col("node").alias("u")), "u", "left_semi"
+            ).join(s.select(F.col("node").alias("v")), "v", "left_semi")
+
+        once = restrict(edges, s2)
+        twice = restrict(restrict(edges, s1), s2)
+        assert once.exceptAll(twice).count() == 0
+        assert twice.exceptAll(once).count() == 0
