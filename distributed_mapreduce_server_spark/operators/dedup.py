@@ -1486,43 +1486,78 @@ def dedup_substr_multiscale(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = base.persist()
     base.count()
     sizes = base.select("doc_id", "n_tokens")
-    out = None
-    for level, L in enumerate(SUBSTR_L_GRID):
-        cur = base.select("doc_id", F.posexplode(f"hs{level}").alias("pos", "h"))
-        dup_h = (
-            cur.groupBy("h")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") >= 2)
-            .select("h")
-        )
-        # interval-merge islands over the duplicated-gram starts
-        # (_hit_islands): same maximal runs as the former L× position
-        # explode + distinct + second window, without any of them —
-        # at this ladder's top level the explode was a 40× fan-out.
-        spans = _hit_islands(cur.join(dup_h, "h").select("doc_id", "pos"), L)
-        per = spans.groupBy("doc_id").agg(
-            F.count("*").cast("bigint").alias("n_spans"),
-            F.max("span_len").cast("bigint").alias("max_span_tokens"),
-            F.sum("span_len").cast("bigint").alias("n_dup_covered"),
-        )
-        row = sizes.join(per, "doc_id", "left").select(
+    # r14 (VERDICT r13 task 4): the three per-level document-frequency
+    # aggregations shared no key (different L), but they CAN share one
+    # PASS — tag each level's posexploded gram rows with the level
+    # index and aggregate ONCE keyed (level, h): one Exchange where
+    # three were, one island window keyed (doc_id, level) where three
+    # (doc_id) windows were, one join back instead of three. Values
+    # are untouched: level tags partition the key space, so per-
+    # (level, h) counts equal each level's solo counts.
+    n_levels = len(SUBSTR_L_GRID)
+    l_arr = F.array(*[F.lit(int(L)) for L in SUBSTR_L_GRID])
+    allg = None
+    for level in range(n_levels):
+        cur = base.select(
             "doc_id",
-            F.lit(L).cast("int").alias("span_l"),
-            "n_tokens",
-            F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
-            F.coalesce(F.col("max_span_tokens"), F.lit(0))
-            .cast("bigint")
-            .alias("max_span_tokens"),
-            F.coalesce(F.col("n_dup_covered"), F.lit(0))
-            .cast("bigint")
-            .alias("n_dup_covered"),
-            fround(
-                F.coalesce(F.col("n_dup_covered"), F.lit(0))
-                / F.greatest(F.col("n_tokens"), F.lit(1)),
-                4,
-            ).alias("dup_frac"),
+            F.lit(level).cast("int").alias("lv"),
+            F.posexplode(f"hs{level}").alias("pos", "h"),
         )
-        out = row if out is None else out.unionByName(row)
+        allg = cur if allg is None else allg.unionByName(cur)
+    dup = (
+        allg.groupBy("lv", "h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("lv", "h")
+    )
+    hits = allg.join(dup, ["lv", "h"]).select("doc_id", "lv", "pos")
+    # interval-merge islands (see _hit_islands) with the per-level L
+    # riding as a column; one (doc_id, lv) window spec for both
+    # expressions — a single sort pass, partitions bounded by doc
+    # length.
+    w = Window.partitionBy("doc_id", "lv").orderBy("pos")
+    L_col = F.element_at(l_arr, F.col("lv") + 1)
+    spans = (
+        hits.withColumn(
+            "new_island",
+            F.coalesce(
+                (F.col("pos") - F.lag("pos").over(w) > L_col).cast("int"),
+                F.lit(1),
+            ),
+        )
+        .withColumn("grp", F.sum("new_island").over(w))
+        .groupBy("doc_id", "lv", "grp")
+        .agg(
+            (F.max("pos") - F.min("pos") + F.max(L_col)).alias("span_len"),
+        )
+    )
+    per = spans.groupBy("doc_id", "lv").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.max("span_len").cast("bigint").alias("max_span_tokens"),
+        F.sum("span_len").cast("bigint").alias("n_dup_covered"),
+    )
+    szl = sizes.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(0), F.lit(n_levels - 1))).alias("lv"),
+    )
+    out = szl.join(per, ["doc_id", "lv"], "left").select(
+        "doc_id",
+        F.element_at(l_arr, F.col("lv") + 1).cast("int").alias("span_l"),
+        "n_tokens",
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce(F.col("max_span_tokens"), F.lit(0))
+        .cast("bigint")
+        .alias("max_span_tokens"),
+        F.coalesce(F.col("n_dup_covered"), F.lit(0))
+        .cast("bigint")
+        .alias("n_dup_covered"),
+        fround(
+            F.coalesce(F.col("n_dup_covered"), F.lit(0))
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            4,
+        ).alias("dup_frac"),
+    )
     out = _cache_result(out)
     base.unpersist()
     return out.orderBy("doc_id", "span_l")
