@@ -533,15 +533,28 @@ def main() -> None:
     ):
         with open(os.path.join(base_dir, fname), "w") as fh:
             fh.write(full_payload + "\n")
-    contract = {
+    print(json.dumps(contract_line(best), separators=(",", ":")))
+
+
+def contract_line(best: dict) -> dict:
+    """The stdout contract object, shrunk as far as the contract
+    allows (VERDICT r13 task 3): 2-decimal per-query values (the full
+    3-decimal medians stay in bench_results.json) and compact JSON
+    separators — 3960 -> ~3560 bytes with 131 rows. A <2000-byte line
+    is UNREACHABLE without renaming keys, which the driver contract
+    forbids: the 131 immutable key names alone cost 2936 bytes of
+    JSON ("key":, quotes, commas) before any value. The driver parsed
+    the 4.3 KB r13 line (now_bench_ok: true), so the compaction only
+    adds margin. Top-level value/headline_value keep 3 decimals (the
+    cross-round comparison numbers)."""
+    return {
         "metric": best["metric"],
         "value": best["value"],
         "unit": best["unit"],
-        "queries": best["queries"],
+        "queries": {k: round(v, 2) for k, v in best["queries"].items()},
         "headline_value": best["headline_value"],
         "sf": best["sf"],
     }
-    print(json.dumps(contract))
 
 
 if __name__ == "__main__":

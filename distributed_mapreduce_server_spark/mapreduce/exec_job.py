@@ -112,7 +112,17 @@ def run_executable_job(
     # distinct shuffle, the broadcast branch's by_rid does not). The
     # cache holds one string per mapped line, the same bytes the
     # shuffle would spill; released after the result materializes.
-    keyed = mapped.map(lambda ln: (ln.split("\t", 1)[0], ln)).persist()
+    # MEMORY_AND_DISK (ADVICE r13): MEMORY_ONLY never spills — under
+    # memory pressure evicted partitions silently RE-RUN the mapper
+    # pipe (the exact double execution this persist removes, and a
+    # non-deterministic mapper could then emit inconsistent lines
+    # between the key-sample and reducer passes); disk overflow keeps
+    # the pipe single-run.
+    from pyspark import StorageLevel
+
+    keyed = mapped.map(lambda ln: (ln.split("\t", 1)[0], ln)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # Assign reducer ids map-side when the key set is small: a full
     # RDD join re-shuffles EVERY mapped line against a table that is
     # usually tiny (wordcount: a vocabulary), and measured 2x slower
@@ -169,7 +179,15 @@ def run_executable_job(
     )
     # materialize the (reducer-output-sized) result THROUGH the cache
     # before releasing it — returning the lazy frame and unpersisting
-    # would re-run both pipes at the caller's action
+    # would re-run both pipes at the caller's action.
+    # Deliberate fault-tolerance trade (ADVICE r13): localCheckpoint
+    # severs lineage, so losing an executor holding checkpoint
+    # partitions AFTER return fails the caller's action instead of
+    # recomputing — accepted because the alternative (keeping lineage
+    # alive) would re-run the mapper/reducer subprocess pipes on
+    # recompute, and a non-deterministic mapper could then silently
+    # return different bytes than the job already reported; in
+    # local[N] (this harness) executor loss is process death anyway.
     out = spark.createDataFrame(tagged, "part int, line string").localCheckpoint(
         eager=True
     )

@@ -1715,8 +1715,12 @@ def q_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.percentile_approx("l_extendedprice", 0.5, 10000)
                 .cast("double")
                 .alias("a"),
-                # placeholder: the exact median is selected below
-                F.count("*").cast("double").alias("e"),
+                # placeholder: the exact median is selected below.
+                # count(col), not count(*) (ADVICE r13): NULL prices
+                # are excluded from every other term of the selection
+                # arithmetic (cnt_lt/below/above filter on v), so k
+                # must be ranked against the non-NULL population.
+                F.count("l_extendedprice").cast("double").alias("e"),
             )
         )
         .collect()
@@ -1732,6 +1736,35 @@ def q_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bigger).
     li_price = t["lineitem"].select(F.col("l_extendedprice").alias("v"))
     n_li = int(r3["e"])
+    # empty / all-NULL short-circuit (ADVICE r13): percentile() used
+    # to degrade to NULL here; the selection path would instead crash
+    # (float(None), then an empty rank window). Emit the same NULL
+    # exact value, within_bound vacuously true (approx NULL == exact
+    # NULL). Never taken at any test SF (no NULL prices there).
+    if n_li == 0 or r3["a"] is None:
+        bound = bounds["median_extendedprice"]
+        rows = [
+            (
+                "distinct_custkey_orders",
+                float(r1["e"]),
+                abs(r1["a"] - r1["e"]) / max(r1["e"], 1)
+                <= bounds["distinct_custkey_orders"],
+                bounds["distinct_custkey_orders"],
+            ),
+            (
+                "distinct_users_events",
+                float(r2["e"]),
+                abs(r2["a"] - r2["e"]) / max(r2["e"], 1)
+                <= bounds["distinct_users_events"],
+                bounds["distinct_users_events"],
+            ),
+            ("median_extendedprice", None, True, bound),
+        ]
+        return spark.createDataFrame(
+            rows,
+            "check_name string, exact_value double, within_bound boolean,"
+            " rel_bound double",
+        ).orderBy("check_name")
     m0 = float(r3["a"])
     pos = 0.5 * (n_li - 1)
     k = int(pos)

@@ -21,6 +21,52 @@ from distributed_mapreduce_server_spark.session import scoped_conf
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
+class TestContractLine:
+    """VERDICT r13 task 3: the stdout contract line, shrunk as far as
+    the never-rename-keys contract allows. <2000 bytes is provably
+    unreachable (the key names alone cost ~2.9 KB), so the pin is the
+    achievable compact size plus the structural invariants the driver
+    parses."""
+
+    def _best(self):
+        import json
+
+        with open("/root/repo/bench_results.json") as fh:
+            return json.load(fh)
+
+    def test_compact_line_size_and_shape(self):
+        import json
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        from bench import contract_line
+
+        best = self._best()
+        line = json.dumps(contract_line(best), separators=(",", ":"))
+        keys_floor = sum(len(k) + 6 for k in best["queries"])  # "k":v,
+        # compact 2dp line: keys floor + <=6 value bytes per row + the
+        # scalar fields. Pin a ceiling that catches re-bloat (the r13
+        # line was 3960 bytes pretty-separated at 3dp).
+        assert len(line) <= keys_floor + 6 * len(best["queries"]) + 200
+        parsed = json.loads(line)
+        assert set(parsed) == {
+            "metric",
+            "value",
+            "unit",
+            "queries",
+            "headline_value",
+            "sf",
+        }
+        assert parsed["queries"].keys() == best["queries"].keys()
+        # per-query values are 2dp (file keeps 3dp medians)
+        assert all(
+            round(v, 2) == v for v in parsed["queries"].values()
+        )
+        # the cross-round totals keep full precision
+        assert parsed["value"] == best["value"]
+        assert parsed["headline_value"] == best["headline_value"]
+
+
 class TestScopedConf:
     def test_sets_and_restores(self, spark):
         key = "spark.sql.adaptive.enabled"
