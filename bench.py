@@ -269,8 +269,13 @@ SPLICE_LOAD_MAX = 1.15
 def run_attempt(spark, queries, names, sf_dir: str, sf: float) -> dict:
     """One full timed pass over the headline list; returns the record
     dict (the payload of a single bench attempt)."""
+    from distributed_mapreduce_server_spark.operators.similarity import (
+        CODEBOOK_TRAIN_COUNTS,
+    )
+
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    codebook_warm: list[str] = []
     # Discard two warm-up probes first: the very first numpy matmul
     # pays import + BLAS thread spin-up (measured 8.8 ms vs the 1.8 ms
     # steady floor), which would flag the whole first block at 1.6x
@@ -294,15 +299,26 @@ def run_attempt(spark, queries, names, sf_dir: str, sf: float) -> dict:
         # NOT drop those) is retired first, so earlier queries neither
         # feed this one nor squeeze its execution memory.
         samples = []
+        trains = []
         for _ in range(3):
             spark.catalog.clearCache()
             retire_persistent_rdds(spark)
+            t_before = sum(CODEBOOK_TRAIN_COUNTS.values())
             t0 = time.perf_counter()
             df = queries[name](spark, sf_dir)
             n = df.count()
             elapsed = time.perf_counter() - t0
             samples.append(elapsed)
+            trains.append(sum(CODEBOOK_TRAIN_COUNTS.values()) - t_before)
             assert n >= 0
+        # Codebook-memo transparency (VERDICT r13 task 6): a row whose
+        # FIRST sample trained a codebook that the later samples hit
+        # from the session memo reports a warm-codebook median — the
+        # "train once per session" behavior is deliberate (r11), but a
+        # judge comparing these rows against a cold engine should see
+        # which rows it touches. Annotation only; timing is unchanged.
+        if trains[0] > 0 and sum(trains[1:]) == 0:
+            codebook_warm.append(name)
         samples.sort()
         times[name] = round(samples[1], 3)
         spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
@@ -350,6 +366,7 @@ def run_attempt(spark, queries, names, sf_dir: str, sf: float) -> dict:
         "unit": "sec",
         "queries": times,
         "spread": spread,
+        "codebook_warm_rows": sorted(codebook_warm),
         "protocol": "median_of_3",
         "calibration": host_calibration(),
         "probe_series": probe_series,
